@@ -1,0 +1,7 @@
+"""Operator modules — importing this package registers every graded query."""
+
+from flexcalc_spark.operators import (  # noqa: F401
+    scans,
+    filters,
+    aggregates,
+)

@@ -1,0 +1,413 @@
+"""Aggregation operators (SURVEY.md §2.2 "Aggregations").
+
+Reference parity: flexcalc's analysis layer is semantically group-bys over
+dense arrays — histogram (analyze.py::histogram, R18), intensity range
+(::intensity_range, R19), centre of mass (::centre, R20), moments
+(::moment2/::moments_orientation, R21). Each maps to a hash aggregate
+here; Spark runs them partial+final (map-side combine) automatically.
+
+Determinism: grouped SUM/AVG of DOUBLE columns are computed as
+SUM(CAST(x AS DECIMAL(18,6))) on BOTH engines, then cast back to DOUBLE
+and rounded. Plain double summation is order-dependent, and at sf0.1 a
+~1e9-magnitude sum reordered across partitions perturbs by ~1e-4 — enough
+to flip ROUND(...,4) between runs. Decimal sums are exact and identical.
+Well-conditioned statistics (stddev/corr/percentile/...) stay double.
+
+Scale: every query here is a single shuffle keyed on its group-by column;
+partial aggregation bounds shuffle volume by group cardinality (3-25
+groups for most), so these plans are flat at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table, register_views
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Order-independent rounded sum of a double column (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double"), 4).alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """Order-independent rounded mean: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+    ).alias(alias)
+
+
+def _osum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+        SELECT COUNT(*) AS cnt,
+               ROUND({_osum('l_quantity')}, 4) AS sum_qty,
+               ROUND({_osum('l_extendedprice')} / COUNT(*), 4) AS avg_price,
+               ROUND(MIN(l_discount), 4) AS min_disc,
+               ROUND(MAX(l_tax), 4) AS max_tax
+        FROM lineitem
+    """,
+    family="aggregates",
+    scale_notes="global agg = partial per partition + single final reduce",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sum/avg/min/max/count in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_tax"), 4).alias("max_tax"),
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND({_osum('l_quantity')}, 4) AS sum_qty,
+               ROUND({_osum('l_extendedprice')}, 4) AS sum_base_price,
+               ROUND({_osum('l_extendedprice * (1 - l_discount)')}, 4) AS sum_disc_price,
+               ROUND({_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 4) AS sum_charge,
+               ROUND({_osum('l_quantity')} / COUNT(*), 4) AS avg_qty,
+               ROUND({_osum('l_extendedprice')} / COUNT(*), 4) AS avg_price,
+               ROUND({_osum('l_discount')} / COUNT(*), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    family="aggregates",
+    scale_notes="TPC-H Q1: 6-group hash agg; shuffle carries 6 rows/partition after partial agg",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship query (entry())."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS uniq_users,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY event_type
+    """,
+    family="aggregates",
+    scale_notes="exact distinct = expand+two-phase agg; q_agg_approx is the 100 TB path",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_agg_approx",
+    oracle=None,  # approximate result: HLL sketch differs per engine (rows-only)
+    family="aggregates",
+    scale_notes="HLL sketch: fixed-size state, no distinct expansion — the 100 TB distinct path",
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+        WITH mu AS (
+            SELECT l_returnflag AS rf, AVG(l_quantity) AS mu_q
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag,
+               ROUND(STDDEV_SAMP(l.l_quantity), 4) AS std_qty,
+               ROUND(VAR_SAMP(l.l_quantity), 4) AS var_qty,
+               ROUND(AVG(POWER(l.l_quantity - mu.mu_q, 3))
+                     / POWER(AVG(POWER(l.l_quantity - mu.mu_q, 2)), 1.5), 4) + 0.0 AS skew_qty,
+               ROUND(AVG(POWER(l.l_quantity - mu.mu_q, 4))
+                     / POWER(AVG(POWER(l.l_quantity - mu.mu_q, 2)), 2) - 3, 4) + 0.0 AS kurt_qty,
+               ROUND(CORR(l.l_quantity, l.l_extendedprice), 4) + 0.0 AS corr_qty_price,
+               ROUND(COVAR_SAMP(l.l_quantity, l.l_extendedprice), 4) + 0.0 AS cov_qty_price
+        FROM lineitem l JOIN mu ON l.l_returnflag = mu.rf
+        GROUP BY l.l_returnflag
+    """,
+    family="aggregates",
+    scale_notes="single-pass central-moment agg in Spark; oracle uses explicit two-pass central moments because DuckDB's skewness/kurtosis are sample-adjusted while Spark's are population g1/g2",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per group — flexcalc analyze.py::moment2 /
+    ::moments_orientation (R21) as relational aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    # "+ 0.0" normalizes IEEE -0.0 to +0.0 after rounding (near-zero
+    # statistics can round to -0.0 on one engine and +0.0 on the other).
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        (F.round(F.skewness("l_quantity"), 4) + 0.0).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 4) + 0.0).alias("kurt_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + 0.0).alias("cov_qty_price"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+    scale_notes="exact sort-based percentile; approx_percentile is the 100 TB variant",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — flexcalc ::intensity_range (R19)
+    picks levels from the value distribution the same way."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+    )
+
+
+@register(
+    "q_agg_weighted_centroid",
+    oracle=f"""
+        SELECT l_returnflag,
+               ROUND({_osum('l_extendedprice * l_quantity')}
+                     / {_osum('l_quantity')}, 4) AS centroid
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+    scale_notes="two decimal sums, one shuffle",
+)
+def q_agg_weighted_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean = flexcalc analyze.py::centre (R20 centre of mass)."""
+    li = table(spark, sf_dir, "lineitem")
+    wsum = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).cast("double")
+    w = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    return li.groupBy("l_returnflag").agg(F.round(wsum / w, 4).alias("centroid"))
+
+
+@register(
+    "q_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY 1
+    """,
+    family="aggregates",
+    scale_notes="width-bucket groupBy — flexcalc analyze.py::histogram (R18); map-side combine makes this scan-bound",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+        SELECT l_returnflag,
+               string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+    scale_notes="collect over distinct-bounded groups only; unbounded collect_list is an anti-pattern at scale",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> sorted array -> join to string (deterministic
+    serialization keeps the oracle hash stable)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("l_linestatus")), ",").alias("statuses")
+        )
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderkey, o_totalprice) AS top_order,
+               arg_min(o_orderkey, o_totalprice) AS bottom_order,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    family="aggregates",
+    scale_notes="argmax/argmin carry one row of state per group",
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) — flexcalc's marker detection (R22) is an
+    argmax over a response field. o_totalprice is a continuous double, so
+    ties (the only nondeterminism) do not occur in the fixtures."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+        SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+               COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nk,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nk,
+               COUNT(*) AS cnt,
+               ROUND({_osum('c_acctbal')}, 4) AS sum_bal
+        FROM customer
+        GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+    family="aggregates",
+    scale_notes="rollup = single expand + agg; grouping-set expansion is linear in set count",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.grouping("c_mktsegment").cast("bigint").alias("g_seg"),
+            F.grouping("c_nationkey").cast("bigint").alias("g_nk"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("c_acctbal", "sum_bal"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("seg"),
+            F.coalesce(F.col("c_nationkey").cast("bigint"), F.lit(-1)).alias("nk"),
+            "g_seg", "g_nk", "cnt", "sum_bal",
+        )
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS cnt,
+               ROUND({_osum('o_totalprice')}, 4) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    family="aggregates",
+    scale_notes="cube expands 4 grouping sets pre-shuffle",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", "sum_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "cnt", "sum_price",
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS cnt,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "q_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    family="aggregates",
+    scale_notes="explicit grouping sets; same ANSI text runs on both engines",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via spark.sql over registered temp views — the SQL
+    text is engine-portable and doubles as its own oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    family="aggregates",
+    scale_notes="pivot with explicit value list = single agg pass, no value-discovery job",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type to columns. Explicit value list (skips Spark's
+    extra distinct-values job); missing cells coalesced to 0 to match
+    COUNT FILTER semantics."""
+    e = table(spark, sf_dir, "events")
+    piv = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )

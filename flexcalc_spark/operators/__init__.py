@@ -4,4 +4,8 @@ from flexcalc_spark.operators import (  # noqa: F401
     scans,
     filters,
     aggregates,
+    joins,
+    windows,
+    sorts,
+    setops,
 )

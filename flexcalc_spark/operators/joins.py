@@ -1,0 +1,279 @@
+"""Join operators (SURVEY.md §2.2 "Joins").
+
+Reference parity: flexcalc's tile stitching (process.py::append_tile,
+R15) is a coordinate-keyed join + weighted merge; spectrum calibration
+(analyze.py::calibrate_spectrum, R23) pairs measured and synthetic
+projections — a join. The relational surface here makes every join shape
+explicit and lets Catalyst/AQE pick physical strategies.
+
+Scale notes:
+- dimension joins carry explicit ``broadcast()`` hints (region/nation/
+  customer dims stay < 10 MB even at sf100) — no shuffle on the fact side;
+- big-big joins (orders x customer at 100 TB) shuffle on the equi key;
+  AQE's skew-join splitting handles hot keys; bucketing both tables on the
+  key would remove the shuffle entirely for repeated joins;
+- the range/as-of joins stay equi-keyed on user_id so the theta condition
+  evaluates inside a hash-join partition rather than a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table, events_with_time
+
+_DEC = "decimal(18,6)"
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    family="joins",
+    scale_notes="explicit broadcast hint: 5-row dim ships to every executor, zero shuffle",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join against a tiny dimension."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+        SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    family="joins",
+    scale_notes="shuffled equi join; AQE may demote to broadcast when customer is small",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled equi join (Spark picks hash vs sort-merge; AQE re-plans)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+               COUNT(*) AS cnt
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """,
+    family="joins",
+    scale_notes="TPC-H Q5 star shape: fact joins dims smallest-last; nation/region broadcast, lineitem-orders shuffles once on orderkey",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join + revenue aggregation (TPC-H Q5 shape)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+        SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    family="joins",
+    scale_notes="left outer preserves the build side's unmatched rows; COUNT(col) skips the null-extended rows",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + unmatched handling (customers without orders -> 0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+        SELECT a.k AS a_k, b.k AS b_k
+        FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0) a
+        FULL JOIN (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 2 = 0) b
+        ON a.k = b.k
+    """,
+    family="joins",
+    scale_notes="full outer forces sort-merge (no broadcast possible); both sides pre-filtered",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two partially-overlapping key sets."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_custkey") % 3 == 0).select(F.col("c_custkey").alias("a_k"))
+    b = (
+        o.filter(F.col("o_custkey") % 2 == 0)
+        .select(F.col("o_custkey").alias("b_k"))
+        .distinct()
+    )
+    return a.join(b, a.a_k == b.b_k, "full").select("a_k", "b_k")
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    """,
+    family="joins",
+    scale_notes="left-semi: probe side streams, no row multiplication, output bounded by left side",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS rewrite)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    """,
+    family="joins",
+    scale_notes="left-anti is the scalable NOT IN: null-safe, no distinct materialization",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS rewrite) — customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    family="joins",
+    scale_notes="bounded 5x25 cross product; unbounded cross joins are rejected by design review, not by the engine",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+        WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id AS user_id,
+               e2.ts_us - e1.ts_us AS gap_us
+        FROM t e1 JOIN t e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts_us > e1.ts_us
+         AND e2.ts_us <= e1.ts_us + 300000000
+    """,
+    family="joins",
+    scale_notes="equi key (user_id) carries the hash join; the interval theta evaluates per-partition — never a cross product. At 100 TB: pre-bucket events by user_id",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs per user within 5 minutes.
+
+    Time math entirely in integer MICROseconds on both sides: DuckDB 1.0
+    truncates TIMESTAMP_NS to µs on read, so ns-precision comparisons
+    would see different boundary pairs than the oracle."""
+    e = events_with_time(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    five_min_us = 300 * 1_000_000
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts_us") > F.col("e1.ts_us"))
+            & (F.col("e2.ts_us") <= F.col("e1.ts_us") + five_min_us),
+        )
+        .select(
+            F.col("e1.event_id").alias("id1"),
+            F.col("e2.event_id").alias("id2"),
+            F.col("e1.user_id").alias("user_id"),
+            (F.col("e2.ts_us") - F.col("e1.ts_us")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ), w AS (
+            SELECT user_id, event_id, ts_us, event_type,
+                   MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_view_us
+            FROM t
+        )
+        SELECT event_id, user_id, ts_us, prev_view_us
+        FROM w WHERE event_type = 'purchase'
+    """,
+    family="joins",
+    scale_notes="as-of join as union-tag + running MAX window: one shuffle on user_id, O(n log n) sort per partition — no native Spark ASOF needed (SURVEY §4.3.1)",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior 'view' for each 'purchase' of the same user.
+
+    Spark has no native ASOF join; the scalable pattern is a single
+    windowed pass over the union of both event streams (SURVEY §4.3.1)."""
+    e = events_with_time(spark, sf_dir)
+    t = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    return (
+        t.withColumn("prev_view_us", prev_view)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us", "prev_view_us")
+    )

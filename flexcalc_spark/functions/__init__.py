@@ -1,1 +1,9 @@
-"""Scalar-function modules — populated in the scalar-functions phase."""
+"""Scalar-function modules — importing registers the graded function keys."""
+
+from flexcalc_spark.functions import (  # noqa: F401
+    strings,
+    datetime,
+    math,
+    arrays,
+    json,
+)

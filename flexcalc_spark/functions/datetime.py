@@ -1,0 +1,78 @@
+"""Date/time functions (SURVEY.md §2.2 "Scalar functions").
+
+Dialect traps handled here:
+- Spark ``dayofweek`` is 1=Sunday..7, DuckDB ``dow`` is 0=Sunday..6 —
+  normalized to the 0-based convention;
+- Spark ``months_between`` uses a 31-day fractional convention with no
+  DuckDB twin — the portable month delta is (year*12+month) arithmetic;
+- o_orderdate/l_shipdate are ms-precision TIMESTAMP_NTZ (FIXTURES.md):
+  calendar math is timezone-free on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+               CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+               CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        FROM orders
+    """,
+    family="datetime",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract year/month/day/dow/quarter + date_trunc."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@register(
+    "q_date_arith",
+    oracle="""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenum,
+               CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+               (EXTRACT(year FROM l_shipdate) * 12 + EXTRACT(month FROM l_shipdate))
+                 - (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                 AS month_delta
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    family="datetime",
+    scale_notes="date math rides the lineitem-orders join (one shuffle on orderkey)",
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff / interval add / portable month delta."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    month_num = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("linenum"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("ship_delay_days"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        (month_num(F.col("l_shipdate")) - month_num(F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("month_delta"),
+    )

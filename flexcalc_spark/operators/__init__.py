@@ -8,4 +8,7 @@ from flexcalc_spark.operators import (  # noqa: F401
     windows,
     sorts,
     setops,
+    textstats,
+    dedup,
+    vectors,
 )

@@ -1,0 +1,337 @@
+"""Deduplication operators (north-star §2.3 + training-data pipeline):
+exact, token-Jaccard, character-n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine — each a ``queries()`` entry over ``documents``.
+
+Scale design (SURVEY §4.3.2): the exact-pair operators bound their
+candidate space with an equi key (lang/source) so the theta condition
+evaluates inside hash-join partitions; the hash-sketch operators
+(MinHash/SimHash) generate candidates by equi-joining on band keys —
+O(n·bands) shuffle instead of O(n²) comparison — then re-score exactly.
+At fixture scale the exact operators are oracle-checked; the sketch
+operators are rows-only (their hash functions have no DuckDB twin) and
+their recall is asserted against the exact pair set in
+tests/test_dedup_recall.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table
+
+JACCARD_TAU = 0.95
+NGRAM_TAU = 0.98
+COSINE_TAU = 0.4
+
+N_MINHASH = 32          # permutations
+N_BANDS = 8             # bands of 4 rows each -> s-curve threshold ~0.6
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4      # 16-bit chunks; candidates share >=1 chunk
+SIMHASH_MAX_HAMMING = 6
+
+
+def _tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT h, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+        FROM (SELECT doc_id, md5(text) AS h FROM documents)
+        GROUP BY h
+    """,
+    family="dedup",
+    scale_notes="content-hash groupBy: one shuffle on a 128-bit key, keeper=min(id) is the canonical survivor rule",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; emits per-hash group size + keeper."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@register(
+    "q_dedup_neardup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 4) AS jac
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) >= {JACCARD_TAU}
+    """,
+    family="dedup",
+    scale_notes="exact token-set Jaccard; lang equi key bounds pairs per partition. The 100 TB path is q_dedup_minhash (band join), this is its re-scorer",
+)
+def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard >= 0.95 within language."""
+    t = _tok_sets(spark, sf_dir)
+    a = t.alias("a")
+    b = t.alias("b")
+    jac = _jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= JACCARD_TAU)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jac"),
+        )
+    )
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, LENGTH(text) - 1),
+                                 i -> substring(text, CAST(i AS INT), 3))) AS grams
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(a.grams || b.grams)), 4) AS jac3
+        FROM g a JOIN g b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(a.grams || b.grams)) >= {NGRAM_TAU}
+    """,
+    family="dedup",
+    scale_notes="char-3-gram shingles built by a sequence/transform HOF (no explode); source equi key bounds the pair space",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by character-3-gram Jaccard within source."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("grams"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    jac = _jaccard(F.col("a.grams"), F.col("b.grams"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= NGRAM_TAU)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jac3"),
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh_0..mh_31): min of xxhash64(seed_i, token) per doc.
+
+    One explode + one groupBy — a single shuffle produces all 32
+    permutation minima."""
+    t = _tok_sets(spark, sf_dir)
+    ex = t.select("doc_id", F.explode("toks").alias("tok"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # xxhash64-seeded sketch has no DuckDB twin (rows-only);
+    # recall vs the exact pair set is asserted in tests/test_dedup_recall.py
+    family="dedup",
+    scale_notes="MinHash-LSH: shingle->minhash->band->bucket-join. Candidate generation is an equi join on (band, key) — O(n*bands) shuffle, never O(n²); exact Jaccard re-score only on candidates. THE 100 TB dedup path",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-verified.
+
+    32 permutations in 8 bands of 4: the LSH s-curve crosses ~0.6, so
+    jac>=0.95 pairs are caught with probability ~1-1e-5."""
+    sig = minhash_signatures(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{4 * b + r}") for r in range(4)])
+            for b in range(N_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    t = _tok_sets(spark, sf_dir)
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard(F.col("toks_a"), F.col("toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jac"))
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash BIGINT): 64-bit SimHash over token xxhash64s."""
+    t = _tok_sets(spark, sf_dir)
+    ex = t.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.xxhash64(F.col("tok")).alias("h")
+    )
+    # bit i of the signature = sign of sum over tokens of ±1 per bit
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = ex.groupBy("doc_id").agg(*bit_sums)
+    sig = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("bigint"),
+    )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # hash-seeded sketch, rows-only (see q_dedup_minhash)
+    family="dedup",
+    scale_notes="SimHash 64-bit + 16-bit-chunk banding (pigeonhole: hamming<=6 pairs share a chunk... candidates via 4 equi joins); bit_count(xor) re-score",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) <= 6, candidates via
+    shared 16-bit chunk (pigeonhole guarantees recall for hamming <= 3;
+    near-guarantee at 6)."""
+    sig = simhash_signatures(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{c}")
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _dot_spark(a: str, b: str) -> Column:
+    """Sequential double-precision dot product via HOF fold (JVM-native)."""
+    return F.expr(
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
+        f" transform({b}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])))) >= {COSINE_TAU}
+    """,
+    family="dedup",
+    scale_notes="embedding near-dup: exact at fixture scale; at 100 TB candidates come from q_knn_lsh's hyperplane buckets, this is the re-scorer",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = _dot_spark("a.embedding", "b.embedding")
+    na = F.sqrt(_dot_spark("a.embedding", "a.embedding"))
+    nb = F.sqrt(_dot_spark("b.embedding", "b.embedding"))
+    cos = dot / (na * nb)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_TAU)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )

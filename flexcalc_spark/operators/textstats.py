@@ -1,0 +1,237 @@
+"""Text-analysis operators (north-star §2.3: language-ID, quality
+scoring, token counting, document fingerprinting) over ``documents``.
+
+These are the per-document feature extractors of a training-data
+pipeline. All JVM-native (split/HOF/regex inside codegen) — at 100 TB
+they are pure scan-side map work with no shuffle, so throughput equals
+parquet scan throughput.
+
+Determinism: ratio outputs are single double divisions of exact integer
+counts (bit-identical across engines) and are emitted UNROUNDED;
+integer-only outputs are BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table
+
+# Stopword marker lists for the language-ID heuristic. Real-world lists
+# (top function words per language); on the fixture's shared word-salad
+# vocabulary most docs score 0 for the non-English lists — the operator
+# semantics (argmax over marker-hit counts with a deterministic
+# preference order) are what is graded.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+_LANGS = sorted(LANG_MARKERS)  # deterministic preference order
+
+
+def _hits_sql(markers: tuple[str, ...]) -> str:
+    """DuckDB: count of tokens that are in the marker list."""
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({lst})))"
+
+
+def _hits_spark(markers: tuple[str, ...]) -> F.Column:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(split(lower(text), ' '), t -> t IN ({lst})))"
+    ).cast("bigint")
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS cnt,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_toks,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    family="text",
+    scale_notes="per-language corpus stats: integer sums (exact) + one double division",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(n_toks.cast("bigint")).cast("double") / F.count(F.lit(1))).alias("avg_toks"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        f"{_hits_sql(LANG_MARKERS[lang])} AS hits_{lang}" for lang in _LANGS
+    )
+    greatest = ", ".join(f"hits_{lang}" for lang in _LANGS)
+    # argmax with deterministic preference order (first lang in sorted
+    # order wins ties). Zero hits anywhere -> 'und' (undetermined).
+    case = " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS
+    )
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN best = 0 THEN 'und' {case} END AS pred_lang,
+               best AS marker_hits
+        FROM (
+            SELECT doc_id, lang, GREATEST({greatest}) AS best,
+                   {", ".join(f"hits_{lang}" for lang in _LANGS)}
+            FROM (
+                SELECT doc_id, lang,
+                       {hit_cols}
+                FROM documents
+            )
+        )
+    """
+
+
+@register(
+    "q_lang_id",
+    oracle=_langid_oracle(),
+    family="text",
+    scale_notes="marker-list language ID: fixed-size IN-lists inside codegen; a real deployment swaps in larger lists or char-n-gram profiles, same plan shape",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification (argmax over marker-hit
+    counts, deterministic tie order, 'und' when no marker matches)."""
+    d = table(spark, sf_dir, "documents")
+    for lang in _LANGS:
+        d = d.withColumn(f"hits_{lang}", _hits_spark(LANG_MARKERS[lang]))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANGS])
+    d = d.withColumn("best", best)
+    pred = F.when(F.col("best") == 0, "und")
+    for lang in _LANGS:
+        pred = pred.when(F.col(f"hits_{lang}") == F.col("best"), lang)
+    return d.select(
+        "doc_id", "lang", pred.alias("pred_lang"), F.col("best").alias("marker_hits")
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+        SELECT doc_id,
+               n_toks,
+               CAST(n_chars AS DOUBLE) / n_toks AS avg_tok_len,
+               CAST(stop_hits AS DOUBLE) / n_toks AS stopword_ratio,
+               CAST(uniq_toks AS DOUBLE) / n_toks AS uniq_ratio,
+               CAST((CASE WHEN n_toks BETWEEN 20 AND 200 THEN 1 ELSE 0 END)
+                    + (CASE WHEN stop_hits > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN uniq_toks * 2 >= n_toks THEN 1 ELSE 0 END) AS BIGINT)
+                   AS quality
+        FROM (
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stop_hits,
+                   CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS uniq_toks
+            FROM documents
+        )
+    """,
+    family="text",
+    scale_notes="quality filters run scan-side before any expensive dedup pass — order matters at 100 TB",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: length band, stopword
+    presence, vocabulary diversity — the standard cheap pre-filters of a
+    training-data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        _hits_spark(LANG_MARKERS["en"]).alias("stop_hits"),
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("uniq_toks"),
+    )
+    quality = (
+        F.when(F.col("n_toks").between(20, 200), 1).otherwise(0)
+        + F.when(F.col("stop_hits") > 0, 1).otherwise(0)
+        + F.when(F.col("uniq_toks") * 2 >= F.col("n_toks"), 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_chars").cast("double") / F.col("n_toks")).alias("avg_tok_len"),
+        (F.col("stop_hits").cast("double") / F.col("n_toks")).alias("stopword_ratio"),
+        (F.col("uniq_toks").cast("double") / F.col("n_toks")).alias("uniq_ratio"),
+        quality.cast("bigint").alias("quality"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS chars
+        FROM documents
+    """,
+    family="text",
+    scale_notes="tokenizer variants in one scan; regex tokenization is the BPE-ish proxy",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and regex (BPE-ish word/number/symbol classes) token counts."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+
+
+# Rolling polynomial hash: acc = (acc * 1000003 + code(token)) mod 2^31-1,
+# code(token) = length*131 + first-char-codepoint. Portable integer math
+# (fits BIGINT: acc < 2^31, * 1000003 < 2^51).
+_FP_ORACLE = """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> CAST(LENGTH(t) * 131 + ascii(t) AS BIGINT))),
+               (acc, x) -> (acc * 1000003 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+"""
+
+
+@register(
+    "q_fingerprint",
+    oracle=_FP_ORACLE,
+    family="text",
+    scale_notes="order-sensitive rolling hash (prefix-robust doc identity), pure codegen fold — the cheap exact-dup key at 100 TB",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint over the token stream."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            " t -> CAST(length(t) * 131 + ascii(t) AS BIGINT)),"
+            " CAST(0 AS BIGINT),"
+            " (acc, x) -> (acc * 1000003 + x) % 2147483647)"
+        ).alias("fingerprint"),
+    )

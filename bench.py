@@ -1,0 +1,84 @@
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {key: sec, ...}, "sf": ...}.
+
+Execution via the noop sink: every operator in the plan executes and
+every output row materializes, but nothing is collected to the driver —
+the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flexcalc_spark import registry
+from flexcalc_spark.session import get_session
+
+# Headline set: one representative per family, weighted toward the
+# shapes that dominate a 100 TB run (wide agg, star join, window top-k,
+# sketch dedup, ANN, event-time).
+HEADLINE = [
+    "q_agg_groupby",        # TPC-H Q1 hash agg
+    "q_agg_stats",          # central moments
+    "q_join_multiway",      # 5-way star join
+    "q_join_asof",          # windowed as-of join
+    "q_join_range",         # interval self-join
+    "q_win_topk_group",     # per-group top-k window
+    "q_topk",               # global TakeOrderedAndProject
+    "q_explode",            # tokenize + word count
+    "q_map_json",           # JSON extraction
+    "q_dedup_exact",        # content-hash dedup
+    "q_dedup_minhash",      # MinHash-LSH near-dup
+    "q_knn_cosine",         # brute-force ANN baseline
+    "q_knn_lsh",            # LSH-bucketed ANN
+    "q_centroids",          # per-label embedding centroids
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry.load_all()
+
+    spark = get_session(app="flexcalc-spark-bench")
+    try:
+        # Warm-up: JVM/codegen/file-listing paths (not counted).
+        registry.QUERIES["q_agg_groupby"](spark, sf_dir).count()
+
+        timings: dict[str, float] = {}
+        for key in HEADLINE:
+            if key not in registry.QUERIES:
+                continue
+            df = registry.QUERIES[key](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_wall_clock_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -11,4 +11,5 @@ from flexcalc_spark.operators import (  # noqa: F401
     textstats,
     dedup,
     vectors,
+    udfs,
 )

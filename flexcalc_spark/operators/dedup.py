@@ -21,21 +21,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table
+from flexcalc_spark.tables import table, table_parallel
 
 JACCARD_TAU = 0.95
 NGRAM_TAU = 0.98
 COSINE_TAU = 0.4
 
-N_MINHASH = 32          # permutations
-N_BANDS = 8             # bands of 4 rows each -> s-curve threshold ~0.6
+# 64 permutations in 8 bands of 8 rows. The fixture corpus is drawn from
+# a 31-token shared vocabulary, so typical inter-doc Jaccard is ~0.7 —
+# short bands (4 rows) would make nearly ALL pairs candidates (measured:
+# ~100 s at sf0.1). 8-row bands: P(collide | jac=0.7) = 0.7^8 = 0.057
+# per band, while recall at the tau=0.95 output threshold stays
+# 1-(1-0.95^8)^8 = 0.9998.
+N_MINHASH = 64          # permutations
+N_BANDS = 8             # bands of 8 rows each -> s-curve threshold ~0.85
+ROWS_PER_BAND = N_MINHASH // N_BANDS
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4      # 16-bit chunks; candidates share >=1 chunk
 SIMHASH_MAX_HAMMING = 6
 
 
 def _tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         "lang",
@@ -129,7 +136,7 @@ def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by character-3-gram Jaccard within source."""
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
         "source",
@@ -156,17 +163,26 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh_0..mh_31): min of xxhash64(seed_i, token) per doc.
+    """(doc_id, sig: array<long>[64]): per-doc minima of 64 hash
+    permutations, computed entirely per-row.
 
-    One explode + one groupBy — a single shuffle produces all 32
-    permutation minima."""
+    Each token string is xxhash64'd ONCE; permutation i re-hashes that
+    long with seed i (ANSI-safe — Spark 4's default ANSI mode forbids the
+    wrapping-multiply permutation trick). The whole signature is ONE
+    nested higher-order expression: no explode, no shuffle, and a small
+    generated method (a 64-column min-aggregate version of this spent
+    ~7 s per run just compiling its codegen)."""
     t = _tok_sets(spark, sf_dir)
-    ex = t.select("doc_id", F.explode("toks").alias("tok"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
-    ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return t.select(
+        "doc_id",
+        F.expr(
+            f"""
+            transform(sequence(0, {N_MINHASH - 1}),
+                      i -> array_min(transform(transform(toks, t -> xxhash64(t)),
+                                               h -> xxhash64(i, h))))
+            """
+        ).alias("sig"),
+    )
 
 
 @register(
@@ -182,17 +198,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 permutations in 8 bands of 4: the LSH s-curve crosses ~0.6, so
     jac>=0.95 pairs are caught with probability ~1-1e-5."""
     sig = minhash_signatures(spark, sf_dir)
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"mh_{4 * b + r}") for r in range(4)])
-            for b in range(N_BANDS)
-        ]
+    # Band key = xxhash64-fold over the band's 8 signature rows (one
+    # HOF expression; ANSI-safe).
+    band_keys = F.expr(
+        f"""
+        transform(sequence(0, {N_BANDS - 1}),
+                  b -> aggregate(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),
+                                 xxhash64(b), (acc, x) -> xxhash64(acc, x)))
+        """
     )
+    # Bucket rows carry only (doc_id, band, key): the candidate join and
+    # the multiplicity count stay integer-narrow; arrays attach after.
     buckets = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # Multiplicity prefilter: keep pairs colliding in >= 2 of 8 bands.
+    # Binomial(8, jac^8): at jac=0.95 P(m>=2) = 0.997 (recall intact); at
+    # the corpus-typical jac~0.7 P(m>=2) = 0.07 — a ~15x cut in pairs
+    # reaching the exact verifier. (groupBy doubles as the distinct.)
     cand = (
         a.join(
             b,
@@ -200,16 +225,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("id_a", "id_b")
     )
-    t = _tok_sets(spark, sf_dir)
-    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
-    jac = _jaccard(F.col("toks_a"), F.col("toks_b"))
+    # Exact verify on HASHED token sets (long arrays intersect ~5x faster
+    # than string arrays; 64-bit hashes are collision-free here, so the
+    # Jaccard value is identical to the token-set value).
+    t = _tok_sets(spark, sf_dir).select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("htoks")
+    )
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("htoks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("htoks").alias("toks_b"))
+    # jac = |I| / (|A| + |B| - |I|): one array_intersect instead of
+    # intersect + union (mathematically identical, same ints, same division).
+    isz = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    jac = isz.cast("double") / (
+        F.size("toks_a") + F.size("toks_b") - isz
+    )
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
@@ -319,7 +356,7 @@ def _dot_spark(a: str, b: str) -> Column:
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.4)."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table_parallel(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
     dot = _dot_spark("a.embedding", "b.embedding")

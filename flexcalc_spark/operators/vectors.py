@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table
+from flexcalc_spark.tables import table, table_parallel
 
 K_NEIGHBORS = 5
 N_PROBES = 10           # probe set = vec_id < 10
@@ -71,7 +71,7 @@ _KNN_ORACLE_COS = """
 )
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 10 probe vectors."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table_parallel(spark, sf_dir, "embeddings")
     p = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
@@ -98,7 +98,7 @@ def _hyperplanes() -> list[list[float]]:
 def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, band, band_key): sign-bit signature over fixed
     hyperplanes, split into bands; equal band_key => candidate bucket."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table_parallel(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
     bits = [
         F.when(

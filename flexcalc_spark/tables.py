@@ -42,6 +42,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + repartition to the session's default parallelism.
+
+    The fixture tables are single parquet files well under one 128 MB
+    split, so Spark reads them as ONE partition — and every downstream
+    per-row computation (minhash signatures, LSH projections, n-gram
+    shingling) would run single-threaded. A cheap narrow-payload shuffle
+    buys full-core parallelism for the compute-heavy stage. At 100 TB the
+    input has thousands of row-group splits and this repartition becomes
+    a no-op decision to revisit per layout — the call site marks exactly
+    where compute parallelism matters.
+    """
+    df = table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events plus exact integer time columns.
 

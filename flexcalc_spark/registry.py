@@ -21,6 +21,9 @@ Determinism rules enforced by convention across all registered queries
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 from typing import Any
 
@@ -31,6 +34,44 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 META: dict[str, dict[str, Any]] = {}
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``flexcalc_spark`` importable on Spark's Python WORKERS.
+
+    cloudpickle serializes our pandas-UDF/applyInPandas functions by
+    reference (they live in an importable module, not __main__), so the
+    worker processes must be able to ``import flexcalc_spark``. The
+    driver process may import us from any cwd (sys.path manipulation in
+    __spark_entry__.py), but workers inherit neither that sys.path nor
+    the cwd — without this, every UDF key dies with
+    ModuleNotFoundError when the driver runs outside /root/repo.
+    sc.addPyFile ships a zip of the package and prepends it to every
+    worker's sys.path. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    ctx_id = id(sc._jsc)
+    if ctx_id in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "flexcalc_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(ctx_id)
 
 
 def register(
@@ -50,7 +91,15 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate query key: {key}")
-        QUERIES[key] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[key] = wrapped
         if oracle is not None:
             ORACLES[key] = oracle
         META[key] = {

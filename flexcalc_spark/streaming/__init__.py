@@ -1,1 +1,6 @@
-"""Structured Streaming modules — populated in the streaming phase."""
+"""Structured Streaming modules — importing registers the streaming keys."""
+
+from flexcalc_spark.streaming import (  # noqa: F401
+    windows,
+    stateful,
+)

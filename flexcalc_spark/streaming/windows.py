@@ -1,0 +1,319 @@
+"""Event-time windowing (SURVEY.md §2.2 "Streaming").
+
+Each key is graded through its BATCH twin (DuckDB has no streams); the
+Structured Streaming formulation of the same computation lives in
+``stream_*`` builders below and is asserted row-identical to the batch
+twin in tests/test_streaming.py (readStream -> availableNow -> memory
+sink), per SURVEY §5.2.4.
+
+All graded window boundaries are integer epoch-second math — exact,
+engine-portable, and immune to the ns/µs truncation trap. The streaming
+builders use the native window()/session_window() operators over a real
+timestamp column (the idiomatic streaming plan; same results).
+
+Scale: streaming aggregations keyed on (window, event_type)/(user_id)
+with watermarks bound state size; at 100 TB-equivalent event rates the
+state store (RocksDB in production) holds one row per open window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import events_with_time, table
+
+HOUR = 3600
+SLIDE = 900             # 15 min
+SESSION_GAP_US = 1_800_000_000  # 30 min in µs
+
+
+@register(
+    "q_window_tumbling",
+    oracle="""
+        SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS wstart_sec,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    family="streaming",
+    scale_notes="tumbling window = hash agg on (hour, type); streaming twin carries one state row per open window",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count/sum per event type (batch twin)."""
+    e = events_with_time(spark, sf_dir)
+    return (
+        e.groupBy(
+            (F.expr(f"ts_sec div {HOUR}") * HOUR).alias("wstart_sec"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle=f"""
+        SELECT ((epoch_us(ts) // 1000000 // {SLIDE}) - k.k) * {SLIDE} AS wstart_sec,
+               event_type,
+               COUNT(*) AS cnt
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, {HOUR // SLIDE})) AS k) k
+        GROUP BY 1, 2
+    """,
+    family="streaming",
+    scale_notes="sliding window explodes each row into window_len/slide=4 windows pre-agg; partial agg collapses them map-side",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (batch twin).
+
+    Each event belongs to 4 overlapping windows: wstart = (floor(ts/900)
+    - k)*900 for k in 0..3 — every such window satisfies
+    wstart <= ts < wstart+3600 by construction."""
+    e = events_with_time(spark, sf_dir)
+    k = F.explode(F.sequence(F.lit(0), F.lit(HOUR // SLIDE - 1))).alias("k")
+    return (
+        e.select("ts_sec", "event_type", k)
+        .groupBy(
+            ((F.expr(f"ts_sec div {SLIDE}") - F.col("k")) * SLIDE).alias("wstart_sec"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+    WITH t AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events
+    ), g AS (
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER w >= {SESSION_GAP_US} OR
+                         LAG(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+    FROM g
+"""
+
+
+@register(
+    "q_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
+    family="streaming",
+    scale_notes="gap sessionization = lag + running sum: one shuffle on user_id; the batch twin of session_window / applyInPandasWithState",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) in pure window SQL.
+
+    New session when the gap from the previous event is >= the gap
+    threshold — matching session_window's half-open [start, last+gap)
+    semantics (an event exactly gap after the last starts a new session).
+    """
+    e = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts_us") - prev >= SESSION_GAP_US), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(wc).cast("bigint").alias("sess_id"),
+    )
+
+
+@register(
+    "q_window_session",
+    oracle=f"""
+        WITH s AS ({_SESSIONIZE_ORACLE})
+        SELECT s.user_id, s.sess_id,
+               MIN(t.ts_us) // 1000000 AS session_start_sec,
+               COUNT(*) AS cnt
+        FROM s JOIN (SELECT event_id, epoch_us(ts) AS ts_us FROM events) t
+          ON s.event_id = t.event_id
+        GROUP BY s.user_id, s.sess_id
+    """,
+    family="streaming",
+    scale_notes="session aggregation over the sessionized stream; streaming twin is native session_window with merging state",
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates (batch twin of session_window)."""
+    e = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts_us") - prev >= SESSION_GAP_US), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.select(
+        "user_id",
+        "ts_us",
+        F.sum(new_sess).over(wc).cast("bigint").alias("sess_id"),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.expr("min(ts_us) div 1000000").alias("session_start_sec"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_type, COUNT(*) AS uniq_cnt
+        FROM (SELECT DISTINCT user_id, event_type,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events)
+        GROUP BY event_type
+    """,
+    family="streaming",
+    scale_notes="dropDuplicates keyed on (user, type, day); the streaming twin bounds state with a watermark (state rows expire after the lateness horizon)",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated daily-active counts (batch twin of streaming
+    dropDuplicates-with-watermark)."""
+    e = events_with_time(spark, sf_dir)
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("uniq_cnt"))
+    )
+
+
+@register(
+    "q_stream_late",
+    oracle=None,  # watermark late-drop is a streaming-only semantic (rows-only);
+    # behavior with injected late rows is asserted in tests/test_streaming.py
+    family="streaming",
+    scale_notes="watermark horizon = max event time - 1h: rows older than the horizon are dropped by the streaming engine, bounding state",
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rendering of the watermark horizon: per-type counts of rows
+    within 1 hour of the stream's max event time (what a 1h-watermark
+    run reports for the final window set)."""
+    e = events_with_time(spark, sf_dir)
+    horizon = e.agg(F.max("ts_sec")).collect()[0][0] - HOUR
+    return (
+        e.filter(F.col("ts_sec") > F.lit(horizon))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming builders (used by tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream with a real event-time column."""
+    schema = table(spark, sf_dir, "events").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native window() + watermark streaming twin of q_window_tumbling."""
+    s = stream_events(spark, sf_dir)
+    return (
+        s.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart_sec"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native sliding window() streaming twin of q_window_sliding."""
+    s = stream_events(spark, sf_dir)
+    return (
+        s.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart_sec"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming twin of q_window_session."""
+    s = stream_events(spark, sf_dir)
+    return (
+        s.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_sec"),
+            "cnt",
+        )
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates-with-watermark twin of q_stream_dedup."""
+    s = stream_events(spark, sf_dir)
+    return (
+        s.withWatermark("event_time", "1 hour")
+        .select(
+            "event_time",
+            "user_id",
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("uniq_cnt"))
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming DataFrame with availableNow into a memory sink;
+    returns the sink table name after the stream drains."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name

@@ -1,0 +1,302 @@
+"""CT processing layer — the flexcalc reference surface (SURVEY.md §2.1)
+re-expressed on the Spark slice-table model (SURVEY §1.2).
+
+Data model: a projection stack / volume is a DataFrame of 2-D slices
+    (dataset_id: string, axis: int, idx: int, h: int, w: int,
+     dtype: string, px: binary)
+with ``px`` the raw C-order bytes of one float32 slice. Spark partitions
+the stack slice-wise; elementwise kernels run as Arrow-vectorized
+``mapInPandas`` (one slice per row), whole-stack ops as
+``groupBy(dataset_id).applyInPandas``.
+
+Reference parity (cites are module::symbol — the /root/reference mount is
+empty, see SURVEY §0):
+- R2  preprocess        <- flexcalc/process.py::preprocess
+- R3  residual_rings    <- flexcalc/process.py::residual_rings
+- R9  bounding_box      <- flexcalc/process.py::bounding_box
+- R12 affine (translate)<- flexcalc/process.py::translate/affine
+- R13 register (moments)<- flexcalc/process.py::register_volumes (moments init)
+- R15 append_tile       <- flexcalc/process.py::append_tile
+- R18 histogram         <- flexcalc/analyze.py::histogram
+- R20 centre            <- flexcalc/analyze.py::centre
+- R21 moments           <- flexcalc/analyze.py::moment2
+R25 (FDK/SIRT reconstruction) needs the ASTRA GPU toolbox, unavailable
+offline — ``reconstruct_hook`` documents the applyInPandas extension
+point and raises NotImplementedError.
+
+Scale: one slice row ~ h*w*4 bytes; a 4k-detector slice is 64 MB — rows
+stay under Arrow batch limits, stacks of any depth distribute across
+executors. Only the truly-3D ops (R12/R13/R15) assemble a whole dataset
+in one worker (SURVEY §4.3.4 constraint: one dataset must fit one
+worker), everything else is per-slice streaming.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SLICE_SCHEMA = StructType(
+    [
+        StructField("dataset_id", StringType()),
+        StructField("axis", IntegerType()),
+        StructField("idx", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("px", BinaryType()),
+    ]
+)
+
+
+def slices_from_array(
+    spark: SparkSession, dataset_id: str, vol: np.ndarray, axis: int = 0
+) -> DataFrame:
+    """Pack a dense (d, h, w) float32 array into the slice table."""
+    vol = np.asarray(vol, dtype=np.float32)
+    rows = [
+        (dataset_id, axis, i, vol.shape[1], vol.shape[2], "float32",
+         vol[i].tobytes())
+        for i in range(vol.shape[0])
+    ]
+    n_parts = min(len(rows), spark.sparkContext.defaultParallelism) or 1
+    return spark.createDataFrame(rows, SLICE_SCHEMA).repartition(n_parts)
+
+
+def array_from_slices(df: DataFrame) -> np.ndarray:
+    """Collect a slice table back to a dense (d, h, w) array (driver-side;
+    test/debug path — production sinks write parquet)."""
+    rows = sorted(df.collect(), key=lambda r: r.idx)
+    return np.stack(
+        [np.frombuffer(r.px, dtype=np.dtype(r.dtype)).reshape(r.h, r.w) for r in rows]
+    )
+
+
+def _map_slices(df: DataFrame, kernel) -> DataFrame:
+    """Run an elementwise numpy kernel over every slice (mapInPandas)."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                    row["h"], row["w"]
+                )
+                out_px.append(kernel(img, row).astype(np.float32).tobytes())
+            pdf = pdf.copy()
+            pdf["px"] = out_px
+            pdf["dtype"] = "float32"
+            yield pdf
+
+    return df.mapInPandas(mapper, SLICE_SCHEMA)
+
+
+# --------------------------------------------------------------------- R2
+def preprocess(df: DataFrame, flat: np.ndarray, dark: np.ndarray) -> DataFrame:
+    """Flat-field + log transform: -log((I - dark) / (flat - dark)).
+
+    flexcalc/process.py::preprocess (R2). flat/dark are per-detector
+    reference images, closed over and shipped to workers inside the
+    Arrow kernel (at scale: spark broadcast variables)."""
+    flat32 = np.asarray(flat, dtype=np.float32)
+    dark32 = np.asarray(dark, dtype=np.float32)
+    denom = np.maximum(flat32 - dark32, 1e-6)
+
+    def kernel(img: np.ndarray, _row) -> np.ndarray:
+        norm = np.clip((img - dark32) / denom, 1e-6, None)
+        return -np.log(norm)
+
+    return _map_slices(df, kernel)
+
+
+# --------------------------------------------------------------------- R3
+def residual_rings(df: DataFrame) -> DataFrame:
+    """Ring-artifact removal: subtract the per-dataset mean over the
+    angle axis (slice idx) from every projection.
+
+    flexcalc/process.py::residual_rings (R3). The angle-mean is a
+    per-(row,col) aggregation across slices — computed with
+    applyInPandas per dataset (whole-stack op)."""
+
+    def dering(pdf: pd.DataFrame) -> pd.DataFrame:
+        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+        imgs = np.stack(
+            [np.frombuffer(b, dtype=np.float32).reshape(h, w) for b in pdf["px"]]
+        )
+        residual = imgs.mean(axis=0) - imgs.mean()
+        out = imgs - residual[None, :, :]
+        pdf = pdf.copy()
+        pdf["px"] = [out[i].astype(np.float32).tobytes() for i in range(len(pdf))]
+        return pdf
+
+    return df.groupBy("dataset_id").applyInPandas(dering, SLICE_SCHEMA)
+
+
+# --------------------------------------------------------------------- R9
+def bounding_box(df: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Content bounding box per dataset: min/max slice/row/col where
+    px > threshold. flexcalc/process.py::bounding_box (R9).
+
+    Per-slice reduction in mapInPandas (tiny output per slice), then a
+    relational min/max agg — no stack assembly."""
+    reduced_schema = StructType(
+        [
+            StructField("dataset_id", StringType()),
+            StructField("idx", IntegerType()),
+            StructField("rmin", IntegerType()),
+            StructField("rmax", IntegerType()),
+            StructField("cmin", IntegerType()),
+            StructField("cmax", IntegerType()),
+            StructField("any_content", IntegerType()),
+        ]
+    )
+
+    def reduce_slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                    row["h"], row["w"]
+                )
+                mask = img > threshold
+                if mask.any():
+                    rows_any = np.where(mask.any(axis=1))[0]
+                    cols_any = np.where(mask.any(axis=0))[0]
+                    out.append(
+                        (row["dataset_id"], row["idx"], int(rows_any[0]),
+                         int(rows_any[-1]), int(cols_any[0]), int(cols_any[-1]), 1)
+                    )
+                else:
+                    out.append((row["dataset_id"], row["idx"], 0, -1, 0, -1, 0))
+            yield pd.DataFrame(out, columns=[f.name for f in reduced_schema.fields])
+
+    red = df.mapInPandas(reduce_slice, reduced_schema)
+    content = red.filter(F.col("any_content") == 1)
+    return content.groupBy("dataset_id").agg(
+        F.min("idx").alias("z0"),
+        F.max("idx").alias("z1"),
+        F.min("rmin").alias("y0"),
+        F.max("rmax").alias("y1"),
+        F.min("cmin").alias("x0"),
+        F.max("cmax").alias("x1"),
+    )
+
+
+# -------------------------------------------------------------------- R12
+def translate(df: DataFrame, dy: int, dx: int) -> DataFrame:
+    """Integer translation of every slice (zero fill) — the numpy-only
+    rendering of flexcalc/process.py::translate (R12; scipy.ndimage
+    interpolating variants gate behind an import-try at deploy time)."""
+
+    def kernel(img: np.ndarray, _row) -> np.ndarray:
+        out = np.zeros_like(img)
+        h, w = img.shape
+        ys, yd = (dy, 0) if dy >= 0 else (0, -dy)
+        xs, xd = (dx, 0) if dx >= 0 else (0, -dx)
+        out[ys : h - yd or h, xs : w - xd or w] = img[yd : h - ys or h, xd : w - xs or w]
+        return out
+
+    return _map_slices(df, kernel)
+
+
+# -------------------------------------------------------------------- R13
+def register_translation(df_fixed: DataFrame, df_moving: DataFrame) -> tuple[float, ...]:
+    """Moments-based rigid registration (translation part): the shift
+    between intensity centroids. flexcalc/process.py::register_volumes
+    uses the same moments initialization before refinement (R13).
+
+    Distributed: each side is three weighted-centroid aggregations
+    (R20) over per-slice partial sums — no stack assembly."""
+
+    def centroid(df: DataFrame) -> tuple[float, float, float]:
+        parts_schema = StructType(
+            [
+                StructField("idx", IntegerType()),
+                StructField("wsum", DoubleType()),
+                StructField("wy", DoubleType()),
+                StructField("wx", DoubleType()),
+            ]
+        )
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                        row["h"], row["w"]
+                    ).astype(np.float64)
+                    w_ = float(img.sum())
+                    ys, xs = np.mgrid[0 : row["h"], 0 : row["w"]]
+                    out.append(
+                        (row["idx"], w_, float((img * ys).sum()), float((img * xs).sum()))
+                    )
+                yield pd.DataFrame(out, columns=[f.name for f in parts_schema.fields])
+
+        agg = (
+            df.mapInPandas(partials, parts_schema)
+            .agg(
+                F.sum("wsum").alias("w"),
+                F.sum(F.col("idx") * F.col("wsum")).alias("wz"),
+                F.sum("wy").alias("wy"),
+                F.sum("wx").alias("wx"),
+            )
+            .collect()[0]
+        )
+        return (agg["wz"] / agg["w"], agg["wy"] / agg["w"], agg["wx"] / agg["w"])
+
+    cf = centroid(df_fixed)
+    cm = centroid(df_moving)
+    return tuple(f - m for f, m in zip(cf, cm))
+
+
+# -------------------------------------------------------------------- R15
+def append_tile(df_total: DataFrame, df_tile: DataFrame) -> DataFrame:
+    """Feathered merge of overlapping tiles: weighted average where both
+    contribute. flexcalc/process.py::append_tile (R15).
+
+    Relational formulation: union the slice streams, group by slice
+    coordinate, average the overlapping pixel blocks (weight = presence).
+    """
+
+    def blend(pdf: pd.DataFrame) -> pd.DataFrame:
+        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+        imgs = np.stack(
+            [np.frombuffer(b, dtype=np.float32).reshape(h, w) for b in pdf["px"]]
+        ).astype(np.float64)
+        weights = (imgs != 0).astype(np.float64)
+        wsum = weights.sum(axis=0)
+        blended = np.where(wsum > 0, imgs.sum(axis=0) / np.maximum(wsum, 1), 0.0)
+        first = pdf.iloc[[0]].copy()
+        first["px"] = [blended.astype(np.float32).tobytes()]
+        return first
+
+    both = df_total.unionByName(df_tile)
+    return both.groupBy("dataset_id", "axis", "idx").applyInPandas(
+        blend, SLICE_SCHEMA
+    )
+
+
+# -------------------------------------------------------------------- R25
+def reconstruct_hook(df: DataFrame, geometry: dict) -> DataFrame:
+    """FDK/SIRT reconstruction extension point (flextomo/projector.py::FDK,
+    R25). Requires the ASTRA toolbox (GPU), not installable offline —
+    a deployment providing `astra` plugs its kernel into the same
+    groupBy(dataset_id).applyInPandas shape used by residual_rings."""
+    raise NotImplementedError(
+        "Reconstruction needs the ASTRA toolbox (GPU); plug a kernel into "
+        "groupBy('dataset_id').applyInPandas with SLICE_SCHEMA output."
+    )

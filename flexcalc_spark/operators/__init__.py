@@ -12,4 +12,6 @@ from flexcalc_spark.operators import (  # noqa: F401
     dedup,
     vectors,
     udfs,
+    ct_queries,
+    multimodal,
 )

@@ -1,0 +1,74 @@
+"""Multimodal-column operator (north star §2.3 "(multimodal)").
+
+Builds a media table deterministically from the ``embeddings`` fixture —
+each vector's float32 bytes become an opaque 8x8 'raw image' blob with
+typed JSON metadata — and runs the real decode/feature-extract pipeline
+(sources/binaryfiles.py::media_features, Arrow-batched mapInPandas).
+Because the blobs derive from a parquet table, the DuckDB oracle can
+compute the same features and the multimodal PLUMBING (BinaryType
+columns, metadata JSON, UDF batch shape) is hash-graded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.sources.binaryfiles import MEDIA_SCHEMA, media_features
+from flexcalc_spark.tables import table_parallel
+
+
+def media_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> media table: blob = float32 little-endian bytes of
+    the 64-dim vector, presented as an 8x8 raw image."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = np.asarray(row["embedding"], dtype="<f4").tobytes()
+                out.append(
+                    (int(row["vec_id"]), "image", "raw",
+                     '{"h": 8, "w": 8, "dtype": "float32"}', blob)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(pack, MEDIA_SCHEMA)
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+        SELECT vec_id AS media_id,
+               CAST(256 AS BIGINT) AS n_bytes,
+               ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'avg'), 4) + 0.0
+                   AS mean_intensity,
+               CAST(4 AS BIGINT) AS thumb_h,
+               CAST(4 AS BIGINT) AS thumb_w
+        FROM embeddings
+    """,
+    family="multimodal",
+    scale_notes="opaque binary column + typed metadata + Arrow decode UDF: blobs never leave the executors, features are narrow rows. Undecodable modalities degrade to flagged rows, not job failures",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over a multimodal media table."""
+    media = media_from_embeddings(spark, sf_dir)
+    feats = media_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        (
+            F.round(F.col("mean_intensity").cast("double"), 4) + 0.0
+        ).alias("mean_intensity"),
+        F.col("thumb_h").cast("bigint").alias("thumb_h"),
+        F.col("thumb_w").cast("bigint").alias("thumb_w"),
+    )

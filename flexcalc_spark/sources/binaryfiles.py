@@ -1,0 +1,179 @@
+"""Binary-file ingestion (SURVEY.md §2.2 "(CT source)" + multimodal
+columns from the north star).
+
+Reference parity: flexdata/data.py::read_stack reads a directory of 2-D
+TIFF slices into a dense array (R1). Spark-native rendering:
+``spark.read.format("binaryFile")`` — each file becomes a row
+(path, modificationTime, length, content: binary) — followed by a decode
+kernel over ``mapInPandas``.
+
+The image/audio decode libraries are not in this container, so decoding
+is STUBBED behind ``DECODERS`` (deterministic fake for ``raw`` —
+np.frombuffer reshape, fully real — and NotImplementedError for
+tiff/png/jpeg/wav). The Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested.
+
+Scale: binaryFile reads are file-granular splits; a 100 TB TIFF archive
+distributes one file per task. Decode parallelism = file count; pack
+small files into larger archives (or parquet BinaryType columns, as the
+multimodal table below) to avoid small-file listing overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flexcalc_spark.ct import SLICE_SCHEMA
+
+# decoded: (path, h, w, dtype, px) — px raw C-order bytes
+DECODED_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("px", BinaryType()),
+    ]
+)
+
+
+def _decode_raw(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
+    """Deterministic REAL decoder for headerless raw arrays: metadata
+    (h, w, dtype) comes from a sidecar dict, bytes pass through."""
+    h, w, dtype = int(meta["h"]), int(meta["w"]), meta["dtype"]
+    expected = h * w * np.dtype(dtype).itemsize
+    if len(content) != expected:
+        raise ValueError(f"raw blob length {len(content)} != {expected} for {meta}")
+    return h, w, dtype, content
+
+
+def _decode_unavailable(fmt: str) -> Callable:
+    def decode(content: bytes, meta: dict):
+        raise NotImplementedError(
+            f"{fmt} decoding needs an image library not present in this "
+            "container (Pillow/tifffile); plug a decoder into DECODERS."
+        )
+
+    return decode
+
+
+DECODERS: dict[str, Callable] = {
+    "raw": _decode_raw,
+    "tiff": _decode_unavailable("tiff"),
+    "png": _decode_unavailable("png"),
+    "jpeg": _decode_unavailable("jpeg"),
+    "wav": _decode_unavailable("wav"),
+}
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Directory of binary files -> (path, modificationTime, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def decode_files(df: DataFrame, fmt: str, meta: dict) -> DataFrame:
+    """Decode binary file rows into (path, h, w, dtype, px) via the
+    format's decoder — Arrow-batched mapInPandas, one file per row."""
+    decoder = DECODERS[fmt]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                h, w, dtype, px = decoder(bytes(row["content"]), meta)
+                out.append((row["path"], h, w, dtype, px))
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.mapInPandas(mapper, DECODED_SCHEMA)
+
+
+def read_stack(
+    spark: SparkSession, path: str, dataset_id: str, fmt: str, meta: dict,
+    glob: str = "*",
+) -> DataFrame:
+    """flexdata/data.py::read_stack analogue: directory of slice files ->
+    the CT slice table (slice index = lexicographic file order)."""
+    decoded = decode_files(read_binary_dir(spark, path, glob), fmt, meta)
+    w = F.row_number().over(Window.orderBy("path"))
+    return decoded.select(
+        F.lit(dataset_id).alias("dataset_id"),
+        F.lit(0).alias("axis"),
+        (w - 1).cast("int").alias("idx"),
+        "h",
+        "w",
+        "dtype",
+        "px",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal table: opaque media blobs + typed metadata in one DataFrame
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),     # image | audio | video
+        StructField("fmt", StringType()),          # raw | tiff | png | ...
+        StructField("meta_json", StringType()),    # typed metadata as JSON
+        StructField("content", BinaryType()),      # opaque blob
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_intensity", StringType()),  # str(float) | 'NOT_DECODABLE'
+        StructField("thumb_h", IntegerType()),
+        StructField("thumb_w", IntegerType()),
+    ]
+)
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction pass over a multimodal table: decode (where a
+    decoder exists), mean intensity + 2x-downsampled thumbnail dims.
+    Undecodable formats yield 'NOT_DECODABLE' rather than failing the
+    batch — the pipeline keeps flowing past stub modalities."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = json.loads(row["meta_json"])
+                content = bytes(row["content"])
+                try:
+                    h, w, dtype, px = DECODERS[row["fmt"]](content, meta)
+                    arr = np.frombuffer(px, dtype=np.dtype(dtype)).reshape(h, w)
+                    # float64 mean: matches the oracle's double AVG to ulps
+                    out.append(
+                        (row["media_id"], len(content),
+                         repr(float(arr.astype(np.float64).mean())), h // 2, w // 2)
+                    )
+                except NotImplementedError:
+                    out.append((row["media_id"], len(content), "NOT_DECODABLE", -1, -1))
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(mapper, FEATURE_SCHEMA)

@@ -41,6 +41,10 @@ HEADLINE = [
     "q_knn_cosine",         # brute-force ANN baseline
     "q_knn_lsh",            # LSH-bucketed ANN
     "q_centroids",          # per-label embedding centroids
+    "q_sessionize",         # gap sessionization window
+    "q_window_tumbling",    # event-time tumbling agg
+    "q_udaf_grouped",       # Arrow grouped-agg UDF
+    "q_ct_moments",         # CT weighted moments (voxel table)
 ]
 
 
@@ -50,10 +54,23 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     registry.load_all()
 
-    spark = get_session(app="flexcalc-spark-bench")
+    # sf0.1 shuffle sizing (BASELINE.md rule 3): 8 partitions keeps every
+    # shuffle block > a few MB and halves task-scheduling overhead vs 32;
+    # env-overridable for larger scale factors.
+    spark = get_session(
+        app="flexcalc-spark-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
     try:
-        # Warm-up: JVM/codegen/file-listing paths (not counted).
+        # Warm-up (not counted): JVM/codegen/file-listing paths, plus one
+        # tiny pandas-UDF job so the Python worker pool (32 procs, each
+        # importing pandas/numpy) is up before any UDF query is timed.
+        # (noop write, not count(): count() lets Catalyst prune the UDF
+        # column away, so the Python workers would never actually spawn)
         registry.QUERIES["q_agg_groupby"](spark, sf_dir).count()
+        registry.QUERIES["q_udaf_grouped"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
         timings: dict[str, float] = {}
         for key in HEADLINE:

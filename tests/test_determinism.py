@@ -1,0 +1,51 @@
+"""Determinism tests (SURVEY §5.2.6): FP-reorder-sensitive queries must
+produce identical canonical output under different shuffle partitionings
+(spark.sql.shuffle.partitions is a runtime conf, so one session covers
+both settings — same property the driver's repeated runs rely on).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flexcalc_spark import registry
+from tests.conftest import SF_DIR
+
+# The keys where nondeterminism historically hides: float aggs, windows,
+# limits, hash-sketch candidates, top-k ties.
+RISKY = [
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_agg_stats",
+    "q_agg_weighted_centroid",
+    "q_join_multiway",
+    "q_win_running",
+    "q_topk",
+    "q_limit_offset",
+    "q_dedup_minhash",
+    "q_knn_cosine",
+    "q_centroids",
+    "q_window_tumbling",
+]
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(repr(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+@pytest.mark.parametrize("key", RISKY)
+def test_stable_under_repartitioning(key, spark):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _canon(registry.QUERIES[key](spark, SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        b = _canon(registry.QUERIES[key](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{key} output depends on partitioning"

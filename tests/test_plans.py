@@ -1,0 +1,70 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY §4):
+these fail if a code change silently regresses pushdown, pruning,
+broadcast choice, or top-k strategy, even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from flexcalc_spark import registry
+from flexcalc_spark.plans import plan_text
+from tests.conftest import SF_DIR
+
+Q = registry.QUERIES
+
+
+def test_scan_project_prunes_columns(spark):
+    plan = plan_text(Q["q_scan_project"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, f"scan reads extra columns: {cols}"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = plan_text(Q["q_filter_pred"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity" in m.group(1), plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = plan_text(Q["q_join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = plan_text(Q["q_join_multiway"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_text(Q["q_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_groupby_has_partial_and_final_agg(spark):
+    plan = plan_text(Q["q_agg_groupby"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_anti_compile_to_joins(spark):
+    assert re.search(r"LeftSemi", plan_text(Q["q_join_semi"](spark, SF_DIR)))
+    assert re.search(r"LeftAnti", plan_text(Q["q_join_anti"](spark, SF_DIR)))
+
+
+def test_graded_queries_avoid_python_udfs(spark):
+    """Every graded query except the explicit UDF/stateful/multimodal
+    surface must stay JVM-native (BASELINE.md perf rule 2)."""
+    allowed_python = {
+        "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
+        "q_stateful_sessions", "q_multimodal_features",
+    }
+    offenders = []
+    for key, fn in Q.items():
+        if key in allowed_python:
+            continue
+        plan = plan_text(fn(spark, SF_DIR), mode="simple")
+        if re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan):
+            offenders.append(key)
+    assert not offenders, f"Python in the hot path of: {offenders}"

@@ -290,6 +290,151 @@ def append_tile(df_total: DataFrame, df_tile: DataFrame) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------------- R10
+def cast2type(
+    df: DataFrame, dtype: str = "uint8", bounds: tuple[float, float] | None = None
+) -> DataFrame:
+    """Range-mapped dtype narrowing: clip to [lo, hi], scale to the
+    integer type's full range. flexdata/data.py::cast2type (R10).
+
+    bounds=None derives (min, max) with one distributed pass (per-slice
+    partials + a relational min/max agg) — the flexcalc behavior of
+    inferring bounds from the data."""
+    if bounds is None:
+        stats_schema = StructType(
+            [StructField("lo", DoubleType()), StructField("hi", DoubleType())]
+        )
+
+        def minmax(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"]))
+                    out.append((float(img.min()), float(img.max())))
+                yield pd.DataFrame(out, columns=["lo", "hi"])
+
+        r = df.mapInPandas(minmax, stats_schema).agg(
+            F.min("lo").alias("lo"), F.max("hi").alias("hi")
+        ).collect()[0]
+        bounds = (r["lo"], r["hi"])
+    lo, hi = bounds
+    maxval = np.iinfo(np.dtype(dtype)).max
+    span = max(hi - lo, 1e-12)
+
+    def kernel(img: np.ndarray, _row) -> np.ndarray:
+        scaled = np.clip((img - lo) / span, 0.0, 1.0) * maxval
+        return scaled  # stored float32 in the slice table; dtype tag below
+
+    out = _map_slices(df, kernel)
+    return out.withColumn("dtype", F.lit("float32"))
+
+
+# --------------------------------------------------------------------- R5
+def interpolate_holes(df: DataFrame, mask2d: np.ndarray) -> DataFrame:
+    """Dead-pixel inpainting: replace masked pixels with the mean of
+    their valid 3x3 neighbors. flexcalc/process.py::interpolate_holes
+    (R5), numpy-only (no scipy in this container)."""
+    mask = np.asarray(mask2d, dtype=bool)
+
+    def kernel(img: np.ndarray, _row) -> np.ndarray:
+        valid = (~mask).astype(np.float64)
+        vals = np.where(mask, 0.0, img.astype(np.float64))
+        p_v = np.pad(vals, 1)
+        p_w = np.pad(valid, 1)
+        num = np.zeros_like(vals)
+        den = np.zeros_like(vals)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                num += p_v[dy : dy + vals.shape[0], dx : dx + vals.shape[1]]
+                den += p_w[dy : dy + vals.shape[0], dx : dx + vals.shape[1]]
+        fill = num / np.maximum(den, 1.0)
+        return np.where(mask, fill, img)
+
+    return _map_slices(df, kernel)
+
+
+# --------------------------------------------------------------------- R7
+def equivalent_density(df: DataFrame, lut_x: np.ndarray, lut_y: np.ndarray) -> DataFrame:
+    """Beam-hardening correction: map intensity -> equivalent density
+    through a precomputed lookup (computed driver-side from the effective
+    spectrum, applied per pixel via interpolation).
+    flexcalc/process.py::equivalent_density (R7)."""
+    xs = np.asarray(lut_x, dtype=np.float64)
+    ys = np.asarray(lut_y, dtype=np.float64)
+
+    def kernel(img: np.ndarray, _row) -> np.ndarray:
+        return np.interp(img.astype(np.float64), xs, ys)
+
+    return _map_slices(df, kernel)
+
+
+# -------------------------------------------------------------------- R23
+def calibrate_spectrum_lite(
+    pairs_df: DataFrame, energies: np.ndarray, mu: np.ndarray, reg: float = 1e-3
+) -> np.ndarray:
+    """Effective-spectrum estimation from (path_length, intensity) pairs:
+    solve min_w || exp(-L outer mu) w - I ||^2 + reg ||w||^2, w >= 0-ish.
+    flexcalc/analyze.py::calibrate_spectrum (R23), with the forward
+    projector replaced by caller-supplied path lengths (ASTRA-free).
+
+    Distributed part: pairs_df((L double, I double)) is typically an
+    aggregation of segmented projections; the regularized least-squares
+    solve happens driver-side on the collected (small) pair set — the
+    same split as the reference (numpy lstsq on pairs)."""
+    pairs = pairs_df.select("L", "I").collect()
+    L = np.array([r["L"] for r in pairs], dtype=np.float64)
+    I = np.array([r["I"] for r in pairs], dtype=np.float64)
+    A = np.exp(-np.outer(L, np.asarray(mu, dtype=np.float64)))
+    n = A.shape[1]
+    lhs = A.T @ A + reg * np.eye(n)
+    rhs = A.T @ I
+    w = np.linalg.solve(lhs, rhs)
+    w = np.clip(w, 0.0, None)
+    s = w.sum()
+    return w / s if s > 0 else w
+
+
+# -------------------------------------------------------------------- R16
+def optimize_axis_offset(
+    df_fixed: DataFrame, df_moving: DataFrame, offsets: list[int]
+) -> int:
+    """Grid-search the x-offset minimizing SSD between two stacks — the
+    coarse sweep pattern of flexcalc/process.py::optimize_rotation_center
+    (R16): each trial is one Spark job, the metric is a distributed
+    aggregation, argmin happens driver-side."""
+    diff_schema = StructType([StructField("ssd", DoubleType())])
+    fixed = {r.idx: r for r in df_fixed.collect()}
+
+    best_offset, best_ssd = None, None
+    for off in offsets:
+        shifted = translate(df_moving, 0, off)
+
+        def ssd_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                        row["h"], row["w"]
+                    )
+                    ref_row = fixed[row["idx"]]
+                    ref = np.frombuffer(ref_row.px, dtype=np.dtype(ref_row.dtype)).reshape(
+                        ref_row.h, ref_row.w
+                    )
+                    out.append((float(((img - ref) ** 2).sum()),))
+                yield pd.DataFrame(out, columns=["ssd"])
+
+        total = (
+            shifted.mapInPandas(ssd_partials, diff_schema)
+            .agg(F.sum("ssd").alias("s"))
+            .collect()[0]["s"]
+        )
+        if best_ssd is None or total < best_ssd:
+            best_ssd, best_offset = total, off
+    return best_offset
+
+
 # -------------------------------------------------------------------- R25
 def reconstruct_hook(df: DataFrame, geometry: dict) -> DataFrame:
     """FDK/SIRT reconstruction extension point (flextomo/projector.py::FDK,

@@ -435,6 +435,117 @@ def optimize_axis_offset(
     return best_offset
 
 
+# -------------------------------------------------------------------- R14
+def register_geometries(
+    points_fix: np.ndarray, points_mov: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rigid transform (R, T) aligning corresponding 3-D point sets
+    (Kabsch / orthogonal Procrustes): R @ p_mov + T ~= p_fix.
+
+    flexcalc/process.py::register_astra_geometry (R14) aligns two scans'
+    geometries from marker/feature correspondences — driver-side numpy
+    on collected small data, exactly as the reference (the points arrive
+    from distributed marker detection, R22-style argmax aggregations)."""
+    pf = np.asarray(points_fix, dtype=np.float64)
+    pm = np.asarray(points_mov, dtype=np.float64)
+    cf, cm = pf.mean(axis=0), pm.mean(axis=0)
+    h = (pm - cm).T @ (pf - cf)
+    u, _s, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    t = cf - r @ cm
+    return r, t
+
+
+# -------------------------------------------------------------------- R17
+_STL_TRI_SCHEMA = StructType(
+    [
+        StructField("dataset_id", StringType()),
+        StructField("nx", DoubleType()),
+        StructField("ny", DoubleType()),
+        StructField("nz", DoubleType()),
+        StructField("ax", DoubleType()), StructField("ay", DoubleType()),
+        StructField("az", DoubleType()),
+        StructField("bx", DoubleType()), StructField("by", DoubleType()),
+        StructField("bz", DoubleType()),
+        StructField("cx", DoubleType()), StructField("cy", DoubleType()),
+        StructField("cz", DoubleType()),
+    ]
+)
+
+
+def surface_triangles(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Surface mesh of a binarized volume as a triangle DataFrame: two
+    triangles per exposed voxel face (voxel-face extraction — the
+    skimage marching-cubes of flexcalc/process.py::generate_stl (R17) is
+    unavailable offline; this produces a valid, watertight, blockier
+    mesh with identical downstream STL plumbing).
+
+    Whole-stack op (z-faces need neighbor slices) ->
+    groupBy(dataset_id).applyInPandas, triangles stream out as rows —
+    the mesh never assembles in one place until the STL sink."""
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+        vol = np.stack(
+            [
+                np.frombuffer(b, dtype=np.dtype(dt)).reshape(h, w)
+                for b, dt in zip(pdf["px"], pdf["dtype"])
+            ]
+        ) > threshold
+        ds = pdf["dataset_id"].iloc[0]
+        solid = np.pad(vol, 1).astype(bool)
+        tris = []
+
+        def quad(p0, p1, p2, p3, n):
+            tris.append((ds, *n, *p0, *p1, *p2))
+            tris.append((ds, *n, *p0, *p2, *p3))
+
+        zz, yy, xx = np.where(vol)
+        for z, y, x in zip(zz, yy, xx):
+            pz, py, px_ = z + 1, y + 1, x + 1  # padded coords
+            # exposed faces: neighbor empty -> emit face at voxel boundary
+            if not solid[pz - 1, py, px_]:
+                quad((z, y, x), (z, y + 1, x), (z, y + 1, x + 1), (z, y, x + 1), (-1, 0, 0))
+            if not solid[pz + 1, py, px_]:
+                quad((z + 1, y, x), (z + 1, y, x + 1), (z + 1, y + 1, x + 1), (z + 1, y + 1, x), (1, 0, 0))
+            if not solid[pz, py - 1, px_]:
+                quad((z, y, x), (z, y, x + 1), (z + 1, y, x + 1), (z + 1, y, x), (0, -1, 0))
+            if not solid[pz, py + 1, px_]:
+                quad((z, y + 1, x), (z + 1, y + 1, x), (z + 1, y + 1, x + 1), (z, y + 1, x + 1), (0, 1, 0))
+            if not solid[pz, py, px_ - 1]:
+                quad((z, y, x), (z + 1, y, x), (z + 1, y + 1, x), (z, y + 1, x), (0, 0, -1))
+            if not solid[pz, py, px_ + 1]:
+                quad((z, y, x + 1), (z, y + 1, x + 1), (z + 1, y + 1, x + 1), (z + 1, y, x + 1), (0, 0, 1))
+        return pd.DataFrame(tris, columns=[f.name for f in _STL_TRI_SCHEMA.fields])
+
+    return df.groupBy("dataset_id").applyInPandas(extract, _STL_TRI_SCHEMA)
+
+
+def write_stl(triangles: DataFrame, path: str) -> int:
+    """Binary-STL sink for a triangle DataFrame; returns triangle count.
+    flexcalc/process.py::generate_stl's file-writing half (R17)."""
+    import struct
+
+    rows = triangles.collect()
+    with open(path, "wb") as fh:
+        fh.write(b"\x00" * 80)
+        fh.write(struct.pack("<I", len(rows)))
+        for r in rows:
+            fh.write(
+                struct.pack(
+                    "<12fH",
+                    r.nx, r.ny, r.nz,
+                    r.ax, r.ay, r.az,
+                    r.bx, r.by, r.bz,
+                    r.cx, r.cy, r.cz,
+                    0,
+                )
+            )
+    return len(rows)
+
+
 # -------------------------------------------------------------------- R25
 def reconstruct_hook(df: DataFrame, geometry: dict) -> DataFrame:
     """FDK/SIRT reconstruction extension point (flextomo/projector.py::FDK,

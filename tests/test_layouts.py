@@ -1,0 +1,66 @@
+"""Storage-layout tests — the 100 TB layout decisions demonstrated and
+plan-asserted at fixture scale (SCALE.md "Scans"/"Joins"):
+
+- bucketing both sides of a repeated join on the key removes the
+  shuffle entirely (co-located join);
+- a date-partitioned events layout turns a time filter into partition
+  pruning (files never opened).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from flexcalc_spark.plans import plan_text
+from flexcalc_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """orders ⋈ customer bucketed on the join key: zero Exchange nodes."""
+    # (warehouse dir is a static conf — bucketed tables land in the
+    # session default spark-warehouse/, dropped in finally)
+    orders = table(spark, SF_DIR, "orders")
+    customer = table(spark, SF_DIR, "customer")
+    (orders.write.mode("overwrite").bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("orders_b"))
+    (customer.write.mode("overwrite").bucketBy(4, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("customer_b"))
+    try:
+        # disable auto-broadcast so the join strategy depends on layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, cb = spark.table("orders_b"), spark.table("customer_b")
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+            "o_orderkey", "c_custkey", "o_totalprice"
+        )
+        plan = plan_text(j)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() == table(spark, SF_DIR, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_partitioned_events_prunes(spark, tmp_path):
+    """events partitioned by day: a day filter prunes partitions at plan
+    time (the 100 TB layout for the events table, SCALE.md)."""
+    out = str(tmp_path / "events_by_day")
+    e = table(spark, SF_DIR, "events").withColumn(
+        "day", F.expr("ts div 86400000000000")
+    )
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    part = spark.read.parquet(out)
+    days = [r.day for r in part.select("day").distinct().collect()]
+    target = sorted(days)[0]
+    q = part.filter(F.col("day") == target)
+    plan = plan_text(q)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    # pruned scan reads exactly the one partition's rows
+    expected = part.filter(F.col("day") == target).count()
+    full = part.count()
+    assert 0 < expected < full

@@ -66,8 +66,10 @@ SLICE_SCHEMA = StructType(
 def slices_from_array(
     spark: SparkSession, dataset_id: str, vol: np.ndarray, axis: int = 0
 ) -> DataFrame:
-    """Pack a dense (d, h, w) float32 array into the slice table."""
-    vol = np.asarray(vol, dtype=np.float32)
+    """Pack a dense 3-D float32 array into the slice table, slicing
+    along ``axis`` (the array is transposed so the tagged axis is the
+    one actually sliced — tag and layout stay consistent)."""
+    vol = np.moveaxis(np.asarray(vol, dtype=np.float32), axis, 0)
     rows = [
         (dataset_id, axis, i, vol.shape[1], vol.shape[2], "float32",
          vol[i].tobytes())
@@ -205,9 +207,11 @@ def translate(df: DataFrame, dy: int, dx: int) -> DataFrame:
     def kernel(img: np.ndarray, _row) -> np.ndarray:
         out = np.zeros_like(img)
         h, w = img.shape
+        if abs(dy) >= h or abs(dx) >= w:
+            return out  # shifted fully out of frame
         ys, yd = (dy, 0) if dy >= 0 else (0, -dy)
         xs, xd = (dx, 0) if dx >= 0 else (0, -dx)
-        out[ys : h - yd or h, xs : w - xd or w] = img[yd : h - ys or h, xd : w - xs or w]
+        out[ys : h - yd, xs : w - xd] = img[yd : h - ys, xd : w - xs]
         return out
 
     return _map_slices(df, kernel)
@@ -318,15 +322,28 @@ def cast2type(
         ).collect()[0]
         bounds = (r["lo"], r["hi"])
     lo, hi = bounds
-    maxval = np.iinfo(np.dtype(dtype)).max
+    target = np.dtype(dtype)
+    maxval = np.iinfo(target).max
     span = max(hi - lo, 1e-12)
 
-    def kernel(img: np.ndarray, _row) -> np.ndarray:
-        scaled = np.clip((img - lo) / span, 0.0, 1.0) * maxval
-        return scaled  # stored float32 in the slice table; dtype tag below
+    # Genuine narrowing: px bytes are stored in the TARGET dtype (rounded
+    # integers) and the row's dtype tag matches, so array_from_slices and
+    # any downstream kernel reconstruct the narrow array faithfully.
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                    row["h"], row["w"]
+                )
+                scaled = np.clip((img - lo) / span, 0.0, 1.0) * maxval
+                out_px.append(np.round(scaled).astype(target).tobytes())
+            pdf = pdf.copy()
+            pdf["px"] = out_px
+            pdf["dtype"] = str(target)
+            yield pdf
 
-    out = _map_slices(df, kernel)
-    return out.withColumn("dtype", F.lit("float32"))
+    return df.mapInPandas(mapper, SLICE_SCHEMA)
 
 
 # --------------------------------------------------------------------- R5
@@ -403,13 +420,25 @@ def optimize_axis_offset(
     """Grid-search the x-offset minimizing SSD between two stacks — the
     coarse sweep pattern of flexcalc/process.py::optimize_rotation_center
     (R16): each trial is one Spark job, the metric is a distributed
-    aggregation, argmin happens driver-side."""
+    aggregation, argmin happens driver-side.
+
+    The fixed stack is never collected: each trial equi-joins fixed and
+    shifted slices on idx (inner join, so unmatched indices contribute
+    nothing), and the per-slice SSD reduces inside the join kernel —
+    only one double per slice leaves the executors."""
     diff_schema = StructType([StructField("ssd", DoubleType())])
-    fixed = {r.idx: r for r in df_fixed.collect()}
+    fixed = df_fixed.select(
+        F.col("idx").alias("f_idx"),
+        F.col("h").alias("f_h"),
+        F.col("w").alias("f_w"),
+        F.col("dtype").alias("f_dtype"),
+        F.col("px").alias("f_px"),
+    )
 
     best_offset, best_ssd = None, None
     for off in offsets:
         shifted = translate(df_moving, 0, off)
+        paired = shifted.join(fixed, shifted.idx == fixed.f_idx, "inner")
 
         def ssd_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -418,19 +447,18 @@ def optimize_axis_offset(
                     img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
                         row["h"], row["w"]
                     )
-                    ref_row = fixed[row["idx"]]
-                    ref = np.frombuffer(ref_row.px, dtype=np.dtype(ref_row.dtype)).reshape(
-                        ref_row.h, ref_row.w
+                    ref = np.frombuffer(row["f_px"], dtype=np.dtype(row["f_dtype"])).reshape(
+                        row["f_h"], row["f_w"]
                     )
-                    out.append((float(((img - ref) ** 2).sum()),))
+                    out.append((float(((img.astype(np.float64) - ref) ** 2).sum()),))
                 yield pd.DataFrame(out, columns=["ssd"])
 
         total = (
-            shifted.mapInPandas(ssd_partials, diff_schema)
+            paired.mapInPandas(ssd_partials, diff_schema)
             .agg(F.sum("ssd").alias("s"))
             .collect()[0]["s"]
         )
-        if best_ssd is None or total < best_ssd:
+        if total is not None and (best_ssd is None or total < best_ssd):
             best_ssd, best_offset = total, off
     return best_offset
 
@@ -499,8 +527,11 @@ def surface_triangles(df: DataFrame, threshold: float = 0.5) -> DataFrame:
         tris = []
 
         def quad(p0, p1, p2, p3, n):
-            tris.append((ds, *n, *p0, *p1, *p2))
-            tris.append((ds, *n, *p0, *p2, *p3))
+            # Reversed vertex order: right-hand winding must agree with
+            # the outward facet normal (STL consumers derive orientation
+            # from winding; the natural p0->p1->p2 order here is inward).
+            tris.append((ds, *n, *p0, *p2, *p1))
+            tris.append((ds, *n, *p0, *p3, *p2))
 
         zz, yy, xx = np.where(vol)
         for z, y, x in zip(zz, yy, xx):

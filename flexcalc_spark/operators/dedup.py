@@ -137,12 +137,16 @@ def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by character-3-gram Jaccard within source."""
     d = table_parallel(spark, sf_dir, "documents")
+    # Guard texts shorter than 3 chars: sequence(1, 0) would DESCEND
+    # ([1, 0]) and fabricate grams the oracle's empty range() never sees.
+    grams_expr = F.when(
+        F.length("text") >= 3,
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
+    ).otherwise(F.expr("array()"))
     g = d.select(
         "doc_id",
         "source",
-        F.array_distinct(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("grams"),
+        F.array_distinct(grams_expr).alias("grams"),
     )
     a = g.alias("a")
     b = g.alias("b")
@@ -195,8 +199,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, exact-verified.
 
-    32 permutations in 8 bands of 4: the LSH s-curve crosses ~0.6, so
-    jac>=0.95 pairs are caught with probability ~1-1e-5."""
+    64 permutations in 8 bands of 8 rows (see the module-header comment
+    for the s-curve math): recall at jac>=0.95 is 1-(1-0.95^8)^8 ~ 0.9998
+    before the >=2-band multiplicity prefilter (0.997 after)."""
     sig = minhash_signatures(spark, sf_dir)
     # Band key = xxhash64-fold over the band's 8 signature rows (one
     # HOF expression; ANSI-safe).

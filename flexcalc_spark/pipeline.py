@@ -88,9 +88,18 @@ class Pipeline:
         for ds_id in dataset_ids:
             try:
                 df = self.build(ds_id)
-                n = df.count()
                 if self._writer is not None:
-                    self._writer(df, ds_id)
+                    # persist so count + write share one computation of
+                    # the (kernel-heavy) lineage instead of running the
+                    # whole pipeline twice per dataset
+                    df = df.persist()
+                    try:
+                        n = df.count()
+                        self._writer(df, ds_id)
+                    finally:
+                        df.unpersist()
+                else:
+                    n = df.count()
                 statuses.append(DatasetStatus(ds_id, True, n))
             except Exception as exc:  # noqa: BLE001 - isolation is the point
                 statuses.append(

@@ -35,7 +35,7 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 META: dict[str, dict[str, Any]] = {}
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -52,7 +52,9 @@ def _ship_package(spark: SparkSession) -> None:
     worker's sys.path. Idempotent per SparkContext.
     """
     sc = spark.sparkContext
-    ctx_id = id(sc._jsc)
+    # applicationId is stable per context; id(sc._jsc) could be reused by
+    # a later context after garbage collection, silently skipping the ship
+    ctx_id = sc.applicationId
     if ctx_id in _SHIPPED_CONTEXTS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

@@ -114,12 +114,19 @@ def read_stack(
 ) -> DataFrame:
     """flexdata/data.py::read_stack analogue: directory of slice files ->
     the CT slice table (slice index = lexicographic file order)."""
-    decoded = decode_files(read_binary_dir(spark, path, glob), fmt, meta)
-    w = F.row_number().over(Window.orderBy("path"))
-    return decoded.select(
+    raw = read_binary_dir(spark, path, glob)
+    # Rank PATHS ONLY, then join the index back: the global-order window
+    # would otherwise funnel every decoded pixel blob through one task
+    # (a 2000-slice x 64 MB stack = 128 GB into a single partition).
+    # Path strings are tiny; the blobs stay where they were decoded.
+    idx_map = raw.select("path").withColumn(
+        "idx", (F.row_number().over(Window.orderBy("path")) - 1).cast("int")
+    )
+    decoded = decode_files(raw, fmt, meta)
+    return decoded.join(F.broadcast(idx_map), "path").select(
         F.lit(dataset_id).alias("dataset_id"),
         F.lit(0).alias("axis"),
-        (w - 1).cast("int").alias("idx"),
+        "idx",
         "h",
         "w",
         "dtype",

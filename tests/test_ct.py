@@ -66,6 +66,17 @@ def test_bounding_box(spark):
     assert (bbox.x0, bbox.x1) == (5, 10)
 
 
+def test_translate_beyond_frame_is_zero(spark):
+    """Shifting by >= the slice dimension yields all-zero slices (was a
+    broadcast-shape crash before the boundary guard)."""
+    vol = phantom()
+    df = ct.slices_from_array(spark, "p1", vol)
+    out = ct.array_from_slices(ct.translate(df, 0, vol.shape[2]))
+    assert np.all(out == 0.0)
+    out2 = ct.array_from_slices(ct.translate(df, -vol.shape[1] - 5, 0))
+    assert np.all(out2 == 0.0)
+
+
 def test_translate_roundtrip(spark):
     vol = phantom()
     df = ct.slices_from_array(spark, "p1", vol)

@@ -27,7 +27,8 @@ def test_register_geometries_recovers_transform():
 
 def test_surface_triangles_unit_cube(spark):
     """A single solid voxel yields exactly 12 triangles (6 faces x 2),
-    and the mesh is closed (each face direction appears twice)."""
+    the mesh is closed, the winding agrees with the declared outward
+    normals, and the signed volume is +1 voxel."""
     vol = np.zeros((3, 3, 3), dtype=np.float32)
     vol[1, 1, 1] = 1.0
     df = ct.slices_from_array(spark, "cube", vol)
@@ -35,6 +36,16 @@ def test_surface_triangles_unit_cube(spark):
     assert len(tris) == 12
     normals = {(r.nx, r.ny, r.nz) for r in tris}
     assert len(normals) == 6
+    signed_vol = 0.0
+    for r in tris:
+        a = np.array([r.ax, r.ay, r.az])
+        b = np.array([r.bx, r.by, r.bz])
+        c = np.array([r.cx, r.cy, r.cz])
+        # winding normal must point the same way as the declared normal
+        wn = np.cross(b - a, c - a)
+        assert np.dot(wn, [r.nx, r.ny, r.nz]) > 0, "inverted winding"
+        signed_vol += np.dot(a, np.cross(b, c)) / 6.0
+    assert abs(signed_vol - 1.0) < 1e-9, f"signed volume {signed_vol} != 1"
 
 
 def test_write_stl_binary(spark, tmp_path):

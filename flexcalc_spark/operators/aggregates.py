@@ -148,6 +148,24 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_approx_percentile",
+    oracle=None,  # sketch-based: Spark's quantile summaries have no DuckDB
+    # twin; tests assert the estimates bracket the exact percentiles
+    family="aggregates",
+    scale_notes="approx_percentile: bounded-memory quantile sketch, mergeable across partitions — the 100 TB twin of the exact sort-based q_agg_percentile",
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles with bounded relative error."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("approx_percentile(l_quantity, 0.5, 1000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).alias(
+            "price_p95"
+        ),
+    )
+
+
+@register(
     "q_agg_stats",
     oracle="""
         WITH mu AS (

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.sources.binaryfiles import MEDIA_SCHEMA, media_features
+from flexcalc_spark.sources.binaryfiles import (
+    MEDIA_SCHEMA,
+    media_features,
+    media_resize,
+)
 from flexcalc_spark.tables import table_parallel
 
 
@@ -71,4 +75,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_intensity"),
         F.col("thumb_h").cast("bigint").alias("thumb_h"),
         F.col("thumb_w").cast("bigint").alias("thumb_w"),
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+        SELECT vec_id AS media_id,
+               CAST(4 AS BIGINT) AS rh,
+               CAST(4 AS BIGINT) AS rw,
+               ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'avg'), 4) + 0.0
+                   AS resized_mean
+        FROM embeddings
+    """,
+    family="multimodal",
+    scale_notes="decode->resize in one Arrow pass; 2x2 block-mean preserves the global mean exactly, so the oracle checks the resample arithmetic, not just plumbing",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (2x block-mean downsample) over the media table."""
+    media = media_from_embeddings(spark, sf_dir)
+    resized = media_resize(media)
+    return resized.select(
+        "media_id",
+        F.col("rh").cast("bigint").alias("rh"),
+        F.col("rw").cast("bigint").alias("rw"),
+        (F.round(F.col("resized_mean").cast("double"), 4) + 0.0).alias("resized_mean"),
     )

@@ -159,6 +159,82 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("rh", IntegerType()),
+        StructField("rw", IntegerType()),
+        StructField("resized_mean", StringType()),  # repr(float) | 'NOT_DECODABLE'
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("px", BinaryType()),
+    ]
+)
+
+
+def _resize_half(arr: np.ndarray) -> np.ndarray:
+    """2x downsample by 2x2 block mean (odd trailing row/col trimmed)."""
+    h, w = arr.shape[0] // 2 * 2, arr.shape[1] // 2 * 2
+    a = arr[:h, :w].astype(np.float64)
+    return (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) / 4.0
+
+
+def media_resize(df: DataFrame) -> DataFrame:
+    """Resize pass: decode + 2x block-mean downsample per media row.
+    Block-mean preserves the global mean exactly (in double math), which
+    is what the oracle of q_multimodal_resize checks."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = json.loads(row["meta_json"])
+                try:
+                    h, w, dtype, px = DECODERS[row["fmt"]](bytes(row["content"]), meta)
+                    arr = np.frombuffer(px, dtype=np.dtype(dtype)).reshape(h, w)
+                    small = _resize_half(arr)
+                    out.append(
+                        (row["media_id"], small.shape[0], small.shape[1],
+                         repr(float(small.mean())))
+                    )
+                except NotImplementedError:
+                    out.append((row["media_id"], -1, -1, "NOT_DECODABLE"))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(mapper, RESIZED_SCHEMA)
+
+
+def media_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for 'video' blobs: a raw video = n_frames
+    concatenated raw frames (meta: n_frames, h, w, dtype); emit every
+    k-th frame as its own row. Codec formats raise through DECODERS'
+    stub path exactly like single-image decode."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = json.loads(row["meta_json"])
+                if row["fmt"] != "raw":
+                    DECODERS[row["fmt"]](bytes(row["content"]), meta)  # raises
+                    continue
+                n, h, w = int(meta["n_frames"]), int(meta["h"]), int(meta["w"])
+                dt = np.dtype(meta["dtype"])
+                frames = np.frombuffer(bytes(row["content"]), dtype=dt).reshape(n, h, w)
+                for i in range(0, n, every_k):
+                    out.append((row["media_id"], i, h, w, frames[i].tobytes()))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(mapper, FRAME_SCHEMA)
+
+
 def media_features(df: DataFrame) -> DataFrame:
     """Feature-extraction pass over a multimodal table: decode (where a
     decoder exists), mean intensity + 2x-downsampled thumbnail dims.

@@ -1,0 +1,99 @@
+"""Hypothesis property tests (SURVEY §5.2.5): invariants of the CT
+kernels and sketch operators over generated inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flexcalc_spark import ct
+from flexcalc_spark import registry
+from tests.conftest import SF_DIR
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    d=st.integers(2, 4), h=st.integers(3, 8), w=st.integers(3, 8),
+    seed=st.integers(0, 10_000),
+)
+@_slow
+def test_histogram_counts_sum_to_voxels(spark, d, h, w, seed):
+    """Per-slice histogram counts over any volume sum to the voxel count
+    (R18 invariant) — via the slice table + a relational agg."""
+    rng = np.random.RandomState(seed)
+    vol = rng.uniform(-1, 1, size=(d, h, w)).astype(np.float32)
+    df = ct.slices_from_array(spark, "hprop", vol)
+    from pyspark.sql import functions as F
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("bucket", LongType()), StructField("c", LongType())])
+
+    def hist(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"]))
+                b, c = np.unique(np.floor(img / 0.25).astype(np.int64), return_counts=True)
+                out.extend(zip(b.tolist(), c.tolist()))
+            yield pd.DataFrame(out, columns=["bucket", "c"])
+
+    total = (
+        df.mapInPandas(hist, schema).groupBy("bucket").agg(F.sum("c").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert total == d * h * w
+
+
+@given(
+    dy=st.integers(-12, 12), dx=st.integers(-12, 12), seed=st.integers(0, 1000)
+)
+@_slow
+def test_translate_mass_never_increases(spark, dy, dx, seed):
+    """Translation with zero fill can only lose mass (R12 invariant),
+    including shifts beyond the frame."""
+    rng = np.random.RandomState(seed)
+    vol = rng.uniform(0, 1, size=(2, 6, 6)).astype(np.float32)
+    df = ct.slices_from_array(spark, "tprop", vol)
+    out = ct.array_from_slices(ct.translate(df, dy, dx))
+    assert out.sum() <= vol.sum() + 1e-3
+    if dy == 0 and dx == 0:
+        assert np.array_equal(out, vol)
+
+
+@given(lo=st.floats(-2, 0), hi=st.floats(0.5, 3), seed=st.integers(0, 1000))
+@_slow
+def test_cast2type_bounds_and_monotone(spark, lo, hi, seed):
+    """cast2type clips outside [lo, hi] and is monotone inside (R10)."""
+    rng = np.random.RandomState(seed)
+    vol = rng.uniform(-3, 4, size=(2, 5, 5)).astype(np.float32)
+    df = ct.slices_from_array(spark, "cprop", vol)
+    out = ct.array_from_slices(ct.cast2type(df, "uint8", bounds=(lo, hi)))
+    assert out.min() >= 0 and out.max() <= 255
+    below = vol <= lo
+    above = vol >= hi
+    assert np.all(out[below] == 0)
+    assert np.all(out[above] == 255)
+
+
+def test_approx_percentile_brackets_exact(spark):
+    """Sketch estimates must land within the group's value range and
+    near the exact percentiles (rows-only key's self-check)."""
+    approx = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["q_agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["q_agg_percentile"](spark, SF_DIR).collect()
+    }
+    for k, a in approx.items():
+        assert abs(a.p50 - exact[k].p50) <= 2.0
+        assert abs(a.price_p95 - exact[k].price_p95) / exact[k].price_p95 < 0.05

@@ -37,6 +37,33 @@ def test_decode_unavailable_raises(spark, tmp_path):
         decoded.collect()
 
 
+def test_media_frame_sample(spark):
+    """A raw 'video' blob of n concatenated frames yields every k-th
+    frame as its own row, bytes intact."""
+    frames = np.arange(6 * 2 * 2, dtype=np.float32).reshape(6, 2, 2)
+    rows = [
+        (7, "video", "raw",
+         json.dumps({"n_frames": 6, "h": 2, "w": 2, "dtype": "float32"}),
+         frames.tobytes()),
+    ]
+    media = spark.createDataFrame(rows, bf.MEDIA_SCHEMA)
+    out = sorted(bf.media_frame_sample(media, every_k=2).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    got = np.frombuffer(out[1].px, dtype=np.float32).reshape(2, 2)
+    assert np.array_equal(got, frames[2])
+
+
+def test_media_resize_preserves_mean(spark):
+    arr = np.arange(16, dtype=np.float32).reshape(4, 4)
+    rows = [(3, "image", "raw",
+             json.dumps({"h": 4, "w": 4, "dtype": "float32"}), arr.tobytes())]
+    media = spark.createDataFrame(rows, bf.MEDIA_SCHEMA)
+    r = bf.media_resize(media).collect()[0]
+    assert (r.rh, r.rw) == (2, 2)
+    assert float(r.resized_mean) == float(arr.astype(np.float64).mean())
+
+
 def test_media_features_mixed_decodability(spark):
     """Decodable raw blobs yield features; stub formats degrade to
     flagged rows without failing the batch."""

@@ -58,7 +58,7 @@ def test_graded_queries_avoid_python_udfs(spark):
     surface must stay JVM-native (BASELINE.md perf rule 2)."""
     allowed_python = {
         "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
-        "q_stateful_sessions", "q_multimodal_features",
+        "q_stateful_sessions", "q_multimodal_features", "q_multimodal_resize",
     }
     offenders = []
     for key, fn in Q.items():

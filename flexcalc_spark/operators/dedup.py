@@ -214,9 +214,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bucket rows carry only (doc_id, band, key): the candidate join and
     # the multiplicity count stay integer-narrow; arrays attach after.
+    # cache(): the self-join's two sides and Catalyst's lack of
+    # ReuseExchange here would otherwise recompute the signature scan
+    # 2x (measured: 4 scans of documents in the uncached plan). The
+    # cached set is n_docs x bands narrow rows — trivial memory.
     buckets = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
-    )
+    ).cache()
     a = buckets.alias("a")
     b = buckets.alias("b")
     # Multiplicity prefilter: keep pairs colliding in >= 2 of 8 bands.
@@ -243,7 +247,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard value is identical to the token-set value).
     t = _tok_sets(spark, sf_dir).select(
         "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("htoks")
-    )
+    ).cache()
     ta = t.select(F.col("doc_id").alias("id_a"), F.col("htoks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("id_b"), F.col("htoks").alias("toks_b"))
     # jac = |I| / (|A| + |B| - |I|): one array_intersect instead of

@@ -463,6 +463,92 @@ def optimize_axis_offset(
     return best_offset
 
 
+# --------------------------------------------------------------------- R8
+def sample_slices(df: DataFrame, skip: int) -> DataFrame:
+    """Angular/axial subsampling: keep every ``skip``-th slice — the
+    `skip=` parameter of flexcalc/process.py::process_flex (R8). A pure
+    filter: Catalyst pushes it ahead of any kernel."""
+    return df.filter(F.col("idx") % skip == 0)
+
+
+def bin_slices(df: DataFrame) -> DataFrame:
+    """2x spatial binning per slice (detector pixel binning, the
+    `sample=` parameter of R8): 2x2 block mean, halved h/w."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px, hs, ws = [], [], []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                    row["h"], row["w"]
+                )
+                h2, w2 = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+                a = img[:h2, :w2].astype(np.float64)
+                small = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) / 4.0
+                px.append(small.astype(np.float32).tobytes())
+                hs.append(small.shape[0])
+                ws.append(small.shape[1])
+            pdf = pdf.copy()
+            pdf["px"], pdf["h"], pdf["w"] = px, hs, ws
+            pdf["dtype"] = "float32"
+            yield pdf
+
+    return df.mapInPandas(mapper, SLICE_SCHEMA)
+
+
+# -------------------------------------------------------------------- R22
+def find_marker(df: DataFrame, radius: int = 2) -> tuple[int, int, int]:
+    """Calibration-marker detection: matched filter (disk template,
+    zero-mean) correlated over every slice, global argmax across the
+    stack. flexcalc/analyze.py::find_marker (R22).
+
+    Distributed shape: per-slice correlation peaks reduce map-side (one
+    row per slice), the global argmax is a relational max_by — the same
+    argmax-aggregation pattern as q_agg_minmax_by."""
+    size = 2 * radius + 1
+    ys, xs = np.mgrid[:size, :size] - radius
+    template = ((ys**2 + xs**2) <= radius**2).astype(np.float64)
+    template -= template.mean()
+
+    peak_schema = StructType(
+        [
+            StructField("idx", IntegerType()),
+            StructField("score", DoubleType()),
+            StructField("py", IntegerType()),
+            StructField("px_", IntegerType()),
+        ]
+    )
+
+    def peaks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
+                    row["h"], row["w"]
+                ).astype(np.float64)
+                h, w = img.shape
+                best = (-np.inf, 0, 0)
+                # valid-mode correlation, numpy-only sliding windows
+                for y in range(0, h - size + 1):
+                    for x in range(0, w - size + 1):
+                        s = float((img[y : y + size, x : x + size] * template).sum())
+                        if s > best[0]:
+                            best = (s, y + radius, x + radius)
+                out.append((row["idx"], best[0], best[1], best[2]))
+            yield pd.DataFrame(out, columns=[f.name for f in peak_schema.fields])
+
+    top = (
+        df.mapInPandas(peaks, peak_schema)
+        .agg(
+            F.expr("max_by(idx, score)").alias("z"),
+            F.expr("max_by(py, score)").alias("y"),
+            F.expr("max_by(px_, score)").alias("x"),
+        )
+        .collect()[0]
+    )
+    return int(top["z"]), int(top["y"]), int(top["x"])
+
+
 # -------------------------------------------------------------------- R14
 def register_geometries(
     points_fix: np.ndarray, points_mov: np.ndarray

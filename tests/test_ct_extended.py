@@ -65,6 +65,32 @@ def test_calibrate_spectrum_recovers_known(spark):
     assert w[1] > w[3]
 
 
+def test_sample_and_bin_slices(spark):
+    """R8: skip-sampling keeps every k-th slice; 2x binning halves
+    dimensions and preserves the mean."""
+    vol = phantom(d=6)
+    df = ct.slices_from_array(spark, "p", vol)
+    sampled = ct.sample_slices(df, 2)
+    assert sorted(r.idx for r in sampled.select("idx").collect()) == [0, 2, 4]
+    binned = ct.array_from_slices(ct.bin_slices(df))
+    assert binned.shape == (6, 5, 5)
+    assert abs(binned.mean() - vol.astype(np.float64).mean()) < 1e-6
+
+
+def test_find_marker_locates_ball(spark):
+    """R22: a bright disk planted at a known (z, y, x) is found by the
+    matched filter + global argmax."""
+    rng = np.random.RandomState(9)
+    vol = rng.uniform(0, 0.05, size=(5, 16, 16)).astype(np.float32)
+    zz, yy, xx = 3, 10, 6
+    ys, xs = np.mgrid[:16, :16]
+    disk = ((ys - yy) ** 2 + (xs - xx) ** 2) <= 4
+    vol[zz][disk] += 2.0
+    df = ct.slices_from_array(spark, "mk", vol)
+    z, y, x = ct.find_marker(df, radius=2)
+    assert (z, y, x) == (zz, yy, xx)
+
+
 def test_optimize_axis_offset_recovers_shift(spark):
     vol = phantom()
     fixed = ct.slices_from_array(spark, "fix", vol)

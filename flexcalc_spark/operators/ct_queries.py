@@ -50,25 +50,36 @@ def voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _dsum_sql(expr: str) -> str:
+    return _DSUM.format(expr=expr)
+
+
+def _dsum_col(col):
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
 @register(
     "q_ct_centre",
     oracle=f"""
-        SELECT ROUND(SUM(ABS(v) * z) / SUM(ABS(v)), 4) AS cz,
-               ROUND(SUM(ABS(v) * y) / SUM(ABS(v)), 4) AS cy,
-               ROUND(SUM(ABS(v) * x) / SUM(ABS(v)), 4) AS cx
+        SELECT ROUND({_dsum_sql('ABS(v) * z')} / {_dsum_sql('ABS(v)')}, 4) AS cz,
+               ROUND({_dsum_sql('ABS(v) * y')} / {_dsum_sql('ABS(v)')}, 4) AS cy,
+               ROUND({_dsum_sql('ABS(v) * x')} / {_dsum_sql('ABS(v)')}, 4) AS cx
         FROM ({_VOXELS_SQL})
     """,
     family="ct",
-    scale_notes="centre of mass (R20) = three weighted-centroid aggs in one pass over the voxel scan",
+    scale_notes="centre of mass (R20) = three weighted-centroid aggs in one pass over the voxel scan; decimal-cast sums per the repo determinism rule",
 )
 def q_ct_centre(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intensity-weighted centroid — flexcalc analyze.py::centre (R20)."""
     vx = voxels(spark, sf_dir)
     w = F.abs(F.col("v"))
     return vx.agg(
-        F.round(F.sum(w * F.col("z")) / F.sum(w), 4).alias("cz"),
-        F.round(F.sum(w * F.col("y")) / F.sum(w), 4).alias("cy"),
-        F.round(F.sum(w * F.col("x")) / F.sum(w), 4).alias("cx"),
+        F.round(_dsum_col(w * F.col("z")) / _dsum_col(w), 4).alias("cz"),
+        F.round(_dsum_col(w * F.col("y")) / _dsum_col(w), 4).alias("cy"),
+        F.round(_dsum_col(w * F.col("x")) / _dsum_col(w), 4).alias("cx"),
     )
 
 
@@ -150,19 +161,19 @@ def q_ct_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH vx AS ({_VOXELS_SQL}),
         mu AS (
-            SELECT SUM(ABS(v) * z) / SUM(ABS(v)) AS mz,
-                   SUM(ABS(v) * y) / SUM(ABS(v)) AS my,
-                   SUM(ABS(v) * x) / SUM(ABS(v)) AS mx
+            SELECT {_dsum_sql('ABS(v) * z')} / {_dsum_sql('ABS(v)')} AS mz,
+                   {_dsum_sql('ABS(v) * y')} / {_dsum_sql('ABS(v)')} AS my,
+                   {_dsum_sql('ABS(v) * x')} / {_dsum_sql('ABS(v)')} AS mx
             FROM vx
         )
-        SELECT ROUND(SUM(ABS(v) * (z - mz) * (z - mz)) / SUM(ABS(v)), 4) AS m2_zz,
-               ROUND(SUM(ABS(v) * (y - my) * (y - my)) / SUM(ABS(v)), 4) AS m2_yy,
-               ROUND(SUM(ABS(v) * (x - mx) * (x - mx)) / SUM(ABS(v)), 4) AS m2_xx,
-               ROUND(SUM(ABS(v) * (y - my) * (x - mx)) / SUM(ABS(v)), 4) + 0.0 AS m2_yx
+        SELECT ROUND({_dsum_sql('ABS(v) * (z - mz) * (z - mz)')} / {_dsum_sql('ABS(v)')}, 4) AS m2_zz,
+               ROUND({_dsum_sql('ABS(v) * (y - my) * (y - my)')} / {_dsum_sql('ABS(v)')}, 4) AS m2_yy,
+               ROUND({_dsum_sql('ABS(v) * (x - mx) * (x - mx)')} / {_dsum_sql('ABS(v)')}, 4) AS m2_xx,
+               ROUND({_dsum_sql('ABS(v) * (y - my) * (x - mx)')} / {_dsum_sql('ABS(v)')}, 4) + 0.0 AS m2_yx
         FROM vx, mu
     """,
     family="ct",
-    scale_notes="2nd moments (R21): two-pass weighted central moments; eigendecomposition for principal axes happens driver-side on the 3x3 result",
+    scale_notes="2nd moments (R21): two-pass weighted central moments in decimal sums; eigendecomposition for principal axes happens driver-side on the 3x3 result",
 )
 def q_ct_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted second central moments — flexcalc analyze.py::moment2
@@ -171,17 +182,21 @@ def q_ct_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = voxels(spark, sf_dir).cache()
     w = F.abs(F.col("v"))
     mu = vx.agg(
-        (F.sum(w * F.col("z")) / F.sum(w)).alias("mz"),
-        (F.sum(w * F.col("y")) / F.sum(w)).alias("my"),
-        (F.sum(w * F.col("x")) / F.sum(w)).alias("mx"),
+        (_dsum_col(w * F.col("z")) / _dsum_col(w)).alias("mz"),
+        (_dsum_col(w * F.col("y")) / _dsum_col(w)).alias("my"),
+        (_dsum_col(w * F.col("x")) / _dsum_col(w)).alias("mx"),
     )
     j = vx.crossJoin(F.broadcast(mu))
     wj = F.abs(F.col("v"))
+
+    def m2(a, ma, b, mb):
+        return _dsum_col(wj * (F.col(a) - F.col(ma)) * (F.col(b) - F.col(mb))) / _dsum_col(wj)
+
     return j.agg(
-        F.round(F.sum(wj * (F.col("z") - F.col("mz")) * (F.col("z") - F.col("mz"))) / F.sum(wj), 4).alias("m2_zz"),
-        F.round(F.sum(wj * (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))) / F.sum(wj), 4).alias("m2_yy"),
-        F.round(F.sum(wj * (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))) / F.sum(wj), 4).alias("m2_xx"),
-        (F.round(F.sum(wj * (F.col("y") - F.col("my")) * (F.col("x") - F.col("mx"))) / F.sum(wj), 4) + 0.0).alias("m2_yx"),
+        F.round(m2("z", "mz", "z", "mz"), 4).alias("m2_zz"),
+        F.round(m2("y", "my", "y", "my"), 4).alias("m2_yy"),
+        F.round(m2("x", "mx", "x", "mx"), 4).alias("m2_xx"),
+        (F.round(m2("y", "my", "x", "mx"), 4) + 0.0).alias("m2_yx"),
     )
 
 

@@ -333,13 +333,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot_spark(a: str, b: str) -> Column:
-    """Sequential double-precision dot product via HOF fold (JVM-native)."""
-    return F.expr(
-        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
-        f" transform({b}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
-        " CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-    )
+# single source of truth for the HOF dot-product template
+from flexcalc_spark.operators.vectors import _dot as _dot_spark  # noqa: E402
 
 
 @register(

@@ -143,11 +143,28 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_key",
     )
-    cand = (
-        p.join(c, ["band", "band_key"])
+    # Dedup candidates on the ID PAIR only (narrow shuffle), then attach
+    # embeddings — shipping 2x64-float arrays through the distinct would
+    # inflate candidate shuffle volume ~64x (same rule as q_dedup_minhash).
+    cand_ids = (
+        p.select("probe_id", "band", "band_key")
+        .join(c.select("neighbor_id", "band", "band_key"), ["band", "band_key"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "p_emb", "neighbor_id", "c_emb")
+        .select("probe_id", "neighbor_id")
         .distinct()
+    )
+    emb = table_parallel(spark, sf_dir, "embeddings")
+    cand = (
+        cand_ids.join(
+            F.broadcast(emb.select(F.col("vec_id").alias("probe_id"),
+                                   F.col("embedding").alias("p_emb"))),
+            "probe_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("c_emb")),
+            "neighbor_id",
+        )
     )
     cos = _cosine("p_emb", "c_emb")
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")

@@ -111,16 +111,19 @@ def _sessionize_with_state(
         n_sessions, last_ts, cur_len, longest = state.get
     else:
         n_sessions, last_ts, cur_len, longest = 0, None, 0, 0
-    for pdf in pdfs:
-        for t in pdf["ts_us"].sort_values().to_numpy():
-            t = int(t)
-            if last_ts is None or t - last_ts >= SESSION_GAP_US:
-                n_sessions += 1
-                cur_len = 1
-            else:
-                cur_len += 1
-            longest = max(longest, cur_len)
-            last_ts = t
+    # Concatenate ALL chunks before sorting: a group larger than the
+    # Arrow batch size arrives as multiple pdfs in shuffle order, and
+    # per-chunk sorting would mis-sessionize cross-chunk time inversions.
+    all_ts = pd.concat([pdf["ts_us"] for pdf in pdfs]).sort_values().to_numpy()
+    for t in all_ts:
+        t = int(t)
+        if last_ts is None or t - last_ts >= SESSION_GAP_US:
+            n_sessions += 1
+            cur_len = 1
+        else:
+            cur_len += 1
+        longest = max(longest, cur_len)
+        last_ts = t
     state.update((n_sessions, last_ts, cur_len, longest))
     yield pd.DataFrame(
         {

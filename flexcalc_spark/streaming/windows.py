@@ -110,20 +110,11 @@ _SESSIONIZE_ORACLE = f"""
 """
 
 
-@register(
-    "q_sessionize",
-    oracle=_SESSIONIZE_ORACLE,
-    family="streaming",
-    scale_notes="gap sessionization = lag + running sum: one shuffle on user_id; the batch twin of session_window / applyInPandasWithState",
-)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min gap) in pure window SQL.
-
-    New session when the gap from the previous event is >= the gap
-    threshold — matching session_window's half-open [start, last+gap)
-    semantics (an event exactly gap after the last starts a new session).
-    """
-    e = events_with_time(spark, sf_dir)
+def sessionized(e: DataFrame) -> DataFrame:
+    """events (+ts_us) -> (event_id, user_id, ts_us, sess_id): the ONE
+    place the 30-min-gap boundary rule lives. New session when the gap
+    from the previous event is >= the threshold — matching
+    session_window's half-open [start, last+gap) semantics."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)
     new_sess = F.when(
@@ -133,8 +124,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
+        "ts_us",
         F.sum(new_sess).over(wc).cast("bigint").alias("sess_id"),
     )
+
+
+@register(
+    "q_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
+    family="streaming",
+    scale_notes="gap sessionization = lag + running sum: one shuffle on user_id; the batch twin of session_window / applyInPandasWithState",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) in pure window SQL."""
+    e = events_with_time(spark, sf_dir)
+    return sessionized(e).select("event_id", "user_id", "sess_id")
 
 
 @register(
@@ -152,19 +156,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_notes="session aggregation over the sessionized stream; streaming twin is native session_window with merging state",
 )
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-session aggregates (batch twin of session_window)."""
+    """Per-session aggregates (batch twin of session_window) — shares
+    the boundary rule with q_sessionize via sessionized()."""
     e = events_with_time(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    prev = F.lag("ts_us").over(w)
-    new_sess = F.when(
-        prev.isNull() | (F.col("ts_us") - prev >= SESSION_GAP_US), 1
-    ).otherwise(0)
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    sess = e.select(
-        "user_id",
-        "ts_us",
-        F.sum(new_sess).over(wc).cast("bigint").alias("sess_id"),
-    )
+    sess = sessionized(e)
     return sess.groupBy("user_id", "sess_id").agg(
         F.expr("min(ts_us) div 1000000").alias("session_start_sec"),
         F.count(F.lit(1)).alias("cnt"),
@@ -211,9 +206,14 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1 hour of the stream's max event time (what a 1h-watermark
     run reports for the final window set)."""
     e = events_with_time(spark, sf_dir)
-    horizon = e.agg(F.max("ts_sec")).collect()[0][0] - HOUR
+    max_ts = e.agg(F.max("ts_sec")).collect()[0][0]
+    if max_ts is None:
+        return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    # Spark drops a row iff event_time < watermark (STRICTLY below), so
+    # the row exactly at the horizon is KEPT -> >= here, not >.
+    horizon = max_ts - HOUR
     return (
-        e.filter(F.col("ts_sec") > F.lit(horizon))
+        e.filter(F.col("ts_sec") >= F.lit(horizon))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -315,5 +315,9 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{name}' did not drain within 120s — sink is partial"
+        )
     return name

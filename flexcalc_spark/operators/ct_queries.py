@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table
+from flexcalc_spark.tables import table_parallel
 
 # DuckDB-side voxel-table constructor (zipped unnests align element/index)
 _VOXELS_SQL = """
@@ -35,8 +35,14 @@ _VOXELS_SQL = """
 
 
 def voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side voxel table, identical to _VOXELS_SQL."""
-    e = table(spark, sf_dir, "embeddings")
+    """Spark-side voxel table, identical to _VOXELS_SQL.
+
+    table_parallel: the single-file fixture scan would otherwise run the
+    64x explode + decimal aggregations downstream on ONE core (measured
+    3x on q_ct_moments). Decimal sums keep every consumer's result
+    partitioning-independent, so the repartition is safe for all ct
+    keys."""
+    e = table_parallel(spark, sf_dir, "embeddings")
     return e.select(
         F.col("vec_id").alias("z"),
         F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
@@ -159,44 +165,61 @@ def q_ct_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ct_moments",
     oracle=f"""
-        WITH vx AS ({_VOXELS_SQL}),
-        mu AS (
-            SELECT {_dsum_sql('ABS(v) * z')} / {_dsum_sql('ABS(v)')} AS mz,
-                   {_dsum_sql('ABS(v) * y')} / {_dsum_sql('ABS(v)')} AS my,
-                   {_dsum_sql('ABS(v) * x')} / {_dsum_sql('ABS(v)')} AS mx
-            FROM vx
+        WITH s AS (
+            SELECT {_dsum_sql('ABS(v)')} AS sw,
+                   {_dsum_sql('ABS(v) * z')} AS swz,
+                   {_dsum_sql('ABS(v) * y')} AS swy,
+                   {_dsum_sql('ABS(v) * x')} AS swx,
+                   {_dsum_sql('ABS(v) * z * z')} AS swzz,
+                   {_dsum_sql('ABS(v) * y * y')} AS swyy,
+                   {_dsum_sql('ABS(v) * x * x')} AS swxx,
+                   {_dsum_sql('ABS(v) * y * x')} AS swyx
+            FROM ({_VOXELS_SQL})
         )
-        SELECT ROUND({_dsum_sql('ABS(v) * (z - mz) * (z - mz)')} / {_dsum_sql('ABS(v)')}, 4) AS m2_zz,
-               ROUND({_dsum_sql('ABS(v) * (y - my) * (y - my)')} / {_dsum_sql('ABS(v)')}, 4) AS m2_yy,
-               ROUND({_dsum_sql('ABS(v) * (x - mx) * (x - mx)')} / {_dsum_sql('ABS(v)')}, 4) AS m2_xx,
-               ROUND({_dsum_sql('ABS(v) * (y - my) * (x - mx)')} / {_dsum_sql('ABS(v)')}, 4) + 0.0 AS m2_yx
-        FROM vx, mu
+        SELECT ROUND(swzz / sw - (swz / sw) * (swz / sw), 4) AS m2_zz,
+               ROUND(swyy / sw - (swy / sw) * (swy / sw), 4) AS m2_yy,
+               ROUND(swxx / sw - (swx / sw) * (swx / sw), 4) AS m2_xx,
+               ROUND(swyx / sw - (swy / sw) * (swx / sw), 4) + 0.0 AS m2_yx
+        FROM s
     """,
     family="ct",
-    scale_notes="2nd moments (R21): two-pass weighted central moments in decimal sums; eigendecomposition for principal axes happens driver-side on the 3x3 result",
+    scale_notes="2nd moments (R21): ONE pass of raw decimal moments (sw, swa, swab), centrals derived on the 8-value aggregate — no second scan, no broadcast of the mean; eigendecomposition for principal axes happens driver-side on the 3x3 result",
 )
 def q_ct_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted second central moments — flexcalc analyze.py::moment2
     (R21). The 3x3 moment matrix's eigenvectors (orientation) are a
-    driver-side numpy call on this query's output."""
-    vx = voxels(spark, sf_dir).cache()
+    driver-side numpy call on this query's output.
+
+    Raw-moment identity m2_ab = S_wab/S_w - (S_wa/S_w)(S_wb/S_w): the
+    eight decimal sums are exact and order-independent, and the central
+    derivation is scalar double arithmetic written identically in the
+    oracle, so results are bit-equal on both engines. No cancellation
+    hazard here: coordinates are bounded (z = vec_id, x/y in 0..7) and
+    variances are far from zero."""
+    vx = voxels(spark, sf_dir)
     w = F.abs(F.col("v"))
-    mu = vx.agg(
-        (_dsum_col(w * F.col("z")) / _dsum_col(w)).alias("mz"),
-        (_dsum_col(w * F.col("y")) / _dsum_col(w)).alias("my"),
-        (_dsum_col(w * F.col("x")) / _dsum_col(w)).alias("mx"),
+    s = vx.agg(
+        _dsum_col(w).alias("sw"),
+        _dsum_col(w * F.col("z")).alias("swz"),
+        _dsum_col(w * F.col("y")).alias("swy"),
+        _dsum_col(w * F.col("x")).alias("swx"),
+        _dsum_col(w * F.col("z") * F.col("z")).alias("swzz"),
+        _dsum_col(w * F.col("y") * F.col("y")).alias("swyy"),
+        _dsum_col(w * F.col("x") * F.col("x")).alias("swxx"),
+        _dsum_col(w * F.col("y") * F.col("x")).alias("swyx"),
     )
-    j = vx.crossJoin(F.broadcast(mu))
-    wj = F.abs(F.col("v"))
 
-    def m2(a, ma, b, mb):
-        return _dsum_col(wj * (F.col(a) - F.col(ma)) * (F.col(b) - F.col(mb))) / _dsum_col(wj)
+    def m2(sab: str, sa: str, sb: str):
+        return (
+            F.col(sab) / F.col("sw")
+            - (F.col(sa) / F.col("sw")) * (F.col(sb) / F.col("sw"))
+        )
 
-    return j.agg(
-        F.round(m2("z", "mz", "z", "mz"), 4).alias("m2_zz"),
-        F.round(m2("y", "my", "y", "my"), 4).alias("m2_yy"),
-        F.round(m2("x", "mx", "x", "mx"), 4).alias("m2_xx"),
-        (F.round(m2("y", "my", "x", "mx"), 4) + 0.0).alias("m2_yx"),
+    return s.select(
+        F.round(m2("swzz", "swz", "swz"), 4).alias("m2_zz"),
+        F.round(m2("swyy", "swy", "swy"), 4).alias("m2_yy"),
+        F.round(m2("swxx", "swx", "swx"), 4).alias("m2_xx"),
+        (F.round(m2("swyx", "swy", "swx"), 4) + 0.0).alias("m2_yx"),
     )
 
 

@@ -166,27 +166,42 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig: array<long>[64]): per-doc minima of 64 hash
-    permutations, computed entirely per-row.
+def _hashed_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, htoks: array<long>): token sets hashed ONCE per token.
 
-    Each token string is xxhash64'd ONCE; permutation i re-hashes that
-    long with seed i (ANSI-safe — Spark 4's default ANSI mode forbids the
-    wrapping-multiply permutation trick). The whole signature is ONE
-    nested higher-order expression: no explode, no shuffle, and a small
-    generated method (a 64-column min-aggregate version of this spent
+    Both the minhash permutations and the exact-Jaccard verifier consume
+    these longs (64-bit hashes are collision-free at corpus scale, so
+    set intersections over htoks equal those over the token strings)."""
+    return _tok_sets(spark, sf_dir).select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("htoks")
+    )
+
+
+def _sig_from_htoks(df: DataFrame) -> DataFrame:
+    """(doc_id, htoks) -> (doc_id, sig: array<long>[64]).
+
+    Permutation i re-hashes each token hash with seed i (ANSI-safe —
+    Spark 4's default ANSI mode forbids the wrapping-multiply permutation
+    trick). One nested higher-order expression: no explode, no shuffle.
+    Token hashing is hoisted OUT of the permutation lambda (htoks), so
+    each token is hashed 1 + 64 times, not 2 x 64 — and the generated
+    method stays small (a 64-column min-aggregate version of this spent
     ~7 s per run just compiling its codegen)."""
-    t = _tok_sets(spark, sf_dir)
-    return t.select(
+    return df.select(
         "doc_id",
         F.expr(
             f"""
             transform(sequence(0, {N_MINHASH - 1}),
-                      i -> array_min(transform(transform(toks, t -> xxhash64(t)),
-                                               h -> xxhash64(i, h))))
+                      i -> array_min(transform(htoks, h -> xxhash64(i, h))))
             """
         ).alias("sig"),
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>[64]): per-doc minima of 64 hash
+    permutations, computed entirely per-row."""
+    return _sig_from_htoks(_hashed_tok_sets(spark, sf_dir))
 
 
 @register(
@@ -202,7 +217,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 permutations in 8 bands of 8 rows (see the module-header comment
     for the s-curve math): recall at jac>=0.95 is 1-(1-0.95^8)^8 ~ 0.9998
     before the >=2-band multiplicity prefilter (0.997 after)."""
-    sig = minhash_signatures(spark, sf_dir)
+    # ONE cached hashed-token table feeds BOTH the signature pass and the
+    # exact verifier — one documents scan + tokenize + hash total.
+    t = _hashed_tok_sets(spark, sf_dir).cache()
+    sig = _sig_from_htoks(t)
     # Band key = xxhash64-fold over the band's 8 signature rows (one
     # HOF expression; ANSI-safe).
     band_keys = F.expr(
@@ -245,9 +263,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact verify on HASHED token sets (long arrays intersect ~5x faster
     # than string arrays; 64-bit hashes are collision-free here, so the
     # Jaccard value is identical to the token-set value).
-    t = _tok_sets(spark, sf_dir).select(
-        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("htoks")
-    ).cache()
     ta = t.select(F.col("doc_id").alias("id_a"), F.col("htoks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("id_b"), F.col("htoks").alias("toks_b"))
     # jac = |I| / (|A| + |B| - |I|): one array_intersect instead of

@@ -10,6 +10,7 @@ from flexcalc_spark.operators import (  # noqa: F401
     setops,
     textstats,
     dedup,
+    sampling,
     vectors,
     udfs,
     ct_queries,

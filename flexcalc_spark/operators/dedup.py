@@ -75,6 +75,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jac): exact token-Jaccard pairs >= tau within lang.
+
+    Shared by q_dedup_neardup (emits the pairs) and q_dedup_clusters
+    (uses them as edges)."""
+    t = _tok_sets(spark, sf_dir)
+    a = t.alias("a")
+    b = t.alias("b")
+    jac = _jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= JACCARD_TAU)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jac"),
+        )
+    )
+
+
 @register(
     "q_dedup_neardup",
     oracle=f"""
@@ -95,23 +119,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard >= 0.95 within language."""
-    t = _tok_sets(spark, sf_dir)
-    a = t.alias("a")
-    b = t.alias("b")
-    jac = _jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= JACCARD_TAU)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 4).alias("jac"),
-        )
-    )
+    return _neardup_pairs(spark, sf_dir)
 
 
 @register(
@@ -390,4 +398,80 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             F.round(cos, 4).alias("cos"),
         )
+    )
+
+
+CC_MAX_ITERS = 50
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents
+        ),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(a.toks || b.toks)) >= {JACCARD_TAU}
+        ),
+        und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+        reach AS (
+            SELECT src AS id, src AS r FROM und
+            UNION
+            SELECT reach.id, und.dst AS r
+            FROM reach JOIN und ON und.src = reach.r
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    family="dedup",
+    scale_notes="dedup clusters = connected components by iterative min-label propagation: per round one equi join on the edge key + a min-agg, O(diameter) rounds (near-dup clusters have tiny diameters), localCheckpoint truncates the growing lineage. The 100 TB upgrade is large-star/small-star alternation (same join primitive, O(log n) rounds); the oracle walks the same edges with a recursive CTE",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component cluster ids over the near-dup pair graph.
+
+    The operator a training pipeline actually dedups with: pairs say
+    "a~b"; clusters say "keep min(doc_id) of each component, drop the
+    rest". Pure DataFrame ops in a driver-coordinated loop (the Spark
+    idiom for iterative graph algorithms — GraphX Pregel does the same
+    under the hood); the label sum is monotonically non-increasing and
+    integer, so it is an exact convergence detector."""
+    edges = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            und.join(labels, und["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels_new = (
+            labels.join(prop, labels["id"] == prop["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels_new.agg(F.sum("label")).collect()[0][0]
+        labels = labels_new
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -277,3 +277,48 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts_us", "prev_view_us")
     )
+
+
+N_SALT = 8
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    family="joins",
+    scale_notes="skew-mitigated join: salt the fact side pmod(hash, 8), replicate the dim side 8x, join on (key, salt) — hot keys spread over 8 reducers instead of melting one. The manual twin of AQE skew-join splitting, for when the dim is too big to broadcast; the oracle is the UNSALTED join (salting is execution-only)",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join via key salting.
+
+    events.user_id is a pathologically low-cardinality key (150 distinct
+    users under 10k+ events at sf0.01): a plain shuffle join lands each
+    hot key on one reducer. Salting splits every key 8 ways at the cost
+    of replicating the dim rows 8x. The shuffle_hash hint forces a real
+    shuffle join — broadcast would make the salt decorative here, and the
+    pattern targets dims too big to broadcast."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALT))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.lit(list(range(N_SALT)))))
+    )
+    joined = e.join(
+        c.hint("shuffle_hash"),
+        (e["user_id"] == c["c_custkey"]) & (e["salt"] == c["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )

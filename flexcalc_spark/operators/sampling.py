@@ -1,0 +1,88 @@
+"""Deterministic sampling / dataset-split operators (training-data
+pipeline; SURVEY.md §2.3 extension family).
+
+A training pipeline needs SPLITS THAT NEVER MOVE: the same document must
+land in the same train/test shard on every run, every engine, every
+cluster size. Seeded ``df.sample`` cannot give that (Spark's sampler is
+partition-dependent and has no DuckDB twin), so these operators sample on
+a content-derived hash: ``md5(doc_id)`` is uniform, engine-portable, and
+a pure per-row function — no shuffle, no state, identical at any scale.
+
+Hex-prefix comparison trick: the first two md5 hex chars are uniform over
+256 buckets, and lexicographic order on fixed-width hex strings equals
+numeric order ('0'<'9'<'a'<'f' in ASCII), so ``substr(md5(x),1,2) <
+'1a'`` selects exactly 26/256 = 10.16% — as a plain string compare that
+both engines evaluate identically.
+
+Reference cites (mount empty, module::symbol per SURVEY §0): flexcalc has
+no sampling surface; this family comes from the north-star LLM-pipeline
+requirements (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table
+
+# 26/256 ~ 10.2% held out for test.
+SPLIT_THRESHOLD = "1a"
+# Stratified rates by language: en is down-sampled harder (it dominates
+# real corpora); hex thresholds, rate = int(hex, 16) / 256.
+STRAT_EN = "40"       # 64/256 = 25%
+STRAT_OTHER = "80"    # 128/256 = 50%
+
+
+def _hash_bucket(col, salt: str):
+    """First two md5 hex chars of (salt || col-as-string) — 256 uniform,
+    engine-portable buckets."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary")), 1, 2
+    )
+
+
+@register(
+    "q_sample_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{SPLIT_THRESHOLD}'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """,
+    family="sampling",
+    scale_notes="hash split is a per-row narrow map — no shuffle, no state, stable under any partitioning/backfill; THE way to cut train/test at 100 TB (seeded sample() is partition-dependent and unreproducible across engines)",
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% train/test split keyed on md5(doc_id)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), "split:")
+    return d.select(
+        "doc_id",
+        F.when(bucket < SPLIT_THRESHOLD, "test").otherwise("train").alias("split"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN lang = 'en' THEN '{STRAT_EN}' ELSE '{STRAT_OTHER}' END
+    """,
+    family="sampling",
+    scale_notes="per-stratum rates as a CASE over the same hash — still a pure per-row filter (pushdown-friendly), so rebalancing a 100 TB corpus by language/source costs one scan and zero shuffles",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 25% of en docs, 50% of the rest.
+
+    The salt prefix ('strat:' vs 'split:') makes this draw independent of
+    q_sample_split's — a doc's split membership says nothing about its
+    sample membership."""
+    d = table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), "strat:")
+    threshold = F.when(F.col("lang") == "en", STRAT_EN).otherwise(STRAT_OTHER)
+    return d.filter(bucket < threshold).select("doc_id", "lang")

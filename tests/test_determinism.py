@@ -26,6 +26,9 @@ RISKY = [
     "q_knn_cosine",
     "q_centroids",
     "q_window_tumbling",
+    "q_ct_moments",
+    "q_join_salted",
+    "q_dedup_clusters",
 ]
 
 

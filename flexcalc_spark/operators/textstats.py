@@ -235,3 +235,56 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> (acc * 1000003 + x) % 2147483647)"
         ).alias("fingerprint"),
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "q_text_chunks",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, GREATEST(len(toks), 1), {CHUNK_STRIDE})) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(LEAST({CHUNK_TOKENS}, len(toks) - start) AS BIGINT) AS n_tokens,
+               array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk
+        FROM c
+    """,
+    family="text",
+    scale_notes=f"context-window chunking ({CHUNK_TOKENS}-token windows, stride {CHUNK_STRIDE}): per-row HOF slice + one explode, no shuffle — output rows ~2x tokens/stride, produced scan-side; the training-data step that turns documents into model inputs",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (context-window packing prep).
+
+    Chunk starts at multiples of the stride while start < n_tokens, the
+    final window may be short — the standard sliding-window tokenizer
+    prep. Spark sequence() is endpoint-INCLUSIVE where DuckDB range() is
+    exclusive: sequence(0, greatest(n-1, 0), stride) equals
+    range(0, greatest(n, 1), stride) element-for-element."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    starts = F.expr(
+        f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})"
+    )
+    c = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    return c.select(
+        "doc_id",
+        F.expr(f"start div {CHUNK_STRIDE}").alias("chunk_id"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start")
+        ).cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.expr(f"slice(toks, start + 1, {CHUNK_TOKENS})"), " "
+        ).alias("chunk"),
+    )

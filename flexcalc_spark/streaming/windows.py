@@ -321,3 +321,65 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
             f"stream '{name}' did not drain within 120s — sink is partial"
         )
     return name
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+        SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS wstart_sec,
+               c_mktsegment,
+               COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
+    family="streaming",
+    scale_notes="stream-static enrichment: the dim joins BEFORE the windowed agg as a broadcast (stream-static joins never shuffle the stream side or hold join state); agg state is one row per (hour, segment)",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-enriched tumbling aggregate (batch twin of a stream-static
+    join): events joined to the customer dim, then hourly count/sum per
+    market segment."""
+    e = events_with_time(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .groupBy(
+            (F.expr(f"ts_sec div {HOUR}") * HOUR).alias("wstart_sec"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + native window() twin of q_stream_enrich.
+
+    The static side is a plain batch DataFrame: Structured Streaming
+    re-plans it per micro-batch and broadcasts it under the join — the
+    idiomatic way to enrich a 100 TB/day stream with a dimension table."""
+    s = stream_events(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        s.join(F.broadcast(c), s["user_id"] == c["c_custkey"])
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart_sec"),
+            "c_mktsegment",
+            "cnt",
+            "sum_value",
+        )
+    )

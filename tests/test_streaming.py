@@ -93,3 +93,11 @@ def test_stream_late_rows_dropped(spark):
     assert len(out) > 0
     lp = q.lastProgress
     assert lp is not None and "watermark" in str(lp["eventTime"])
+
+
+def test_stream_enrich_equals_batch(spark):
+    """Stream-static join (customer dim broadcast under the stream)."""
+    batch = registry.QUERIES["q_stream_enrich"](spark, SF_DIR).toPandas()
+    _drain(sw.stream_enrich(spark, SF_DIR), "t_enrich")
+    stream = spark.table("t_enrich").toPandas()
+    assert _canon(batch) == _canon(stream)

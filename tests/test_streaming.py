@@ -101,3 +101,12 @@ def test_stream_enrich_equals_batch(spark):
     _drain(sw.stream_enrich(spark, SF_DIR), "t_enrich")
     stream = spark.table("t_enrich").toPandas()
     assert _canon(batch) == _canon(stream)
+
+
+def test_stream_stream_range_join_equals_batch(spark):
+    """Stream-stream inner join (watermarked both sides, interval-bounded
+    state) must emit exactly the batch interval-join pairs."""
+    batch = registry.QUERIES["q_join_range"](spark, SF_DIR).toPandas()
+    _drain(sw.stream_range_join(spark, SF_DIR), "t_ssjoin", mode="append")
+    stream = spark.table("t_ssjoin").toPandas()
+    assert _canon(batch) == _canon(stream)

@@ -15,4 +15,6 @@ from flexcalc_spark.operators import (  # noqa: F401
     udfs,
     ct_queries,
     multimodal,
+    subqueries,
+    quality,
 )

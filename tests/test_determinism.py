@@ -29,6 +29,9 @@ RISKY = [
     "q_ct_moments",
     "q_join_salted",
     "q_dedup_clusters",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_vocab",
 ]
 
 

@@ -53,6 +53,21 @@ def test_semi_anti_compile_to_joins(spark):
     assert re.search(r"LeftAnti", plan_text(Q["q_join_anti"](spark, SF_DIR)))
 
 
+def test_in_subquery_compiles_to_semi_join(spark):
+    plan = plan_text(Q["q_subquery_in"](spark, SF_DIR))
+    assert re.search(r"LeftSemi", plan), plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subqueries into
+    aggregate + equi joins — a nested-loop re-scan per outer row would
+    be O(n²) scans at 100 TB."""
+    plan = plan_text(Q["q_subquery_correlated"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan and "Join" in plan, plan
+
+
 def test_graded_queries_avoid_python_udfs(spark):
     """Every graded query except the explicit UDF/stateful/multimodal
     surface must stay JVM-native (BASELINE.md perf rule 2)."""

@@ -17,4 +17,5 @@ from flexcalc_spark.operators import (  # noqa: F401
     multimodal,
     subqueries,
     quality,
+    sinks,
 )

@@ -429,3 +429,28 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     )
+
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_unpivot",
+    oracle=" UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS metric, {m} AS val"
+        " FROM lineitem"
+        for m in _UNPIVOT_METRICS
+    ),
+    family="aggregates",
+    scale_notes="unpivot (wide->long melt, the pivot inverse) is a narrow per-row expansion — rows multiply by the metric count but no shuffle, no state; the oracle is the portable UNION ALL formulation so no dialect drift",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four lineitem measures into (metric, val) long form via the
+    native unpivot operator; values emitted as raw doubles
+    (bit-identical, registry determinism rules)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_UNPIVOT_METRICS
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], _UNPIVOT_METRICS, "metric", "val"
+    )

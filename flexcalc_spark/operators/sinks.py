@@ -1,0 +1,58 @@
+"""Sink operators — partitioned parquet write + read-back.
+
+SURVEY.md §2.2 lists sinks as "not graded (driver reads returned DF)";
+this key closes that hole by grading the full write path anyway: write
+``documents`` as a **lang-partitioned parquet layout** (the 100 TB
+at-rest layout SURVEY §4.3.3 prescribes — partition columns become
+directories, so per-language scans prune whole files), read the layout
+back, and aggregate — so the round-trip (writer, partition directory
+encoding, schema recovery on read, partition-column type inference) is
+what the oracle checks, not just the final group-by.
+
+The storage-layout tests (tests/test_layouts.py) additionally assert
+partition pruning against layouts like this one; ``q_scan_*`` grades the
+read side of plain parquet.
+
+Reference cite (mount empty, module::symbol per SURVEY §0):
+``/root/reference/flexcalc/batch.py::scheduler.write_data`` — the batch
+pipeline's terminal write node (R24); parquet partitioned layout is the
+Spark-native analogue of its per-dataset output directories.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table
+
+
+@register(
+    "q_sink_partitioned",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    family="sinks",
+    scale_notes="partitioned parquet sink: partition columns become directories, so downstream per-language reads prune whole files (dynamic partition pruning at 100 TB); one file per (partition, task) — at scale, repartition by the partition column first so writers don't emit small files; overwrite mode makes the round-trip idempotent",
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents lang-partitioned, read the layout back, and
+    aggregate per language — grades the writer round-trip, not just the
+    group-by."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_sink_{os.getpid()}"
+    )
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    r = spark.read.parquet(out)
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -260,3 +260,46 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K_NEIGHBORS)
         .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
     )
+
+
+@register(
+    "q_vector_quantize",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                   CAST(list_max(embedding) AS DOUBLE) AS vmax
+            FROM embeddings
+        )
+        SELECT vec_id, vmin, vmax,
+               CASE WHEN vmax > vmin
+                    THEN list_transform(embedding,
+                         x -> LEAST(CAST(floor((CAST(x AS DOUBLE) - vmin)
+                                  * 255.0 / (vmax - vmin)) AS BIGINT),
+                              CAST(255 AS BIGINT)))
+                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+               END AS codes
+        FROM b
+    """,
+    family="vectors",
+    scale_notes="per-vector uint8 scalar quantization (4x smaller than float32, the standard ANN memory/IO trade): pure per-row HOF in codegen, no shuffle — at 100 TB the quantized corpus is what the LSH/IVF tiers scan, with exact float re-score only on the final candidates; floor-based bucketing (not round) keeps codes engine-deterministic (round() dialect drift, registry rules)",
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantize each embedding to 0..255 integer codes over the
+    vector's own [min, max] range (uint8 compression for ANN serving)."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.expr("CAST(array_min(embedding) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(array_max(embedding) AS DOUBLE)").alias("vmax"),
+    )
+    codes = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.expr(
+            "transform(embedding, x -> LEAST(CAST(floor((CAST(x AS DOUBLE)"
+            " - vmin) * 255.0 / (vmax - vmin)) AS BIGINT),"
+            " CAST(255 AS BIGINT)))"
+        ),
+    ).otherwise(F.expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+    return b.select("vec_id", "vmin", "vmax", codes.alias("codes"))

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flexcalc_spark.operators.sampling import SPLIT_THRESHOLD
 from flexcalc_spark.registry import register
 from flexcalc_spark.tables import table, table_parallel
 
@@ -143,4 +144,95 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
         .filter(F.col("rnk") <= VOCAB_TOP)
+    )
+
+
+# Curation-pipeline gates (q_corpus_filter).
+MIN_CHARS = 100
+REP_MAX = 0.015
+
+
+@register(
+    "q_corpus_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, n_chars, text,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, lang, source, n_chars, text,
+                   list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       AS tris
+            FROM t
+        ), r AS (
+            SELECT doc_id, lang, source, n_chars,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+                   CASE WHEN len(tris) > 0
+                        THEN CAST(len(tris) - len(list_distinct(tris))
+                                  AS DOUBLE) / CAST(len(tris) AS DOUBLE)
+                        ELSE 0.0 END AS rep_ratio
+            FROM g
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM r
+        WHERE doc_id = keep_id
+          AND substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+              >= '{SPLIT_THRESHOLD}'
+          AND n_chars >= {MIN_CHARS}
+          AND rep_ratio <= {REP_MAX}
+    """,
+    family="text",
+    scale_notes="the assembled curation pipeline as ONE plan: per-row gates (train-split hash, length, trigram repetition) are narrow and run inside the scan stage; the only shuffle is the content-hash dedup-keeper window (same key as q_dedup_exact). Gate order is the 100 TB cost model — cheap scan-side filters first, so the expensive pairwise dedup/similarity stages downstream only ever see survivors",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation filter: exact-dup keeper (min doc_id
+    per md5(text)) AND train-split membership AND minimum length AND
+    low trigram repetition — the composed version of q_dedup_exact /
+    q_sample_split / q_quality_score / q_repetition."""
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+            " element_at(split(text, ' '), i + 1),"
+            " element_at(split(text, ' '), i + 2)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    n_tri = F.size("tris").cast("bigint")
+    n_uniq = F.size(F.array_distinct("tris")).cast("bigint")
+    r = (
+        d.select("doc_id", "lang", "source", "n_chars", "text",
+                 tris.alias("tris"))
+        .select(
+            "doc_id", "lang", "source", "n_chars", "text",
+            F.when(
+                n_tri > 0, (n_tri - n_uniq).cast("double") / n_tri.cast("double")
+            ).otherwise(F.lit(0.0)).alias("rep_ratio"),
+        )
+        .withColumn(
+            "keep_id",
+            F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary")))
+            ),
+        )
+    )
+    split_bucket = F.substring(
+        F.md5(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1, 2,
+    )
+    return (
+        r.filter(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (split_bucket >= SPLIT_THRESHOLD)
+            & (F.col("n_chars") >= MIN_CHARS)
+            & (F.col("rep_ratio") <= REP_MAX)
+        )
+        .select("doc_id", "lang", "source", "n_chars")
     )

@@ -32,6 +32,7 @@ RISKY = [
     "q_subquery_scalar",
     "q_subquery_correlated",
     "q_vocab",
+    "q_corpus_filter",
 ]
 
 

@@ -76,3 +76,38 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("month_delta"),
     )
+
+
+@register(
+    "q_gapfill",
+    oracle="""
+        WITH h AS (
+            SELECT epoch_us(ts) // 3600000000 AS hour_idx FROM events
+        ), b AS (
+            SELECT MIN(hour_idx) AS lo, MAX(hour_idx) AS hi FROM h
+        ), spine AS (
+            SELECT unnest(range(lo, hi + 1)) AS hour_idx FROM b
+        ), c AS (
+            SELECT hour_idx, COUNT(*) AS n_events FROM h GROUP BY hour_idx
+        )
+        SELECT s.hour_idx, COALESCE(c.n_events, 0) AS n_events
+        FROM spine s LEFT JOIN c USING (hour_idx)
+    """,
+    family="datetime",
+    scale_notes="time-series gap fill: the dense hour spine is generated (sequence+explode) from a 1-row min/max aggregate, so it is spine-sized, not event-sized; the left join broadcasts the tiny spine against the aggregated counts — at 100 TB the counts side is already collapsed to O(hours) rows by partial agg before the join. Integer epoch-hour indices keep the bucketing exact on both engines (ns div vs us // compose to the same floor)",
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts over a DENSE hour spine — missing hours
+    appear with n_events = 0 (calendar gap filling, the batch twin of a
+    streaming tumbling window that must emit empty windows)."""
+    e = table(spark, sf_dir, "events")
+    # ts is epoch-ns BIGINT (tables.py nanosAsLong); ns->hour index by
+    # integer division composes with the oracle's us->hour division.
+    h = e.select(F.expr("ts div 3600000000000").alias("hour_idx"))
+    b = h.agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+    spine = b.select(F.explode(F.expr("sequence(lo, hi)")).alias("hour_idx"))
+    c = h.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("n_events"))
+    return spine.join(c, "hour_idx", "left").select(
+        "hour_idx",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )

@@ -72,14 +72,25 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+        # n runs per query, min taken: a single run folds scheduler/codegen
+        # jitter into the number (round-1 bench read 1.6 s high on exactly
+        # that). clearCache() between runs so queries that cache() an
+        # intermediate (minhash, neardup) are timed cold, not from the
+        # previous run's cache.
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         timings: dict[str, float] = {}
         for key in HEADLINE:
             if key not in registry.QUERIES:
                 continue
-            df = registry.QUERIES[key](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                df = registry.QUERIES[key](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[key] = round(best, 3)
 
         total = round(sum(timings.values()), 3)
         print(
@@ -90,6 +101,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "runs_per_query": runs,
                 }
             )
         )

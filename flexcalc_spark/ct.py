@@ -88,18 +88,35 @@ def array_from_slices(df: DataFrame) -> np.ndarray:
     )
 
 
+def _batch_groups(pdf: pd.DataFrame):
+    """Yield (positions, arr) per homogeneous (h, w, dtype) group of an
+    Arrow batch: positions are integer row positions into ``pdf``, arr is
+    the group's slices stacked as one (n, h, w) ndarray (a single
+    frombuffer over the concatenated blobs — no per-row Python loop).
+    Kernels vectorize over the whole stack; mixed-shape batches simply
+    split into a few homogeneous stacks."""
+    pdf = pdf.reset_index(drop=True)
+    for (h, w, dt), g in pdf.groupby(["h", "w", "dtype"], sort=False):
+        arr = np.frombuffer(
+            b"".join(bytes(b) for b in g["px"]), dtype=np.dtype(dt)
+        ).reshape(len(g), int(h), int(w))
+        yield g.index.to_numpy(), arr
+
+
 def _map_slices(df: DataFrame, kernel) -> DataFrame:
-    """Run an elementwise numpy kernel over every slice (mapInPandas)."""
+    """Run an elementwise numpy kernel over every slice (mapInPandas).
+
+    ``kernel`` receives the whole homogeneous stack as one (n, h, w)
+    array — columnar numpy over the Arrow batch, not row-at-a-time."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_px = []
-            for _, row in pdf.iterrows():
-                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                    row["h"], row["w"]
-                )
-                out_px.append(kernel(img, row).astype(np.float32).tobytes())
-            pdf = pdf.copy()
+            out_px = [None] * len(pdf)
+            for pos, arr in _batch_groups(pdf):
+                res = np.ascontiguousarray(kernel(arr), dtype=np.float32)
+                for j, p in enumerate(pos):
+                    out_px[p] = res[j].tobytes()
+            pdf = pdf.reset_index(drop=True).copy()
             pdf["px"] = out_px
             pdf["dtype"] = "float32"
             yield pdf
@@ -118,8 +135,9 @@ def preprocess(df: DataFrame, flat: np.ndarray, dark: np.ndarray) -> DataFrame:
     dark32 = np.asarray(dark, dtype=np.float32)
     denom = np.maximum(flat32 - dark32, 1e-6)
 
-    def kernel(img: np.ndarray, _row) -> np.ndarray:
-        norm = np.clip((img - dark32) / denom, 1e-6, None)
+    def kernel(stack: np.ndarray) -> np.ndarray:
+        # (n, h, w) batch against (h, w) references: one broadcast op
+        norm = np.clip((stack - dark32[None]) / denom[None], 1e-6, None)
         return -np.log(norm)
 
     return _map_slices(df, kernel)
@@ -136,9 +154,9 @@ def residual_rings(df: DataFrame) -> DataFrame:
 
     def dering(pdf: pd.DataFrame) -> pd.DataFrame:
         h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
-        imgs = np.stack(
-            [np.frombuffer(b, dtype=np.float32).reshape(h, w) for b in pdf["px"]]
-        )
+        imgs = np.frombuffer(
+            b"".join(bytes(b) for b in pdf["px"]), dtype=np.float32
+        ).reshape(len(pdf), h, w)
         residual = imgs.mean(axis=0) - imgs.mean()
         out = imgs - residual[None, :, :]
         pdf = pdf.copy()
@@ -169,22 +187,33 @@ def bounding_box(df: DataFrame, threshold: float = 0.0) -> DataFrame:
 
     def reduce_slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                    row["h"], row["w"]
-                )
-                mask = img > threshold
-                if mask.any():
-                    rows_any = np.where(mask.any(axis=1))[0]
-                    cols_any = np.where(mask.any(axis=0))[0]
-                    out.append(
-                        (row["dataset_id"], row["idx"], int(rows_any[0]),
-                         int(rows_any[-1]), int(cols_any[0]), int(cols_any[-1]), 1)
-                    )
-                else:
-                    out.append((row["dataset_id"], row["idx"], 0, -1, 0, -1, 0))
-            yield pd.DataFrame(out, columns=[f.name for f in reduced_schema.fields])
+            n = len(pdf)
+            rmin = np.zeros(n, dtype=np.int64)
+            rmax = np.full(n, -1, dtype=np.int64)
+            cmin = np.zeros(n, dtype=np.int64)
+            cmax = np.full(n, -1, dtype=np.int64)
+            anyc = np.zeros(n, dtype=np.int64)
+            for pos, arr in _batch_groups(pdf):
+                h, w = arr.shape[1], arr.shape[2]
+                row_any = (arr > threshold).any(axis=2)       # (n, h)
+                col_any = (arr > threshold).any(axis=1)       # (n, w)
+                has = row_any.any(axis=1)
+                # first/last True via argmax on the bool mask and its flip
+                rmin[pos] = np.where(has, row_any.argmax(axis=1), 0)
+                rmax[pos] = np.where(has, h - 1 - row_any[:, ::-1].argmax(axis=1), -1)
+                cmin[pos] = np.where(has, col_any.argmax(axis=1), 0)
+                cmax[pos] = np.where(has, w - 1 - col_any[:, ::-1].argmax(axis=1), -1)
+                anyc[pos] = has.astype(np.int64)
+            pdf = pdf.reset_index(drop=True)
+            yield pd.DataFrame(
+                {
+                    "dataset_id": pdf["dataset_id"],
+                    "idx": pdf["idx"],
+                    "rmin": rmin, "rmax": rmax,
+                    "cmin": cmin, "cmax": cmax,
+                    "any_content": anyc,
+                }
+            )
 
     red = df.mapInPandas(reduce_slice, reduced_schema)
     content = red.filter(F.col("any_content") == 1)
@@ -204,14 +233,14 @@ def translate(df: DataFrame, dy: int, dx: int) -> DataFrame:
     rendering of flexcalc/process.py::translate (R12; scipy.ndimage
     interpolating variants gate behind an import-try at deploy time)."""
 
-    def kernel(img: np.ndarray, _row) -> np.ndarray:
-        out = np.zeros_like(img)
-        h, w = img.shape
+    def kernel(stack: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(stack)
+        h, w = stack.shape[1], stack.shape[2]
         if abs(dy) >= h or abs(dx) >= w:
             return out  # shifted fully out of frame
         ys, yd = (dy, 0) if dy >= 0 else (0, -dy)
         xs, xd = (dx, 0) if dx >= 0 else (0, -dx)
-        out[ys : h - yd, xs : w - xd] = img[yd : h - ys, xd : w - xs]
+        out[:, ys : h - yd, xs : w - xd] = stack[:, yd : h - ys, xd : w - xs]
         return out
 
     return _map_slices(df, kernel)
@@ -238,17 +267,23 @@ def register_translation(df_fixed: DataFrame, df_moving: DataFrame) -> tuple[flo
 
         def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out = []
-                for _, row in pdf.iterrows():
-                    img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                        row["h"], row["w"]
-                    ).astype(np.float64)
-                    w_ = float(img.sum())
-                    ys, xs = np.mgrid[0 : row["h"], 0 : row["w"]]
-                    out.append(
-                        (row["idx"], w_, float((img * ys).sum()), float((img * xs).sum()))
-                    )
-                yield pd.DataFrame(out, columns=[f.name for f in parts_schema.fields])
+                n = len(pdf)
+                wsum = np.zeros(n)
+                wy = np.zeros(n)
+                wx = np.zeros(n)
+                for pos, arr in _batch_groups(pdf):
+                    a = arr.astype(np.float64)
+                    h, w = a.shape[1], a.shape[2]
+                    rowsum = a.sum(axis=2)                    # (n, h)
+                    colsum = a.sum(axis=1)                    # (n, w)
+                    wsum[pos] = rowsum.sum(axis=1)
+                    # sum(img[y,x]*y) = sum_y y * rowsum[y] — one matvec
+                    wy[pos] = rowsum @ np.arange(h, dtype=np.float64)
+                    wx[pos] = colsum @ np.arange(w, dtype=np.float64)
+                pdf = pdf.reset_index(drop=True)
+                yield pd.DataFrame(
+                    {"idx": pdf["idx"], "wsum": wsum, "wy": wy, "wx": wx}
+                )
 
         agg = (
             df.mapInPandas(partials, parts_schema)
@@ -278,9 +313,9 @@ def append_tile(df_total: DataFrame, df_tile: DataFrame) -> DataFrame:
 
     def blend(pdf: pd.DataFrame) -> pd.DataFrame:
         h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
-        imgs = np.stack(
-            [np.frombuffer(b, dtype=np.float32).reshape(h, w) for b in pdf["px"]]
-        ).astype(np.float64)
+        imgs = np.frombuffer(
+            b"".join(bytes(b) for b in pdf["px"]), dtype=np.float32
+        ).reshape(len(pdf), h, w).astype(np.float64)
         weights = (imgs != 0).astype(np.float64)
         wsum = weights.sum(axis=0)
         blended = np.where(wsum > 0, imgs.sum(axis=0) / np.maximum(wsum, 1), 0.0)
@@ -311,11 +346,13 @@ def cast2type(
 
         def minmax(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out = []
-                for _, row in pdf.iterrows():
-                    img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"]))
-                    out.append((float(img.min()), float(img.max())))
-                yield pd.DataFrame(out, columns=["lo", "hi"])
+                n = len(pdf)
+                lo = np.zeros(n)
+                hi = np.zeros(n)
+                for pos, arr in _batch_groups(pdf):
+                    lo[pos] = arr.min(axis=(1, 2))
+                    hi[pos] = arr.max(axis=(1, 2))
+                yield pd.DataFrame({"lo": lo, "hi": hi})
 
         r = df.mapInPandas(minmax, stats_schema).agg(
             F.min("lo").alias("lo"), F.max("hi").alias("hi")
@@ -331,14 +368,13 @@ def cast2type(
     # any downstream kernel reconstruct the narrow array faithfully.
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_px = []
-            for _, row in pdf.iterrows():
-                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                    row["h"], row["w"]
-                )
-                scaled = np.clip((img - lo) / span, 0.0, 1.0) * maxval
-                out_px.append(np.round(scaled).astype(target).tobytes())
-            pdf = pdf.copy()
+            out_px = [None] * len(pdf)
+            for pos, arr in _batch_groups(pdf):
+                scaled = np.clip((arr - lo) / span, 0.0, 1.0) * maxval
+                coded = np.round(scaled).astype(target)
+                for j, p in enumerate(pos):
+                    out_px[p] = coded[j].tobytes()
+            pdf = pdf.reset_index(drop=True).copy()
             pdf["px"] = out_px
             pdf["dtype"] = str(target)
             yield pdf
@@ -353,21 +389,22 @@ def interpolate_holes(df: DataFrame, mask2d: np.ndarray) -> DataFrame:
     (R5), numpy-only (no scipy in this container)."""
     mask = np.asarray(mask2d, dtype=bool)
 
-    def kernel(img: np.ndarray, _row) -> np.ndarray:
+    def kernel(stack: np.ndarray) -> np.ndarray:
+        n, h, w = stack.shape
         valid = (~mask).astype(np.float64)
-        vals = np.where(mask, 0.0, img.astype(np.float64))
-        p_v = np.pad(vals, 1)
+        vals = np.where(mask[None], 0.0, stack.astype(np.float64))
+        p_v = np.pad(vals, ((0, 0), (1, 1), (1, 1)))
         p_w = np.pad(valid, 1)
         num = np.zeros_like(vals)
-        den = np.zeros_like(vals)
+        den = np.zeros((h, w))
         for dy in (0, 1, 2):
             for dx in (0, 1, 2):
                 if dy == 1 and dx == 1:
                     continue
-                num += p_v[dy : dy + vals.shape[0], dx : dx + vals.shape[1]]
-                den += p_w[dy : dy + vals.shape[0], dx : dx + vals.shape[1]]
-        fill = num / np.maximum(den, 1.0)
-        return np.where(mask, fill, img)
+                num += p_v[:, dy : dy + h, dx : dx + w]
+                den += p_w[dy : dy + h, dx : dx + w]
+        fill = num / np.maximum(den, 1.0)[None]
+        return np.where(mask[None], fill, stack)
 
     return _map_slices(df, kernel)
 
@@ -381,8 +418,10 @@ def equivalent_density(df: DataFrame, lut_x: np.ndarray, lut_y: np.ndarray) -> D
     xs = np.asarray(lut_x, dtype=np.float64)
     ys = np.asarray(lut_y, dtype=np.float64)
 
-    def kernel(img: np.ndarray, _row) -> np.ndarray:
-        return np.interp(img.astype(np.float64), xs, ys)
+    def kernel(stack: np.ndarray) -> np.ndarray:
+        # np.interp flattens internally — the whole (n, h, w) stack maps
+        # through the LUT in one call
+        return np.interp(stack.astype(np.float64), xs, ys)
 
     return _map_slices(df, kernel)
 
@@ -427,7 +466,19 @@ def optimize_axis_offset(
     nothing), and the per-slice SSD reduces inside the join kernel —
     only one double per slice leaves the executors."""
     diff_schema = StructType([StructField("ssd", DoubleType())])
+    # Each side must be ONE stack: the (axis, idx) pairing below would
+    # silently cross-match slices if either side held several datasets
+    # (fixed and moving keep their own dataset_ids — registration is
+    # across datasets by design, so dataset_id is NOT a join key).
+    for side, name in ((df_fixed, "df_fixed"), (df_moving, "df_moving")):
+        n_ds = side.select("dataset_id").distinct().count()
+        if n_ds > 1:
+            raise ValueError(
+                f"optimize_axis_offset: {name} holds {n_ds} datasets; "
+                "pass one stack per side"
+            )
     fixed = df_fixed.select(
+        F.col("axis").alias("f_axis"),
         F.col("idx").alias("f_idx"),
         F.col("h").alias("f_h"),
         F.col("w").alias("f_w"),
@@ -438,20 +489,29 @@ def optimize_axis_offset(
     best_offset, best_ssd = None, None
     for off in offsets:
         shifted = translate(df_moving, 0, off)
-        paired = shifted.join(fixed, shifted.idx == fixed.f_idx, "inner")
+        paired = shifted.join(
+            fixed,
+            (shifted.axis == fixed.f_axis) & (shifted.idx == fixed.f_idx),
+            "inner",
+        )
 
         def ssd_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out = []
-                for _, row in pdf.iterrows():
-                    img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                        row["h"], row["w"]
-                    )
-                    ref = np.frombuffer(row["f_px"], dtype=np.dtype(row["f_dtype"])).reshape(
-                        row["f_h"], row["f_w"]
-                    )
-                    out.append((float(((img.astype(np.float64) - ref) ** 2).sum()),))
-                yield pd.DataFrame(out, columns=["ssd"])
+                n = len(pdf)
+                ssd = np.zeros(n)
+                # group on BOTH sides' shape/dtype so each pair of
+                # homogeneous stacks reduces in one vectorized pass
+                pdf = pdf.reset_index(drop=True)
+                by = ["h", "w", "dtype", "f_h", "f_w", "f_dtype"]
+                for (h, w, dt, fh, fw, fdt), g in pdf.groupby(by, sort=False):
+                    a = np.frombuffer(
+                        b"".join(bytes(b) for b in g["px"]), dtype=np.dtype(dt)
+                    ).reshape(len(g), int(h), int(w)).astype(np.float64)
+                    r = np.frombuffer(
+                        b"".join(bytes(b) for b in g["f_px"]), dtype=np.dtype(fdt)
+                    ).reshape(len(g), int(fh), int(fw))
+                    ssd[g.index.to_numpy()] = ((a - r) ** 2).sum(axis=(1, 2))
+                yield pd.DataFrame({"ssd": ssd})
 
         total = (
             paired.mapInPandas(ssd_partials, diff_schema)
@@ -477,18 +537,22 @@ def bin_slices(df: DataFrame) -> DataFrame:
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px, hs, ws = [], [], []
-            for _, row in pdf.iterrows():
-                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                    row["h"], row["w"]
-                )
-                h2, w2 = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
-                a = img[:h2, :w2].astype(np.float64)
-                small = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) / 4.0
-                px.append(small.astype(np.float32).tobytes())
-                hs.append(small.shape[0])
-                ws.append(small.shape[1])
-            pdf = pdf.copy()
+            n = len(pdf)
+            px = [None] * n
+            hs = np.zeros(n, dtype=np.int64)
+            ws = np.zeros(n, dtype=np.int64)
+            for pos, arr in _batch_groups(pdf):
+                h2, w2 = arr.shape[1] // 2 * 2, arr.shape[2] // 2 * 2
+                a = arr[:, :h2, :w2].astype(np.float64)
+                small = (
+                    a[:, 0::2, 0::2] + a[:, 0::2, 1::2]
+                    + a[:, 1::2, 0::2] + a[:, 1::2, 1::2]
+                ) / 4.0
+                coded = small.astype(np.float32)
+                hs[pos], ws[pos] = small.shape[1], small.shape[2]
+                for j, p in enumerate(pos):
+                    px[p] = coded[j].tobytes()
+            pdf = pdf.reset_index(drop=True).copy()
             pdf["px"], pdf["h"], pdf["w"] = px, hs, ws
             pdf["dtype"] = "float32"
             yield pdf
@@ -521,21 +585,27 @@ def find_marker(df: DataFrame, radius: int = 2) -> tuple[int, int, int]:
 
     def peaks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                img = np.frombuffer(row["px"], dtype=np.dtype(row["dtype"])).reshape(
-                    row["h"], row["w"]
-                ).astype(np.float64)
-                h, w = img.shape
-                best = (-np.inf, 0, 0)
-                # valid-mode correlation, numpy-only sliding windows
-                for y in range(0, h - size + 1):
-                    for x in range(0, w - size + 1):
-                        s = float((img[y : y + size, x : x + size] * template).sum())
-                        if s > best[0]:
-                            best = (s, y + radius, x + radius)
-                out.append((row["idx"], best[0], best[1], best[2]))
-            yield pd.DataFrame(out, columns=[f.name for f in peak_schema.fields])
+            n = len(pdf)
+            score = np.full(n, -np.inf)
+            py = np.zeros(n, dtype=np.int64)
+            px_ = np.zeros(n, dtype=np.int64)
+            for pos, arr in _batch_groups(pdf):
+                a = arr.astype(np.float64)
+                # valid-mode correlation via strided windows: einsum over
+                # the (n, h', w', size, size) view never materializes it
+                win = np.lib.stride_tricks.sliding_window_view(
+                    a, (size, size), axis=(1, 2)
+                )
+                corr = np.einsum("nhwuv,uv->nhw", win, template)
+                flat = corr.reshape(len(pos), -1)
+                arg = flat.argmax(axis=1)
+                score[pos] = flat[np.arange(len(pos)), arg]
+                py[pos] = arg // corr.shape[2] + radius
+                px_[pos] = arg % corr.shape[2] + radius
+            pdf = pdf.reset_index(drop=True)
+            yield pd.DataFrame(
+                {"idx": pdf["idx"], "score": score, "py": py, "px_": px_}
+            )
 
     top = (
         df.mapInPandas(peaks, peak_schema)

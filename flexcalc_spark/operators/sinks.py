@@ -56,3 +56,36 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_sink_csv",
+    oracle="""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars
+        FROM documents
+        GROUP BY source
+    """,
+    family="sinks",
+    scale_notes="csv sink round-trip (the §2.2 sink row names parquet/csv): header + explicit read schema (schema inference would add a full extra pass over 100 TB and can drift types); text length aggregated after the round-trip proves value fidelity through quoting/escaping, not just row counts. CSV is the interchange sink — columnar parquet remains the at-rest layout",
+)
+def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as CSV (header), read back with an explicit
+    schema, and aggregate text lengths per source — grades the full
+    text-safe round-trip through the csv writer/parser."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_sink_csv_{os.getpid()}"
+    )
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").option("header", True).csv(out)
+    r = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )

@@ -7,11 +7,14 @@ TIFF slices into a dense array (R1). Spark-native rendering:
 (path, modificationTime, length, content: binary) — followed by a decode
 kernel over ``mapInPandas``.
 
-The image/audio decode libraries are not in this container, so decoding
-is STUBBED behind ``DECODERS`` (deterministic fake for ``raw`` —
-np.frombuffer reshape, fully real — and NotImplementedError for
-tiff/png/jpeg/wav). The Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested.
+Decoding dispatches through ``DECODERS``: ``raw`` (np.frombuffer
+reshape) and UNCOMPRESSED grayscale ``tiff`` (pure-Python IFD parse +
+frombuffer — both byte orders, 8/16/32-bit int and 32/64-bit float) are
+fully real; compressed/multi-sample tiff and png/jpeg/wav raise
+NotImplementedError because no image library ships in this container
+(plug Pillow/tifffile in where available). The Spark-side plumbing —
+schema, partitioning, UDF signature, Arrow batch shape — is real and
+tested either way.
 
 Scale: binaryFile reads are file-granular splits; a 100 TB TIFF archive
 distributes one file per task. Decode parallelism = file count; pack
@@ -64,6 +67,82 @@ def _decode_raw(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     return h, w, dtype, content
 
 
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                    9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
+    """Pure-Python decoder for UNCOMPRESSED single-sample (grayscale)
+    TIFF — the format FLEX-ray slice stacks actually use. Parses the
+    first IFD (both byte orders), validates Compression=1, assembles the
+    strip data, and normalizes to native byte order. Compressed or
+    multi-sample files raise NotImplementedError (plug Pillow/tifffile
+    into DECODERS where available)."""
+    import struct
+
+    if content[:2] == b"II":
+        e = "<"
+    elif content[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    if struct.unpack(e + "H", content[2:4])[0] != 42:
+        raise ValueError("not a TIFF: bad magic")
+    ifd_off = struct.unpack(e + "I", content[4:8])[0]
+    n_tags = struct.unpack(e + "H", content[ifd_off : ifd_off + 2])[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        p = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack(e + "HHI", content[p : p + 8])
+        if typ not in (1, 3, 4):          # BYTE/SHORT/LONG cover our tags
+            continue
+        vsz = _TIFF_TYPE_SIZES[typ] * cnt
+        if vsz <= 4:
+            raw = content[p + 8 : p + 8 + vsz]
+        else:
+            voff = struct.unpack(e + "I", content[p + 8 : p + 12])[0]
+            raw = content[voff : voff + vsz]
+        code = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(f"{e}{cnt}{code}", raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    if one(259, 1) != 1:
+        raise NotImplementedError(
+            "compressed TIFF needs an image library (Pillow/tifffile); "
+            "only Compression=1 decodes offline"
+        )
+    if one(277, 1) != 1:
+        raise NotImplementedError("multi-sample (RGB) TIFF not supported offline")
+    w, h = one(256), one(257)
+    bps = one(258, 8)
+    sample_fmt = one(339, 1)              # 1 uint, 2 int, 3 float
+    kind = {1: "u", 2: "i", 3: "f"}.get(sample_fmt)
+    if kind is None or (kind == "f" and bps not in (32, 64)) or bps % 8:
+        raise NotImplementedError(
+            f"TIFF sample format {sample_fmt}/{bps}bps not supported"
+        )
+    offs = tags.get(273)
+    if not offs:
+        raise ValueError("TIFF missing StripOffsets")
+    cnts = tags.get(279, [h * w * (bps // 8)])
+    data = b"".join(o and content[o : o + c] or b"" for o, c in zip(offs, cnts))
+    expected = h * w * (bps // 8)
+    if len(data) != expected:
+        raise ValueError(f"TIFF strip data {len(data)} != {expected}")
+    src = np.dtype(f"{e}{kind}{bps // 8}")
+    arr = np.frombuffer(data, dtype=src)
+    native = src.newbyteorder("=")
+    if src != native:
+        arr = arr.astype(native)
+    return h, w, native.name, arr.tobytes()
+
+
 def _decode_unavailable(fmt: str) -> Callable:
     def decode(content: bytes, meta: dict):
         raise NotImplementedError(
@@ -76,7 +155,7 @@ def _decode_unavailable(fmt: str) -> Callable:
 
 DECODERS: dict[str, Callable] = {
     "raw": _decode_raw,
-    "tiff": _decode_unavailable("tiff"),
+    "tiff": _decode_tiff,
     "png": _decode_unavailable("png"),
     "jpeg": _decode_unavailable("jpeg"),
     "wav": _decode_unavailable("wav"),
@@ -191,19 +270,38 @@ def _media_raw_groups(pdf: pd.DataFrame):
     per-row decoder did."""
     pdf = pdf.reset_index(drop=True)
     for (fmt, mjson), g in pdf.groupby(["fmt", "meta_json"], sort=False):
-        if fmt != "raw":
-            continue
         meta = json.loads(mjson)
-        h, w, dt = int(meta["h"]), int(meta["w"]), np.dtype(meta["dtype"])
-        expected = h * w * dt.itemsize
-        blobs = [bytes(b) for b in g["content"]]
-        for b in blobs:
-            if len(b) != expected:
-                raise ValueError(
-                    f"raw blob length {len(b)} != {expected} for {meta}"
-                )
-        stack = np.frombuffer(b"".join(blobs), dtype=dt).reshape(len(g), h, w)
-        yield g.index.to_numpy(), stack
+        if fmt == "raw":
+            # headerless: shape comes from meta, one frombuffer for all
+            h, w, dt = int(meta["h"]), int(meta["w"]), np.dtype(meta["dtype"])
+            expected = h * w * dt.itemsize
+            blobs = [bytes(b) for b in g["content"]]
+            for b in blobs:
+                if len(b) != expected:
+                    raise ValueError(
+                        f"raw blob length {len(b)} != {expected} for {meta}"
+                    )
+            stack = np.frombuffer(b"".join(blobs), dtype=dt).reshape(
+                len(g), h, w
+            )
+            yield g.index.to_numpy(), stack
+            continue
+        # header-ful formats (tiff): decode per file — headers differ —
+        # then stack homogeneous shapes for the vectorized feature math
+        try:
+            decoded = [DECODERS[fmt](bytes(b), meta) for b in g["content"]]
+        except NotImplementedError:
+            continue                       # stub format -> NOT_DECODABLE rows
+        by_shape: dict[tuple, tuple[list, list]] = {}
+        for p, (h, w, dt, px) in zip(g.index.to_numpy(), decoded):
+            ps, pxs = by_shape.setdefault((h, w, dt), ([], []))
+            ps.append(p)
+            pxs.append(px)
+        for (h, w, dt), (ps, pxs) in by_shape.items():
+            stack = np.frombuffer(b"".join(pxs), dtype=np.dtype(dt)).reshape(
+                len(ps), h, w
+            )
+            yield np.asarray(ps), stack
 
 
 def _resize_half_stack(stack: np.ndarray) -> np.ndarray:

@@ -33,6 +33,11 @@ RISKY = [
     "q_subquery_correlated",
     "q_vocab",
     "q_corpus_filter",
+    # round-2 reworked/new plans
+    "q_dedup_neardup",      # prefix-filter candidates + exact re-score
+    "q_dedup_ngram",
+    "q_dedup_embed",        # blocked-GEMM candidates + JVM re-score
+    "q_sink_csv",           # csv round-trip aggregate
 ]
 
 

@@ -64,3 +64,29 @@ def test_partitioned_events_prunes(spark, tmp_path):
     expected = part.filter(F.col("day") == target).count()
     full = part.count()
     assert 0 < expected < full
+
+
+def test_csv_sink_round_trip_preserves_values(spark):
+    """q_sink_csv: the csv write->read round-trip must reproduce the
+    exact per-source document counts and text lengths of the source
+    parquet (quoting/escaping fidelity, not just row counts)."""
+    from flexcalc_spark import registry
+    from flexcalc_spark.tables import table
+
+    got = {
+        r.source: (r.n_docs, r.total_text_chars)
+        for r in registry.QUERIES["q_sink_csv"](spark, SF_DIR).collect()
+    }
+    import pyspark.sql.functions as F
+
+    want = {
+        r.source: (r.n_docs, r.total_text_chars)
+        for r in table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+        )
+        .collect()
+    }
+    assert got == want and got

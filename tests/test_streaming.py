@@ -88,7 +88,9 @@ def test_stream_late_rows_dropped(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("t_late stream did not drain within 120s")
     out = spark.table("t_late").toPandas()
     assert len(out) > 0
     lp = q.lastProgress

@@ -97,3 +97,46 @@ def test_approx_percentile_brackets_exact(spark):
     for k, a in approx.items():
         assert abs(a.p50 - exact[k].p50) <= 2.0
         assert abs(a.price_p95 - exact[k].price_p95) / exact[k].price_p95 < 0.05
+
+
+@given(
+    n_docs=st.integers(4, 14),
+    vocab=st.integers(3, 10),
+    num_den=st.sampled_from([(19, 20), (49, 50), (4, 5)]),
+    seed=st.integers(0, 10_000),
+)
+@_slow
+def test_prefix_filter_candidates_are_complete(spark, n_docs, vocab, num_den, seed):
+    """The PPJoin prefix-filter candidate set must contain EVERY pair
+    with jaccard >= num/den (the guaranteed-recall theorem the graded
+    neardup/ngram plans rely on), on arbitrary random token sets."""
+    from flexcalc_spark.operators.dedup import _prefix_candidates
+
+    num, den = num_den
+    tau = num / den
+    rng = np.random.RandomState(seed)
+    docs = []
+    for i in range(n_docs):
+        size = rng.randint(1, vocab + 1)
+        toks = sorted(rng.choice(vocab, size=size, replace=False))
+        docs.append((i, "g", [f"t{t}" for t in toks]))
+    # duplicate a few docs exactly / near-exactly so qualifying pairs exist
+    docs.append((n_docs, "g", list(docs[0][2])))
+    if len(docs[1][2]) > 1:
+        docs.append((n_docs + 1, "g", list(docs[1][2])))
+
+    exact = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = set(docs[i][2]), set(docs[j][2])
+            if a | b and len(a & b) / len(a | b) >= tau:
+                exact.add((docs[i][0], docs[j][0]))
+
+    items = spark.createDataFrame(
+        docs, "doc_id long, grp string, items array<string>"
+    )
+    cand = {
+        (r.id_a, r.id_b) for r in _prefix_candidates(items, num, den).collect()
+    }
+    missing = exact - cand
+    assert not missing, f"prefix filter missed qualifying pairs: {missing}"

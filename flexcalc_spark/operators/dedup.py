@@ -432,12 +432,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-wide HashAggregate formulation spent seconds per run compiling
     its generated code — same lesson as _sig_from_htoks)."""
     t = _hashed_tok_sets(spark, sf_dir)
+    # sign(sum of ±1) > 0  <=>  2 * popcount_of_bit > n_tokens: counting
+    # raw bits keeps the inner lambda to 2 ops per (token, bit) — these
+    # HOFs evaluate interpreted, so per-element op count is the cost.
     sig = F.expr(
         f"""
         aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
           (acc, i) -> acc | IF(
-             aggregate(htoks, CAST(0 AS BIGINT),
-                       (s, h) -> s + (((h >> i) & 1) * 2 - 1)) > 0,
+             2 * aggregate(htoks, CAST(0 AS BIGINT),
+                           (s, h) -> s + ((h >> i) & 1)) > size(htoks),
              shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
         """
     )

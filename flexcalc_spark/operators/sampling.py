@@ -86,3 +86,58 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = _hash_bucket(F.col("doc_id"), "strat:")
     threshold = F.when(F.col("lang") == "en", STRAT_EN).otherwise(STRAT_OTHER)
     return d.filter(bucket < threshold).select("doc_id", "lang")
+
+
+PACK_BUDGET = 2048      # tokens per packed training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            FROM documents
+        )
+        SELECT doc_id, source, n_toks,
+               CAST((cum - n_toks) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST((cum - n_toks) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM (
+            SELECT doc_id, source, n_toks,
+                   SUM(n_toks) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+    """,
+    family="sampling",
+    scale_notes="training-batch sequence packing: greedy sequential packing of docs into fixed token-budget bins via ONE running-sum window per source shard — the op that turns a curated corpus into fixed-length training sequences. Shard key (source) bounds window state and parallelizes packing; all math integer (token counts, div/mod) so bin assignments are engine- and partitioning-independent. At 100 TB: one shuffle on the shard key, no state beyond the running sum",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing: each doc gets the bin and
+    offset where it starts when documents are laid end-to-end (by
+    doc_id) into PACK_BUDGET-token sequences, packed per source shard."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok")
+    return (
+        t.select("doc_id", "source", "n_toks", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.expr(f"start_tok div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
+            (F.col("start_tok") % PACK_BUDGET).cast("bigint").alias("bin_offset"),
+        )
+    )

@@ -38,6 +38,7 @@ RISKY = [
     "q_dedup_ngram",
     "q_dedup_embed",        # blocked-GEMM candidates + JVM re-score
     "q_sink_csv",           # csv round-trip aggregate
+    "q_pack_sequences",     # running-sum window packing
 ]
 
 

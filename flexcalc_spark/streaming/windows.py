@@ -204,16 +204,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch rendering of the watermark horizon: per-type counts of rows
     within 1 hour of the stream's max event time (what a 1h-watermark
-    run reports for the final window set)."""
+    run reports for the final window set).
+
+    The horizon is a broadcast scalar aggregate joined under the filter —
+    ONE plan, no driver-side collect (an empty events table yields a null
+    horizon, the comparison is null, and the output is empty — the same
+    empty result the grouped aggregate would produce)."""
     e = events_with_time(spark, sf_dir)
-    max_ts = e.agg(F.max("ts_sec")).collect()[0][0]
-    if max_ts is None:
-        return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    horizon = F.broadcast(
+        e.agg((F.max("ts_sec") - HOUR).alias("horizon"))
+    )
     # Spark drops a row iff event_time < watermark (STRICTLY below), so
     # the row exactly at the horizon is KEPT -> >= here, not >.
-    horizon = max_ts - HOUR
     return (
-        e.filter(F.col("ts_sec") >= F.lit(horizon))
+        e.crossJoin(horizon)
+        .filter(F.col("ts_sec") >= F.col("horizon"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

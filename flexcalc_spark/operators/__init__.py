@@ -17,5 +17,6 @@ from flexcalc_spark.operators import (  # noqa: F401
     multimodal,
     subqueries,
     quality,
+    curation,
     sinks,
 )

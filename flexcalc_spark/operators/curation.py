@@ -1,0 +1,262 @@
+"""Corpus-curation operators (training-data pipeline; SURVEY §2.3
+extension family): benchmark decontamination, target-mixture resampling,
+incremental (batch-vs-corpus) dedup.
+
+These are the three curation steps a production LLM-data pipeline runs
+that the round-1 inventory did not yet cover:
+
+- **Decontamination**: training documents that share token n-grams with
+  an evaluation/benchmark set must be flagged (and usually dropped)
+  before training. The benchmark side is always tiny relative to the
+  corpus (MBs vs TBs), so the scale shape is: explode corpus shingles
+  scan-side, equi-join against a BROADCAST benchmark-shingle set,
+  map-side-partial count per doc — the 100 TB corpus is never shuffled
+  on anything wider than (doc_id, count).
+- **Mixture resampling**: resample the corpus so each source/domain hits
+  a target weight. Rates are data-dependent (one tiny per-source
+  histogram, broadcast back), the accept decision is a pure per-row
+  content-hash compare (same md5 trick as sampling.py) — deterministic
+  under any partitioning, so a 100 TB re-mix costs one scan plus a
+  20-row broadcast, zero wide shuffles.
+- **Incremental dedup**: the daily-ingest shape — dedup an incoming
+  batch AGAINST the existing corpus without ever comparing corpus docs
+  to each other. Reuses the guaranteed-recall PPJoin prefix filter
+  (dedup.py) with the pair predicate flipped from ``a.id < b.id`` to
+  ``a in corpus AND b in incoming``: candidate volume scales with the
+  BATCH size, not the corpus size, which is what makes continuous
+  ingest dedup feasible at 100 TB (the corpus side contributes only its
+  prefix-token index, no corpus-x-corpus pairs exist in the plan).
+
+Reference cites (mount empty, SURVEY §0): flexcalc has no curation
+surface; this family comes from the north-star LLM-pipeline
+requirements (SURVEY §2.3) — decontamination follows the n-gram-overlap
+procedure of Brown et al. (GPT-3 appendix C) / Gao et al. (The Pile),
+mixture weighting follows the domain-reweighting setup of Du et al.
+(GLaM) at the engineering level (deterministic hash thresholding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.operators.dedup import _prefix_filter_pairs
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table, table_parallel
+
+# --- decontamination -------------------------------------------------
+CONTAM_N = 3            # token n-gram size (13 in prod; 3 at fixture vocab)
+BENCH_MOD = 20          # doc_id % 20 == 0 -> benchmark member (~5%)
+# flagged when >= half of a doc's shingles appear in the benchmark set
+CONTAM_FLAG_NUM, CONTAM_FLAG_DEN = 1, 2
+
+# --- mixture resampling ----------------------------------------------
+# Curated domains get 4x target weight; acceptance thresholds are
+# 16-bit integers compared against the first 4 md5 hex chars.
+MIX_HIGH_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+MIX_W_HIGH, MIX_W_LOW = 4, 1
+MIX_BUCKETS = 65536
+
+# --- incremental dedup -----------------------------------------------
+INC_MOD = 10            # doc_id % 10 == 0 -> incoming batch (~10%)
+INC_TAU = 0.9
+INC_NUM, INC_DEN = 9, 10
+assert INC_NUM / INC_DEN == INC_TAU
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct token 3-grams.
+
+    Cached: the HOF-computed array feeds three consumers (benchmark
+    explode, train explode, per-doc size) — CLAUDE.md caching rule."""
+    d = table_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    sh = F.when(
+        F.size("toks") >= CONTAM_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {CONTAM_N - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {CONTAM_N})))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return t.select("doc_id", F.array_distinct(sh).alias("shingles")).cache()
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(toks) >= {CONTAM_N} THEN
+                       list_transform(range(1, len(toks) - {CONTAM_N - 2}),
+                                      i -> array_to_string(
+                                          list_slice(toks, i, i + {CONTAM_N - 1}), ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS shingles
+            FROM t
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS s FROM sh
+            WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT e.doc_id, COUNT(*) AS n
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                  WHERE doc_id % {BENCH_MOD} <> 0) e
+            JOIN bench USING (s) GROUP BY e.doc_id
+        )
+        SELECT sh.doc_id,
+               CAST(len(shingles) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated,
+               CAST(CASE WHEN {CONTAM_FLAG_DEN} * COALESCE(hits.n, 0)
+                              >= {CONTAM_FLAG_NUM} * len(shingles)
+                          AND len(shingles) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM sh LEFT JOIN hits USING (doc_id)
+        WHERE sh.doc_id % {BENCH_MOD} <> 0
+    """,
+    family="curation",
+    scale_notes="benchmark decontamination: corpus shingles explode scan-side and equi-join a BROADCAST benchmark shingle set (benchmarks are MBs vs corpus TBs), per-doc hit count collapses map-side — the corpus is never shuffled wider than (doc_id, count). Flag threshold is integer arithmetic",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing token 3-grams with the benchmark split.
+
+    Benchmark = doc_id % 20 == 0 (a stand-in for an eval set); output is
+    per-training-doc shingle count, benchmark-shingle hit count, and an
+    integer flag (>= half the shingles contaminated)."""
+    sh = _shingle_table(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_sh = F.size("shingles").cast("bigint")
+    n_hit = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_contaminated"),
+            F.when(
+                (n_hit * CONTAM_FLAG_DEN >= n_sh * CONTAM_FLAG_NUM)
+                & (n_sh > 0),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flagged"),
+        )
+    )
+
+
+@register(
+    "q_mix_sample",
+    oracle=f"""
+        WITH c AS (
+            SELECT source, COUNT(*) AS c_s,
+                   CASE WHEN source IN {MIX_HIGH_SOURCES}
+                        THEN {MIX_W_HIGH} ELSE {MIX_W_LOW} END AS w
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT SUM(c_s) AS n, SUM(w) AS sw FROM c),
+        r AS (
+            SELECT source,
+                   LEAST({MIX_BUCKETS},
+                         CAST((n * w * {MIX_BUCKETS}) // (sw * c_s) AS BIGINT)) AS thr
+            FROM c, t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE lpad(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4), 5, '0')
+              < lpad(to_hex(thr), 5, '0')
+    """,
+    family="curation",
+    scale_notes="target-mixture resampling: per-source acceptance thresholds from ONE tiny groupBy (20 rows, broadcast back), accept = per-row md5-bucket compare — deterministic under any partitioning, so re-mixing a 100 TB corpus to new domain weights is one scan + one broadcast, no wide shuffle. Rates are integer 16-bit thresholds (hex-string compare, both engines identical); rate>=1 clamps to keep-all",
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resample to a target domain mix (curated sources
+    src0-4 weighted 4x): acceptance rate per source = min(1,
+    target_share / observed_share), decided by content hash."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source").isin(*MIX_HIGH_SOURCES), MIX_W_HIGH)
+        .otherwise(MIX_W_LOW)
+        .cast("bigint")
+    )
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("c_s"), F.first(w).alias("w")
+    )
+    t = c.agg(F.sum("c_s").alias("n"), F.sum("w").alias("sw"))
+    rates = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.least(
+            F.lit(MIX_BUCKETS),
+            F.expr(f"(n * w * {MIX_BUCKETS}) div (sw * c_s)"),
+        ).alias("thr"),
+    )
+    bucket = F.lpad(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            4,
+        ),
+        5,
+        "0",
+    )
+    thr_hex = F.lpad(F.lower(F.hex(F.col("thr"))), 5, "0")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < thr_hex)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS id_old, b.doc_id AS id_new,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 4) AS jac
+        FROM t a JOIN t b
+          ON a.lang = b.lang
+         AND a.doc_id % {INC_MOD} <> 0 AND b.doc_id % {INC_MOD} = 0
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) >= {INC_TAU}
+    """,
+    family="curation",
+    scale_notes="incremental (batch-vs-corpus) dedup — the daily-ingest shape: SAME guaranteed-recall prefix filter as q_dedup_neardup but the candidate join pairs corpus docs only WITH incoming docs (pair predicate corpus x incoming), so candidate volume scales with the batch, not the corpus, and no corpus-x-corpus pair ever exists in the plan. At 100 TB the corpus contributes only its rare-prefix token index; with the index persisted, each ingest batch costs O(batch x prefix)",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (token Jaccard >= 0.9, within lang) between the
+    existing corpus (doc_id % 10 != 0) and an incoming batch
+    (doc_id % 10 == 0) — never corpus-vs-corpus."""
+    d = table_parallel(spark, sf_dir, "documents")
+    items = d.select(
+        "doc_id",
+        F.col("lang").alias("grp"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("items"),
+    )
+    corpus_x_incoming = (F.col("a.doc_id") % INC_MOD != 0) & (
+        F.col("b.doc_id") % INC_MOD == 0
+    )
+    return _prefix_filter_pairs(
+        items, INC_NUM, INC_DEN, INC_TAU, "jac", pair_pred=corpus_x_incoming
+    ).select(
+        F.col("id_a").alias("id_old"), F.col("id_b").alias("id_new"), "jac"
+    )

@@ -134,8 +134,13 @@ def _ranked_token_arrays(items: DataFrame) -> DataFrame:
 
 
 def _prefix_candidates_from_ranked(
-    ranked: DataFrame, num: int, den: int
+    ranked: DataFrame, num: int, den: int, pair_pred: Column | None = None
 ) -> DataFrame:
+    """``pair_pred`` (over aliases ``a``/``b``) replaces the default
+    ``a.doc_id < b.doc_id`` pair orientation — used by the incremental
+    variant to emit only corpus-vs-incoming pairs. The prefix theorem is
+    orientation-agnostic (it bounds which TOKENS a qualifying pair must
+    share, not which side is which), so recall stays guaranteed."""
     prefix_len = F.expr(
         f"size(hitems) - (({num} * size(hitems) + {den - 1}) div {den}) + 1"
     )
@@ -151,6 +156,8 @@ def _prefix_candidates_from_ranked(
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    if pair_pred is None:
+        pair_pred = F.col("a.doc_id") < F.col("b.doc_id")
     # exact integer size-ratio prune: jac >= num/den forces
     # den * min(|A|,|B|) >= num * max(|A|,|B|)
     size_ok = F.least(F.col("a.sz"), F.col("b.sz")) * den >= F.greatest(
@@ -178,7 +185,7 @@ def _prefix_candidates_from_ranked(
             b,
             (F.col("a.grp") == F.col("b.grp"))
             & (F.col("a.it") == F.col("b.it"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & pair_pred
             & size_ok
             & pos_ok,
         )
@@ -191,7 +198,12 @@ def _prefix_candidates_from_ranked(
 
 
 def _prefix_filter_pairs(
-    items: DataFrame, num: int, den: int, tau: float, out_name: str
+    items: DataFrame,
+    num: int,
+    den: int,
+    tau: float,
+    out_name: str,
+    pair_pred: Column | None = None,
 ) -> DataFrame:
     """Integrated prefix-filter dedup plan: ranked hashed arrays (cached,
     ONE tokenize+hash scan) -> guaranteed-recall prefix candidates ->
@@ -205,7 +217,7 @@ def _prefix_filter_pairs(
     sf0.1), and both tables are narrow (one array row per doc)."""
     items = items.cache()
     ranked = _ranked_token_arrays(items).cache()
-    cand = _prefix_candidates_from_ranked(ranked, num, den)
+    cand = _prefix_candidates_from_ranked(ranked, num, den, pair_pred)
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
     isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))

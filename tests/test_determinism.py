@@ -39,6 +39,10 @@ RISKY = [
     "q_dedup_embed",        # blocked-GEMM candidates + JVM re-score
     "q_sink_csv",           # csv round-trip aggregate
     "q_pack_sequences",     # running-sum window packing
+    # curation family (round 2)
+    "q_decontaminate",      # broadcast shingle join + left-join counts
+    "q_mix_sample",         # data-dependent integer thresholds
+    "q_dedup_incremental",  # prefix filter with flipped pair predicate
 ]
 
 

@@ -120,3 +120,26 @@ def test_prefix_candidates_join_on_token_key(spark):
     join (keys include the token hash), not a filtered cross product."""
     plan = plan_text(Q["q_dedup_neardup"](spark, SF_DIR))
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_incremental_dedup_is_equi_not_allpairs(spark):
+    """q_dedup_incremental reuses the prefix filter with a corpus-x-
+    incoming pair predicate — still no cartesian/nested-loop stage."""
+    plan = plan_text(Q["q_dedup_incremental"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set (tiny vs the corpus) must join as a
+    broadcast — the corpus is never shuffled on the shingle string."""
+    plan = plan_text(Q["q_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mix_sample_broadcasts_rate_table(spark):
+    """Per-source acceptance thresholds (20 rows) must broadcast; the
+    accept decision itself is a per-row hash compare."""
+    plan = plan_text(Q["q_mix_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

@@ -144,16 +144,20 @@ GRADE_ORDER: list[str] = [
     "q_knn_cosine", "q_centroids", "q_vector_quantize",
     "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
     "q_dedup_embed", "q_dedup_clusters",
-    # multimodal + CT analysis + sink
+    # multimodal + sinks + round-2 additions (curation/packing/csv)
     "q_multimodal_features", "q_multimodal_resize",
-    "q_ct_centre", "q_ct_histogram", "q_ct_bbox",
-    "q_ct_threshold", "q_ct_moments",
-    "q_sink_partitioned",
+    "q_sink_partitioned", "q_sink_csv",
+    "q_pack_sequences",
+    "q_decontaminate", "q_mix_sample", "q_dedup_incremental",
     # streaming batch twins
     "q_window_tumbling", "q_window_sliding", "q_sessionize",
     "q_window_session", "q_stream_dedup", "q_stream_enrich",
     "q_stateful_sessions",
     # --- 50-key line (round-1 window size) ---
+    # CT analysis family displaced to round 3 (coherent family, strong
+    # local tests; judge's round-2 list prioritized scalar/streaming/UDF)
+    "q_ct_centre", "q_ct_histogram", "q_ct_bbox",
+    "q_ct_threshold", "q_ct_moments",
     "q_ct_preprocess",
     "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
     "q_stream_late",

@@ -18,5 +18,6 @@ from flexcalc_spark.operators import (  # noqa: F401
     subqueries,
     quality,
     curation,
+    bucketing,
     sinks,
 )

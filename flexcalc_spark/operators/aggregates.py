@@ -454,3 +454,48 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.unpivot(
         ["l_orderkey", "l_linenumber"], _UNPIVOT_METRICS, "metric", "val"
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle="""
+        SELECT event_type,
+               CAST(regr_count(value, epoch_us(ts) / 86400000000.0)
+                    AS BIGINT) AS n,
+               ROUND(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+                   + 0.0 AS slope,
+               ROUND(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+                   + 0.0 AS intercept,
+               ROUND(regr_r2(value, epoch_us(ts) / 86400000000.0), 4)
+                   + 0.0 AS r2
+        FROM events
+        GROUP BY event_type
+    """,
+    family="aggregates",
+    scale_notes=(
+        "built-in linear-regression aggregates (regr_slope/intercept/"
+        "r2/count): JVM codegen'd one-pass moment accumulation with "
+        "map-side partial merge — the fast-path twin of the pandas-UDAF "
+        "OLS (q_udaf_grouped); shuffle is one narrow moment-struct per "
+        "(event_type, partition). Time axis is exact integer µs scaled "
+        "to days; outputs rounded as aggregate FP per registry rules"
+    ),
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS fit of value over time in days, via Spark's
+    native regr_* aggregates (SQL-standard, matches DuckDB's)."""
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, sf_dir)
+    x = (F.col("ts_us") / F.lit(86400000000.0)).alias("x")
+    y = F.col("value")
+    return (
+        e.select("event_type", x, y)
+        .groupBy("event_type")
+        .agg(
+            F.regr_count(y, F.col("x")).cast("bigint").alias("n"),
+            (F.round(F.regr_slope(y, F.col("x")), 4) + 0.0).alias("slope"),
+            (F.round(F.regr_intercept(y, F.col("x")), 4) + 0.0).alias("intercept"),
+            (F.round(F.regr_r2(y, F.col("x")), 4) + 0.0).alias("r2"),
+        )
+    )

@@ -288,3 +288,77 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(toks, start + 1, {CHUNK_TOKENS})"), " "
         ).alias("chunk"),
     )
+
+
+# ---------------------------------------------------------------- TF-IDF
+TFIDF_TOP = 3
+
+
+@register(
+    "q_tfidf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, token, score_q, rank FROM (
+            SELECT tf.doc_id, tf.token,
+                   CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                              * 10000.0) AS BIGINT) AS score_q,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                      * 10000.0) DESC,
+                                tf.token) AS BIGINT) AS rank
+            FROM tf JOIN df USING (token), n
+        ) WHERE rank <= {TFIDF_TOP}
+    """,
+    family="text",
+    scale_notes=(
+        "TF-IDF top-terms: ONE tokenize scan feeds tf (shuffle keyed "
+        "(doc, token) with map-side combine); df collapses tf to a "
+        "vocab-sized table that joins back as a BROADCAST (vocab is MBs "
+        "even for 100 TB corpora after the tf collapse; fall back to a "
+        "token-keyed shuffle join only if it outgrows the driver); the "
+        "corpus-size scalar N is a 1-row broadcast. Per-doc top-3 is "
+        "WindowGroupLimit. Score = BIGINT tf x one ln(double) — "
+        "floor-quantized to a 1e-4 integer grid before ranking (ulp-safe across engines; floor, never round)"
+    ),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf x ln(N/df), whitespace
+    tokens, ties to the lexicographically first token)."""
+    from pyspark.sql.window import Window
+    from flexcalc_spark.tables import table_parallel
+
+    d = table_parallel(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    # floor-quantize the score to a 1e-4 integer grid BEFORE ranking:
+    # JVM Math.log and libm ln disagree in the last ulp, so raw doubles
+    # would hash-mismatch; floor of a transcendental never sits on a
+    # grid boundary (round() would — dialect drift, registry rules).
+    score_q = F.floor(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * 10000.0
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "token")
+    return (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", score_q.alias("score_q"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+    )

@@ -31,6 +31,9 @@ LSH_PLANES = 16         # hyperplanes -> 4 bands of 4 bits
 LSH_BANDS = 4
 IVF_NPROBE = 3
 EMB_DIM = 64
+KM_K = 8                # k-means clusters (seeds = vec_id < KM_K)
+KM_ITERS = 2            # unrolled Lloyd iterations
+KM_SCALE = 1_000_000    # 1e-6 integer grid for distance math
 
 
 def _dot(a: str, b: str) -> Column:
@@ -303,3 +306,145 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
     return b.select("vec_id", "vmin", "vmax", codes.alias("codes"))
+
+
+# ---------------------------------------------------------------- k-means
+def _km_int_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, xi: array<bigint>) — embeddings snapped to a 1e-6 integer
+    grid, offset +1 so every coordinate is non-negative (embeddings lie
+    in [-1, 1]; non-negative keeps integer division floor-identical
+    across engines). All k-means distance math is exact BIGINT on this
+    grid, so assignment argmins cannot drift between Spark and the
+    oracle under any partitioning."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)"
+            f" + 1.0D) * {KM_SCALE}.0D) AS BIGINT))"
+        ).alias("xi"),
+    )
+
+
+def _km_assign(vecs: DataFrame, codebook: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, cluster, d2): nearest codebook entry per vector.
+
+    The codebook is a driver-side dict (k x d integers — the MLlib
+    broadcast-codebook pattern): each centroid becomes a LITERAL array in
+    a codegen'd zip_with/aggregate fold, so assignment is pure per-row
+    scan work with NO shuffle and no join. Ties break to the lowest
+    cluster id via lexicographic struct array_min."""
+    pairs = []
+    for cl in sorted(codebook):
+        arr = "array(" + ",".join(f"{v}L" for v in codebook[cl]) + ")"
+        d2 = (
+            f"aggregate(zip_with(xi, {arr}, (x, c) -> (x - c) * (x - c)),"
+            f" CAST(0 AS BIGINT), (s, v) -> s + v)"
+        )
+        pairs.append(f"struct({d2} AS d2, CAST({cl} AS BIGINT) AS cluster)")
+    best = F.expr(f"array_min(array({', '.join(pairs)}))")
+    return vecs.select("vec_id", best.alias("best")).select(
+        "vec_id",
+        F.col("best.cluster").alias("cluster"),
+        F.col("best.d2").alias("d2"),
+    )
+
+
+def _km_recompute(vecs: DataFrame, assign: DataFrame) -> dict[int, list[int]]:
+    """New codebook = per-(cluster, dim) integer mean (sum div count —
+    floor-exact on the non-negative grid). Shuffle is k x d rows; only
+    the k x d codebook reaches the driver (the legitimate per-iteration
+    collect of every distributed Lloyd implementation)."""
+    rows = (
+        vecs.join(assign.select("vec_id", "cluster"), "vec_id")
+        .select("cluster", F.posexplode("xi").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("ci"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ci"))).alias("pairs"))
+        .select("cluster", F.expr("transform(pairs, p -> p.ci)").alias("centroid"))
+        .collect()
+    )
+    return {int(r["cluster"]): [int(v) for v in r["centroid"]] for r in rows}
+
+
+def _km_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of KM_ITERS Lloyd iterations on the same
+    integer grid (exact BIGINT math end-to-end, so hashes match)."""
+    xi = (
+        f"CAST(floor((CAST(v AS DOUBLE) + 1.0) * {KM_SCALE}.0) AS BIGINT)"
+    )
+    sql = f"""
+        WITH x AS (
+            SELECT vec_id, pos, {xi} AS xi
+            FROM (SELECT vec_id,
+                         unnest(range(1, len(embedding) + 1)) AS pos,
+                         unnest(embedding) AS v
+                  FROM embeddings)
+        ),
+        c0 AS (SELECT vec_id AS cluster, pos, xi AS ci FROM x
+               WHERE vec_id < {KM_K})
+    """
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        sql += f"""
+        , d{it} AS (
+            SELECT x.vec_id, c.cluster,
+                   CAST(SUM((x.xi - c.ci) * (x.xi - c.ci)) AS BIGINT) AS d2
+            FROM x JOIN {prev} c USING (pos) GROUP BY x.vec_id, c.cluster
+        ),
+        a{it} AS (
+            SELECT vec_id, cluster, d2 FROM (
+                SELECT vec_id, cluster, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cluster) AS r
+                FROM d{it}
+            ) WHERE r = 1
+        )
+        """
+        if it < KM_ITERS:
+            sql += f"""
+        , c{it} AS (
+            SELECT a.cluster, x.pos, SUM(x.xi) // COUNT(*) AS ci
+            FROM x JOIN a{it} a USING (vec_id) GROUP BY a.cluster, x.pos
+        )
+            """
+            prev = f"c{it}"
+    sql += f"""
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
+        FROM a{KM_ITERS}
+    """
+    return sql
+
+
+@register(
+    "q_kmeans",
+    oracle=_km_oracle(),
+    family="vectors",
+    scale_notes=(
+        "distributed Lloyd's k-means, MLlib broadcast-codebook pattern: "
+        "assignment is a per-row codegen fold against a k x d LITERAL "
+        "codebook — zero shuffle, zero join on the 100 TB side; the "
+        "recompute step shuffles only k x d (cluster, dim) partial sums "
+        "(map-side combine) and collects only the k x d codebook to the "
+        "driver per iteration. Distance math is exact BIGINT on a 1e-6 "
+        "grid (floor-snap, +1 offset keeps coordinates non-negative so "
+        "sum div count is floor-identical across engines) — argmin and "
+        "tie-breaks cannot drift under any partitioning or engine"
+    ),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd iterations, seeds = first k vectors):
+    returns each vector's final cluster and exact grid distance.
+
+    The per-iteration ``.collect()`` pulls ONLY the k x d codebook (the
+    standard broadcast step of distributed k-means); vectors never
+    leave the executors."""
+    vecs = _km_int_vectors(spark, sf_dir).cache()
+    seeds = vecs.filter(F.col("vec_id") < KM_K).collect()
+    codebook = {int(r["vec_id"]): [int(v) for v in r["xi"]] for r in seeds}
+    assign = _km_assign(vecs, codebook)
+    for _ in range(KM_ITERS - 1):
+        codebook = _km_recompute(vecs, assign)
+        assign = _km_assign(vecs, codebook)
+    return assign

@@ -138,15 +138,14 @@ GRADE_ORDER: list[str] = [
     # text analysis + corpus quality
     "q_lang_id", "q_quality_score", "q_token_count",
     "q_fingerprint", "q_text_chunks",
-    "q_repetition", "q_vocab", "q_corpus_filter",
-    "q_sample_split", "q_sample_stratified",
+    "q_repetition", "q_vocab", "q_corpus_filter", "q_tfidf",
     # vectors + dedup (oracle-backed tiers)
-    "q_knn_cosine", "q_centroids", "q_vector_quantize",
+    "q_knn_cosine", "q_centroids", "q_vector_quantize", "q_kmeans",
     "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
     "q_dedup_embed", "q_dedup_clusters",
-    # multimodal + sinks + round-2 additions (curation/packing/csv)
-    "q_multimodal_features", "q_multimodal_resize",
+    # sinks + round-2 additions (curation/packing/csv/bucketing/regr)
     "q_sink_partitioned", "q_sink_csv",
+    "q_join_bucketed", "q_agg_regression",
     "q_pack_sequences",
     "q_decontaminate", "q_mix_sample", "q_dedup_incremental",
     # streaming batch twins
@@ -154,10 +153,13 @@ GRADE_ORDER: list[str] = [
     "q_window_session", "q_stream_dedup", "q_stream_enrich",
     "q_stateful_sessions",
     # --- 50-key line (round-1 window size) ---
-    # CT analysis family displaced to round 3 (coherent family, strong
-    # local tests; judge's round-2 list prioritized scalar/streaming/UDF)
+    # displaced to the round-3 window: CT analysis (coherent family,
+    # strong local tests), multimodal plumbing, trivial hash-split
+    # sampling — judge's round-2 list prioritized scalar/streaming/UDF
     "q_ct_centre", "q_ct_histogram", "q_ct_bbox",
     "q_ct_threshold", "q_ct_moments",
+    "q_multimodal_features", "q_multimodal_resize",
+    "q_sample_split", "q_sample_stratified",
     "q_ct_preprocess",
     "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
     "q_stream_late",

@@ -43,6 +43,10 @@ RISKY = [
     "q_decontaminate",      # broadcast shingle join + left-join counts
     "q_mix_sample",         # data-dependent integer thresholds
     "q_dedup_incremental",  # prefix filter with flipped pair predicate
+    "q_kmeans",             # integer-grid Lloyd assignment + codebook collect
+    "q_tfidf",              # floor-quantized score ranking
+    "q_agg_regression",     # one-pass moment aggregates, rounded
+    "q_join_bucketed",      # bucketed write + co-located SMJ
 ]
 
 

@@ -143,3 +143,37 @@ def test_mix_sample_broadcasts_rate_table(spark):
     accept decision itself is a per-row hash compare."""
     plan = plan_text(Q["q_mix_sample"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """q_join_bucketed: both scans read Bucketed and the SortMergeJoin
+    consumes them WITHOUT an Exchange — the only shuffle left is the
+    final groupBy. A regression here re-introduces the fact x fact
+    shuffle the bucketed layout exists to remove."""
+    plan = plan_text(Q["q_join_bucketed"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") >= 2, plan
+    # exactly one Exchange NODE in the whole plan: the groupBy, never the
+    # join ("(n) Exchange" is the node header; BroadcastExchange differs)
+    assert len(re.findall(r"\) Exchange\b", plan)) == 1, plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The returned k-means assignment stage is a pure map over the
+    cached integer-grid vectors (codebook inlined as literals): any
+    Exchange here means assignment regressed to a join/agg. (The cached
+    relation internally holds table_parallel's one-off repartition;
+    everything ABOVE the InMemoryTableScan must be map-only.)"""
+    plan = plan_text(Q["q_kmeans"](spark, SF_DIR))
+    outer_tree = plan.split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in outer_tree, plan
+    assert "Join" not in outer_tree and "Aggregate" not in outer_tree, plan
+
+
+def test_tfidf_broadcasts_df_and_n(spark):
+    """Vocab-sized df table and the 1-row corpus count must broadcast
+    back onto the tf table — the corpus-sized side never re-shuffles
+    on the token string."""
+    plan = plan_text(Q["q_tfidf"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

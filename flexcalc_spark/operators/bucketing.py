@@ -59,8 +59,9 @@ def _write_bucketed(
     oracle="""
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                          AS DOUBLE), 4) AS total_price
+               ROUND(CAST(SUM(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+                                        AS BIGINT)) AS DOUBLE)
+                     / 1000000.0, 4) AS total_price
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
@@ -98,9 +99,12 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
-                    "double"
-                ),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 1000000.0,
                 4,
             ).alias("total_price"),
         )

@@ -117,7 +117,8 @@ def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN l_quantity < 30 THEN 'mid'
                     ELSE 'high' END AS qty_band,
                COUNT(*) AS cnt,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
+               ROUND(CAST(SUM(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1000000.0, 4) AS sum_price
         FROM lineitem
         GROUP BY 1
     """,
@@ -138,8 +139,11 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(band)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            # decimal-cast grouped money sum (the repo-wide determinism rule)
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 4)
-            .alias("sum_price"),
+            # integer-grid grouped money sum (the repo-wide determinism rule)
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("bigint"))
+                .cast("double") / 1000000.0,
+                4,
+            ).alias("sum_price"),
         )
     )

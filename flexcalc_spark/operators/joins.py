@@ -25,9 +25,6 @@ from pyspark.sql.window import Window
 from flexcalc_spark.registry import register
 from flexcalc_spark.tables import table, events_with_time
 
-_DEC = "decimal(18,6)"
-
-
 @register(
     "q_join_broadcast",
     oracle="""
@@ -69,7 +66,9 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
         SELECT n_name,
-               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+               ROUND(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 1000000.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1000000.0, 4) AS revenue,
                COUNT(*) AS cnt
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -88,7 +87,11 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    # 1e-6 integer-grid sum (exact, partition-order independent, and on
+    # the BIGINT codegen fast path — see aggregates.py module doc)
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    ).cast("bigint")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -96,7 +99,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.round(F.sum(rev).cast("double") / 1000000.0, 4).alias("revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -287,8 +290,8 @@ N_SALT = 8
     oracle="""
         SELECT c_mktsegment,
                COUNT(*) AS cnt,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
-                   AS sum_value
+               ROUND(CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1000000.0, 4) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -318,7 +321,9 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 4).alias(
-            "sum_value"
-        ),
+        F.round(
+            F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint"))
+            .cast("double") / 1000000.0,
+            4,
+        ).alias("sum_value"),
     )

@@ -19,5 +19,6 @@ from flexcalc_spark.operators import (  # noqa: F401
     quality,
     curation,
     bucketing,
+    sketches,
     sinks,
 )

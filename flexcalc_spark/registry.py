@@ -148,11 +148,15 @@ GRADE_ORDER: list[str] = [
     "q_join_bucketed", "q_agg_regression",
     "q_pack_sequences",
     "q_decontaminate", "q_mix_sample", "q_dedup_incremental",
+    "q_sketch_cms",
     # streaming batch twins
     "q_window_tumbling", "q_window_sliding", "q_sessionize",
-    "q_window_session", "q_stream_dedup", "q_stream_enrich",
+    "q_stream_dedup", "q_stream_enrich",
     "q_stateful_sessions",
     # --- 50-key line (round-1 window size) ---
+    # (q_window_session: native session_window twin of q_sessionize —
+    # session semantics stay graded via q_sessionize/q_stateful_sessions)
+    "q_window_session",
     # displaced to the round-3 window: CT analysis (coherent family,
     # strong local tests), multimodal plumbing, trivial hash-split
     # sampling — judge's round-2 list prioritized scalar/streaming/UDF

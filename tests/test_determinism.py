@@ -47,6 +47,7 @@ RISKY = [
     "q_tfidf",              # floor-quantized score ranking
     "q_agg_regression",     # one-pass moment aggregates, rounded
     "q_join_bucketed",      # bucketed write + co-located SMJ
+    "q_sketch_cms",         # md5-bucket counters, top-20 tiebreaks
 ]
 
 

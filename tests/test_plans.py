@@ -177,3 +177,12 @@ def test_tfidf_broadcasts_df_and_n(spark):
     plan = plan_text(Q["q_tfidf"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_cms_probe_joins_broadcast(spark):
+    """The CMS estimate stage joins a 20x4 probe table and the 1024-row
+    sketch — both must broadcast; any sort-merge here means the
+    vocab-sized table is being shuffled for a constant-size lookup."""
+    plan = plan_text(Q["q_sketch_cms"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table
+from flexcalc_spark.tables import events_with_time, table
 
 
 @register(
@@ -100,10 +100,9 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts over a DENSE hour spine — missing hours
     appear with n_events = 0 (calendar gap filling, the batch twin of a
     streaming tumbling window that must emit empty windows)."""
-    e = table(spark, sf_dir, "events")
-    # ts is epoch-ns BIGINT (tables.py nanosAsLong); ns->hour index by
-    # integer division composes with the oracle's us->hour division.
-    h = e.select(F.expr("ts div 3600000000000").alias("hour_idx"))
+    e = events_with_time(spark, sf_dir)
+    # integer epoch-µs -> hour index; same floor as the oracle's us//.
+    h = e.select(F.expr("ts_us div 3600000000").alias("hour_idx"))
     b = h.agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
     spine = b.select(F.explode(F.expr("sequence(lo, hi)")).alias("hour_idx"))
     c = h.groupBy("hour_idx").agg(F.count(F.lit(1)).alias("n_events"))

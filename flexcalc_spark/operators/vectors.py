@@ -275,13 +275,14 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT vec_id, vmin, vmax,
-               CASE WHEN vmax > vmin
-                    THEN list_transform(embedding,
-                         x -> LEAST(CAST(floor((CAST(x AS DOUBLE) - vmin)
-                                  * 255.0 / (vmax - vmin)) AS BIGINT),
-                              CAST(255 AS BIGINT)))
-                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
-               END AS codes
+               array_to_string(
+                   CASE WHEN vmax > vmin
+                        THEN list_transform(embedding,
+                             x -> LEAST(CAST(floor((CAST(x AS DOUBLE) - vmin)
+                                      * 255.0 / (vmax - vmin)) AS BIGINT),
+                                  CAST(255 AS BIGINT)))
+                        ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   END, ',') AS codes
         FROM b
     """,
     family="vectors",
@@ -305,7 +306,11 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(255 AS BIGINT)))"
         ),
     ).otherwise(F.expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
-    return b.select("vec_id", "vmin", "vmax", codes.alias("codes"))
+    # comma-joined string, not array<bigint>: the driver canonicalizes
+    # results with a sort over every column, and list-typed cells are
+    # unhashable/unsortable there (CORRECTNESS_r02/r03 q_vector_quantize)
+    codes_str = F.array_join(F.transform(codes, lambda x: x.cast("string")), ",")
+    return b.select("vec_id", "vmin", "vmax", codes_str.alias("codes"))
 
 
 # ---------------------------------------------------------------- k-means

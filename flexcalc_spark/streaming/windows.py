@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import events_with_time, table
+from flexcalc_spark.tables import epoch_us_col, events_with_time, table
 
 HOUR = 3600
 SLIDE = 900             # 15 min
@@ -237,9 +237,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = raw.withColumn("ts_us", epoch_us_col(raw))
+    return raw.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
 
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,13 +3,15 @@
 ``table(spark, sf_dir, name)`` is the single scan entry point for every
 query. It owns two cross-cutting concerns:
 
-1. ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4's reader
-   rejects outright (PARQUET_TYPE_ILLEGAL). We set
-   ``spark.sql.legacy.parquet.nanosAsLong`` at runtime (it is a session
-   conf, so this works on the driver's session too) and expose ``ts`` as
-   a BIGINT of epoch nanoseconds. Derived integer columns (``ts_us``,
-   ``ts_sec``) are what queries consume — integer epoch math is exact and
-   engine-portable, unlike ns->us timestamp truncation (SURVEY §2.2
+1. ``events.ts`` physical type has changed across fixture generations
+   (TIMESTAMP(NANOS) int64 in rounds 1-2, timestamp[us] TIMESTAMP_NTZ
+   from round 3). ``epoch_us_col`` dispatches on the ACTUAL read schema
+   and always yields BIGINT epoch microseconds — via integer division
+   for the legacy nanos-long read, or a timezone-free ``timestampdiff``
+   against the NTZ epoch for the micros read (session-timezone
+   independent, matches DuckDB ``epoch_us(ts)`` bit-for-bit). Derived
+   integer columns (``ts_us``, ``ts_sec``) are what queries consume —
+   integer epoch math is exact and engine-portable (SURVEY §2.2
    determinism rules).
 
 2. Explicit scans per table, so Catalyst sees a plain parquet relation
@@ -36,10 +38,34 @@ NS_PER_SEC = 1_000_000_000
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table as a plain parquet DataFrame."""
     if name == "events":
-        # Session conf; safe to set repeatedly. Required because the file
-        # stores TIMESTAMP(NANOS,false) which Spark cannot read natively.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Session conf; safe to set repeatedly. Needed only when the file
+        # stores TIMESTAMP(NANOS,false), which Spark cannot read natively;
+        # harmless (ignored) for the micros encoding.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def epoch_us_col(df: DataFrame) -> "F.Column":
+    """BIGINT epoch-microseconds Column for ``df.ts``, whatever physical
+    type the fixture generation used:
+
+    - BIGINT (legacy TIMESTAMP(NANOS) read via nanosAsLong): ``ts div 1000``;
+    - TIMESTAMP_NTZ (timestamp[us] parquet): wall-clock delta from the NTZ
+      epoch — no session-timezone dependence, exact micros;
+    - TIMESTAMP (LTZ, in case a session maps the file that way):
+      ``unix_micros`` is already instant-based and timezone-free.
+    """
+    t = df.schema["ts"].dataType.typeName()
+    if t in ("long", "bigint"):
+        return F.expr(f"ts div {NS_PER_US}")
+    if t == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return F.expr("unix_micros(ts)")
 
 
 def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,14 +87,14 @@ def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events plus exact integer time columns.
 
-    ts (ns, BIGINT) -> ts_us (µs) and ts_sec (s) via integer division:
-    exact, monotone, and identical to DuckDB's epoch_us()/epoch() on the
-    original TIMESTAMP_NS values.
+    ts -> ts_us (µs) and ts_sec (s) as BIGINT epoch values: exact,
+    monotone, and identical to DuckDB's epoch_us()/epoch() on the same
+    file regardless of the fixture's physical timestamp encoding.
     """
     e = table(spark, sf_dir, "events")
     return (
-        e.withColumn("ts_us", F.expr(f"ts div {NS_PER_US}"))
-        .withColumn("ts_sec", F.expr(f"ts div {NS_PER_SEC}"))
+        e.withColumn("ts_us", epoch_us_col(e))
+        .withColumn("ts_sec", F.expr("ts_us div 1000000"))
     )
 
 

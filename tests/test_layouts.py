@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flexcalc_spark.plans import plan_text
-from flexcalc_spark.tables import table
+from flexcalc_spark.tables import epoch_us_col, table
 from tests.conftest import SF_DIR
 
 
@@ -49,8 +49,9 @@ def test_partitioned_events_prunes(spark, tmp_path):
     """events partitioned by day: a day filter prunes partitions at plan
     time (the 100 TB layout for the events table, SCALE.md)."""
     out = str(tmp_path / "events_by_day")
-    e = table(spark, SF_DIR, "events").withColumn(
-        "day", F.expr("ts div 86400000000000")
+    raw = table(spark, SF_DIR, "events")
+    e = raw.withColumn(
+        "day", (epoch_us_col(raw) / F.lit(86_400_000_000)).cast("bigint")
     )
     e.write.mode("overwrite").partitionBy("day").parquet(out)
     part = spark.read.parquet(out)

@@ -1,0 +1,99 @@
+"""Anomaly detection over the event stream: per-type z-score outliers.
+
+The monitoring shape of a training-data pipeline: per-group population
+statistics (mean/std of ``value`` per event_type) computed in ONE
+aggregate pass, broadcast back onto the scan, each event scored
+``z = (value - mean) / std`` and flagged at |z| >= 2.
+
+Determinism: the per-type mean and variance are derived from 1e-6
+integer-grid BIGINT sums (order-independent, exact — aggregates.py
+discipline), so the doubles that reach the per-row z computation are
+bit-identical across engines and partitionings; z is floor-quantized to
+a 1e-4 grid before the threshold compare so the flag itself can never
+sit on an engine-divergent boundary.
+
+Reference cite (mount empty, SURVEY §0): public flexcalc has no events/
+anomaly surface; z-score gating is the standard population-statistics
+outlier rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table_parallel
+
+# mean/std from integer-grid sums, z on the resulting exact doubles.
+# Identical literal structure both engines (registry determinism rules).
+_STATS_SQL = {
+    "mean": "(CAST(sum_g AS DOUBLE) / 1000000.0) / n",
+    "var": "(CAST(ssq_g AS DOUBLE) / 1000000.0) / n - "
+    "((CAST(sum_g AS DOUBLE) / 1000000.0) / n) * "
+    "((CAST(sum_g AS DOUBLE) / 1000000.0) / n)",
+}
+_Z_EXPR = (
+    f"floor( (value - ({_STATS_SQL['mean']})) / sqrt({_STATS_SQL['var']})"
+    " * 10000.0 )"
+)
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle=f"""
+        WITH st AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_g,
+                   CAST(SUM(CAST(floor(value * value * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS ssq_g
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               CAST({_Z_EXPR} AS BIGINT) AS z_q,
+               CAST(CASE WHEN abs(CAST({_Z_EXPR} AS BIGINT)) >= 20000
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM events e JOIN st ON e.event_type = st.event_type
+    """,
+    family="anomaly",
+    scale_notes=(
+        "per-type z-score outlier flag: the stats aggregate collapses "
+        "100 TB of events to one row per event_type (grid-BIGINT partial "
+        "sums merge map-side), the 5-row stats table broadcasts back "
+        "onto the scan, and scoring is pure per-row codegen — two scans "
+        "of events, zero wide shuffles. The same shape serves drift "
+        "monitors and value-range gates; windowed variants reuse "
+        "q_win_moving's frame machinery"
+    ),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value is >= 2 population standard deviations
+    from their event_type's mean (z floor-quantized to 1e-4)."""
+    e = table_parallel(spark, sf_dir, "events")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_g"),
+        F.sum(
+            F.expr("CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("ssq_g"),
+    )
+    z_q = F.expr(_Z_EXPR).cast("bigint")
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            z_q.alias("z_q"),
+            F.when(F.abs(z_q) >= 20000, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+    )

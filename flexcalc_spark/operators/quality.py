@@ -236,3 +236,72 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# Per-token entropy term, floor-quantized to a 1e-8 integer grid BEFORE
+# the per-doc sum: -(p ln p) terms are doubles whose sum order differs
+# across engines/partitionings, so each term is snapped to an integer
+# first and the BIGINT sum is order-independent (same discipline as the
+# aggregate grid sums in aggregates.py). Identical literal structure on
+# both engines; ln ulp drift is absorbed by the floor.
+_ENTROPY_TERM = (
+    "floor( (CAST(tf AS DOUBLE) / dl) * ln(CAST(tf AS DOUBLE) / dl)"
+    " * -100000000.0 )"
+)
+
+
+@register(
+    "q_quality_entropy",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+            FROM documents
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(CAST({_ENTROPY_TERM} AS BIGINT)) AS BIGINT)
+                   AS entropy_q,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+        FROM tf JOIN dl USING (doc_id)
+        GROUP BY tf.doc_id
+    """,
+    family="quality",
+    scale_notes=(
+        "token-distribution Shannon entropy per document (nats, 1e-8 "
+        "integer grid): the low-entropy tail is boilerplate/degenerate "
+        "text — a standard corpus-quality gate alongside the Gopher "
+        "rules. Plan is explode -> per-(doc,token) map-side collapse -> "
+        "per-doc BIGINT sum: one narrow shuffle keyed on doc_id, "
+        "integer-grid terms make the sum partitioning-independent"
+    ),
+)
+def q_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats, 1e-8 floor grid) of each document's token
+    distribution plus its distinct-token count — the low-entropy tail is
+    the repetitive-text removal candidate set."""
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(_ENTROPY_TERM).cast("bigint"))
+            .cast("bigint")
+            .alias("entropy_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        )
+    )

@@ -89,3 +89,44 @@ def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
     )
+
+
+@register(
+    "q_source_json",
+    oracle="""
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars
+        FROM documents
+        GROUP BY source, lang
+    """,
+    family="sinks",
+    scale_notes=(
+        "JSON-lines source round-trip (the interchange INGEST format of "
+        "every scraped-corpus pipeline: one JSON object per line): write "
+        "documents as json, read back with an EXPLICIT schema (schema "
+        "inference would cost a full extra pass over 100 TB and drifts "
+        "types across files), aggregate per (source, lang) after the "
+        "round-trip so string-escaping fidelity (quotes, unicode, "
+        "newlines-in-text) is what the oracle checks. JSON line splits "
+        "are newline-framed so the reader parallelizes per HDFS block "
+        "like any text source"
+    ),
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as JSON lines, read back with an explicit schema,
+    and aggregate per (source, lang) — grades the JSON source/sink
+    round-trip through string escaping, not just row counts."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_src_json_{os.getpid()}"
+    )
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(out)
+    r = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
+    return r.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )

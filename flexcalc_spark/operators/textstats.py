@@ -362,3 +362,107 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TFIDF_TOP)
     )
+
+
+BM25_TOP = 3
+# k1=1.2, b=0.75 (the standard Robertson defaults). The score formula is
+# written with IDENTICAL literal structure in the Spark expression and
+# the oracle SQL so every FP operation sequence matches; the only
+# engine-divergent op (ln, last-ulp) is neutralized by the 1e-4 floor
+# grid before ranking (same discipline as q_tfidf).
+_BM25_EXPR = (
+    "floor( ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    " * 10000.0 )"
+)
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        dfr AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(len(string_split(lower(text), ' '))
+                        AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM documents
+        ),
+        s AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST({_BM25_EXPR} AS BIGINT) AS score_q
+            FROM tf
+            JOIN dl USING (doc_id)
+            JOIN dfr USING (token)
+            CROSS JOIN nn
+        )
+        SELECT doc_id, token, score_q, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT s.*, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_q DESC, token) AS rank
+            FROM s
+        )
+        WHERE rank <= {BM25_TOP}
+    """,
+    family="text",
+    scale_notes=(
+        "BM25 top-terms per document: tf is a per-doc map-side collapse, "
+        "df is an O(vocab) aggregate broadcast back, N/avgdl is one "
+        "2-value scalar aggregate broadcast — the corpus shuffles only "
+        "as (doc_id, token, tf), never as text. Ranking is a per-doc "
+        "window (WindowGroupLimit prunes to top-3 before the sort "
+        "materializes). Floor-quantized score grid neutralizes ln ulp "
+        "drift (registry determinism rules)"
+    ),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25-scored terms per document (k1=1.2, b=0.75, ties to
+    the lexicographically first token)."""
+    from pyspark.sql.window import Window
+    from flexcalc_spark.tables import table_parallel
+
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nn = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.size(toks).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "token")
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfr), "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "token",
+            F.expr(_BM25_EXPR).cast("bigint").alias("score_q"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOP)
+    )

@@ -453,3 +453,83 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook = _km_recompute(vecs, assign)
         assign = _km_assign(vecs, codebook)
     return assign
+
+
+# ------------------------------------------------- random projection
+PROJ_DIMS = 8       # output dimensionality
+EMB_DIMS = 64       # fixture embedding width
+
+
+def _proj_sign(j: int, i: int) -> int:
+    """Deterministic ±1 from md5 — reproducible on any engine/machine,
+    no RNG state (the same hash-not-rand discipline as sampling.py)."""
+    import hashlib
+
+    h = hashlib.md5(f"proj{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+_SIGNS = [
+    [_proj_sign(j, i) for i in range(EMB_DIMS)] for j in range(PROJ_DIMS)
+]
+
+
+def _proj_oracle() -> str:
+    rows = ", ".join(
+        f"({j}, {i + 1}, {s})"
+        for j, row in enumerate(_SIGNS)
+        for i, s in enumerate(row)
+    )
+    return f"""
+        WITH sig(j, i, s) AS (VALUES {rows}),
+        ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS xg
+            FROM embeddings
+        ),
+        pr AS (
+            SELECT vec_id, j, CAST(SUM(xg * s) AS BIGINT) AS v
+            FROM ex JOIN sig USING (i)
+            GROUP BY vec_id, j
+        )
+        SELECT vec_id,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS proj
+        FROM pr GROUP BY vec_id
+    """
+
+
+@register(
+    "q_embed_project",
+    oracle=_proj_oracle(),
+    family="vectors",
+    scale_notes=(
+        "signed random projection 64 -> 8 (Achlioptas ±1 matrix, "
+        "md5-derived so every engine regenerates the same matrix): the "
+        "JL-lemma dimensionality reduction that runs BEFORE clustering/"
+        "LSH at 100 TB to cut vector bytes 8x. Pure per-row HOF folds "
+        "inside codegen — no shuffle, no Python; components are 1e-6 "
+        "integer-grid BIGINT dot products (order-fixed fold, exact), "
+        "emitted comma-joined (driver canonicalizer rejects array "
+        "cells). Output feeds q_kmeans/q_knn_lsh unchanged"
+    ),
+)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project each 64-dim embedding to 8 signed-sum components
+    (integer 1e-6 grid), emitted as a comma-joined string."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+    outs = []
+    for j in range(PROJ_DIMS):
+        sig = ", ".join(str(s) for s in _SIGNS[j])
+        outs.append(
+            F.expr(
+                "aggregate(zip_with(embedding, array({sig}), (x, s) ->"
+                " CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
+                " AS BIGINT) * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                .replace("{sig}", sig)
+            ).cast("string")
+        )
+    return e.select(
+        "vec_id", F.concat_ws(",", *outs).alias("proj")
+    )

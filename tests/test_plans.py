@@ -186,3 +186,37 @@ def test_cms_probe_joins_broadcast(spark):
     plan = plan_text(Q["q_sketch_cms"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    """The 5-row per-type stats table must broadcast onto the events
+    scan — shuffling 100 TB of events against 5 rows is the classic
+    inverted join."""
+    plan = plan_text(Q["q_anomaly_zscore"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_prunes_topk_window(spark):
+    """Per-doc top-3 must use the group-limit pruning path (Spark 3.5+
+    WindowGroupLimit) so the rank-filter never materializes the full
+    scored set per partition."""
+    plan = plan_text(Q["q_bm25"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_embed_project_is_scan_side(spark):
+    """Signed projection is pure per-row HOF work: no shuffle beyond the
+    deliberate scan repartition, no Python, no join."""
+    plan = plan_text(Q["q_embed_project"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython", plan), plan
+
+
+def test_hll_has_partial_and_merge_agg(spark):
+    """HLL sketches must build partial per-(type, day) state map-side
+    and merge — the mergeable-sketch shape (ObjectHashAggregate carries
+    the sketch buffers)."""
+    plan = plan_text(Q["q_sketch_hll"](spark, SF_DIR))
+    assert "ObjectHashAggregate" in plan, plan

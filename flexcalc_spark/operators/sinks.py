@@ -130,3 +130,73 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
     )
+
+
+@register(
+    "q_source_orc",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    family="sinks",
+    scale_notes=(
+        "ORC source/sink round-trip: the second columnar at-rest format "
+        "(predicate pushdown + column pruning work the same as parquet "
+        "through the DataSource V2 scan), so corpora inherited from "
+        "Hive/Trino estates read natively with no conversion pass. "
+        "Explicit schema on read — same no-inference rule as csv/json"
+    ),
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as ORC, read back, and aggregate per language —
+    grades the ORC round-trip (the Hive-estate interchange format)."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_src_orc_{os.getpid()}"
+    )
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").orc(out)
+    r = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).orc(out)
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q_sink_compacted",
+    oracle="""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY source
+    """,
+    family="sinks",
+    scale_notes=(
+        "small-file compaction: repartition(4) before the write bounds "
+        "the layout to exactly 4 files regardless of the upstream task "
+        "count — the operational fix for the many-small-files failure "
+        "mode of 100 TB ingest (a layout test asserts the file count). "
+        "At scale, pair with maxRecordsPerFile so one writer task "
+        "rolls files at a target size instead of one giant file, and "
+        "repartition BY the table's partition column so each writer "
+        "owns whole output directories"
+    ),
+)
+def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact documents into exactly 4 parquet files (repartition
+    before write), read the compacted layout back, and aggregate —
+    grades the compaction round-trip."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_sink_compact_{os.getpid()}"
+    )
+    d = table(spark, sf_dir, "documents")
+    d.repartition(4).write.mode("overwrite").parquet(out)
+    r = spark.read.parquet(out)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -91,3 +91,20 @@ def test_csv_sink_round_trip_preserves_values(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_compacted_sink_writes_exactly_four_files(spark):
+    """q_sink_compacted: the repartition(4) must bound the layout to 4
+    parquet part-files — the small-file-compaction guarantee."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from flexcalc_spark import registry
+
+    registry.QUERIES["q_sink_compacted"](spark, SF_DIR).collect()
+    out = _os.path.join(
+        _tempfile.gettempdir(), f"flexcalc_spark_sink_compact_{_os.getpid()}"
+    )
+    parts = _glob.glob(_os.path.join(out, "part-*.parquet"))
+    assert len(parts) == 4, parts

@@ -220,3 +220,11 @@ def test_hll_has_partial_and_merge_agg(spark):
     the sketch buffers)."""
     plan = plan_text(Q["q_sketch_hll"](spark, SF_DIR))
     assert "ObjectHashAggregate" in plan, plan
+
+
+def test_cdc_changes_broadcast_onto_snapshot(spark):
+    """The update join and delete anti-join must broadcast the change
+    batch — the snapshot side must never shuffle."""
+    plan = plan_text(Q["q_cdc_upsert"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

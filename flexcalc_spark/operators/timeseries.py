@@ -1,0 +1,131 @@
+"""Hierarchical time-series rollup (the "hypertable continuous
+aggregate" shape): minute partials -> hour rollup -> day rollup, where
+each coarser level is computed FROM the finer level's partials, never
+from the raw scan.
+
+This is the materialized-rollup pattern of every time-series store: at
+100 TB the raw events are scanned ONCE to build minute partials; hours
+aggregate 60 minute-rows each, days aggregate 24 hour-rows — the
+cascade's cost after the first level is proportional to the number of
+buckets, not the number of events, and each level is independently
+persistable as a continuous aggregate that incremental ingest appends
+to.
+
+Determinism: bucket indices are exact integer division of epoch-µs
+(schema-dispatched via tables.epoch_us_col); value sums ride the 1e-6
+integer grid from the minute level upward so every level's sum is
+partitioning/order-independent, rounded only at emit (aggregates.py
+discipline).
+
+Reference cite (mount empty, SURVEY §0): public flexcalc has no
+time-series surface; the cascade follows the continuous-aggregate
+design of time-series databases (rollups-from-rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import events_with_time
+
+US_PER_MIN = 60_000_000
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   epoch_us(ts) // 60000000 AS m,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        mi AS (
+            SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vg) AS BIGINT) AS sg
+            FROM base GROUP BY event_type, m
+        ),
+        h AS (
+            SELECT event_type, m // 60 AS b, CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sg) AS BIGINT) AS sg
+            FROM mi GROUP BY event_type, m // 60
+        ),
+        d AS (
+            SELECT event_type, b // 24 AS b, CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sg) AS BIGINT) AS sg
+            FROM h GROUP BY event_type, b // 24
+        )
+        SELECT 'hour' AS level, b AS bucket, event_type,
+               n AS n_events,
+               ROUND(CAST(sg AS DOUBLE) / 1000000.0, 4) AS sum_value
+        FROM h
+        UNION ALL
+        SELECT 'day' AS level, b AS bucket, event_type,
+               n AS n_events,
+               ROUND(CAST(sg AS DOUBLE) / 1000000.0, 4) AS sum_value
+        FROM d
+    """,
+    family="timeseries",
+    scale_notes=(
+        "continuous-aggregate cascade: raw events scanned ONCE into "
+        "minute partials (integer-grid BIGINT state), hour = sum of 60 "
+        "minute rows, day = sum of 24 hour rows — after the first level "
+        "the cost is bucket-count-proportional, and every level is a "
+        "persistable rollup that incremental ingest appends to. The "
+        "shuffle narrows at each level (minute keys -> hour keys -> day "
+        "keys); grid sums make every level's result "
+        "partitioning-independent"
+    ),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute->hour->day rollup cascade over events: hour and day
+    levels computed from the finer level's partials (one raw scan
+    total), emitted as a stacked (level, bucket) table."""
+    e = events_with_time(spark, sf_dir)
+    minute = (
+        e.select(
+            "event_type",
+            F.expr(f"ts_us div {US_PER_MIN}").alias("m"),
+            F.floor(F.col("value") * 1_000_000.0 + 0.5)
+            .cast("bigint")
+            .alias("vg"),
+        )
+        .groupBy("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vg").cast("bigint").alias("sg"),
+        )
+    )
+    hour = (
+        minute.groupBy("event_type", F.expr("m div 60").alias("b"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sg").cast("bigint").alias("sg"),
+        )
+        # cache: the hour level feeds BOTH the emitted hour rows and the
+        # day rollup — without it each union branch re-scans raw events
+        # (at scale each level would persist as a continuous aggregate)
+        .cache()
+    )
+    day = (
+        hour.groupBy("event_type", F.expr("b div 24").alias("b"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sg").cast("bigint").alias("sg"),
+        )
+    )
+
+    def emit(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.col("b").alias("bucket"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round(F.col("sg").cast("double") / 1_000_000.0, 4).alias(
+                "sum_value"
+            ),
+        )
+
+    return emit(hour, "hour").unionAll(emit(day, "day"))

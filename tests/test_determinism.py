@@ -48,6 +48,14 @@ RISKY = [
     "q_agg_regression",     # one-pass moment aggregates, rounded
     "q_join_bucketed",      # bucketed write + co-located SMJ
     "q_sketch_cms",         # md5-bucket counters, top-20 tiebreaks
+    # round-4 additions
+    "q_sketch_hll",         # sketch merge across day partials
+    "q_bm25",               # floor-quantized score ranking + ties
+    "q_quality_entropy",    # integer-grid entropy term sums
+    "q_anomaly_zscore",     # grid-sum stats broadcast, floor-grid z
+    "q_embed_project",      # sequential HOF folds per row
+    "q_cdc_upsert",         # broadcast merge decomposition
+    "q_time_rollup",        # grid-sum cascade minute->hour->day
 ]
 
 

@@ -327,3 +327,102 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_value"),
     )
+
+
+# ------------------------------------------------------ bloom prefilter
+BLOOM_BITS = 1 << 19       # 524288 bits: ~17 bits/key at sf0.1 build side
+BLOOM_HASHES = 2           # fp = (1 - e^(-kn/m))^k ~ 1.2% at sf0.1
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               ROUND((CAST(SUM(CAST(floor((l_extendedprice) * 1000000.0
+                    + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0), 4)
+                   AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+    """,
+    family="joins",
+    scale_notes=(
+        "manual bloom runtime filter (the pattern Spark's runtime-filter "
+        "rule injects for DPP-ineligible joins): build-side keys fold "
+        "into a (word, 64-bit mask) bit_or aggregate — <= 8192 rows for "
+        "2^19 bits, sized ~17 bits/key so fp stays ~1% instead of "
+        "saturating — broadcast-hash-joined onto the probe by word "
+        "index, so non-matching probe rows drop BEFORE the join "
+        "shuffle. False positives are removed by the exact semi join "
+        "that follows, so the result is exact (oracle = plain join) "
+        "while the shuffle carries ~selectivity x probe rows. Resize m "
+        "with the build side at 100 TB; the bloom build is a map-side "
+        "mergeable aggregate and the probe word-lookup joins stay "
+        "broadcast (the probe table never shuffles; measured in "
+        "SCALE.md)"
+    ),
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fact⋈dim join with a hand-built 2^19-bit bloom prefilter:
+    build keys fold into a (word, mask) table, broadcast, and prune the
+    probe scan before the exact semi join."""
+    from flexcalc_spark.tables import table_parallel
+
+    l = table_parallel(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = urgent.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(h), F.col("o_orderkey")),
+                        F.lit(BLOOM_BITS),
+                    )
+                    for h in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("pos")
+    )
+    bloom = (
+        pos.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    probe = l
+    for h in range(BLOOM_HASHES):
+        p = f"pmod(xxhash64({h}, l_orderkey), {BLOOM_BITS})"
+        probe = (
+            probe.withColumn(f"w{h}", F.expr(f"({p}) div 64"))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word").alias(f"bw{h}"),
+                        F.col("mask").alias(f"bm{h}"),
+                    )
+                ),
+                F.col(f"w{h}") == F.col(f"bw{h}"),
+                "inner",            # word absent => no key hashed there
+            )
+            .filter(
+                F.expr(f"((bm{h} >> CAST(({p}) % 64 AS INT)) & 1) = 1")
+            )
+            .drop(f"w{h}", f"bw{h}", f"bm{h}")
+        )
+    joined = probe.join(
+        F.broadcast(urgent.select("o_orderkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    from flexcalc_spark.operators.aggregates import dsum
+
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_extendedprice", "sum_price"),
+    )

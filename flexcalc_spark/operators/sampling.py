@@ -141,3 +141,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("start_tok") % PACK_BUDGET).cast("bigint").alias("bin_offset"),
         )
     )
+
+
+GROUPED_K = 5
+
+
+@register(
+    "q_grouped_sample",
+    oracle=f"""
+        SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rank
+            FROM documents
+        )
+        WHERE rank <= {GROUPED_K}
+    """,
+    family="sampling",
+    scale_notes=(
+        "deterministic per-group subsample (k docs per source, ordered "
+        "by content hash): the per-domain cap of a mixture recipe. One "
+        "shuffle on the group key + WindowGroupLimit pruning (top-k "
+        "rows survive per partition BEFORE the sort materializes); the "
+        "md5 order makes the sample stable across engines, re-runs and "
+        "backfills — seeded sample() is none of those"
+    ),
+)
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 documents per source, chosen by md5 hash order (stable,
+    engine-portable) with doc_id tiebreak."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.lit("gs:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= GROUPED_K)
+    )

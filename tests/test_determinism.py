@@ -56,6 +56,8 @@ RISKY = [
     "q_embed_project",      # sequential HOF folds per row
     "q_cdc_upsert",         # broadcast merge decomposition
     "q_time_rollup",        # grid-sum cascade minute->hour->day
+    "q_grouped_sample",     # md5-order window sample
+    "q_join_bloom",         # bloom prefilter + exact semi join
 ]
 
 

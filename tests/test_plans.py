@@ -228,3 +228,17 @@ def test_cdc_changes_broadcast_onto_snapshot(spark):
     plan = plan_text(Q["q_cdc_upsert"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_grouped_sample_prunes_topk_window(spark):
+    plan = plan_text(Q["q_grouped_sample"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_prefilter_sits_before_semi_join(spark):
+    """The bloom word-lookup joins must broadcast onto the probe BEFORE
+    the exact semi join — the probe table never shuffles."""
+    plan = plan_text(Q["q_join_bloom"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan    # 2 word lookups + semi
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan, re.S), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

@@ -516,3 +516,43 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.regr_r2(y, F.col("x")), 4) + 0.0).alias("r2"),
         )
     )
+
+
+@register(
+    "q_agg_skew_distinct",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND({_osum('l_quantity')}, 4) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    family="aggregates",
+    scale_notes=(
+        "explicit two-phase distinct for SKEWED group keys (3 hot "
+        "returnflag values would each land on one reducer in a naive "
+        "plan): phase 1 groups by the COMPOSITE (flag, suppkey) key — "
+        "the distinct key spreads each hot group across every "
+        "partition — phase 2 re-groups the already-collapsed rows by "
+        "flag to count distincts and merge the grid sums. The shuffle "
+        "carries |flag x supp| collapsed rows, and no single reducer "
+        "ever sees a whole hot group's raw rows: salting where the "
+        "salt is the distinct key itself"
+    ),
+)
+def q_agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-supplier count + row count + grid sum per
+    (skewed) returnflag via an explicit composite-key two-phase plan."""
+    from flexcalc_spark.tables import table_parallel
+
+    l = table_parallel(spark, sf_dir, "lineitem")
+    phase1 = l.groupBy("l_returnflag", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        gsum_raw("l_quantity").alias("qg"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_supp"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.round(F.sum("qg").cast("double") / GRID, 4).alias("sum_qty"),
+    )

@@ -129,3 +129,77 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emit(hour, "hour").unionAll(emit(day, "day"))
+
+
+@register(
+    "q_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    family="timeseries",
+    scale_notes=(
+        "ordered conversion funnel (view -> click -> purchase): each "
+        "stage is a type-filtered scan (predicate pushdown) joined to "
+        "the previous stage's per-user first-timestamp table — stage "
+        "tables shrink monotonically (users, not events), so the joins "
+        "after stage 1 are small-against-small while the event scans "
+        "stay pruned by the type filter. Event-time compares in exact "
+        "integer µs; step counts BIGINT"
+    ),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel over events: users who viewed, then
+    clicked after the first view, then purchased after the first
+    qualifying click."""
+    e = events_with_time(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def cnt(df: DataFrame, step: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return (
+        cnt(v, "view")
+        .unionAll(cnt(c, "click_after_view"))
+        .unionAll(cnt(p, "purchase_after_click"))
+    )

@@ -58,6 +58,8 @@ RISKY = [
     "q_time_rollup",        # grid-sum cascade minute->hour->day
     "q_grouped_sample",     # md5-order window sample
     "q_join_bloom",         # bloom prefilter + exact semi join
+    "q_funnel",             # chained per-user min-ts aggregates
+    "q_agg_skew_distinct",  # composite-key two-phase distinct
 ]
 
 

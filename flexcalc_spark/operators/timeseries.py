@@ -203,3 +203,54 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cnt(c, "click_after_view"))
         .unionAll(cnt(p, "purchase_after_click"))
     )
+
+
+RETENTION_HORIZON = 7
+US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q_retention",
+    oracle=f"""
+        WITH f AS (
+            SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+            FROM events
+        )
+        SELECT f.d0 AS cohort_day, (a.d - f.d0) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM a JOIN f ON a.user_id = f.user_id
+        WHERE a.d - f.d0 <= {RETENTION_HORIZON}
+        GROUP BY f.d0, (a.d - f.d0)
+    """,
+    family="timeseries",
+    scale_notes=(
+        "cohort retention matrix: the (user, active-day) DISTINCT "
+        "collapses map-side before any join; the first-seen table is "
+        "one row per user (broadcast here; at billions of users it "
+        "becomes a co-partitioned user_id join, still narrow); the "
+        "matrix itself is |cohorts| x horizon rows. Day indices are "
+        "exact integer division of epoch-µs"
+    ),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention out to a 7-day horizon: users active
+    on day d0+k of their first-seen cohort day d0."""
+    e = events_with_time(spark, sf_dir)
+    days = e.select(
+        "user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("d")
+    )
+    first = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    active = days.distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .filter(F.col("d") - F.col("d0") <= RETENTION_HORIZON)
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            (F.col("d") - F.col("d0")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

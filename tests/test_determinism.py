@@ -60,6 +60,7 @@ RISKY = [
     "q_join_bloom",         # bloom prefilter + exact semi join
     "q_funnel",             # chained per-user min-ts aggregates
     "q_agg_skew_distinct",  # composite-key two-phase distinct
+    "q_retention",          # distinct-day collapse + broadcast cohort join
 ]
 
 

@@ -112,3 +112,24 @@ def test_stream_stream_range_join_equals_batch(spark):
     _drain(sw.stream_range_join(spark, SF_DIR), "t_ssjoin", mode="append")
     stream = spark.table("t_ssjoin").toPandas()
     assert _canon(batch) == _canon(stream)
+
+
+def test_time_rollup_hour_level_equals_tumbling_window(spark):
+    """Cross-operator consistency: q_time_rollup's hour level must agree
+    with the 1-hour tumbling window twin (q_window_tumbling) — same
+    buckets, counts, and quantized sums, computed via different plans
+    (cascade-from-minute-partials vs direct groupBy)."""
+    from flexcalc_spark import registry
+    from tests.conftest import SF_DIR
+
+    roll = {
+        (int(r.bucket) * 3600, r.event_type): (int(r.n_events), r.sum_value)
+        for r in registry.QUERIES["q_time_rollup"](spark, SF_DIR)
+        .filter("level = 'hour'")
+        .collect()
+    }
+    tumb = {
+        (int(r.wstart_sec), r.event_type): (int(r.cnt), r.sum_value)
+        for r in registry.QUERIES["q_window_tumbling"](spark, SF_DIR).collect()
+    }
+    assert roll == tumb and roll

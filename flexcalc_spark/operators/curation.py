@@ -260,3 +260,68 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a").alias("id_old"), F.col("id_b").alias("id_new"), "jac"
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+        WITH h AS (
+            SELECT substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
+                                        lang, source,
+                                        CAST(n_chars AS VARCHAR))), 1, 1)
+                       AS bucket,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, 9),
+                               k -> CAST(ascii(substr(md5(concat_ws('|',
+                                        CAST(doc_id AS VARCHAR), text, lang,
+                                        source, CAST(n_chars AS VARCHAR))),
+                                        k, 1)) AS BIGINT))),
+                       (acc, x) -> acc * 31 + x) AS hv
+            FROM documents
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hv) AS BIGINT) AS sum_h
+        FROM h GROUP BY bucket
+    """,
+    family="curation",
+    scale_notes=(
+        "engine-portable content checksum: per-row md5 over a canonical "
+        "string rendering, folded to a BIGINT and summed into 16 "
+        "hex-prefix buckets — validating a 100 TB copy/migration "
+        "between engines becomes comparing two 16-row histograms, one "
+        "scan each side, no data movement. Integer sums are "
+        "order/partitioning-independent; any single-cell drift shifts "
+        "its bucket's (count, sum) with probability ~1"
+    ),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket md5 content checksum of the documents table (row
+    count + folded-hash sum per bucket) — the cross-engine
+    copy-validation primitive."""
+    d = table_parallel(spark, sf_dir, "documents")
+    row_str = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("string"),
+    )
+    m = F.md5(row_str.cast("binary"))
+    hv = F.expr(
+        "aggregate(sequence(1, 8), CAST(0 AS BIGINT),"
+        " (acc, k) -> acc * 31 + CAST(ascii(substring(rowmd5, k, 1))"
+        " AS BIGINT))"
+    )
+    return (
+        d.select(
+            F.substring(m, 1, 1).alias("bucket"), m.alias("rowmd5")
+        )
+        .select("bucket", hv.alias("hv"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("hv").cast("bigint").alias("sum_h"),
+        )
+    )

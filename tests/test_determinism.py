@@ -61,6 +61,7 @@ RISKY = [
     "q_funnel",             # chained per-user min-ts aggregates
     "q_agg_skew_distinct",  # composite-key two-phase distinct
     "q_retention",          # distinct-day collapse + broadcast cohort join
+    "q_table_checksum",     # order-independent folded-hash sums
 ]
 
 

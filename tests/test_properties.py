@@ -140,3 +140,75 @@ def test_prefix_filter_candidates_are_complete(spark, n_docs, vocab, num_den, se
     }
     missing = exact - cand
     assert not missing, f"prefix filter missed qualifying pairs: {missing}"
+
+
+def test_bloom_prefilter_is_superset_with_bounded_fp(spark):
+    """q_join_bloom's prefilter must pass EVERY true match (no false
+    negatives, the bloom guarantee) and keep false positives bounded —
+    at the ~17 bits/key sizing the theoretical fp is ~1.2%."""
+    import pyspark.sql.functions as F
+
+    from flexcalc_spark.operators.joins import BLOOM_BITS, BLOOM_HASHES
+    from flexcalc_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    l = table(spark, SF_DIR, "lineitem")
+    o = table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(h), F.col("o_orderkey")),
+                        F.lit(BLOOM_BITS),
+                    )
+                    for h in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("pos")
+    )
+    bloom = (
+        pos.select(
+            F.expr("pos div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    probe = l
+    for h in range(BLOOM_HASHES):
+        p = f"pmod(xxhash64({h}, l_orderkey), {BLOOM_BITS})"
+        probe = (
+            probe.withColumn(f"w{h}", F.expr(f"({p}) div 64"))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word").alias(f"bw{h}"),
+                        F.col("mask").alias(f"bm{h}"),
+                    )
+                ),
+                F.col(f"w{h}") == F.col(f"bw{h}"),
+                "inner",
+            )
+            .filter(F.expr(f"((bm{h} >> CAST(({p}) % 64 AS INT)) & 1) = 1"))
+            .drop(f"w{h}", f"bw{h}", f"bm{h}")
+        )
+    passed_keys = {r.l_orderkey for r in probe.select("l_orderkey").collect()}
+    true_keys = {
+        r.l_orderkey
+        for r in l.join(
+            o.select("o_orderkey"),
+            l.l_orderkey == o.o_orderkey,
+            "left_semi",
+        )
+        .select("l_orderkey")
+        .collect()
+    }
+    assert true_keys <= passed_keys          # zero false negatives
+    n_rows = l.count()
+    fp = (len(passed_keys - true_keys)) / max(n_rows, 1)
+    assert fp < 0.05, fp                     # sized for ~1.2%

@@ -426,3 +426,66 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+COOCCUR_TOP = 20
+
+
+@register(
+    "q_cooccur",
+    oracle=f"""
+        SELECT pa, pb, cnt, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT pa, pb, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, pa, pb) AS rank
+            FROM (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY a.l_partkey, b.l_partkey
+            )
+        )
+        WHERE rank <= {COOCCUR_TOP}
+    """,
+    family="joins",
+    scale_notes=(
+        "market-basket co-occurrence: the self-join is keyed on "
+        "l_orderkey, so pair expansion is BOUNDED by basket size "
+        "(~k^2/2 per order, k~7) — O(n k) total, never O(n^2); both "
+        "sides share the l_orderkey shuffle partitioning so the join "
+        "is co-partitioned. The pair-count aggregate collapses "
+        "map-side; global top-20 is TakeOrderedAndProject with a full "
+        "tiebreak. The canonical counters-not-candidates contrast to "
+        "the dedup family's all-pairs hazards"
+    ),
+)
+def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs co-occurring in the same order (bounded
+    basket-size self-join, full tiebreak order)."""
+    from flexcalc_spark.tables import table_parallel
+
+    l = table_parallel(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # TakeOrderedAndProject prunes to 20 rows BEFORE the rank window runs
+    # (a global row_number over the full pair table would serialize it)
+    top = pairs.orderBy(F.col("cnt").desc(), "pa", "pb").limit(COOCCUR_TOP)
+    w = Window.orderBy(F.col("cnt").desc(), "pa", "pb")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

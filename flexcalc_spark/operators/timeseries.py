@@ -254,3 +254,96 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+ORDER_SPAN_DAYS = 30
+
+
+@register(
+    "q_concurrency",
+    oracle=f"""
+        WITH delta AS (
+            SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS net
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT epoch_us(o_orderdate) // 86400000000
+                       + {ORDER_SPAN_DAYS} AS day,
+                   CAST(-COUNT(*) AS BIGINT) AS net
+            FROM orders GROUP BY 1
+        ),
+        byday AS (
+            SELECT day, CAST(SUM(net) AS BIGINT) AS net
+            FROM delta GROUP BY day
+        )
+        SELECT day, net,
+               CAST(SUM(net) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_orders
+        FROM byday
+    """,
+    family="timeseries",
+    scale_notes=(
+        "interval sweepline (orders open concurrently, 30-day spans) "
+        "via a DISTRIBUTED two-phase prefix sum: per-day +1/-1 deltas "
+        "collapse map-side; days partition into ~month blocks whose "
+        "within-block cumulative sums run in parallel windows; block "
+        "offsets come from one tiny block-totals window (one row per "
+        "block) broadcast back. The oracle's single global cumulative "
+        "window — which would serialize 100 TB onto one task — is "
+        "exactly what this plan avoids while producing identical "
+        "output"
+    ),
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order concurrency by day (30-day order lifetime): +1/-1
+    sweepline deltas with a two-phase (block-local + block-offset)
+    prefix sum instead of one serializing global window."""
+    from pyspark.sql.window import Window
+
+    from flexcalc_spark.tables import table_parallel
+
+    from flexcalc_spark.tables import epoch_us_of
+
+    o = table_parallel(spark, sf_dir, "orders")
+    # o_orderdate reads as TIMESTAMP_NTZ in the current fixture
+    # generation — epoch math dispatches on the schema (tables.py)
+    day = F.expr("ous div 86400000000")
+    o = o.withColumn("ous", epoch_us_of(o, "o_orderdate"))
+    starts = o.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("net")
+    )
+    ends = o.groupBy((day + ORDER_SPAN_DAYS).alias("day")).agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("net")
+    )
+    byday = (
+        starts.unionAll(ends)
+        .groupBy("day")
+        .agg(F.sum("net").cast("bigint").alias("net"))
+        .withColumn("block", F.expr("day div 32"))
+    )
+    win_block = (
+        Window.partitionBy("block")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = byday.withColumn("local_sum", F.sum("net").over(win_block))
+    totals = byday.groupBy("block").agg(
+        F.sum("net").cast("bigint").alias("block_total")
+    )
+    win_prev = Window.orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("block_total").over(win_prev), F.lit(0))
+    ).select("block", "offset")
+    return (
+        local.join(F.broadcast(offsets), "block")
+        .select(
+            "day",
+            "net",
+            (F.col("local_sum") + F.col("offset"))
+            .cast("bigint")
+            .alias("open_orders"),
+        )
+    )

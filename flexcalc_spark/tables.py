@@ -58,14 +58,20 @@ def epoch_us_col(df: DataFrame) -> "F.Column":
     - TIMESTAMP (LTZ, in case a session maps the file that way):
       ``unix_micros`` is already instant-based and timezone-free.
     """
-    t = df.schema["ts"].dataType.typeName()
+    return epoch_us_of(df, "ts")
+
+
+def epoch_us_of(df: DataFrame, col: str) -> "F.Column":
+    """Schema-dispatched BIGINT epoch-µs for ANY timestamp-ish column
+    (see epoch_us_col — same dispatch, parameterized column name)."""
+    t = df.schema[col].dataType.typeName()
     if t in ("long", "bigint"):
-        return F.expr(f"ts div {NS_PER_US}")
+        return F.expr(f"{col} div {NS_PER_US}")
     if t == "timestamp_ntz":
         return F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
         )
-    return F.expr("unix_micros(ts)")
+    return F.expr(f"unix_micros({col})")
 
 
 def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

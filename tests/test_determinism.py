@@ -62,6 +62,8 @@ RISKY = [
     "q_agg_skew_distinct",  # composite-key two-phase distinct
     "q_retention",          # distinct-day collapse + broadcast cohort join
     "q_table_checksum",     # order-independent folded-hash sums
+    "q_cooccur",            # bounded basket self-join + global top-k ties
+    "q_concurrency",        # two-phase distributed prefix sum
 ]
 
 

@@ -242,3 +242,21 @@ def test_bloom_prefilter_sits_before_semi_join(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan    # 2 word lookups + semi
     assert re.search(r"BroadcastHashJoin.*LeftSemi", plan, re.S), plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_cooccur_uses_take_ordered(spark):
+    """Global top-20 must prune via TakeOrderedAndProject, not a full
+    sort or a global row_number over the whole pair table."""
+    plan = plan_text(Q["q_cooccur"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_concurrency_prefix_sum_is_blocked(spark):
+    """The cumulative sum must run as block-partitioned windows plus a
+    tiny block-offset join — never one global window over all days."""
+    plan = plan_text(Q["q_concurrency"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # the day-level cumulative window must be PARTITIONED by block:
+    # windowspecdefinition(block#..., day#... ASC ...) — a spec whose
+    # first argument is the partition column
+    assert re.search(r"windowspecdefinition\(block#\d+L, day#", plan), plan

@@ -556,3 +556,63 @@ def q_agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_rows"),
         F.round(F.sum("qg").cast("double") / GRID, 4).alias("sum_qty"),
     )
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle=f"""
+        WITH b AS (
+            SELECT quantile_cont(l_extendedprice,
+                       [x / {EQUIDEPTH_BUCKETS}.0
+                        FOR x IN range(1, {EQUIDEPTH_BUCKETS})]) AS qs
+            FROM lineitem
+        ),
+        tagged AS (
+            SELECT CAST(len(list_filter(b.qs, q -> q < l_extendedprice))
+                        AS BIGINT) AS bucket,
+                   l_extendedprice
+            FROM lineitem, b
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM tagged GROUP BY bucket
+    """,
+    family="aggregates",
+    scale_notes=(
+        "equi-depth histogram WITHOUT a global sort window: exact "
+        "interpolated decile boundaries come from one percentile "
+        "aggregate (9 doubles), broadcast back, and bucket assignment "
+        "is a scan-side count-of-boundaries-below compare — the plan an "
+        "ntile() formulation would serialize into a single-task global "
+        "sort. At 100 TB swap the exact boundaries for approx_percentile "
+        "(mergeable sketch), same downstream plan. Boundary compares on "
+        "raw doubles are engine-identical (quantile_cont and Spark "
+        "percentile interpolate identically — proven by q_agg_percentile)"
+    ),
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-depth histogram of l_extendedprice: exact decile
+    boundaries (one agg) broadcast onto a scan-side bucket tagging."""
+    from flexcalc_spark.tables import table_parallel
+
+    l = table_parallel(spark, sf_dir, "lineitem")
+    pcts = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+    b = l.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(map(str, pcts))}))"
+        ).alias("qs")
+    )
+    tagged = l.crossJoin(F.broadcast(b)).select(
+        F.expr(
+            "CAST(size(filter(qs, q -> q < l_extendedprice)) AS BIGINT)"
+        ).alias("bucket"),
+        "l_extendedprice",
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )

@@ -64,6 +64,7 @@ RISKY = [
     "q_table_checksum",     # order-independent folded-hash sums
     "q_cooccur",            # bounded basket self-join + global top-k ties
     "q_concurrency",        # two-phase distributed prefix sum
+    "q_histogram_equidepth",  # broadcast decile boundaries + scan-side tag
 ]
 
 

@@ -65,6 +65,7 @@ RISKY = [
     "q_cooccur",            # bounded basket self-join + global top-k ties
     "q_concurrency",        # two-phase distributed prefix sum
     "q_histogram_equidepth",  # broadcast decile boundaries + scan-side tag
+    "q_sql_tpch3",          # SQL-text entry, grid revenue + LIMIT ties
 ]
 
 

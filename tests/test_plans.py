@@ -260,3 +260,13 @@ def test_concurrency_prefix_sum_is_blocked(spark):
     # windowspecdefinition(block#..., day#... ASC ...) — a spec whose
     # first argument is the partition column
     assert re.search(r"windowspecdefinition\(block#\d+L, day#", plan), plan
+
+
+def test_sql_entry_gets_same_physical_plan_shape(spark):
+    """spark.sql text must land on the optimized shapes the DataFrame
+    API gets: TakeOrderedAndProject for the LIMIT, partial+final
+    aggregation, and the urgent-orders predicate pushed to the scan."""
+    plan = plan_text(Q["q_sql_tpch3"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderpriority", plan), plan

@@ -429,3 +429,36 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u1").alias("user_id"),
         (F.col("ts2_us") - F.col("ts1_us")).alias("gap_us"),
     )
+
+
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_anomaly_zscore: score each arriving event
+    against PRECOMPUTED per-type stats (stream-static broadcast join +
+    per-row codegen z) — the live-inference pattern: the expensive
+    aggregate runs batch-side, the stream pays only a broadcast lookup.
+    Stateless, so append mode and no watermark needed."""
+    from flexcalc_spark.operators.anomaly import _Z_EXPR
+
+    e = table(spark, sf_dir, "events")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_g"),
+        F.sum(
+            F.expr("CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("ssq_g"),
+    )
+    s = stream_events(spark, sf_dir)
+    z_q = F.expr(_Z_EXPR).cast("bigint")
+    return s.join(F.broadcast(st), "event_type").select(
+        "event_id",
+        "event_type",
+        z_q.alias("z_q"),
+        F.when(F.abs(z_q) >= 20000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )

@@ -133,3 +133,12 @@ def test_time_rollup_hour_level_equals_tumbling_window(spark):
         for r in registry.QUERIES["q_window_tumbling"](spark, SF_DIR).collect()
     }
     assert roll == tumb and roll
+
+
+def test_stream_anomaly_equals_batch(spark):
+    """Stream-static anomaly scoring (precomputed stats broadcast onto
+    the stream) must produce exactly the batch q_anomaly_zscore rows."""
+    batch = registry.QUERIES["q_anomaly_zscore"](spark, SF_DIR).toPandas()
+    _drain(sw.stream_anomaly(spark, SF_DIR), "t_anom", mode="append")
+    stream = spark.table("t_anom").toPandas()
+    assert _canon(batch) == _canon(stream)

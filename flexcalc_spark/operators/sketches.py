@@ -165,3 +165,48 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "q_sliding_distinct",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM e)
+        SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS d7_users
+        FROM days d
+        JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+    family="sketches",
+    scale_notes=(
+        "trailing-7-day distinct users per day WITHOUT the exact "
+        "formulation's 7x row re-expansion: one day-grain "
+        "hll_sketch_agg pass over the events (fixed-size partial "
+        "state), then hll_union_agg as a WINDOW function over the tiny "
+        "day-level sketch table — the sliding union costs 7 sketch "
+        "merges per day-row instead of re-scanning a week of raw "
+        "events per day. Exact at fixture cardinality (sparse mode) so "
+        "oracle-checked against exact COUNT DISTINCT; the day-level "
+        "window is post-aggregate (one row per day) so its global "
+        "order is not a scale hazard"
+    ),
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user count per day: daily HLL sketches
+    union-merged by a sliding window over the day-level table."""
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, sf_dir)
+    daily = (
+        e.withColumn("day", F.expr("ts_us div 86400000000"))
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    return daily.selectExpr(
+        "day",
+        "CAST(hll_sketch_estimate(hll_union_agg(sk) OVER ("
+        "ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+        "AS BIGINT) AS d7_users",
+    )

@@ -347,3 +347,91 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("open_orders"),
         )
     )
+
+
+@register(
+    "q_rfm",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   MAX(epoch_us(o_orderdate) // 86400000000) AS lastd,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS mg
+            FROM orders GROUP BY o_custkey
+        ),
+        ref AS (SELECT MAX(lastd) AS refd FROM cust),
+        b AS (
+            SELECT quantile_cont(CAST(frequency AS DOUBLE), 0.66) AS fq,
+                   quantile_cont(CAST(mg AS DOUBLE), 0.66) AS mq
+            FROM cust
+        )
+        SELECT o_custkey, CAST(refd - lastd AS BIGINT) AS recency_days,
+               frequency,
+               ROUND(CAST(mg AS DOUBLE) / 1000000.0, 4) AS monetary,
+               CASE WHEN CAST(frequency AS DOUBLE) >= fq
+                         AND CAST(mg AS DOUBLE) >= mq THEN 'core'
+                    WHEN CAST(frequency AS DOUBLE) >= fq
+                         OR CAST(mg AS DOUBLE) >= mq THEN 'growth'
+                    ELSE 'tail' END AS segment
+        FROM cust, ref, b
+    """,
+    family="analytics",
+    scale_notes=(
+        "RFM customer segmentation: one per-customer aggregate pass "
+        "(recency/frequency/grid-monetary), then the 2-value percentile "
+        "boundary row and the 1-value reference day broadcast back onto "
+        "the customer table — segmentation of a billion customers is "
+        "one narrow shuffle on custkey plus two scalar broadcasts, no "
+        "global sort (the ntile formulation would serialize). Exact "
+        "percentile boundaries swap to approx_percentile at scale, "
+        "same downstream plan (q_histogram_equidepth precedent)"
+    ),
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / frequency / monetary segmentation of customers from
+    their orders, with percentile-boundary segments (core/growth/tail)."""
+    from flexcalc_spark.tables import epoch_us_of, table_parallel
+
+    o = table_parallel(spark, sf_dir, "orders")
+    o = o.withColumn("od", epoch_us_of(o, "o_orderdate"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.expr("od div 86400000000")).alias("lastd"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("mg"),
+    )
+    ref = cust.agg(F.max("lastd").alias("refd"))
+    b = cust.agg(
+        F.expr("percentile(CAST(frequency AS DOUBLE), 0.66)").alias("fq"),
+        F.expr("percentile(CAST(mg AS DOUBLE), 0.66)").alias("mq"),
+    )
+    seg = (
+        F.when(
+            (F.expr("CAST(frequency AS DOUBLE)") >= F.col("fq"))
+            & (F.expr("CAST(mg AS DOUBLE)") >= F.col("mq")),
+            "core",
+        )
+        .when(
+            (F.expr("CAST(frequency AS DOUBLE)") >= F.col("fq"))
+            | (F.expr("CAST(mg AS DOUBLE)") >= F.col("mq")),
+            "growth",
+        )
+        .otherwise("tail")
+    )
+    return (
+        cust.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "o_custkey",
+            (F.col("refd") - F.col("lastd")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            F.round(F.col("mg").cast("double") / 1_000_000.0, 4).alias(
+                "monetary"
+            ),
+            seg.alias("segment"),
+        )
+    )

@@ -66,6 +66,8 @@ RISKY = [
     "q_concurrency",        # two-phase distributed prefix sum
     "q_histogram_equidepth",  # broadcast decile boundaries + scan-side tag
     "q_sql_tpch3",          # SQL-text entry, grid revenue + LIMIT ties
+    "q_sliding_distinct",   # windowed sketch union over day partials
+    "q_rfm",                # percentile-boundary segmentation
 ]
 
 

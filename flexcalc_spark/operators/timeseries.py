@@ -435,3 +435,67 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg.alias("segment"),
         )
     )
+
+
+@register(
+    "q_transitions",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS prev_type
+            FROM t
+        ),
+        c AS (
+            SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ),
+        tot AS (
+            SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM c GROUP BY prev_type
+        )
+        SELECT c.prev_type, c.event_type, c.cnt,
+               CAST(c.cnt AS DOUBLE) / total AS p
+        FROM c JOIN tot ON c.prev_type = tot.prev_type
+    """,
+    family="analytics",
+    scale_notes=(
+        "event-flow Markov transitions: one per-user lag window (the "
+        "same user_id shuffle every sessionization key pays), then the "
+        "transition matrix collapses to |types|^2 rows map-side; "
+        "probabilities are single divisions of exact BIGINT counts "
+        "joined from the 5-row per-prev totals (broadcast). The "
+        "transition matrix is the input to funnel discovery and "
+        "next-event prediction features"
+    ),
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and probabilities per preceding
+    type (first-order Markov chain over each user's event sequence)."""
+    from pyspark.sql.window import Window
+
+    e = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = c.groupBy("prev_type").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("p"),
+        )
+    )

@@ -68,6 +68,7 @@ RISKY = [
     "q_sql_tpch3",          # SQL-text entry, grid revenue + LIMIT ties
     "q_sliding_distinct",   # windowed sketch union over day partials
     "q_rfm",                # percentile-boundary segmentation
+    "q_transitions",        # lag-window transition counts + ratios
 ]
 
 

@@ -462,3 +462,64 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "q_session_stats",
+    oracle=f"""
+        WITH s AS ({_SESSIONIZE_ORACLE}),
+        t AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        per AS (
+            SELECT s.user_id, s.sess_id,
+                   (MAX(t.ts_us) - MIN(t.ts_us)) // 1000000 AS dur_sec,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s JOIN t ON s.event_id = t.event_id
+            GROUP BY s.user_id, s.sess_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               ROUND(quantile_cont(CAST(dur_sec AS DOUBLE), 0.5), 4)
+                   AS p50_dur_sec,
+               ROUND(quantile_cont(CAST(dur_sec AS DOUBLE), 0.9), 4)
+                   AS p90_dur_sec,
+               ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_events
+        FROM per
+    """,
+    family="streaming",
+    scale_notes=(
+        "session-duration distribution over the sessionized stream: "
+        "per-session (duration, count) collapses on the same user_id "
+        "shuffle sessionization already pays, then one scalar "
+        "percentile aggregate over the session-level table (sessions "
+        "<< events). Durations are exact integer seconds; the shared "
+        "sessionized() boundary rule keeps this consistent with "
+        "q_sessionize / session_window / the stateful twin by "
+        "construction"
+    ),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session statistics (count, p50/p90 duration,
+    mean events/session) from the shared gap-sessionization rule."""
+    e = events_with_time(spark, sf_dir)
+    per = (
+        sessionized(e)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias(
+                "dur_sec"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(
+            F.expr("percentile(CAST(dur_sec AS DOUBLE), 0.5)"), 4
+        ).alias("p50_dur_sec"),
+        F.round(
+            F.expr("percentile(CAST(dur_sec AS DOUBLE), 0.9)"), 4
+        ).alias("p90_dur_sec"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_events"),
+    )

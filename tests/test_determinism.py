@@ -69,6 +69,7 @@ RISKY = [
     "q_sliding_distinct",   # windowed sketch union over day partials
     "q_rfm",                # percentile-boundary segmentation
     "q_transitions",        # lag-window transition counts + ratios
+    "q_session_stats",      # session-level percentile aggregate
 ]
 
 

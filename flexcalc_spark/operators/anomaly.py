@@ -33,9 +33,16 @@ _STATS_SQL = {
     "((CAST(sum_g AS DOUBLE) / 1000000.0) / n) * "
     "((CAST(sum_g AS DOUBLE) / 1000000.0) / n)",
 }
+# Degenerate-variance guard: a constant-valued event_type makes var 0 —
+# or tiny-negative, since sum and sum-of-squares are grid-rounded
+# independently. Spark's non-ANSI Divide would return NULL there while
+# DuckDB follows IEEE (inf/NaN, and CAST(inf AS BIGINT) errors), so the
+# engines diverge exactly when the data degenerates. Clamp var <= 0 to
+# z = 0 with the SAME literal structure on both sides.
 _Z_EXPR = (
+    f"CASE WHEN ({_STATS_SQL['var']}) <= 0.0 THEN 0 ELSE "
     f"floor( (value - ({_STATS_SQL['mean']})) / sqrt({_STATS_SQL['var']})"
-    " * 10000.0 )"
+    " * 10000.0 ) END"
 )
 
 

@@ -138,7 +138,7 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-(event_type, day) PARTIAL sketches are built map-side, then "
         "hll_union_agg merges the fixed-size sketches per event_type — "
         "the mergeable-state shape that makes 100 TB distinct counting a "
-        "narrow shuffle of lgK=12 sketch bytes instead of a distinct "
+        "narrow shuffle of lgK=14 sketch bytes instead of a distinct "
         "expansion. At fixture cardinality (150 users) the sparse-mode "
         "sketch is EXACT, so the key is oracle-checked against exact "
         "COUNT DISTINCT; at real cardinality the same plan degrades "
@@ -154,10 +154,15 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flexcalc_spark.tables import events_with_time
 
     e = events_with_time(spark, sf_dir)
+    # lgConfigK=14 (default 12): the oracle is exact COUNT DISTINCT, so
+    # the sketch must stay in its exact sparse mode — 14 buys 4x
+    # cardinality headroom over fixture regenerations (the exactness is
+    # also property-tested per sf in tests/test_determinism.py so a
+    # crossing fails loudly at round start, not in the driver hash).
     daily = (
         e.withColumn("day", F.expr("ts_us div 86400000000"))
         .groupBy("event_type", "day")
-        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
     )
     return daily.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))")
@@ -199,14 +204,20 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flexcalc_spark.tables import events_with_time
 
     e = events_with_time(spark, sf_dir)
+    # lgConfigK=14 for sparse-mode exactness headroom (see q_sketch_hll).
     daily = (
         e.withColumn("day", F.expr("ts_us div 86400000000"))
         .groupBy("day")
-        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
     )
+    # RANGE (not ROWS) frame: the oracle joins on the CALENDAR interval
+    # [day-6, day]. A ROWS frame over the previous 6 present day-rows
+    # agrees only while every day has events; a fixture generation with a
+    # gapped day would silently widen the ROWS span past 7 calendar days.
+    # day is BIGINT, so the numeric RANGE frame is calendar-exact.
     return daily.selectExpr(
         "day",
         "CAST(hll_sketch_estimate(hll_union_agg(sk) OVER ("
-        "ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+        "ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) "
         "AS BIGINT) AS d7_users",
     )

@@ -119,52 +119,45 @@ def register(
 
 # Driver-verification rotation. The driver's per-round CORRECTNESS
 # grading covers exactly the FIRST 50 keys of queries() order
-# (confirmed count-capped: r1/r2/r3 each graded precisely 50). Rotating
+# (confirmed count-capped: r1-r4 each graded precisely 50). Rotating
 # the order each round gets every family driver-confirmed across rounds
 # without changing any query.
 #
-# Round-4 front (50):
-#   1. the 16 keys NO round has graded yet (CT analysis, multimodal,
-#      sampling, minhash/simhash/LSH/IVF, stream_late, window_session);
-#   2. the 10 keys that FAILED in r3 — all broken by the fixture
-#      regeneration (events.ts TIMESTAMP(NANOS) -> timestamp[us]; fixed
-#      via tables.epoch_us_col) plus q_vector_quantize's array output
-#      (now a string) — so the fixes get driver-confirmed;
-#   3. 24 round-1 keys whose only pass predates the regeneration,
-#      events-consumers first (stale evidence), then aggregates.
+# Round-5 front (50):
+#   1. the 24 keys added in round 4 that NO round has graded yet
+#      (CORRECTNESS_r04 is exactly the round-4 window; these sat behind
+#      the 50-key line);
+#   2. round-5 additions (never graded by construction);
+#   3. the stalest r1-only passes — three fixture generations old —
+#      filling the window to 50.
 # Keys absent from this list keep registration order at the end.
 GRADE_ORDER: list[str] = [
-    # 1. never driver-graded
-    "q_window_session",
-    "q_ct_centre", "q_ct_histogram", "q_ct_bbox",
-    "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
-    "q_multimodal_features", "q_multimodal_resize",
-    "q_sample_split", "q_sample_stratified",
-    "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-    "q_stream_late",
-    # 2. fixed after r3 failures
-    "q_gapfill", "q_udaf_grouped", "q_vector_quantize", "q_agg_regression",
-    "q_window_tumbling", "q_window_sliding", "q_sessionize",
-    "q_stream_dedup", "q_stream_enrich", "q_stateful_sessions",
-    # 3. r1 passes with pre-regeneration evidence; events-consumers first
-    "q_win_lag_lead", "q_win_moving", "q_win_range_time", "q_win_firstlast",
-    "q_join_range", "q_join_asof", "q_join_salted",
-    "q_agg_distinct", "q_agg_approx", "q_agg_approx_percentile",
-    "q_pivot", "q_unpivot", "q_histogram",
-    "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
-    "q_agg_stats", "q_agg_percentile", "q_agg_weighted_centroid",
-    "q_rollup", "q_cube", "q_grouping_sets", "q_scan_project",
-    # --- 50-key line (driver window size) ---
-    # remaining r1-graded keys (rotate into round-5 window)
+    # 1. round-4 additions, never driver-graded
+    "q_sketch_hll", "q_sliding_distinct",
+    "q_bm25", "q_quality_entropy",
+    "q_anomaly_zscore",
+    "q_funnel", "q_retention", "q_rfm", "q_transitions",
+    "q_session_stats", "q_time_rollup",
+    "q_cooccur", "q_concurrency",
+    "q_histogram_equidepth", "q_agg_skew_distinct",
+    "q_join_bloom", "q_grouped_sample", "q_embed_project",
+    "q_cdc_upsert", "q_table_checksum",
+    "q_sql_tpch3",
+    "q_source_json", "q_source_orc", "q_sink_compacted",
+    # 2. round-5 additions
+    "q_dedup_embed_lsh", "q_histogram_equidepth_approx",
+    # 3. stalest r1-only passes (evidence predates two fixture
+    #    regenerations), filling to the 50-key line
     "q_scan_count", "q_project_expr", "q_filter_pred",
     "q_filter_in_like", "q_filter_null", "q_case_when",
     "q_join_broadcast", "q_join_inner", "q_join_multiway", "q_join_left",
     "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
     "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_ntile",
     "q_sort_multi", "q_topk", "q_limit_offset",
-    "q_set_union", "q_set_intersect", "q_set_except", "q_distinct",
-    "q_text_stats",
-    # r3-confirmed keys (passed under the current fixture generation)
+    "q_set_union", "q_set_intersect", "q_set_except",
+    # --- 50-key line (driver window size) ---
+    "q_distinct", "q_text_stats",
+    # r3/r4-confirmed keys (passed under the current fixture generation)
     "q_str_funcs", "q_str_regexp", "q_str_distance",
     "q_date_parts", "q_date_arith",
     "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
@@ -181,6 +174,23 @@ GRADE_ORDER: list[str] = [
     "q_pack_sequences",
     "q_decontaminate", "q_mix_sample", "q_dedup_incremental",
     "q_sketch_cms",
+    "q_window_session",
+    "q_ct_centre", "q_ct_histogram", "q_ct_bbox",
+    "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
+    "q_multimodal_features", "q_multimodal_resize",
+    "q_sample_split", "q_sample_stratified",
+    "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
+    "q_stream_late",
+    "q_gapfill", "q_udaf_grouped", "q_vector_quantize", "q_agg_regression",
+    "q_window_tumbling", "q_window_sliding", "q_sessionize",
+    "q_stream_dedup", "q_stream_enrich", "q_stateful_sessions",
+    "q_win_lag_lead", "q_win_moving", "q_win_range_time", "q_win_firstlast",
+    "q_join_range", "q_join_asof", "q_join_salted",
+    "q_agg_distinct", "q_agg_approx", "q_agg_approx_percentile",
+    "q_pivot", "q_unpivot", "q_histogram",
+    "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
+    "q_agg_stats", "q_agg_percentile", "q_agg_weighted_centroid",
+    "q_rollup", "q_cube", "q_grouping_sets", "q_scan_project",
 ]
 
 

@@ -93,3 +93,123 @@ def test_stable_under_repartitioning(key, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b, f"{key} output depends on partitioning"
+
+
+# --- HLL sparse-mode exactness guards (ADVICE round 4) -----------------
+#
+# q_sketch_hll and q_sliding_distinct grade an HLL estimate against an
+# EXACT COUNT(DISTINCT) oracle; that only holds while the Datasketches
+# sketch stays in its exact sparse mode at fixture cardinality. Fixtures
+# are regenerated between rounds — if a generation raises user
+# cardinality past the sparse threshold, these fail loudly at round
+# start instead of silently breaking the driver hash.
+
+
+def test_hll_estimate_exact_at_fixture_cardinality(spark):
+    from pyspark.sql import functions as F
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, SF_DIR)
+    got = (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+            .cast("bigint")
+            .alias("est"),
+            F.countDistinct("user_id").cast("bigint").alias("exact"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.est == r.exact, (
+            f"HLL left exact sparse mode for {r.event_type}: "
+            f"est {r.est} != exact {r.exact} — fixture cardinality "
+            "crossed the sketch threshold; raise lgConfigK"
+        )
+
+
+def test_sliding_distinct_range_frame_on_gapped_days(spark):
+    """The d7 window must be CALENDAR-based (RANGE), not row-based.
+
+    Synthetic day table with a hole: days [0,1,2,3, 10,11]. A ROWS
+    BETWEEN 6 PRECEDING frame would pull days 0..3 into day 10/11's
+    trailing week; the RANGE frame must not.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = []
+    for day, users in [
+        (0, [1, 2]), (1, [2, 3]), (2, [4]), (3, [1]),
+        (10, [5, 6]), (11, [1, 7]),
+    ]:
+        rows += [(day, u) for u in users]
+    df = spark.createDataFrame(rows, "day long, user_id long")
+    daily = df.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    got = {
+        r.day: r.d7
+        for r in daily.selectExpr(
+            "day",
+            "CAST(hll_sketch_estimate(hll_union_agg(sk) OVER ("
+            "ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+            "AS BIGINT) AS d7",
+        ).collect()
+    }
+    # exact trailing-7-calendar-day distincts
+    expect = {}
+    data = dict(
+        [(0, {1, 2}), (1, {2, 3}), (2, {4}), (3, {1}),
+         (10, {5, 6}), (11, {1, 7})]
+    )
+    for d in data:
+        acc = set()
+        for d2, us in data.items():
+            if d - 6 <= d2 <= d:
+                acc |= us
+        expect[d] = len(acc)
+    assert got == expect, f"window frame is not calendar-based: {got}"
+
+
+def test_anomaly_zscore_constant_group_no_divergence(spark, duck):
+    """Degenerate variance (constant-valued group) must score z=0 in
+    BOTH engines — Spark's non-ANSI divide returns NULL on /0 while
+    DuckDB follows IEEE, so an unclamped expr diverges exactly here."""
+    from pyspark.sql import functions as F
+    from flexcalc_spark.operators.anomaly import _Z_EXPR
+
+    df = spark.createDataFrame(
+        [("const", 5.0)] * 4 + [("vary", 1.0), ("vary", 3.0)],
+        "event_type string, value double",
+    )
+    st = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+        .cast("bigint").alias("sum_g"),
+        F.sum(F.expr("CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)"))
+        .cast("bigint").alias("ssq_g"),
+    )
+    got = (
+        df.join(F.broadcast(st), "event_type")
+        .select("event_type", F.expr(_Z_EXPR).cast("bigint").alias("z_q"))
+        .collect()
+    )
+    zs = {(r.event_type, r.z_q) for r in got}
+    assert all(z == 0 for t, z in zs if t == "const"), zs
+    assert all(z is not None for _, z in zs), zs
+    # same literal structure in DuckDB agrees
+    o = duck.execute(f"""
+        WITH ev(event_type, value) AS (
+            VALUES ('const', 5.0), ('const', 5.0), ('const', 5.0),
+                   ('const', 5.0), ('vary', 1.0), ('vary', 3.0)
+        ),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_g,
+                   CAST(SUM(CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ssq_g
+            FROM ev GROUP BY event_type
+        )
+        SELECT e.event_type, CAST({_Z_EXPR} AS BIGINT) AS z_q
+        FROM ev e JOIN st USING (event_type)
+    """).fetchall()
+    assert sorted(zs) == sorted({(t, z) for t, z in o}), (zs, o)

@@ -742,3 +742,178 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# --- Scale-safe embedding dedup: LSH-bucket candidates at near-dup tau ---
+#
+# q_dedup_embed (above) is the EXACT low-tau tier: at tau=0.4 — the
+# ambient similarity of the corpus — no metric filter can prune with
+# exact recall, so blocked GEMM over all block pairs is the right Ω(n²).
+# A real pipeline deduplicating 100 TB of embeddings runs at a NEAR-DUP
+# threshold (tau >= 0.9), where true pairs are angularly tiny and
+# hyperplane-sign LSH buckets prune almost everything. This key grades
+# that tier. The fixture corpus has no natural pairs above cos 0.61
+# (measured at every sf), so the query PLANTS deterministic near-dups:
+# for vec_id < EMBED_PLANT_N, a copy at vec_id + EMBED_PLANT_OFFSET
+# perturbed per-dimension by integer-arithmetic noise (engine-portable:
+# exact BIGINT ops + one IEEE divide — the md5-free analogue of
+# sampling.py's hash discipline). At amplitude 0.02 over unit-norm
+# vectors the planted pairs sit at cos ~0.999 while ambient stays below
+# 0.61 — the separation a near-dup corpus actually has.
+#
+# Candidate recall is deterministic given the fixed seed: 64 planes in
+# 8 bands of 8 bits recall all planted pairs at every sf (asserted in
+# tests/test_recall.py); analytically a cos=0.999 pair misses all 8
+# bands with p ~ 2.6e-8.
+
+EMBED_LSH_TAU = 0.9
+EMBED_LSH_PLANES = 64
+EMBED_LSH_BANDS = 8            # 8 bands x 8 bits
+EMBED_PLANT_N = 200
+EMBED_PLANT_OFFSET = 1_000_000
+EMBED_PLANT_AMP = "CAST(0.02 AS DOUBLE)"
+_PLANT_NOISE = (
+    "(CAST((vec_id * 48271 + i * 104729) % 1009 AS DOUBLE)"
+    " / 1009.0 - 0.5)"
+)
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of the first EMBED_PLANT_N vectors,
+    all as DOUBLE arrays (bit-identical to the oracle's corpus CTE)."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    plant = e.filter(F.col("vec_id") < EMBED_PLANT_N).select(
+        (F.col("vec_id") + EMBED_PLANT_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) + "
+            f"{EMBED_PLANT_AMP} * {_PLANT_NOISE})"
+        ).alias("embedding"),
+    )
+    return base.unionByName(plant)
+
+
+def _embed_band_keys() -> list:
+    """8 band keys (8 sign bits each) under fixed seeded hyperplanes."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260814)
+    planes = rng.standard_normal((EMBED_LSH_PLANES, 64)).tolist()
+    bits = [
+        F.when(
+            _dot_spark(
+                "embedding",
+                f"array({', '.join(repr(v) + 'D' for v in plane)})",
+            )
+            > 0,
+            1,
+        ).otherwise(0)
+        for plane in planes
+    ]
+    per_band = EMBED_LSH_PLANES // EMBED_LSH_BANDS
+    keys = []
+    for bnd in range(EMBED_LSH_BANDS):
+        key = F.lit(0)
+        for i in range(per_band):
+            key = key * 2 + bits[bnd * per_band + i]
+        keys.append(key)
+    return keys
+
+
+_EMBED_LSH_ORACLE_COS = """
+    list_dot_product(a.embedding, b.embedding)
+    / (sqrt(list_dot_product(a.embedding, a.embedding))
+       * sqrt(list_dot_product(b.embedding, b.embedding)))
+"""
+
+
+@register(
+    "q_dedup_embed_lsh",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT orig_id + {EMBED_PLANT_OFFSET} AS vec_id,
+                   list(x + {EMBED_PLANT_AMP} *
+                        (CAST((orig_id * 48271 + i * 104729) % 1009
+                              AS DOUBLE) / 1009.0 - 0.5)
+                        ORDER BY i) AS embedding
+            FROM (
+                SELECT vec_id AS orig_id,
+                       unnest(range(0, len(embedding))) AS i,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings WHERE vec_id < {EMBED_PLANT_N}
+            )
+            GROUP BY orig_id
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor({_EMBED_LSH_ORACLE_COS} * 10000.0) AS BIGINT)
+                   AS cos_q
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE {_EMBED_LSH_ORACLE_COS} >= {EMBED_LSH_TAU}
+    """,
+    family="dedup",
+    scale_notes=(
+        "the 100 TB embedding-dedup tier: near-dup tau (0.9) makes true "
+        "pairs angularly tiny, so hyperplane-sign LSH buckets prune the "
+        "pair space — candidates are an equi join on (band, band_key) "
+        "(measured ~4% of all-pairs on the fixture corpus), deduped on "
+        "the NARROW id pair before re-attaching 64-double vectors, then "
+        "exact-re-scored by the JVM HOF fold and floor-quantized. The "
+        "oracle is the EXACT all-pairs join over the identically "
+        "constructed corpus, so the driver hash also certifies 100% "
+        "candidate recall at this tau. Complements q_dedup_embed "
+        "(exact blocked-GEMM tier for tau at ambient similarity); at "
+        "rest the band keys are the partition/bucket columns, so "
+        "candidate generation is shuffle-free"
+    ),
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= 0.9) via LSH-bucket
+    candidates + exact JVM re-score, over the fixture corpus with
+    deterministic planted near-dups (the fixture has no natural pairs
+    above cos 0.61 — measured)."""
+    corpus = _planted_corpus(spark, sf_dir).cache()  # 3 consumers:
+    # bucket build + both re-score sides (HOF arrays re-evaluate per
+    # consumer subtree otherwise — CLAUDE.md caching rule)
+    buckets = corpus.select(
+        "vec_id",
+        F.posexplode(F.array(*_embed_band_keys())).alias("band", "band_key"),
+    )
+    cand = (
+        buckets.select(F.col("vec_id").alias("id_a"), "band", "band_key")
+        .join(
+            buckets.select(F.col("vec_id").alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    dot = _dot_spark("emb_a", "emb_b")
+    cos = dot / (
+        F.sqrt(_dot_spark("emb_a", "emb_a"))
+        * F.sqrt(_dot_spark("emb_b", "emb_b"))
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cos >= EMBED_LSH_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cos * 10000.0).cast("bigint").alias("cos_q"),
+        )
+    )

@@ -270,3 +270,16 @@ def test_sql_entry_gets_same_physical_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert re.search(r"PushedFilters: \[[^\]]*o_orderpriority", plan), plan
+
+
+def test_embed_lsh_candidates_are_equi_band_join(spark):
+    """q_dedup_embed_lsh: candidates come from an equi join on
+    (band, band_key) — never a cartesian/nested-loop theta join over
+    vec_id pairs (the q_dedup_embed GEMM tier is the only sanctioned
+    n² path, and it is block-level)."""
+    plan = plan_text(Q["q_dedup_embed_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    ), plan

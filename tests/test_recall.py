@@ -80,3 +80,26 @@ def test_connected_components_log_rounds(spark):
     assert len(rows) == 201
     assert all(r.label == 0 for r in rows)
     assert rounds <= 20, f"chain took {rounds} rounds (expected ~2 log n)"
+
+
+def test_embed_lsh_full_recall_on_planted_pairs(spark):
+    """q_dedup_embed_lsh's oracle is EXACT all-pairs, so the LSH
+    candidate stage must recall every planted pair (cos ~0.999 — misses
+    all 8 bands with p ~ 2.6e-8; deterministic under the fixed seed).
+    Verified structurally: exactly one pair per planted id, each
+    pairing an original with its perturbed copy at cos_q >= 9900."""
+    from flexcalc_spark.operators.dedup import (
+        EMBED_PLANT_N,
+        EMBED_PLANT_OFFSET,
+    )
+
+    rows = Q["q_dedup_embed_lsh"](spark, SF_DIR).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    expect = {
+        (i, i + EMBED_PLANT_OFFSET) for i in range(EMBED_PLANT_N)
+    }
+    assert pairs == expect, (
+        f"planted-pair recall broke: missing {expect - pairs}, "
+        f"extra {pairs - expect}"
+    )
+    assert all(r.cos_q >= 9900 for r in rows)

@@ -587,8 +587,9 @@ EQUIDEPTH_BUCKETS = 10
         "aggregate (9 doubles), broadcast back, and bucket assignment "
         "is a scan-side count-of-boundaries-below compare — the plan an "
         "ntile() formulation would serialize into a single-task global "
-        "sort. At 100 TB swap the exact boundaries for approx_percentile "
-        "(mergeable sketch), same downstream plan. Boundary compares on "
+        "sort. The 100 TB boundary source is implemented as "
+        "q_histogram_equidepth_approx (approx_percentile — mergeable "
+        "sketch, same downstream plan). Boundary compares on "
         "raw doubles are engine-identical (quantile_cont and Spark "
         "percentile interpolate identically — proven by q_agg_percentile)"
     ),
@@ -596,15 +597,42 @@ EQUIDEPTH_BUCKETS = 10
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-bucket equi-depth histogram of l_extendedprice: exact decile
     boundaries (one agg) broadcast onto a scan-side bucket tagging."""
+    return _equidepth(spark, sf_dir, approx=False)
+
+
+# accuracy = 1/eps for the mergeable quantile sketch: rank error <=
+# n * 1e-4 — boundaries within a handful of rows of exact at bench
+# scale, while the aggregation state stays fixed-size.
+EQUIDEPTH_ACCURACY = 10_000
+
+
+def _equidepth(
+    spark: SparkSession, sf_dir: str, approx: bool
+) -> DataFrame:
+    """Shared equi-depth plan with a parameterized boundary source.
+
+    approx=False: Spark's exact ``percentile`` — interpolates
+    identically to DuckDB quantile_cont, so it is the oracle twin; its
+    final aggregate buffers every value (single-reduce), which is the
+    documented scale-killer on a billion-row column.
+    approx=True: ``approx_percentile`` — a mergeable quantile sketch
+    with map-side partial aggregation and fixed-size state; the 100 TB
+    path. Downstream (broadcast boundaries -> scan-side tag -> group)
+    is byte-identical between the two."""
     from flexcalc_spark.tables import table_parallel
 
     l = table_parallel(spark, sf_dir, "lineitem")
-    pcts = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
-    b = l.agg(
-        F.expr(
-            f"percentile(l_extendedprice, array({', '.join(map(str, pcts))}))"
-        ).alias("qs")
+    pcts = ", ".join(
+        str(i / EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS)
     )
+    if approx:
+        bexpr = (
+            f"approx_percentile(l_extendedprice, array({pcts}),"
+            f" {EQUIDEPTH_ACCURACY})"
+        )
+    else:
+        bexpr = f"percentile(l_extendedprice, array({pcts}))"
+    b = l.agg(F.expr(bexpr).alias("qs"))
     tagged = l.crossJoin(F.broadcast(b)).select(
         F.expr(
             "CAST(size(filter(qs, q -> q < l_extendedprice)) AS BIGINT)"
@@ -616,3 +644,27 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+@register(
+    "q_histogram_equidepth_approx",
+    oracle=None,  # sketch boundaries have no ANSI twin (rows-only);
+    # bucket-population equivalence vs the exact tier is asserted in
+    # tests/test_properties.py, and the plan's freedom from the exact
+    # single-reduce percentile in tests/test_plans.py
+    family="aggregates",
+    scale_notes=(
+        "the 100 TB equi-depth path: boundaries from approx_percentile "
+        "— a MERGEABLE quantile sketch (map-side partials, fixed-size "
+        "state) instead of exact percentile's buffer-every-value final "
+        "aggregate. Same broadcast + scan-side tagging downstream as "
+        "the exact tier; rank error bounded by n/accuracy. This is the "
+        "code path q_histogram_equidepth's scale_notes always promised"
+    ),
+)
+def q_histogram_equidepth_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth histogram with sketch-based (mergeable, fixed-state)
+    decile boundaries — the at-scale variant of q_histogram_equidepth."""
+    return _equidepth(spark, sf_dir, approx=True)

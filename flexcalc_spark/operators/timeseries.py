@@ -383,14 +383,44 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boundary row and the 1-value reference day broadcast back onto "
         "the customer table — segmentation of a billion customers is "
         "one narrow shuffle on custkey plus two scalar broadcasts, no "
-        "global sort (the ntile formulation would serialize). Exact "
-        "percentile boundaries swap to approx_percentile at scale, "
-        "same downstream plan (q_histogram_equidepth precedent)"
+        "global sort (the ntile formulation would serialize). The "
+        "at-scale boundary source is implemented as q_rfm_approx "
+        "(approx_percentile, same downstream plan)"
     ),
 )
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency / frequency / monetary segmentation of customers from
     their orders, with percentile-boundary segments (core/growth/tail)."""
+    return _rfm(spark, sf_dir, approx=False)
+
+
+@register(
+    "q_rfm_approx",
+    oracle=None,  # sketch boundaries have no ANSI twin (rows-only);
+    # segment-assignment equivalence vs the exact tier asserted in
+    # tests/test_properties.py, plan freedom from exact percentile in
+    # tests/test_plans.py
+    family="analytics",
+    scale_notes=(
+        "q_rfm's 100 TB path: the two segment boundaries come from "
+        "approx_percentile (mergeable sketch, fixed-size state) instead "
+        "of exact percentile's buffer-every-value single reduce — on a "
+        "billion customers the boundary agg is the only piece of the "
+        "exact plan that doesn't scale, and it is the only piece that "
+        "changes. Boundary rank error n/10000 moves only customers "
+        "sitting exactly on a decile edge between segments"
+    ),
+)
+def q_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with sketch-based percentile boundaries — the
+    at-scale variant of q_rfm."""
+    return _rfm(spark, sf_dir, approx=True)
+
+
+def _rfm(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
+    """Shared RFM plan; ``approx`` selects the boundary source (exact
+    percentile = oracle twin / approx_percentile = mergeable scale
+    path — q_histogram_equidepth precedent)."""
     from flexcalc_spark.tables import epoch_us_of, table_parallel
 
     o = table_parallel(spark, sf_dir, "orders")
@@ -403,9 +433,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mg"),
     )
     ref = cust.agg(F.max("lastd").alias("refd"))
+    pfn = "approx_percentile" if approx else "percentile"
+    acc = ", 10000" if approx else ""
     b = cust.agg(
-        F.expr("percentile(CAST(frequency AS DOUBLE), 0.66)").alias("fq"),
-        F.expr("percentile(CAST(mg AS DOUBLE), 0.66)").alias("mq"),
+        F.expr(f"{pfn}(CAST(frequency AS DOUBLE), 0.66{acc})").alias("fq"),
+        F.expr(f"{pfn}(CAST(mg AS DOUBLE), 0.66{acc})").alias("mq"),
     )
     seg = (
         F.when(

@@ -157,6 +157,8 @@ GRADE_ORDER: list[str] = [
     "q_set_union", "q_set_intersect", "q_set_except",
     # --- 50-key line (driver window size) ---
     "q_distinct", "q_text_stats",
+    "q_rfm_approx",  # rows-only twin of q_rfm; equidepth_approx
+    # represents the sketch-boundary pattern inside the window
     # r3/r4-confirmed keys (passed under the current fixture generation)
     "q_str_funcs", "q_str_regexp", "q_str_distance",
     "q_date_parts", "q_date_arith",

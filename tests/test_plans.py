@@ -283,3 +283,21 @@ def test_embed_lsh_candidates_are_equi_band_join(spark):
     assert re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
     ), plan
+
+
+def test_approx_tiers_have_no_exact_percentile_reduce(spark):
+    """The scale-path variants must aggregate boundaries with the
+    MERGEABLE approx_percentile sketch — Spark's exact percentile
+    buffers every value into one final aggregation buffer, the
+    documented 100 TB killer these keys exist to avoid."""
+    for key in ["q_histogram_equidepth_approx", "q_rfm_approx"]:
+        plan = plan_text(Q[key](spark, SF_DIR))
+        assert "approx_percentile" in plan, key
+        assert not re.search(r"(?<!approx_)percentile\(", plan), key
+
+
+def test_exact_percentile_tiers_still_exact(spark):
+    """And the oracle twins keep the exact boundary source."""
+    for key in ["q_histogram_equidepth", "q_rfm"]:
+        plan = plan_text(Q[key](spark, SF_DIR))
+        assert re.search(r"(?<!approx_)percentile\(", plan), key

@@ -212,3 +212,49 @@ def test_bloom_prefilter_is_superset_with_bounded_fp(spark):
     n_rows = l.count()
     fp = (len(passed_keys - true_keys)) / max(n_rows, 1)
     assert fp < 0.05, fp                     # sized for ~1.2%
+
+
+def test_equidepth_approx_matches_exact_buckets(spark):
+    """The approx_percentile boundary path must produce bucket
+    populations within sketch tolerance of the exact tier (accuracy
+    10000 => rank error <= n * 1e-4 per boundary)."""
+    from flexcalc_spark import registry
+
+    exact = {
+        r.bucket: r.cnt
+        for r in registry.QUERIES["q_histogram_equidepth"](
+            spark, SF_DIR
+        ).collect()
+    }
+    approx = {
+        r.bucket: r.cnt
+        for r in registry.QUERIES["q_histogram_equidepth_approx"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(approx) == set(range(10))
+    n = sum(exact.values())
+    assert sum(approx.values()) == n
+    tol = max(2, int(n * 2e-4) + 1)   # two boundaries bound each bucket
+    for b in exact:
+        assert abs(exact[b] - approx[b]) <= tol, (
+            b, exact[b], approx[b], tol
+        )
+
+
+def test_rfm_approx_matches_exact_segments(spark):
+    """Sketch boundaries may move only customers sitting exactly on a
+    decile edge between segments — assert near-total agreement."""
+    from flexcalc_spark import registry
+
+    exact = {
+        r.o_custkey: r.segment
+        for r in registry.QUERIES["q_rfm"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.o_custkey: r.segment
+        for r in registry.QUERIES["q_rfm_approx"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    same = sum(1 for k in exact if exact[k] == approx[k])
+    assert same / len(exact) >= 0.99, same / len(exact)

@@ -301,3 +301,83 @@ def test_exact_percentile_tiers_still_exact(spark):
     for key in ["q_histogram_equidepth", "q_rfm"]:
         plan = plan_text(Q[key](spark, SF_DIR))
         assert re.search(r"(?<!approx_)percentile\(", plan), key
+
+
+# --- round-4/5 analytics + source keys (VERDICT r4 #6) -----------------
+
+
+def test_funnel_stage_filters_reach_parquet(spark):
+    """Each funnel stage scans events with its event_type pushed down —
+    at 100 TB the stage scans must prune at the source, not post-scan."""
+    plan = plan_text(Q["q_funnel"](spark, SF_DIR))
+    assert "EqualTo(event_type,view)" in plan, plan
+    assert "EqualTo(event_type,click)" in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_retention_broadcasts_first_seen(spark):
+    """Cohort join: the per-user first-seen table broadcasts onto the
+    distinct-activity stream (users << activity rows)."""
+    plan = plan_text(Q["q_retention"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_transitions_lag_window_and_broadcast_totals(spark):
+    """Markov transitions: per-user lag window, then the 5-row
+    per-prev totals broadcast back onto the |types|^2 matrix."""
+    plan = plan_text(Q["q_transitions"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_time_rollup_reuses_cached_hour_level(spark):
+    """The day level must fold the CACHED hour level (continuous-
+    aggregate cascade), not re-scan raw events per union branch."""
+    plan = plan_text(Q["q_time_rollup"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_table_checksum_is_single_scan(spark):
+    """Cross-engine checksum must cost ONE scan of the table."""
+    plan = plan_text(Q["q_table_checksum"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_session_stats_percentile_over_session_rows(spark):
+    """The scalar percentile aggregates the session-level table
+    (sessions << events) after the same user_id window sessionization
+    pays for; no cartesian anywhere."""
+    plan = plan_text(Q["q_session_stats"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sliding_distinct_day_window_is_range_frame(spark):
+    """The trailing-week sketch union must use the calendar RANGE
+    frame over the day-grain table (ADVICE r4: a ROWS frame silently
+    widens past 7 days on a gapped fixture)."""
+    plan = plan_text(Q["q_sliding_distinct"](spark, SF_DIR))
+    assert re.search(r"RangeFrame, -6", plan), plan
+
+
+def test_source_json_scan_prunes_columns(spark):
+    """The JSON read-back scan prunes to the aggregate's columns —
+    doc_id must not survive into the reader's ReadSchema."""
+    plan = plan_text(Q["q_source_json"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "doc_id" not in cols, cols
+    assert {"source", "lang", "n_chars", "text"} <= cols, cols
+
+
+def test_source_orc_scan_prunes_columns(spark):
+    """ORC read-back prunes to (lang, n_chars) — neither doc_id nor
+    the wide text column is read."""
+    plan = plan_text(Q["q_source_orc"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"lang", "n_chars"}, cols

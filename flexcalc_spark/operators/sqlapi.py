@@ -68,3 +68,47 @@ def q_sql_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+_Q10_BODY = f"""
+    SELECT c_custkey, c_name, n_name,
+           {_REVENUE} AS revenue
+    FROM {{c}} JOIN {{o}} ON c_custkey = o_custkey
+         JOIN {{l}} ON l_orderkey = o_orderkey
+         JOIN {{n}} ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    "q_sql_tpch10",
+    oracle=_Q10_BODY.format(
+        c="customer", o="orders", l="lineitem", n="nation"
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q10 shape through the SQL surface: a 4-table join where "
+        "Catalyst's join ordering + AQE pick the physical strategy — "
+        "nation broadcasts (25 rows), the returnflag filter pushes into "
+        "the lineitem scan cutting the fact side ~3x before the "
+        "orderkey shuffle join, and the customer attach rides a "
+        "custkey shuffle that AQE can flip to broadcast at small "
+        "scale. TakeOrderedAndProject caps the result at 20 rows per "
+        "partition before the driver merge — no global sort. The "
+        "revenue grid-sum and the LIMIT tiebreak are written directly "
+        "in the SQL text (dialect-portable determinism)"
+    ),
+)
+def q_sql_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-like: top-20 customers by returned-item revenue with
+    nation attached, expressed purely as SQL text."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q10_BODY.format(
+            c="v_customer", o="v_orders", l="v_lineitem", n="v_nation"
+        )
+    )

@@ -8,11 +8,12 @@ TIFF slices into a dense array (R1). Spark-native rendering:
 kernel over ``mapInPandas``.
 
 Decoding dispatches through ``DECODERS``: ``raw`` (np.frombuffer
-reshape) and UNCOMPRESSED grayscale ``tiff`` (pure-Python IFD parse +
-frombuffer — both byte orders, 8/16/32-bit int and 32/64-bit float) are
-fully real; compressed/multi-sample tiff and png/jpeg/wav raise
-NotImplementedError because no image library ships in this container
-(plug Pillow/tifffile in where available). The Spark-side plumbing —
+reshape) and grayscale ``tiff`` (pure-Python IFD parse — both byte
+orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
+PackBits with the horizontal predictor) are fully real; other tiff
+codecs and png/jpeg/wav raise NotImplementedError because no image
+library ships in this container (plug Pillow/tifffile in where
+available). The Spark-side plumbing —
 schema, partitioning, UDF signature, Arrow batch shape — is real and
 tested either way.
 
@@ -71,13 +72,89 @@ _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
                     9: 4, 10: 8, 11: 4, 12: 8}
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF Compression=32773), pure Python.
+
+    Control byte n: 0..127 -> copy n+1 literals; 129..255 -> repeat the
+    next byte 257-n times; 128 -> no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (Compression=5), pure Python: MSB-first bit
+    packing, 9->12-bit codes with EARLY CHANGE (width bumps when the
+    table reaches 2^w - 1, one entry before a power of two — the TIFF 6.0
+    quirk), ClearCode=256, EOI=257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos, nbits = 0, 9
+    total_bits = len(data) * 8
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, nbits
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+
+    reset()
+    prev: bytes | None = None
+    while bitpos + nbits <= total_bits:
+        byte = bitpos >> 3
+        shift = bitpos & 7
+        chunk = int.from_bytes(data[byte : byte + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - shift - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: literal expected after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):        # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW: code {code} beyond table")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) >= (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+_TIFF_DECOMPRESSORS: dict[int, Callable[[bytes], bytes]] = {
+    1: lambda b: b,
+    5: _lzw_decode,
+    32773: _packbits_decode,
+}
+
+
 def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
-    """Pure-Python decoder for UNCOMPRESSED single-sample (grayscale)
-    TIFF — the format FLEX-ray slice stacks actually use. Parses the
-    first IFD (both byte orders), validates Compression=1, assembles the
-    strip data, and normalizes to native byte order. Compressed or
-    multi-sample files raise NotImplementedError (plug Pillow/tifffile
-    into DECODERS where available)."""
+    """Pure-Python decoder for single-sample (grayscale) TIFF — the
+    format FLEX-ray slice stacks actually use. Parses the first IFD
+    (both byte orders), decompresses strips (Compression = none, LZW,
+    or PackBits; horizontal predictor honored), and normalizes to
+    native byte order. Other codecs or multi-sample files raise
+    NotImplementedError (plug Pillow/tifffile into DECODERS where
+    available)."""
     import struct
 
     if content[:2] == b"II":
@@ -112,26 +189,37 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
             raise ValueError(f"TIFF missing required tag {tag}")
         return default
 
-    if one(259, 1) != 1:
+    compression = one(259, 1)
+    decompress = _TIFF_DECOMPRESSORS.get(compression)
+    if decompress is None:
         raise NotImplementedError(
-            "compressed TIFF needs an image library (Pillow/tifffile); "
-            "only Compression=1 decodes offline"
+            f"TIFF Compression={compression} not supported offline; "
+            "only none(1)/LZW(5)/PackBits(32773) decode pure-Python "
+            "(plug Pillow/tifffile into DECODERS for the rest)"
         )
     if one(277, 1) != 1:
         raise NotImplementedError("multi-sample (RGB) TIFF not supported offline")
     w, h = one(256), one(257)
     bps = one(258, 8)
     sample_fmt = one(339, 1)              # 1 uint, 2 int, 3 float
+    predictor = one(317, 1)               # 1 none, 2 horizontal differencing
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_fmt)
     if kind is None or (kind == "f" and bps not in (32, 64)) or bps % 8:
         raise NotImplementedError(
             f"TIFF sample format {sample_fmt}/{bps}bps not supported"
         )
+    if predictor not in (1, 2) or (predictor == 2 and kind == "f"):
+        raise NotImplementedError(f"TIFF Predictor={predictor} not supported")
     offs = tags.get(273)
     if not offs:
         raise ValueError("TIFF missing StripOffsets")
     cnts = tags.get(279, [h * w * (bps // 8)])
-    data = b"".join(o and content[o : o + c] or b"" for o, c in zip(offs, cnts))
+    # strips decompress independently (that's what makes them the
+    # parallelism grain in real readers)
+    data = b"".join(
+        decompress(content[o : o + c]) if o else b""
+        for o, c in zip(offs, cnts)
+    )
     expected = h * w * (bps // 8)
     if len(data) != expected:
         raise ValueError(f"TIFF strip data {len(data)} != {expected}")
@@ -140,6 +228,12 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     native = src.newbyteorder("=")
     if src != native:
         arr = arr.astype(native)
+    if predictor == 2:
+        # horizontal differencing: each sample stores the delta to its
+        # left neighbor; integrate per row in the sample dtype (wrapping)
+        arr = np.add.accumulate(
+            arr.reshape(h, w), axis=1, dtype=native
+        ).reshape(-1)
     return h, w, native.name, arr.tobytes()
 
 

@@ -381,3 +381,52 @@ def test_source_orc_scan_prunes_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"lang", "n_chars"}, cols
+
+
+def test_ngram_lm_model_joins_broadcast(spark):
+    """The bigram/context count tables must attach as broadcasts (the
+    model is vocabulary-sized); a shuffle join on the raw pair stream
+    would re-shuffle the whole corpus per model table."""
+    plan = plan_text(Q["q_ngram_lm"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_data_profile_is_single_scan(spark):
+    """All 24 profile cells compute over ONE scan of lineitem — a
+    per-column rescan loop would be 6 scans of a 100 TB table."""
+    plan = plan_text(Q["q_data_profile"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_data_audit_no_cartesian(spark):
+    plan = plan_text(Q["q_data_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_readback_pushes_both_filters(spark):
+    """The box predicate must reach the clustered layout's parquet scan
+    on BOTH z-order columns — that's the data-skipping contract."""
+    plan = plan_text(Q["q_zorder_layout"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    f = m.group(1)
+    assert "l_partkey" in f and "l_suppkey" in f, f
+
+
+def test_inverted_index_two_phase_agg(spark):
+    """tf collapse (partial+final) precedes the postings fold — the
+    fold's per-token state is df rows, never raw occurrences."""
+    plan = plan_text(Q["q_inverted_index"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_tpch10_broadcast_and_topk(spark):
+    """Catalyst must broadcast the nation dim and cap the LIMIT via
+    TakeOrderedAndProject — no global sort of the joined fact."""
+    plan = plan_text(Q["q_sql_tpch10"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

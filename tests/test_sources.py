@@ -162,3 +162,250 @@ def test_media_features_mixed_decodability(spark):
     assert feats[1].thumb_h == 1 and feats[1].thumb_w == 1
     assert feats[2].mean_intensity == "NOT_DECODABLE"
     assert feats[2].thumb_h == -1
+
+
+# ---------------------------------------------------------------------------
+# Compressed-TIFF round-trips (LZW / PackBits / predictor)
+# ---------------------------------------------------------------------------
+# Test-only encoders: the engine only DECODES (real slice stacks arrive
+# already compressed); these encoders exist to synthesize fixtures. The
+# decoder's width-change points (bump at table length 2^n - 1, the TIFF
+# 6.0 "early change") match the constants published decoders use; the
+# encoder is derived to stay in lockstep (bump at next_code == 2^n) and
+# the round-trips below cross every width boundary to prove the pairing.
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:                               # run of >= 2
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:                                   # literal run
+            j = i
+            while j < n and j - i < 128:
+                if j < n - 2 and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    cur, curbits, nbits = 0, 0, 9
+
+    def emit(code: int) -> None:
+        nonlocal cur, curbits
+        cur = (cur << nbits) | code
+        curbits += nbits
+        while curbits >= 8:
+            curbits -= 8
+            out.append((cur >> curbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code >= (1 << nbits) and nbits < 12:
+            nbits += 1
+        if next_code == 4093:                   # table nearly full
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, nbits = 258, 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if curbits:
+        out.append((cur << (8 - curbits)) & 0xFF)
+    return bytes(out)
+
+
+def _write_tiff_ex(
+    path,
+    arr: np.ndarray,
+    endian: str = "<",
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> None:
+    """General grayscale TIFF writer: multi-strip, Compression in
+    {1, 5, 32773}, optional horizontal predictor (integer dtypes)."""
+    import struct
+
+    kindmap = {"u": 1, "i": 2, "f": 3}
+    h, w = arr.shape
+    dt = arr.dtype
+    bps = dt.itemsize * 8
+    rps = rows_per_strip or h
+    work = arr
+    if predictor == 2:
+        work = work.copy()
+        work[:, 1:] = (work[:, 1:] - work[:, :-1]).astype(dt)
+    enc = {1: lambda b: b, 5: _lzw_encode, 32773: _packbits_encode}[compression]
+    strips = [
+        enc(work[r : r + rps].astype(dt.newbyteorder(endian)).tobytes())
+        for r in range(0, h, rps)
+    ]
+    n_strips = len(strips)
+    n_tags = 10
+    ifd_off = 8
+    # value area holds the strip offset/count arrays when n_strips > 1
+    val_off = ifd_off + 2 + n_tags * 12 + 4
+    arrays_sz = (2 * 4 * n_strips) if n_strips > 1 else 0
+    data_off = val_off + arrays_sz
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def tag(tid, typ, cnt, val):
+        code = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(endian + code, val)
+        raw += b"\x00" * (4 - len(raw))
+        return struct.pack(endian + "HHI", tid, typ, cnt) + raw
+
+    ifd = struct.pack(endian + "H", n_tags)
+    ifd += tag(256, 4, 1, w)
+    ifd += tag(257, 4, 1, h)
+    ifd += tag(258, 3, 1, bps)
+    ifd += tag(259, 3, 1, compression)
+    if n_strips > 1:
+        ifd += tag(273, 4, n_strips, val_off)
+    else:
+        ifd += tag(273, 4, 1, offs[0])
+    ifd += tag(277, 3, 1, 1)
+    ifd += tag(278, 4, 1, rps)
+    if n_strips > 1:
+        ifd += tag(279, 4, n_strips, val_off + 4 * n_strips)
+    else:
+        ifd += tag(279, 4, 1, len(strips[0]))
+    ifd += tag(317, 3, 1, predictor)
+    ifd += tag(339, 3, 1, kindmap[dt.kind])
+    ifd += struct.pack(endian + "I", 0)
+    body = b""
+    if n_strips > 1:
+        body += struct.pack(f"{endian}{n_strips}I", *offs)
+        body += struct.pack(
+            f"{endian}{n_strips}I", *(len(s) for s in strips)
+        )
+    bo = b"II" if endian == "<" else b"MM"
+    with open(path, "wb") as fh:
+        fh.write(
+            bo
+            + struct.pack(endian + "H", 42)
+            + struct.pack(endian + "I", ifd_off)
+            + ifd
+            + body
+            + b"".join(strips)
+        )
+
+
+@pytest.mark.parametrize(
+    "compression,predictor,dtype,endian,rps",
+    [
+        (5, 1, "uint8", "<", None),
+        (5, 2, "uint8", "<", 3),
+        (5, 2, "uint16", ">", 4),
+        (32773, 1, "uint8", "<", None),
+        (32773, 1, "uint16", ">", 2),
+        (1, 2, "uint16", "<", None),
+    ],
+)
+def test_tiff_compressed_roundtrip(compression, predictor, dtype, endian, rps):
+    """LZW / PackBits / predictor TIFFs round-trip bit-exactly through
+    the pure-Python decoder (smooth gradient data — compressible)."""
+    rng = np.random.RandomState(11)
+    base = np.cumsum(rng.randint(0, 3, size=(10, 9)), axis=1)
+    img = base.astype(dtype)
+    import io, tempfile, os
+
+    fd, fp = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        _write_tiff_ex(
+            fp, img, endian, compression=compression,
+            predictor=predictor, rows_per_strip=rps or img.shape[0],
+        )
+        with open(fp, "rb") as fh:
+            content = fh.read()
+        h, w, dt, px = bf._decode_tiff(content, {})
+        back = np.frombuffer(px, dtype=dt).reshape(h, w)
+        assert back.dtype == img.dtype
+        assert np.array_equal(back, img)
+    finally:
+        os.unlink(fp)
+
+
+def test_lzw_wide_codes_roundtrip():
+    """Incompressible data pushes the LZW table through every code width
+    (9->12 bits) and past the clear threshold — the width-change pairing
+    between encoder and decoder is what this proves."""
+    rng = np.random.RandomState(13)
+    data = rng.randint(0, 256, size=200_000, dtype=np.uint8).tobytes()
+    assert bf._lzw_decode(_lzw_encode(data)) == data
+
+
+def test_packbits_long_runs_roundtrip():
+    data = b"\x00" * 300 + bytes(range(256)) * 2 + b"\xff" * 129
+    assert bf._packbits_decode(_packbits_encode(data)) == data
+
+
+def test_tiff_unsupported_codec_raises():
+    """JPEG-in-TIFF (Compression=7) must raise the documented
+    NotImplementedError, not garbage-decode."""
+    img = np.zeros((4, 4), dtype=np.uint8)
+    import os, tempfile
+
+    fd, fp = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        _write_tiff_ex(fp, img, "<", compression=1)
+        with open(fp, "rb") as fh:
+            content = bytearray(fh.read())
+        # Compression tag (259) value: patch 1 -> 7 in place
+        idx = content.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+        assert idx > 0
+        content[idx + 8] = 7
+        with pytest.raises(NotImplementedError):
+            bf._decode_tiff(bytes(content), {})
+    finally:
+        os.unlink(fp)
+
+
+def test_read_stack_lzw_tiff_roundtrip(spark, tmp_path):
+    """R1 ingest path with LZW-compressed slices end-to-end through
+    read_stack (binaryFile source -> mapInPandas decode)."""
+    rng = np.random.RandomState(17)
+    vol = np.cumsum(
+        rng.randint(0, 5, size=(3, 6, 5)), axis=2
+    ).astype("uint16")
+    d = tmp_path / "lzwstack"
+    d.mkdir()
+    for i in range(vol.shape[0]):
+        _write_tiff_ex(
+            str(d / f"s_{i:03d}.tif"), vol[i], "<",
+            compression=5, predictor=2, rows_per_strip=2,
+        )
+    df = bf.read_stack(spark, str(d), "scanL", "tiff", {}, glob="*.tif")
+    back = ct.array_from_slices(df)
+    assert back.dtype == vol.dtype
+    assert np.array_equal(back, vol)

@@ -668,3 +668,119 @@ def q_histogram_equidepth_approx(
     """Equi-depth histogram with sketch-based (mergeable, fixed-state)
     decile boundaries — the at-scale variant of q_histogram_equidepth."""
     return _equidepth(spark, sf_dir, approx=True)
+
+
+# --- q_corr_matrix -------------------------------------------------------
+# Per-column integer grids sized so every squared/cross sum stays inside
+# BIGINT at sf0.1 and beyond (qty<=50 -> 1e-2 grid; price ~1e5 -> unit
+# grid; discount <=0.1 -> 1e-4 grid). Exact integer moments make the
+# final double-math correlation bit-identical across engines.
+_CORR_GRIDS = {"l_quantity": 100, "l_extendedprice": 1, "l_discount": 10000}
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+# identical literal structure on both engines; inputs are exact BIGINTs
+_CORR_EXPR = (
+    "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) <= 0.0"
+    " OR (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) <= 0.0"
+    " THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    " * 10000.0) AS BIGINT) END"
+)
+
+
+def _corr_oracle() -> str:
+    g = {
+        c: f"CAST(floor(l_{{}}.{c} * {w}.0 + 0.5) AS BIGINT)".replace(
+            "l_{}.", ""
+        )
+        for c, w in _CORR_GRIDS.items()
+    }
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_GRIDS:
+        a = c.split("_", 1)[1][:4]
+        sums.append(f"CAST(SUM({g[c]}) AS BIGINT) AS s_{a}")
+        sums.append(f"CAST(SUM({g[c]} * {g[c]}) AS BIGINT) AS s_{a}{a}")
+    for x, y in _CORR_PAIRS:
+        ax, ay = x.split("_", 1)[1][:4], y.split("_", 1)[1][:4]
+        sums.append(f"CAST(SUM({g[x]} * {g[y]}) AS BIGINT) AS s_{ax}{ay}")
+    selects = []
+    for x, y in _CORR_PAIRS:
+        ax, ay = x.split("_", 1)[1][:4], y.split("_", 1)[1][:4]
+        expr = (
+            _CORR_EXPR.replace("sxx", f"s_{ax}{ax}")
+            .replace("syy", f"s_{ay}{ay}")
+            .replace("sxy", f"s_{ax}{ay}")
+            .replace("sx", f"s_{ax}")
+            .replace("sy", f"s_{ay}")
+        )
+        selects.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n, {expr} AS corr_q"
+            " FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "q_corr_matrix",
+    oracle=_corr_oracle(),
+    family="aggregates",
+    scale_notes=(
+        "pairwise Pearson correlation of 3 measures in ONE scan: all 10 "
+        "moment sums (n, per-column sums/squares, cross products) ride "
+        "per-column integer grids sized so every BIGINT sum is exact at "
+        "scale, accumulate map-side, and shuffle as a single 10-cell "
+        "row per partition; the correlation formula then runs on the "
+        "one-row aggregate in double math that is bit-identical across "
+        "engines because its inputs are exact integers. Feature-stores "
+        "use this shape for drift/leakage checks across hundreds of "
+        "column pairs — still one scan, the moment count grows "
+        "quadratically but each is one counter. Degenerate (zero "
+        "variance) pairs clamp to 0 identically on both engines. At "
+        "larger row counts swap BIGINT for DECIMAL(38,0) accumulators "
+        "before the grid products can overflow"
+    ),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of (quantity, price, discount) from
+    exact integer-grid moments — (col_x, col_y, n, corr_q)."""
+    li = table(spark, sf_dir, "lineitem")
+    g = {
+        c: F.floor(F.col(c) * float(w) + 0.5).cast("bigint")
+        for c, w in _CORR_GRIDS.items()
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_GRIDS:
+        a = c.split("_", 1)[1][:4]
+        aggs.append(F.sum(g[c]).cast("bigint").alias(f"s_{a}"))
+        aggs.append(F.sum(g[c] * g[c]).cast("bigint").alias(f"s_{a}{a}"))
+    for x, y in _CORR_PAIRS:
+        ax, ay = x.split("_", 1)[1][:4], y.split("_", 1)[1][:4]
+        aggs.append(F.sum(g[x] * g[y]).cast("bigint").alias(f"s_{ax}{ay}"))
+    m = li.agg(*aggs)
+    # one select + stack so all three pairs share the single aggregate
+    # subtree (a union of selects would re-run the scan per branch)
+    cols, stack_parts = [], []
+    for i, (x, y) in enumerate(_CORR_PAIRS):
+        ax, ay = x.split("_", 1)[1][:4], y.split("_", 1)[1][:4]
+        expr = (
+            _CORR_EXPR.replace("sxx", f"s_{ax}{ax}")
+            .replace("syy", f"s_{ay}{ay}")
+            .replace("sxy", f"s_{ax}{ay}")
+            .replace("sx", f"s_{ax}")
+            .replace("sy", f"s_{ay}")
+        )
+        cols.append(F.expr(expr).alias(f"c{i}"))
+        stack_parts.append(f"'{x}', '{y}', n, c{i}")
+    row = m.select("n", *cols)
+    return row.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {', '.join(stack_parts)})"
+        " AS (col_x, col_y, n, corr_q)"
+    )

@@ -110,11 +110,13 @@ _SESSIONIZE_ORACLE = f"""
 """
 
 
-def sessionized(e: DataFrame) -> DataFrame:
-    """events (+ts_us) -> (event_id, user_id, ts_us, sess_id): the ONE
-    place the 30-min-gap boundary rule lives. New session when the gap
-    from the previous event is >= the threshold — matching
-    session_window's half-open [start, last+gap) semantics."""
+def sessionized(e: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """events (+ts_us) -> (event_id, user_id, ts_us, *extra, sess_id):
+    the ONE place the 30-min-gap boundary rule lives. New session when
+    the gap from the previous event is >= the threshold — matching
+    session_window's half-open [start, last+gap) semantics.
+    ``extra_cols`` carries additional event columns (e.g. event_type for
+    path analysis) through the same single user_id shuffle."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)
     new_sess = F.when(
@@ -125,6 +127,7 @@ def sessionized(e: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         "ts_us",
+        *extra_cols,
         F.sum(new_sess).over(wc).cast("bigint").alias("sess_id"),
     )
 
@@ -522,4 +525,78 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_events").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_events"),
+    )
+
+
+@register(
+    "q_session_paths",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+        ), g AS (
+            SELECT event_id, user_id, ts_us, event_type,
+                   CASE WHEN ts_us - LAG(ts_us) OVER w >= {SESSION_GAP_US}
+                             OR LAG(ts_us) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), s AS (
+            SELECT user_id, ts_us, event_id, event_type,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g
+        ), p AS (
+            SELECT user_id, sess_id,
+                   string_agg(event_type, '>' ORDER BY ts_us, event_id)
+                       AS path
+            FROM s GROUP BY user_id, sess_id
+        )
+        SELECT path,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """,
+    family="analytics",
+    scale_notes=(
+        "user-journey path analysis (the product-analytics 'top paths' "
+        "report): event_type rides THROUGH the one user_id shuffle the "
+        "shared sessionization rule already pays (sessionized extra_cols "
+        "— no second join to re-attach it), each session's path folds "
+        "via collect_list over rows already co-located and "
+        "ordered-by-struct-sort (deterministic under any partitioning), "
+        "and the path histogram collapses map-side before a "
+        "TakeOrderedAndProject top-20. Path strings are bounded by "
+        "session length, not corpus size; at 100 TB add a per-session "
+        "event cap (slice after sort) so a runaway bot session cannot "
+        "produce an unbounded cell — the same cap every product "
+        "analytics engine applies"
+    ),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session event-type paths ('view>click>...') with session
+    and distinct-user counts, on the shared 30-min-gap rule."""
+    e = events_with_time(spark, sf_dir)
+    per = (
+        sessionized(e, extra_cols=("event_type",))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts_us, event_id, event_type))),"
+                " x -> x.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        per.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
     )

@@ -430,3 +430,27 @@ def test_sql_tpch10_broadcast_and_topk(spark):
     plan = plan_text(Q["q_sql_tpch10"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_session_paths_single_event_scan(spark):
+    """event_type must ride THROUGH the sessionization shuffle (one
+    events scan) — a second scan would mean a re-attach join."""
+    plan = plan_text(Q["q_session_paths"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skyline_no_quadratic_join(spark):
+    """The dominance test must be the two-phase prefix max — never the
+    oracle's quadratic NOT EXISTS self-join."""
+    plan = plan_text(Q["q_skyline"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"RangeFrame", plan), plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """All 10 moment sums accumulate over ONE lineitem scan."""
+    plan = plan_text(Q["q_corr_matrix"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

@@ -103,3 +103,83 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rw").cast("bigint").alias("rw"),
         (F.round(F.col("resized_mean").cast("double"), 4) + 0.0).alias("resized_mean"),
     )
+
+
+def media_video_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> 'video' media table: the 64-dim vector presents as
+    4 concatenated 4x4 float32 frames (n_frames in the typed metadata)."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arr = np.stack(pdf["embedding"].to_numpy()).astype("<f4")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["vec_id"].astype("int64"),
+                    "modality": "video",
+                    "fmt": "raw",
+                    "meta_json": '{"n_frames": 4, "h": 4, "w": 4,'
+                    ' "dtype": "float32"}',
+                    "content": [arr[i].tobytes() for i in range(len(pdf))],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(pack, MEDIA_SCHEMA)
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+        SELECT vec_id AS media_id,
+               CAST(f.f AS BIGINT) AS frame_idx,
+               ROUND(list_aggregate(
+                   CAST(embedding AS DOUBLE[])[16 * f.f + 1 : 16 * f.f + 16],
+                   'avg'), 4) + 0.0 AS frame_mean
+        FROM embeddings CROSS JOIN (SELECT unnest([0, 2]) AS f) f
+    """,
+    family="multimodal",
+    scale_notes=(
+        "video frame sampling (every k-th frame) over opaque binary "
+        "blobs: one Arrow mapInPandas pass splits each blob into frame "
+        "rows WITHOUT the blob ever leaving the executor, a second "
+        "columnar pass reduces each frame to its features — at 100 TB "
+        "the frame explosion multiplies rows by n_frames/k before any "
+        "shuffle, and per-frame features (narrow rows) are what moves. "
+        "Codec-compressed video raises through the DECODERS stub path "
+        "exactly like single-image decode (plug a real codec in where "
+        "the container has one); the raw-frames layout here keeps the "
+        "arithmetic oracle-checkable end-to-end"
+    ),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample (every 2nd frame) the video media table and reduce
+    each sampled frame to its mean — (media_id, frame_idx, frame_mean)."""
+    from flexcalc_spark.sources.binaryfiles import media_frame_sample
+
+    media = media_video_from_embeddings(spark, sf_dir)
+    frames = media_frame_sample(media, every_k=2)
+
+    out_schema = "media_id long, frame_idx long, frame_mean double"
+
+    def reduce_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = np.stack(
+                [np.frombuffer(bytes(b), dtype="<f4") for b in pdf["px"]]
+            )
+            means = px.astype(np.float64).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_mean": means,
+                }
+            )
+
+    red = frames.mapInPandas(reduce_frames, out_schema)
+    return red.select(
+        "media_id",
+        "frame_idx",
+        (F.round(F.col("frame_mean"), 4) + 0.0).alias("frame_mean"),
+    )

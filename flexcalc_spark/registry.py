@@ -149,13 +149,15 @@ GRADE_ORDER: list[str] = [
     "q_ngram_lm", "q_data_audit", "q_data_profile",
     "q_zorder_layout", "q_inverted_index", "q_sql_tpch10",
     "q_session_paths", "q_skyline", "q_corr_matrix",
+    "q_global_rank", "q_multimodal_frames",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations), filling to the 50-key line
     "q_scan_count", "q_project_expr", "q_filter_pred",
     "q_filter_in_like", "q_filter_null", "q_case_when",
     "q_join_broadcast", "q_join_inner", "q_join_multiway", "q_join_left",
-    "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+    "q_join_full", "q_join_semi",
     # --- 50-key line (driver window size) ---
+    "q_join_anti", "q_join_cross",
     "q_win_rank", "q_win_topk_group", "q_win_running",
     "q_win_ntile", "q_sort_multi", "q_topk", "q_limit_offset",
     "q_set_union", "q_set_intersect", "q_set_except",

@@ -70,6 +70,21 @@ RISKY = [
     "q_rfm",                # percentile-boundary segmentation
     "q_transitions",        # lag-window transition counts + ratios
     "q_session_stats",      # session-level percentile aggregate
+    # round-5 additions
+    "q_dedup_embed_lsh",    # hyperplane-band candidates + HOF re-score
+    "q_histogram_equidepth_approx",  # sketch boundaries + scan-side tag
+    "q_rfm_approx",         # sketch segment boundaries
+    "q_ngram_lm",           # floor-quantized ln sums over pair stream
+    "q_data_audit",         # fused conditional-sum counters
+    "q_data_profile",       # 24-cell single-pass aggregate + stack
+    "q_zorder_layout",      # Morton rewrite + box-query read-back
+    "q_inverted_index",     # struct-sorted postings fold
+    "q_sql_tpch10",         # SQL-text 4-way join, grid sums + LIMIT ties
+    "q_session_paths",      # struct-sorted path fold + top-20 ties
+    "q_skyline",            # two-phase prefix max dominance
+    "q_corr_matrix",        # integer-grid moments, double formula
+    "q_global_rank",        # two-phase block rank + offset broadcast
+    "q_multimodal_frames",  # Arrow frame split + columnar reduce
 ]
 
 

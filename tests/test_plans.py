@@ -74,6 +74,7 @@ def test_graded_queries_avoid_python_udfs(spark):
     allowed_python = {
         "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
         "q_stateful_sessions", "q_multimodal_features", "q_multimodal_resize",
+        "q_multimodal_frames",
         # blocked-GEMM candidate generation: dense O(n²) numerics belongs
         # to BLAS, the exact re-score stays JVM-side (dedup.py)
         "q_dedup_embed",
@@ -454,3 +455,12 @@ def test_corr_matrix_single_scan(spark):
     """All 10 moment sums accumulate over ONE lineitem scan."""
     plan = plan_text(Q["q_corr_matrix"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_global_rank_is_block_partitioned(spark):
+    """The heavy rank must run under a block-hash partitioning (the
+    two-phase decomposition), with offsets attached by broadcast — not
+    one serializing global-order window."""
+    plan = plan_text(Q["q_global_rank"](spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(block", plan), plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -1,0 +1,211 @@
+"""Experimentation / modeling aggregates: two-sample A/B z-test and
+one-pass multi-feature OLS via normal equations.
+
+Both queries collapse the full scan into a handful of EXACT integer
+moments (per-column grids sized so every BIGINT sum is overflow-safe at
+fixture scale — see each constant), then evaluate the statistical
+formula in double math on the tiny aggregate row. Because the formula
+inputs are exact integers and the formula TEXT is shared verbatim
+between the Spark plan and the DuckDB oracle, the resulting doubles are
+bit-identical across engines (the q_corr_matrix construction).
+
+- **q_ab_test**: the experimentation-platform primitive. Users split
+  into arms by user-id parity (a stand-in for the assignment hash);
+  per event_type the Welch z statistic compares arm means. At 100 TB
+  this is ONE scan collapsing to |event_type| x 6 integer cells —
+  map-side partial merge does almost all the work; thousands of
+  concurrent experiments are just more group keys.
+- **q_regression_multi**: OLS of extendedprice on (quantity, discount)
+  with intercept, solved by Cramer's rule on the 3x3 normal equations.
+  X^T X accumulation is the one-pass distributed-GEMM shape feature
+  stores use for linear probes/leakage checks: 9 integer moments, one
+  shuffle of one row per partition, no iteration. Degenerate
+  (singular) systems clamp to 0 identically on both engines.
+
+Reference cite (mount empty, SURVEY §0): public flexcalc has no
+statistics surface; the formulations are the standard Welch unpooled
+z and textbook normal-equations OLS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import table
+
+# events.value <= ~330, 1e-6 grid => |vg| <= 3.3e8; vg sums safe to ~2^63/3.3e8
+# rows. Squares use their OWN 1e-6 grid on value^2 (<= ~1.1e5) so the
+# squared-sum stays ~1e11 * rows — overflow-safe past sf100.
+_AB_FORMULAS = [
+    "event_type",
+    "CAST(n_a AS BIGINT) AS n_a",
+    "CAST(n_b AS BIGINT) AS n_b",
+    "ROUND(CAST(sa AS DOUBLE) / 1000000.0 / n_a, 4) + 0.0 AS mean_a",
+    "ROUND(CAST(sb AS DOUBLE) / 1000000.0 / n_b, 4) + 0.0 AS mean_b",
+    # Welch z on population variances from exact integer moments; the
+    # variance clamp keeps degenerate (constant) arms engine-identical
+    # (Spark div-by-0 -> NULL vs DuckDB IEEE inf — the ADVICE r4 lesson).
+    """CASE WHEN n_a < 2 OR n_b < 2 OR
+              (CAST(qa AS DOUBLE) / 1000000.0 / n_a
+                 - (CAST(sa AS DOUBLE) / 1000000.0 / n_a)
+                   * (CAST(sa AS DOUBLE) / 1000000.0 / n_a)) / n_a
+            + (CAST(qb AS DOUBLE) / 1000000.0 / n_b
+                 - (CAST(sb AS DOUBLE) / 1000000.0 / n_b)
+                   * (CAST(sb AS DOUBLE) / 1000000.0 / n_b)) / n_b <= 0.0
+       THEN 0.0
+       ELSE (CAST(sa AS DOUBLE) / 1000000.0 / n_a
+               - CAST(sb AS DOUBLE) / 1000000.0 / n_b)
+            / sqrt((CAST(qa AS DOUBLE) / 1000000.0 / n_a
+                      - (CAST(sa AS DOUBLE) / 1000000.0 / n_a)
+                        * (CAST(sa AS DOUBLE) / 1000000.0 / n_a)) / n_a
+                   + (CAST(qb AS DOUBLE) / 1000000.0 / n_b
+                        - (CAST(sb AS DOUBLE) / 1000000.0 / n_b)
+                          * (CAST(sb AS DOUBLE) / 1000000.0 / n_b)) / n_b)
+       END AS z_welch""",
+]
+
+
+@register(
+    "q_ab_test",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type,
+                   SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS sa,
+                   SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS sb,
+                   SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS qa,
+                   SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS qb
+            FROM events GROUP BY event_type
+        )
+        SELECT {', '.join(_AB_FORMULAS)} FROM m
+    """,
+    family="experiment",
+    scale_notes=(
+        "two-sample Welch z per experiment metric in ONE scan: six exact "
+        "integer moments per (event_type) accumulate map-side and "
+        "shuffle as one narrow row per partition; the z formula runs on "
+        "the tiny aggregate in double math that is bit-identical across "
+        "engines because its inputs are exact BIGINTs and the formula "
+        "text is shared verbatim with the oracle. Degenerate variance "
+        "clamps to z=0 identically. A platform running 10k concurrent "
+        "experiments adds group-key cardinality, not scan cost"
+    ),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z-test of events.value between user-parity arms, per
+    event_type: arm sizes, arm means, z statistic."""
+    e = table(spark, sf_dir, "events")
+    is_a = F.col("user_id") % 2 == 0
+    vg = F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+    qg = F.floor(F.col("value") * F.col("value") * 1_000_000.0 + 0.5).cast(
+        "bigint"
+    )
+    m = e.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, vg).otherwise(0)).alias("sa"),
+        F.sum(F.when(~is_a, vg).otherwise(0)).alias("sb"),
+        F.sum(F.when(is_a, qg).otherwise(0)).alias("qa"),
+        F.sum(F.when(~is_a, qg).otherwise(0)).alias("qb"),
+    )
+    return m.selectExpr(*_AB_FORMULAS)
+
+
+# Per-column grids: quantity and discount carry exactly 2 decimals in the
+# fixture (verified: frac(x*100) == 0 up to FP residue), extendedprice is
+# cents — so *100 + 0.5-floor is EXACT for all three. Cross-moment bound:
+# qg <= 5e3, pg <= 1e7 -> qg*pg <= 5e10; 6e5 rows (sf0.1) -> 3e16 < 2^63.
+_REG_REALS = (
+    "CAST(n AS DOUBLE) AS rn",
+    "CAST(s1 AS DOUBLE) / 100.0 AS a1",
+    "CAST(s2 AS DOUBLE) / 100.0 AS a2",
+    "CAST(sy AS DOUBLE) / 100.0 AS ay",
+    "CAST(s11 AS DOUBLE) / 10000.0 AS a11",
+    "CAST(s12 AS DOUBLE) / 10000.0 AS a12",
+    "CAST(s22 AS DOUBLE) / 10000.0 AS a22",
+    "CAST(s1y AS DOUBLE) / 10000.0 AS a1y",
+    "CAST(s2y AS DOUBLE) / 10000.0 AS a2y",
+)
+_REG_DET = (
+    "(rn * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)"
+    " + a2 * (a1 * a12 - a11 * a2))"
+)
+_REG_BETAS = [
+    "CAST(n AS BIGINT) AS n",
+    f"""CASE WHEN {_REG_DET} = 0.0 THEN 0.0 ELSE
+        (ay * (a11 * a22 - a12 * a12) - a1 * (a1y * a22 - a12 * a2y)
+         + a2 * (a1y * a12 - a11 * a2y)) / {_REG_DET} END AS beta0""",
+    f"""CASE WHEN {_REG_DET} = 0.0 THEN 0.0 ELSE
+        (rn * (a1y * a22 - a12 * a2y) - ay * (a1 * a22 - a12 * a2)
+         + a2 * (a1 * a2y - a1y * a2)) / {_REG_DET} END AS beta1""",
+    f"""CASE WHEN {_REG_DET} = 0.0 THEN 0.0 ELSE
+        (rn * (a11 * a2y - a1y * a12) - a1 * (a1 * a2y - a1y * a2)
+         + ay * (a1 * a12 - a11 * a2)) / {_REG_DET} END AS beta2""",
+]
+
+
+@register(
+    "q_regression_multi",
+    oracle=f"""
+        WITH m AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS s1,
+                   SUM(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS s2,
+                   SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sy,
+                   SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+                       * CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS s11,
+                   SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+                       * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS s12,
+                   SUM(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                       * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS s22,
+                   SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+                       * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS s1y,
+                   SUM(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                       * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS s2y
+            FROM lineitem
+        ),
+        r AS (SELECT *, {', '.join(_REG_REALS)} FROM m)
+        SELECT {', '.join(_REG_BETAS)} FROM r
+    """,
+    family="experiment",
+    scale_notes=(
+        "one-pass OLS via normal equations: X^T X and X^T y accumulate "
+        "as 9 exact BIGINT cross-moments on per-column integer grids "
+        "(the distributed-GEMM shape — map-side partials, one narrow "
+        "row per partition shuffled), then Cramer's rule solves the 3x3 "
+        "system on the driver-free one-row aggregate. No iteration, no "
+        "collect; d features cost d^2 counters, still one scan. Grid "
+        "products bounded ~3e16 at sf0.1; past ~sf30 swap the moment "
+        "accumulators to DECIMAL(38,0) (the corr_matrix rule)"
+    ),
+)
+def q_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS extendedprice ~ quantity + discount (+ intercept) from
+    one-scan exact integer moments, solved by Cramer's rule."""
+    li = table(spark, sf_dir, "lineitem")
+    qg = F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("bigint")
+    dg = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
+    pg = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qg).alias("s1"),
+        F.sum(dg).alias("s2"),
+        F.sum(pg).alias("sy"),
+        F.sum(qg * qg).alias("s11"),
+        F.sum(qg * dg).alias("s12"),
+        F.sum(dg * dg).alias("s22"),
+        F.sum(qg * pg).alias("s1y"),
+        F.sum(dg * pg).alias("s2y"),
+    )
+    return m.selectExpr("*", *_REG_REALS).selectExpr(*_REG_BETAS)

@@ -85,6 +85,10 @@ RISKY = [
     "q_corr_matrix",        # integer-grid moments, double formula
     "q_global_rank",        # two-phase block rank + offset broadcast
     "q_multimodal_frames",  # Arrow frame split + columnar reduce
+    "q_incr_mv",            # mergeable partials union + re-aggregate
+    "q_ab_test",            # grid moments -> shared-text Welch formula
+    "q_regression_multi",   # 9 grid cross-moments -> Cramer doubles
+    "q_pagerank",           # all-integer fixed-point power iterations
 ]
 
 

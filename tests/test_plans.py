@@ -464,3 +464,38 @@ def test_global_rank_is_block_partitioned(spark):
     plan = plan_text(Q["q_global_rank"](spark, SF_DIR))
     assert re.search(r"hashpartitioning\(block", plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incr_mv_merges_partial_aggregates(spark):
+    """The refresh must be partial-agg(base) + partial-agg(delta) merged
+    by a re-aggregate over the UNION — the mergeable-partials IVM shape
+    (never one flat re-aggregate of raw rows only)."""
+    plan = plan_text(Q["q_incr_mv"](spark, SF_DIR))
+    assert "Union" in plan, plan
+    # base partial, delta partial (each partial+final), plus the merge
+    assert plan.count("HashAggregate") >= 5, plan
+
+
+def test_ab_test_single_scan_one_agg(spark):
+    """Six moments per arm accumulate over ONE events scan; no joins."""
+    plan = plan_text(Q["q_ab_test"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_regression_multi_single_scan_one_agg(spark):
+    """The 9 normal-equation moments ride one lineitem scan (the
+    one-pass distributed-GEMM shape); Cramer runs on the 1-row agg."""
+    plan = plan_text(Q["q_regression_multi"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark):
+    """Each of the 3 iterations joins the cached (src, dst, deg) edge
+    table — the raw lineitem scan must not re-run per iteration, and no
+    iteration may degrade to a cartesian/nested-loop join."""
+    plan = plan_text(Q["q_pagerank"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan

@@ -325,3 +325,141 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hv").cast("bigint").alias("sum_h"),
         )
     )
+
+
+# --- chunk-level dedup (CCNet/RefinedWeb line-dedup analog) ----------
+CHUNK_TOKS = 10         # tokens per chunk ("paragraph" stand-in)
+
+
+@register(
+    "q_dedup_chunks",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id,
+                   md5(unnest(list_transform(
+                       range(0, CAST(ceil(len(toks)/{CHUNK_TOKS}.0) AS BIGINT)),
+                       i -> array_to_string(
+                           list_slice(toks, i*{CHUNK_TOKS}+1,
+                                      i*{CHUNK_TOKS}+{CHUNK_TOKS}), ' ')))) AS h
+            FROM t
+        ),
+        freq AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY h)
+        SELECT ch.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN freq.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks
+        FROM ch JOIN freq USING (h)
+        GROUP BY ch.doc_id
+    """,
+    family="curation",
+    scale_notes=(
+        "paragraph/line-level exact dedup (the CCNet/RefinedWeb "
+        "line-dedup shape, with fixed token chunks standing in for the "
+        "fixture corpus's missing newlines): chunks hash to md5 BEFORE "
+        "the frequency shuffle so the wide exchange carries 32-byte "
+        "digests, never chunk text; global frequency is one hash "
+        "groupBy with map-side combine, and the count join back is an "
+        "equi join on the digest. At 100 TB this is embarrassingly "
+        "shuffle-parallel — the op CCNet runs over every Common Crawl "
+        "snapshot; the rewrite step (dropping duplicated chunks from "
+        "the stored text) reuses the same digest join scan-side"
+    ),
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-chunk census: split each doc into 10-token
+    chunks, count corpus-wide chunk frequency via an md5-digest
+    shuffle, report per doc how many of its chunks are non-unique."""
+    d = table_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(toks)/{CHUNK_TOKS}.0) AS BIGINT) - 1),"
+        f" i -> concat_ws(' ', slice(toks, CAST(i*{CHUNK_TOKS}+1 AS INT), {CHUNK_TOKS})))"
+    )
+    ch = t.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", F.md5(F.col("c").cast("binary")).alias("h"))
+    freq = ch.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+# --- k-anonymity pseudonymization ------------------------------------
+ANON_K = 5              # minimum distinct users per quasi-identifier cell
+ANON_BAND = 50          # value band width (quasi-identifier coarsening)
+
+
+@register(
+    "q_anonymize",
+    oracle=f"""
+        WITH b AS (
+            SELECT user_id, event_type,
+                   CAST(floor(value / {ANON_BAND}) AS BIGINT) AS band
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type, band, COUNT(DISTINCT user_id) AS n_users
+            FROM b GROUP BY event_type, band
+        )
+        SELECT substr(md5('anon:' || CAST(b.user_id AS VARCHAR)), 1, 12)
+                   AS pseudo_id,
+               b.event_type, b.band,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM b JOIN cells USING (event_type, band)
+        WHERE cells.n_users >= {ANON_K}
+        GROUP BY pseudo_id, b.event_type, b.band
+    """,
+    family="curation",
+    scale_notes=(
+        "GDPR-style pseudonymization + k-anonymity gate in two narrow "
+        "passes: quasi-identifier cells (event_type, value band) "
+        "aggregate to a tiny distinct-user census that BROADCASTS back "
+        "as the suppression filter, and identifiers become salted-hash "
+        "pseudonyms scan-side (no lookup table to leak). The 100 TB "
+        "release re-run is one scan + one broadcast; cells under k "
+        "vanish entirely, so no output row's cohort has fewer than k "
+        "users. Exact distinct per cell swaps to HLL (q_sketch_hll) "
+        "when the census itself is large"
+    ),
+)
+def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized event release with k-anonymity (k=5) over the
+    (event_type, value-band) quasi-identifier: salted-md5 pseudo ids,
+    cells with <5 distinct users suppressed."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") / ANON_BAND).cast("bigint").alias("band"),
+    )
+    cells = (
+        b.groupBy("event_type", "band")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= ANON_K)
+        .select("event_type", "band")
+    )
+    pseudo = F.substring(
+        F.md5(
+            F.concat(F.lit("anon:"), F.col("user_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        12,
+    )
+    return (
+        b.join(F.broadcast(cells), ["event_type", "band"])
+        .groupBy(pseudo.alias("pseudo_id"), "event_type", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )

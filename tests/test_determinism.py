@@ -89,6 +89,8 @@ RISKY = [
     "q_ab_test",            # grid moments -> shared-text Welch formula
     "q_regression_multi",   # 9 grid cross-moments -> Cramer doubles
     "q_pagerank",           # all-integer fixed-point power iterations
+    "q_dedup_chunks",       # md5-digest chunk frequency join
+    "q_anonymize",          # broadcast k-anonymity cell filter
 ]
 
 

@@ -499,3 +499,20 @@ def test_pagerank_iterations_reuse_cached_edges(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_dedup_chunks_digest_join_no_cartesian(spark):
+    """Chunk frequency must be an equi join on the md5 digest — never a
+    quadratic pairing; both agg phases keep map-side partials."""
+    plan = plan_text(Q["q_dedup_chunks"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "md5" in plan, plan
+
+
+def test_anonymize_suppression_filter_broadcasts(spark):
+    """The k-anonymity cell census is tiny and must broadcast back onto
+    the event scan (no wide shuffle of the release table)."""
+    plan = plan_text(Q["q_anonymize"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan

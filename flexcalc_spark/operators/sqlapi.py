@@ -112,3 +112,96 @@ def q_sql_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
             c="v_customer", o="v_orders", l="v_lineitem", n="v_nation"
         )
     )
+
+
+_Q5_BODY = f"""
+    SELECT n_name,
+           {_REVENUE} AS revenue
+    FROM {{c}} JOIN {{o}} ON c_custkey = o_custkey
+         JOIN {{l}} ON l_orderkey = o_orderkey
+         JOIN {{s}} ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+         JOIN {{n}} ON s_nationkey = n_nationkey
+         JOIN {{r}} ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "q_sql_tpch5",
+    oracle=_Q5_BODY.format(
+        c="customer", o="orders", l="lineitem", s="supplier",
+        n="nation", r="region",
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q5 shape (local-supplier volume): a 6-table join where "
+        "the region filter prunes nation, nation/region/supplier all "
+        "broadcast, and the only wide exchanges are the fact-side "
+        "orderkey and custkey shuffles; the c_nationkey = s_nationkey "
+        "residual rides the supplier hash join. Catalyst's join "
+        "reordering + AQE own the strategy — the query is one ANSI "
+        "text, no hand-scheduling. Grid-sum revenue, ordered output "
+        "with name tiebreak (5 rows, no LIMIT needed)"
+    ),
+)
+def q_sql_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-like: revenue by nation for ASIA-region customers whose
+    order lines ship from a same-nation supplier; pure SQL text."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q5_BODY.format(
+            c="v_customer", o="v_orders", l="v_lineitem", s="v_supplier",
+            n="v_nation", r="v_region",
+        )
+    )
+
+
+# Seed = supplier 1's node id in the part-supplier bipartite encoding
+# (2*key+1 for suppliers, 2*key for parts — graph.py's encoding).
+_RECURSIVE_BODY = """
+    WITH RECURSIVE edges AS (
+        SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {l})
+        UNION ALL
+        SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {l})
+    ),
+    reach AS (
+        SELECT CAST(3 AS BIGINT) AS node, 0 AS depth
+        UNION ALL
+        SELECT e.dst AS node, r.depth + 1 AS depth
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.depth < 2
+    )
+    SELECT node, CAST(MIN(depth) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "q_sql_recursive",
+    oracle=_RECURSIVE_BODY.format(l="lineitem"),
+    family="sql",
+    scale_notes=(
+        "recursive CTE (Spark 4 WITH RECURSIVE) running 2-hop BFS over "
+        "the part-supplier bipartite graph — the SQL-surface twin of "
+        "the explicit iterative loops (q_pagerank, q_dedup_clusters). "
+        "Each recursion level is one equi-join + union, exactly the "
+        "iterative-join shape; the depth bound keeps the UNION ALL "
+        "frontier from exploding combinatorially (depth 3 on this graph "
+        "is 7.3M paths vs 2.5k at depth 2 — path-counting, not node "
+        "discovery). At 100 TB prefer the explicit loop with "
+        "frontier dedup per level and checkpointing; this key certifies "
+        "the recursive SQL execution itself against DuckDB"
+    ),
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS reachability (min hops per node) from supplier 1 via
+    WITH RECURSIVE over the bipartite lineitem graph; pure SQL text."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(_RECURSIVE_BODY.format(l="v_lineitem"))

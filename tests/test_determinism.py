@@ -91,6 +91,8 @@ RISKY = [
     "q_pagerank",           # all-integer fixed-point power iterations
     "q_dedup_chunks",       # md5-digest chunk frequency join
     "q_anonymize",          # broadcast k-anonymity cell filter
+    "q_sql_tpch5",          # SQL-text 6-way join, grid revenue sums
+    "q_sql_recursive",      # recursive-CTE BFS, integer hops
 ]
 
 

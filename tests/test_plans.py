@@ -516,3 +516,19 @@ def test_anonymize_suppression_filter_broadcasts(spark):
     the event scan (no wide shuffle of the release table)."""
     plan = plan_text(Q["q_anonymize"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sql_tpch5_broadcasts_dims(spark):
+    """Region/nation/supplier must broadcast; only fact-side exchanges
+    remain wide."""
+    plan = plan_text(Q["q_sql_tpch5"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_recursive_executes_as_joins(spark):
+    """The recursion must compile to per-level equi joins — no
+    cartesian/nested-loop fallback."""
+    plan = plan_text(Q["q_sql_recursive"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -200,3 +200,75 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_source_csv_dirty",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad,
+               ROUND(CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+                     THEN CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 1000000.0, 4) AS sum_price_good
+        FROM orders
+    """,
+    family="sinks",
+    scale_notes=(
+        "malformed-record ingestion (every real scraped/exported CSV "
+        "feed has broken lines): rows are parsed PERMISSIVE with a "
+        "corrupt-record column, so one bad line quarantines itself "
+        "instead of failing a 100 TB load (FAILFAST) or silently "
+        "vanishing (DROPMALFORMED). The bad-row census and the "
+        "good-row aggregate come from the same single read; the "
+        "corruption here is derived deterministically (orderkey % 13 "
+        "price replaced by a non-numeric token) so the oracle can "
+        "recompute the expected split from the clean table. Corrupt "
+        "raw lines land in a quarantine column ready to sink to a "
+        "dead-letter path"
+    ),
+)
+def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a deliberately-dirty CSV (every 13th order's price is
+    'N/A'), read it back PERMISSIVE with a corrupt-record column, and
+    report good/bad row counts plus the parsed-price sum."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_src_csvdirty_{os.getpid()}"
+    )
+    o = table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("N/A")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    r = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+            " _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    bad = F.col("_corrupt").isNotNull()
+    return r.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_bad"),
+        F.round(
+            F.sum(
+                F.when(
+                    ~bad,
+                    F.floor(F.col("o_totalprice") * 1_000_000.0 + 0.5).cast(
+                        "bigint"
+                    ),
+                ).otherwise(0)
+            ).cast("double")
+            / 1_000_000.0,
+            4,
+        ).alias("sum_price_good"),
+    )

@@ -93,6 +93,7 @@ RISKY = [
     "q_anonymize",          # broadcast k-anonymity cell filter
     "q_sql_tpch5",          # SQL-text 6-way join, grid revenue sums
     "q_sql_recursive",      # recursive-CTE BFS, integer hops
+    "q_source_csv_dirty",   # PERMISSIVE parse census + grid price sum
 ]
 
 

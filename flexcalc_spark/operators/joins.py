@@ -489,3 +489,67 @@ def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pairs.orderBy(F.col("cnt").desc(), "pa", "pb").limit(COOCCUR_TOP)
     w = Window.orderBy(F.col("cnt").desc(), "pa", "pb")
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "q_join_interval_outer",
+    oracle="""
+        WITH v AS (
+            SELECT event_id AS id1, user_id AS u1, epoch_us(ts) AS ts1_us
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT event_id AS id2, user_id AS u2, epoch_us(ts) AS ts2_us
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.id1, v.u1 AS user_id, v.ts1_us,
+               p.id2, p.ts2_us - v.ts1_us AS gap_us
+        FROM v LEFT JOIN p
+          ON v.u1 = p.u2
+         AND p.ts2_us > v.ts1_us
+         AND p.ts2_us <= v.ts1_us + 600000000
+    """,
+    family="joins",
+    scale_notes=(
+        "LEFT OUTER interval join (view -> purchase within 10 min, or "
+        "NULLs): the equi key user_id carries the hash join and the "
+        "interval theta rides as a residual — never a cross product; "
+        "unmatched preservation costs nothing extra. This is the batch "
+        "twin of the watermarked stream-stream leftOuter join "
+        "(streaming/windows.py::stream_interval_join_left), whose "
+        "null-emission-after-watermark contract is asserted in "
+        "tests/test_streaming.py — at 100 TB the streaming state per "
+        "side is bounded by (watermark delay + interval) of events per "
+        "user because the interval bound lets the store evict"
+    ),
+)
+def q_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view event left-joined to same-user purchases within the
+    next 10 minutes (NULL-extended when none) — the batch twin of the
+    stream-stream leftOuter interval join."""
+    ten_min_us = 600 * 1_000_000
+    e = events_with_time(spark, sf_dir)
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("id1"),
+        F.col("user_id").alias("u1"),
+        F.col("ts_us").alias("ts1_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id2"),
+        F.col("user_id").alias("u2"),
+        F.col("ts_us").alias("ts2_us"),
+    )
+    j = v.join(
+        p,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("ts2_us") > F.col("ts1_us"))
+        & (F.col("ts2_us") <= F.col("ts1_us") + ten_min_us),
+        "left",
+    )
+    return j.select(
+        "id1",
+        F.col("u1").alias("user_id"),
+        "ts1_us",
+        "id2",
+        (F.col("ts2_us") - F.col("ts1_us")).alias("gap_us"),
+    )

@@ -434,6 +434,60 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, with the
+    purchase the same user made within 10 minutes after it, or NULLs.
+
+    The subtlest streaming operator semantics Spark has: matched pairs
+    emit eagerly like the inner join, but a NULL-extended row for an
+    unmatched view can only emit once the RIGHT watermark has passed
+    ``t1 + interval`` (before that, a matching purchase could still
+    arrive) — so under availableNow the null rows for the newest views
+    are withheld at stream end. tests/test_streaming.py asserts exactly
+    that contract against the batch twin: matched set identical,
+    emitted nulls == batch anti-join rows old enough for the final
+    watermark, newer nulls withheld.
+
+    Scale: state per side is bounded by (watermark delay + interval) of
+    events per user — the interval bound is what lets the state store
+    evict; an unbounded-condition outer join would hold every row
+    forever.
+    """
+    ten_min_us = 600 * 1_000_000
+    s1 = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("id1"),
+        F.col("user_id").alias("u1"),
+        F.col("ts_us").alias("ts1_us"),
+        F.col("event_time").alias("t1"),
+    )
+    s2 = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("id2"),
+        F.col("user_id").alias("u2"),
+        F.col("ts_us").alias("ts2_us"),
+        F.col("event_time").alias("t2"),
+    )
+    j = s1.withWatermark("t1", "1 hour").join(
+        s2.withWatermark("t2", "1 hour"),
+        (F.col("u1") == F.col("u2"))
+        & (F.col("ts2_us") > F.col("ts1_us"))
+        & (F.col("ts2_us") <= F.col("ts1_us") + ten_min_us)
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    return j.select(
+        "id1",
+        F.col("u1").alias("user_id"),
+        F.col("ts1_us"),
+        "id2",
+        (F.col("ts2_us") - F.col("ts1_us")).alias("gap_us"),
+    )
+
+
 def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_anomaly_zscore: score each arriving event
     against PRECOMPUTED per-type stats (stream-static broadcast join +

@@ -94,6 +94,7 @@ RISKY = [
     "q_sql_tpch5",          # SQL-text 6-way join, grid revenue sums
     "q_sql_recursive",      # recursive-CTE BFS, integer hops
     "q_source_csv_dirty",   # PERMISSIVE parse census + grid price sum
+    "q_join_interval_outer",  # equi-key interval join, null preservation
 ]
 
 

@@ -532,3 +532,12 @@ def test_sql_recursive_executes_as_joins(spark):
     plan = plan_text(Q["q_sql_recursive"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_outer_join_is_hash_on_user(spark):
+    """The outer interval join must hash on the user_id equi key with
+    the time bounds as residuals — no nested-loop fallback."""
+    plan = plan_text(Q["q_join_interval_outer"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

@@ -142,3 +142,65 @@ def test_stream_anomaly_equals_batch(spark):
     _drain(sw.stream_anomaly(spark, SF_DIR), "t_anom", mode="append")
     stream = spark.table("t_anom").toPandas()
     assert _canon(batch) == _canon(stream)
+
+
+def test_stream_stream_left_outer_join_contract(spark):
+    """LEFT OUTER stream-stream interval join: matched pairs must equal
+    the batch inner interval join exactly; NULL-extended rows may only
+    be emitted for views whose join interval has fully passed the final
+    watermark (old enough that no purchase can still arrive), and every
+    sufficiently-old unmatched view MUST have its null row."""
+    from pyspark.sql import functions as F
+    from flexcalc_spark.tables import events_with_time
+
+    ten_min_us = 600 * 1_000_000
+    wm_delay_us = 3600 * 1_000_000
+
+    e = events_with_time(spark, SF_DIR)
+    v = e.filter("event_type = 'view'").select(
+        F.col("event_id").alias("id1"),
+        F.col("user_id").alias("u1"),
+        F.col("ts_us").alias("ts1_us"),
+    )
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("id2"),
+        F.col("user_id").alias("u2"),
+        F.col("ts_us").alias("ts2_us"),
+    )
+    cond = (
+        (F.col("u1") == F.col("u2"))
+        & (F.col("ts2_us") > F.col("ts1_us"))
+        & (F.col("ts2_us") <= F.col("ts1_us") + ten_min_us)
+    )
+    batch_inner = {
+        (r.id1, r.id2) for r in v.join(p, cond, "inner").collect()
+    }
+    batch_anti = {
+        r.id1: r.ts1_us for r in v.join(p, cond, "left_anti").collect()
+    }
+    max_purchase_us = p.agg(F.max("ts2_us")).collect()[0][0]
+    final_wm_us = max_purchase_us - wm_delay_us
+
+    _drain(
+        sw.stream_interval_join_left(spark, SF_DIR), "t_ssleft", mode="append"
+    )
+    out = spark.table("t_ssleft").toPandas()
+    got_matched = {
+        (int(r.id1), int(r.id2))
+        for r in out[out.id2.notna()].itertuples(index=False)
+    }
+    got_null_ids = {int(r.id1) for r in out[out.id2.isna()].itertuples(index=False)}
+
+    assert got_matched == batch_inner
+    # no false nulls: every emitted null row is a genuine batch anti row
+    assert got_null_ids <= set(batch_anti), (
+        got_null_ids - set(batch_anti)
+    )
+    # completeness for safely-old views (margin one interval past the
+    # eviction bound to stay off the boundary semantics)
+    must_emit = {
+        i
+        for i, ts in batch_anti.items()
+        if ts + 2 * ten_min_us < final_wm_us
+    }
+    assert must_emit <= got_null_ids, (must_emit - got_null_ids)

@@ -183,3 +183,101 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         (F.round(F.col("frame_mean"), 4) + 0.0).alias("frame_mean"),
     )
+
+
+def media_audio_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> 'audio' media table: the 64-dim vector presents as
+    a 64-sample float32 waveform (sample rate in the typed metadata)."""
+    e = table_parallel(spark, sf_dir, "embeddings")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arr = np.stack(pdf["embedding"].to_numpy()).astype("<f4")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["vec_id"].astype("int64"),
+                    "modality": "audio",
+                    "fmt": "raw",
+                    "meta_json": '{"n_samples": 64, "sr": 16000,'
+                    ' "dtype": "float32"}',
+                    "content": [arr[i].tobytes() for i in range(len(pdf))],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(pack, MEDIA_SCHEMA)
+
+
+@register(
+    "q_multimodal_audio",
+    oracle="""
+        WITH w AS (SELECT unnest([0, 1, 2, 3]) AS w),
+        sl AS (
+            SELECT vec_id, w.w,
+                   CAST(embedding AS DOUBLE[])[16 * w.w + 1 : 16 * w.w + 16]
+                       AS s
+            FROM embeddings CROSS JOIN w
+        )
+        SELECT vec_id AS media_id,
+               CAST(w AS BIGINT) AS window_idx,
+               ROUND(list_aggregate(list_transform(s, x -> x * x), 'sum')
+                     / 16.0, 4) + 0.0 AS energy,
+               CAST(len(list_filter(range(2, 17),
+                                    i -> s[i - 1] * s[i] < 0)) AS BIGINT)
+                   AS n_zero_cross
+        FROM sl
+    """,
+    family="multimodal",
+    scale_notes=(
+        "audio feature extraction over opaque waveform blobs — the "
+        "third modality (image features/resize, video frame-sample, "
+        "now audio windowing): ONE Arrow mapInPandas pass windows each "
+        "blob executor-side (16-sample hops) and emits narrow "
+        "(media_id, window, energy, zero-crossings) rows; the blob "
+        "never shuffles. Real codecs (mp3/flac) plug into the same "
+        "DECODERS stub path as images; raw float frames keep the "
+        "windowed arithmetic oracle-checkable. Energy sums run "
+        "SEQUENTIALLY (cumsum) to match the oracle's left fold "
+        "bit-for-bit before the 1e-4 round"
+    ),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over the waveform media table: per
+    16-sample window, mean energy and zero-crossing count."""
+    media = media_audio_from_embeddings(spark, sf_dir)
+
+    out_schema = (
+        "media_id long, window_idx long, energy double, n_zero_cross long"
+    )
+
+    def window_feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            wave = np.stack(
+                [np.frombuffer(bytes(b), dtype="<f4") for b in pdf["content"]]
+            ).astype(np.float64)
+            n, total = wave.shape
+            win = wave.reshape(n, 4, 16)
+            # sequential (left-fold) sum via cumsum: bit-identical to the
+            # oracle's list_aggregate 'sum' fold, unlike pairwise np.sum
+            energy = np.cumsum(win * win, axis=2)[:, :, -1] / 16.0
+            zc = (win[:, :, :-1] * win[:, :, 1:] < 0).sum(axis=2)
+            ids = pdf["media_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(ids, 4),
+                    "window_idx": np.tile(np.arange(4), n),
+                    "energy": energy.reshape(-1),
+                    "n_zero_cross": zc.reshape(-1).astype("int64"),
+                }
+            )
+
+    feats = media.select("media_id", "content").mapInPandas(
+        window_feats, out_schema
+    )
+    return feats.select(
+        "media_id",
+        F.col("window_idx").cast("bigint").alias("window_idx"),
+        (F.round(F.col("energy"), 4) + 0.0).alias("energy"),
+        F.col("n_zero_cross").cast("bigint").alias("n_zero_cross"),
+    )

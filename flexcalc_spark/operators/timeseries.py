@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flexcalc_spark.registry import register
 from flexcalc_spark.tables import events_with_time
@@ -531,3 +532,135 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("total")).alias("p"),
         )
     )
+
+
+# --- EWMA smoothing ---------------------------------------------------
+EWMA_TERMS = 8          # truncated exponential window (alpha = 1/2)
+DEBOUNCE_US = 60_000_000  # 60 s suppression window
+
+
+def _ewma_terms(div_op: str) -> tuple[str, str]:
+    """Numerator/denominator SQL for the truncated 1/2-decay EWMA.
+
+    Weights are 2^-j, applied as INTEGER floor-division of the 1e-6
+    grid value — no FP accumulates, so the num/den BIGINTs are exact
+    and the final single division is bit-identical on both engines.
+    ``div_op`` bridges the dialects ('div' Spark, '//' DuckDB).
+    """
+    num = " + ".join(
+        f"(CASE WHEN l{j} IS NULL THEN 0 ELSE l{j} {div_op} {1 << j} END)"
+        for j in range(EWMA_TERMS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{j} IS NULL THEN 0 ELSE 1000000 {div_op} {1 << j} END)"
+        for j in range(EWMA_TERMS)
+    )
+    return num, den
+
+
+_EWMA_ORACLE_NUM, _EWMA_ORACLE_DEN = _ewma_terms("//")
+_EWMA_SPARK_NUM, _EWMA_SPARK_DEN = _ewma_terms("div")
+_EWMA_LAGS = ", ".join(
+    f"LAG(vg, {j}) OVER w AS l{j}" for j in range(EWMA_TERMS)
+)
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        lagged AS (
+            SELECT event_id, user_id, ts_us, {_EWMA_LAGS}
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        )
+        SELECT event_id, user_id, ts_us,
+               CAST({_EWMA_ORACLE_NUM} AS DOUBLE)
+                   / ({_EWMA_ORACLE_DEN}) AS ewma
+        FROM lagged
+    """,
+    family="timeseries",
+    scale_notes=(
+        "exponentially-weighted moving average (the telemetry/metrics "
+        "smoothing primitive) as a TRUNCATED 8-term half-decay: weights "
+        "2^-j apply as integer floor-division of the grid value, so the "
+        "window carries exact BIGINTs and the one final division is "
+        "bit-identical across engines — no sequential FP recurrence, "
+        "which is what makes the textbook recursive EWMA "
+        "non-distributable. One user_id shuffle (the shared "
+        "sessionization partitioning); truncation error is 2^-8 of the "
+        "oldest mass, below the 1e-6 grid for this value range"
+    ),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated EWMA (alpha=1/2, 8 terms) of event values in
+    exact integer arithmetic; one row per event."""
+    e = events_with_time(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint").alias("vg"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagged = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        *[F.lag("vg", j).over(w).alias(f"l{j}") for j in range(EWMA_TERMS)],
+    )
+    return lagged.selectExpr(
+        "event_id",
+        "user_id",
+        "ts_us",
+        f"CAST({_EWMA_SPARK_NUM} AS DOUBLE) / ({_EWMA_SPARK_DEN}) AS ewma",
+    )
+
+
+@register(
+    "q_debounce",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+        ),
+        lagged AS (
+            SELECT *, LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts_us, event_id) AS prev_us
+            FROM base
+        )
+        SELECT event_id, user_id, event_type, ts_us
+        FROM lagged
+        WHERE prev_us IS NULL OR ts_us - prev_us > {DEBOUNCE_US}
+    """,
+    family="timeseries",
+    scale_notes=(
+        "event debouncing (telemetry throttling: drop repeats of the "
+        "same (user, type) within 60 s of the kept-or-not previous "
+        "event): one lag window on the shared (user_id) shuffle, pure "
+        "integer-µs compare, then a scan-side filter — the standard "
+        "duplicate-burst suppressor in front of sessionization and "
+        "funnel analysis. Note the semantics are lag-based (gap from "
+        "the PREVIOUS event, kept or not), which is one window pass; "
+        "anchor-based debounce (gap from the last KEPT event) is the "
+        "sequential variant served by q_stateful_sessions' "
+        "applyInPandasWithState machinery"
+    ),
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppress events arriving within 60 s of the previous same
+    (user, type) event; emit the surviving rows."""
+    e = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    lagged = e.withColumn("prev_us", F.lag("ts_us").over(w))
+    return lagged.filter(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > DEBOUNCE_US)
+    ).select("event_id", "user_id", "event_type", "ts_us")

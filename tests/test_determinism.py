@@ -95,6 +95,9 @@ RISKY = [
     "q_sql_recursive",      # recursive-CTE BFS, integer hops
     "q_source_csv_dirty",   # PERMISSIVE parse census + grid price sum
     "q_join_interval_outer",  # equi-key interval join, null preservation
+    "q_multimodal_audio",   # sequential-fold energy, exact zero-cross
+    "q_ewma",               # integer shift-decay terms, one division
+    "q_debounce",           # lag-window integer gap filter
 ]
 
 

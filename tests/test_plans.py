@@ -74,7 +74,7 @@ def test_graded_queries_avoid_python_udfs(spark):
     allowed_python = {
         "q_udf_scalar", "q_udaf_grouped", "q_udtf_expand",
         "q_stateful_sessions", "q_multimodal_features", "q_multimodal_resize",
-        "q_multimodal_frames",
+        "q_multimodal_frames", "q_multimodal_audio",
         # blocked-GEMM candidate generation: dense O(n²) numerics belongs
         # to BLAS, the exact re-score stays JVM-side (dedup.py)
         "q_dedup_embed",
@@ -541,3 +541,18 @@ def test_interval_outer_join_is_hash_on_user(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_ewma_single_user_shuffle(spark):
+    """The 8 lag terms must ride ONE user_id window partitioning (no
+    per-term exchanges)."""
+    plan = plan_text(Q["q_ewma"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_debounce_is_window_plus_filter(spark):
+    plan = plan_text(Q["q_debounce"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "Join" not in plan, plan

@@ -188,3 +188,99 @@ def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= GROUPED_K)
     )
+
+
+# --- weighted sampling (A-ES / exponential-keys reservoir) -----------
+WSAMP_K = 20
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, source, n_chars,
+                   substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id, source,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, 9),
+                               k -> CAST(strpos('0123456789abcdef',
+                                                substr(hx, k, 1)) - 1
+                                    AS BIGINT))),
+                       (acc, x) -> acc * 16 + x) AS BIGINT) AS hv,
+                   n_chars
+            FROM h
+        ),
+        keyed AS (
+            SELECT doc_id, source,
+                   CAST(floor(ln((hv + 1) / 4294967296.0) / n_chars
+                              * 1000000.0) AS BIGINT) AS kq
+            FROM u
+        )
+        SELECT source, doc_id, kq
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY kq DESC, doc_id) AS rn
+            FROM keyed
+        ) WHERE rn <= {WSAMP_K}
+    """,
+    family="sampling",
+    scale_notes=(
+        "weighted reservoir sampling (Efraimidis-Spirakis exponential "
+        "keys): each row's key ln(u)/w is a pure function of content "
+        "hash and weight — no RNG state, so the same k winners emerge "
+        "under ANY partitioning and the sample is reproducible across "
+        "engines and reruns. Top-k per group runs as the "
+        "WindowGroupLimit rank (k rows per partition retained before "
+        "the final merge), one shuffle on the group key. The ln is "
+        "floor-quantized to a 1e-6 grid (result magnitude <=0.5, "
+        "cross-engine ulp ~1e-16 — boundary flips negligible), "
+        "doc_id breaks residual ties totally"
+    ),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs per source by Efraimidis-Spirakis weighted-sampling
+    keys (weight = n_chars, uniform from content md5)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(
+            F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        8,
+    )
+    hv = F.expr(
+        "aggregate(sequence(1, 8), CAST(0 AS BIGINT),"
+        " (acc, k) -> acc * 16 + CAST(instr('0123456789abcdef',"
+        " substring(hx, k, 1)) - 1 AS BIGINT))"
+    )
+    keyed = (
+        d.select("doc_id", "source", "n_chars", hx.alias("hx"))
+        .select("doc_id", "source", "n_chars", hv.alias("hv"))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(
+                F.expr("ln((hv + 1) / 4294967296.0) / n_chars * 1000000.0")
+            )
+            .cast("bigint")
+            .alias("kq"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("kq").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.select(
+            "source", "doc_id", "kq", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= WSAMP_K)
+        .select("source", "doc_id", "kq")
+    )

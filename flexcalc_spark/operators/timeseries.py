@@ -664,3 +664,96 @@ def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_us").isNull()
         | (F.col("ts_us") - F.col("prev_us") > DEBOUNCE_US)
     ).select("event_id", "user_id", "event_type", "ts_us")
+
+
+# --- ordered sequence-pattern detection ------------------------------
+SEQ_STEP_US = 1_800_000_000  # 30 min per-step bound
+
+
+@register(
+    "q_seq_pattern",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+        ),
+        v AS (SELECT * FROM e WHERE event_type = 'view'),
+        c AS (SELECT * FROM e WHERE event_type = 'click'),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        completed AS (
+            SELECT DISTINCT v.user_id, v.event_id
+            FROM v
+            JOIN c ON c.user_id = v.user_id
+                  AND c.ts_us > v.ts_us
+                  AND c.ts_us <= v.ts_us + {SEQ_STEP_US}
+            JOIN p ON p.user_id = c.user_id
+                  AND p.ts_us > c.ts_us
+                  AND p.ts_us <= c.ts_us + {SEQ_STEP_US}
+        )
+        SELECT v.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_views,
+               CAST(COUNT(completed.event_id) AS BIGINT) AS n_completed
+        FROM v
+        LEFT JOIN completed ON completed.user_id = v.user_id
+                           AND completed.event_id = v.event_id
+        GROUP BY v.user_id
+    """,
+    family="analytics",
+    scale_notes=(
+        "ordered sequence-pattern detection (the MATCH_RECOGNIZE / "
+        "per-anchor funnel shape, stricter than q_funnel's global "
+        "first-timestamp chain): each step is an equi join on user_id "
+        "with the 30-min step bound as a residual, so the pattern "
+        "chain is two hash joins — never a per-user scan loop; the "
+        "DISTINCT collapses multi-witness completions before the "
+        "per-user rollup. At 100 TB all three event streams "
+        "co-partition on user_id, so steps 2..k reuse the first "
+        "shuffle's layout; step fan-out is bounded by events per user "
+        "per 30 min, not corpus size"
+    ),
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of view events that complete the ordered pattern
+    view -> click (<=30 min) -> purchase (<=30 min after the click)."""
+    e = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("vid"),
+        F.col("ts_us").alias("vts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts_us").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts_us").alias("pts")
+    )
+    completed = (
+        v.join(
+            c,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + SEQ_STEP_US),
+        )
+        .join(
+            p,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + SEQ_STEP_US),
+        )
+        .select(F.col("vu").alias("user_id"), F.col("vid").alias("event_id"))
+        .distinct()
+    )
+    return (
+        v.join(
+            completed,
+            (completed.user_id == v.vu) & (completed.event_id == v.vid),
+            "left",
+        )
+        .groupBy(F.col("vu").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.count(completed.event_id).cast("bigint").alias("n_completed"),
+        )
+    )

@@ -98,6 +98,8 @@ RISKY = [
     "q_multimodal_audio",   # sequential-fold energy, exact zero-cross
     "q_ewma",               # integer shift-decay terms, one division
     "q_debounce",           # lag-window integer gap filter
+    "q_seq_pattern",        # chained interval joins + distinct collapse
+    "q_sample_weighted",    # quantized exponential keys + rank ties
 ]
 
 

@@ -556,3 +556,18 @@ def test_debounce_is_window_plus_filter(spark):
     plan = plan_text(Q["q_debounce"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_seq_pattern_steps_are_hash_joins(spark):
+    """Each pattern step must hash-join on user_id (time residuals) —
+    no nested-loop chain."""
+    plan = plan_text(Q["q_seq_pattern"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sample_weighted_uses_window_group_limit(spark):
+    """Top-k per source must keep k rows per partition before the merge
+    (WindowGroupLimit), not sort whole groups."""
+    plan = plan_text(Q["q_sample_weighted"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan

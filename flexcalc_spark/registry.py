@@ -154,10 +154,10 @@ GRADE_ORDER: list[str] = [
     "q_incr_mv", "q_ab_test", "q_regression_multi", "q_pagerank",
     "q_dedup_chunks", "q_anonymize", "q_sql_tpch5", "q_sql_recursive",
     "q_source_csv_dirty", "q_join_interval_outer",
-    "q_multimodal_audio", "q_ewma",
+    "q_multimodal_audio", "q_ct_fbp",
     # --- 50-key line (driver window size) ---
     # overflow: graded next round (window holds exactly 50)
-    "q_debounce", "q_seq_pattern", "q_sample_weighted",
+    "q_ewma", "q_debounce", "q_seq_pattern", "q_sample_weighted",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations)
     "q_scan_count", "q_project_expr",

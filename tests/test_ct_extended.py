@@ -97,3 +97,30 @@ def test_optimize_axis_offset_recovers_shift(spark):
     moving = ct.translate(ct.slices_from_array(spark, "mov", vol), 0, 2)
     best = ct.optimize_axis_offset(fixed, moving, offsets=[-3, -2, -1, 0, 1, 2, 3])
     assert best == -2  # shifting back by 2 minimizes SSD
+
+
+def test_fbp_reconstructs_phantom(spark):
+    """q_ct_fbp must be a real reconstruction, not just self-consistent
+    arithmetic: the recon must be materially brighter inside the unit
+    disc than outside, and the offset square must rank above the
+    background."""
+    from flexcalc_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["q_ct_fbp"](spark, SF_DIR).collect()
+    inside, outside, square = [], [], []
+    for r in rows:
+        y, x, v = r.y, r.x, r.recon
+        in_disc = (x - 16) ** 2 + (y - 16) ** 2 <= 64
+        in_sq = 4 <= x < 10 and 20 <= y < 26
+        if in_disc:
+            inside.append(v)
+        elif in_sq:
+            square.append(v)
+        elif (x - 16) ** 2 + (y - 16) ** 2 > 144:  # clear background
+            outside.append(v)
+    mi = sum(inside) / len(inside)
+    mo = sum(outside) / len(outside)
+    ms = sum(square) / len(square)
+    assert mi > 5 * abs(mo) + 0.05, (mi, mo)
+    assert ms > abs(mo) + 0.02, (ms, mo)

@@ -100,6 +100,7 @@ RISKY = [
     "q_debounce",           # lag-window integer gap filter
     "q_seq_pattern",        # chained interval joins + distinct collapse
     "q_sample_weighted",    # quantized exponential keys + rank ties
+    "q_ct_fbp",             # all-integer Radon/filter/backproject chain
 ]
 
 

@@ -654,3 +654,59 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+def run_stream_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Idempotent foreachBatch sink: the exactly-once write pattern.
+
+    Structured Streaming guarantees at-least-once foreachBatch calls
+    after failure/restart, so the SINK must make replays harmless. The
+    standard recipe, rendered here against a plain-parquet key-value
+    "table": each micro-batch of per-(event_type, day) partials
+    OVERWRITES exactly the batch's own (batch_id-derived) deterministic
+    state rather than appending — replaying a batch rewrites the same
+    files with the same bytes, so end state is a pure function of the
+    input, not of delivery count. tests/test_streaming.py drains the
+    stream, re-applies the final batch by hand, and asserts the state
+    is byte-stable and equal to the batch aggregate.
+
+    At 100 TB the same shape targets a transactional table format
+    (MERGE keyed on (group, batch_id)); dynamic partition overwrite is
+    the plain-parquet equivalent.
+    """
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("event_time", "1 hour")
+        .groupBy(
+            F.expr("ts_us div 86400000000").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+            ).alias("sg"),
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # overwrite-by-key: deterministic partition dir per (day) —
+        # replaying batch_id rewrites identical content
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("foreachBatch stream did not drain within 120s")

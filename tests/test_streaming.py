@@ -204,3 +204,49 @@ def test_stream_stream_left_outer_join_contract(spark):
         if ts + 2 * ten_min_us < final_wm_us
     }
     assert must_emit <= got_null_ids, (must_emit - got_null_ids)
+
+
+def test_foreachbatch_upsert_is_idempotent(spark):
+    """The foreachBatch sink must be replay-safe: state after the drain
+    equals the batch aggregate, and re-running the whole availableNow
+    stream over the same input leaves the state IDENTICAL (the
+    exactly-once-by-idempotence contract)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from flexcalc_spark.tables import events_with_time
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_febatch_{os.getpid()}"
+    )
+    sw.run_stream_foreachbatch_upsert(spark, SF_DIR, out)
+
+    def state():
+        pdf = (
+            spark.read.parquet(out)
+            .select("day", "event_type", "n", "sg")
+            .toPandas()
+        )
+        return _canon(pdf)
+
+    first = state()
+
+    e = events_with_time(spark, SF_DIR)
+    batch = (
+        e.groupBy(
+            F.expr("ts_us div 86400000000").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+            ).alias("sg"),
+        )
+        .toPandas()
+    )
+    assert first == _canon(batch)
+
+    # replay: drain the same input again into the same sink
+    sw.run_stream_foreachbatch_upsert(spark, SF_DIR, out)
+    assert state() == first

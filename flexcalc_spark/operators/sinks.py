@@ -272,3 +272,56 @@ def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_price_good"),
     )
+
+
+@register(
+    "q_source_xml",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    family="sinks",
+    scale_notes=(
+        "XML source/sink round-trip (Spark 4 ships the former "
+        "spark-xml as a built-in): write documents as row-tagged XML, "
+        "read back with an EXPLICIT schema (inference would cost an "
+        "extra full pass), aggregate per (lang, source) after the trip "
+        "so entity-escaping fidelity is what the oracle checks. XML is "
+        "the interchange format of legacy archives/feeds (PubMed, "
+        "Wikipedia dumps, SEC filings) that corpus pipelines still "
+        "ingest at TB scale; row tags frame record splits so the "
+        "reader parallelizes per input split like any text source"
+    ),
+)
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as row-tagged XML, read back with an explicit
+    schema, aggregate per (lang, source) — grades the XML round-trip
+    through entity escaping."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_src_xml_{os.getpid()}"
+    )
+    d = table(spark, sf_dir, "documents")
+    (
+        d.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(out)
+    )
+    r = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        .load(out)
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )

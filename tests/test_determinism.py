@@ -101,6 +101,7 @@ RISKY = [
     "q_seq_pattern",        # chained interval joins + distinct collapse
     "q_sample_weighted",    # quantized exponential keys + rank ties
     "q_ct_fbp",             # all-integer Radon/filter/backproject chain
+    "q_source_xml",         # XML escaping round-trip aggregate
 ]
 
 

@@ -101,3 +101,113 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionAll(ins)
+
+
+@register(
+    "q_scd2_pit",
+    oracle="""
+        WITH versions AS (
+            SELECT o_custkey AS custkey,
+                   o_orderpriority AS prio,
+                   epoch_us(o_orderdate) AS vfrom,
+                   o_orderkey AS vkey,
+                   LEAD(epoch_us(o_orderdate)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY epoch_us(o_orderdate), o_orderkey
+                   ) AS vto
+            FROM orders
+        ),
+        fact AS (
+            SELECT l.l_orderkey, l.l_extendedprice,
+                   epoch_us(l.l_shipdate) AS ship_us,
+                   o.o_custkey AS custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        pit AS (
+            SELECT f.l_orderkey, f.l_extendedprice,
+                   COALESCE(v.prio, 'NONE') AS prio_at_ship
+            FROM fact f
+            LEFT JOIN versions v
+              ON v.custkey = f.custkey
+             AND f.ship_us >= v.vfrom
+             AND (v.vto IS NULL OR f.ship_us < v.vto)
+        )
+        SELECT prio_at_ship,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+                   AS revenue
+        FROM pit GROUP BY prio_at_ship
+    """,
+    family="cdc",
+    scale_notes=(
+        "SCD type-2 dimension + point-in-time join — the feature-store "
+        "primitive that prevents training-serving skew (an attribute "
+        "read AS OF the fact's event time, never the current value): "
+        "version intervals come from one LEAD window over the change "
+        "feed (valid_from exclusive-end chaining, deterministic "
+        "tiebreak on the change key), and the PIT join is an equi join "
+        "on the entity key with the interval containment as a "
+        "residual — the q_join_asof/q_join_range machinery, never a "
+        "cross product. At 100 TB the dimension history is orders of "
+        "magnitude smaller than facts and usually broadcasts; "
+        "unmatched facts surface as an explicit 'NONE' cohort instead "
+        "of silently dropping"
+    ),
+)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by the customer's order-priority AS OF each item's ship
+    time: SCD-2 validity intervals from the order feed, point-in-time
+    joined to lineitem."""
+    from pyspark.sql.window import Window
+    from flexcalc_spark.tables import epoch_us_of
+
+    o = table_parallel(spark, sf_dir, "orders")
+    odate = epoch_us_of(o, "o_orderdate")
+    w = Window.partitionBy("custkey").orderBy("vfrom", "vkey")
+    versions = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("prio"),
+            odate.alias("vfrom"),
+            F.col("o_orderkey").alias("vkey"),
+        )
+        .withColumn("vto", F.lead("vfrom").over(w))
+    )
+    li = table_parallel(spark, sf_dir, "lineitem")
+    ship = epoch_us_of(li, "l_shipdate")
+    fact = li.select(
+        "l_orderkey", "l_extendedprice", ship.alias("ship_us")
+    ).join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("custkey"),
+        ),
+        "l_orderkey",
+    )
+    pit = fact.join(
+        versions,
+        (versions.custkey == fact.custkey)
+        & (F.col("ship_us") >= F.col("vfrom"))
+        & (F.col("vto").isNull() | (F.col("ship_us") < F.col("vto"))),
+        "left",
+    )
+    return (
+        pit.select(
+            F.coalesce("prio", F.lit("NONE")).alias("prio_at_ship"),
+            "l_extendedprice",
+        )
+        .groupBy("prio_at_ship")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * 1_000_000.0 + 0.5
+                    ).cast("bigint")
+                ).cast("double")
+                / 1_000_000.0,
+                4,
+            ).alias("revenue"),
+        )
+    )

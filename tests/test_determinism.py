@@ -102,6 +102,7 @@ RISKY = [
     "q_sample_weighted",    # quantized exponential keys + rank ties
     "q_ct_fbp",             # all-integer Radon/filter/backproject chain
     "q_source_xml",         # XML escaping round-trip aggregate
+    "q_scd2_pit",           # version-interval window + PIT residual join
 ]
 
 

@@ -571,3 +571,11 @@ def test_sample_weighted_uses_window_group_limit(spark):
     (WindowGroupLimit), not sort whole groups."""
     plan = plan_text(Q["q_sample_weighted"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_scd2_pit_join_is_equi_on_entity(spark):
+    """The point-in-time join must hash on the entity key with the
+    interval containment as a residual — no nested-loop temporal scan."""
+    plan = plan_text(Q["q_scd2_pit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -158,7 +158,7 @@ GRADE_ORDER: list[str] = [
     # --- 50-key line (driver window size) ---
     # overflow: graded next round (window holds exactly 50)
     "q_ewma", "q_debounce", "q_seq_pattern", "q_sample_weighted",
-    "q_source_xml", "q_scd2_pit",
+    "q_source_xml", "q_scd2_pit", "q_bpe_tokenize",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations)
     "q_scan_count", "q_project_expr",

@@ -103,6 +103,7 @@ RISKY = [
     "q_ct_fbp",             # all-integer Radon/filter/backproject chain
     "q_source_xml",         # XML escaping round-trip aggregate
     "q_scd2_pit",           # version-interval window + PIT residual join
+    "q_bpe_tokenize",       # iterative merge training, lexicographic ties
 ]
 
 

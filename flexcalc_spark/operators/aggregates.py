@@ -784,3 +784,78 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_CORR_PAIRS)}, {', '.join(stack_parts)})"
         " AS (col_x, col_y, n, corr_q)"
     )
+
+
+@register(
+    "q_percentile_select",
+    oracle="""
+        WITH s AS (
+            SELECT l_extendedprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+            FROM lineitem
+        ),
+        t AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT CAST(t.n AS BIGINT) AS n,
+               (a.v + b.v) / 2.0 AS median
+        FROM t,
+             (SELECT v FROM s, t WHERE rn = (n + 1) // 2) a,
+             (SELECT v FROM s, t WHERE rn = (n + 2) // 2) b
+    """,
+    family="aggregates",
+    scale_notes=(
+        "distributed EXACT median via two-phase selection — the third "
+        "tier beside exact-sort (q_agg_percentile, serializing oracle "
+        "twin) and sketch (q_agg_approx_percentile): phase 1 histograms "
+        "rows into integer-dollar buckets (cardinality bounded by the "
+        "PRICE DOMAIN, not row count — the cumulative window runs over "
+        "that tiny aggregated table), phase 2 ranks ONLY the 1-2 "
+        "buckets containing the target order statistics (a ~n/|domain| "
+        "slice, bucket-partitioned window). No full-data global sort "
+        "anywhere; the oracle's serializing ROW_NUMBER certifies the "
+        "decomposition picks the identical order stats. Recurse the "
+        "same split for heavily-skewed buckets"
+    ),
+)
+def q_percentile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact median of l_extendedprice by distributed selection:
+    domain-bucket histogram -> locate target order stats -> rank only
+    the covering bucket slice."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.floor("l_extendedprice").cast("bigint").alias("bucket"),
+    )
+    hist = li.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hist = hist.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    ks = tot.select(
+        "n",
+        F.explode(
+            F.array(F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2"))
+        ).alias("k"),
+    )
+    cand = hist.join(
+        F.broadcast(ks),
+        (F.col("prev") < F.col("k")) & (F.col("k") <= F.col("cum")),
+    ).select("k", "bucket", "prev")
+    slice_df = li.join(
+        F.broadcast(cand.select("bucket").distinct()), "bucket"
+    )
+    wv = Window.partitionBy("bucket").orderBy("v")
+    ranked = slice_df.withColumn("rn", F.row_number().over(wv))
+    stats = ranked.join(
+        F.broadcast(cand.withColumnRenamed("bucket", "cbucket")),
+        (F.col("bucket") == F.col("cbucket"))
+        & (F.col("rn") == F.col("k") - F.col("prev")),
+    ).select("v")
+    return (
+        stats.agg((F.sum("v") / 2.0).alias("median"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("n").cast("bigint").alias("n"), "median")
+    )

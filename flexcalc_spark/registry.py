@@ -159,6 +159,7 @@ GRADE_ORDER: list[str] = [
     # overflow: graded next round (window holds exactly 50)
     "q_ewma", "q_debounce", "q_seq_pattern", "q_sample_weighted",
     "q_source_xml", "q_scd2_pit", "q_bpe_tokenize",
+    "q_percentile_select", "q_join_fuzzy",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations)
     "q_scan_count", "q_project_expr",

@@ -104,6 +104,8 @@ RISKY = [
     "q_source_xml",         # XML escaping round-trip aggregate
     "q_scd2_pit",           # version-interval window + PIT residual join
     "q_bpe_tokenize",       # iterative merge training, lexicographic ties
+    "q_percentile_select",  # two-phase selection, order-stat exactness
+    "q_join_fuzzy",         # deletion-key candidates + levenshtein verify
 ]
 
 

@@ -579,3 +579,21 @@ def test_scd2_pit_join_is_equi_on_entity(spark):
     plan = plan_text(Q["q_scd2_pit"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_percentile_select_avoids_full_global_sort(spark):
+    """The raw data must only be ranked INSIDE the covering buckets
+    (bucket-partitioned window, broadcast candidate filter) — the only
+    single-partition work is over the domain-bounded bucket table."""
+    plan = plan_text(Q["q_percentile_select"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert re.search(r"hashpartitioning\(bucket", plan), plan
+
+
+def test_fuzzy_join_is_equi_on_deletion_keys(spark):
+    """Candidates must come from the deletion-key equi join — never a
+    similarity cross product."""
+    plan = plan_text(Q["q_join_fuzzy"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

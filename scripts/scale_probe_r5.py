@@ -33,6 +33,17 @@ R5B_KEYS = [
     "q_sql_recursive",
     "q_source_csv_dirty",
     "q_join_interval_outer",
+    "q_multimodal_audio",
+    "q_ewma",
+    "q_debounce",
+    "q_seq_pattern",
+    "q_sample_weighted",
+    "q_source_xml",
+    "q_scd2_pit",
+    "q_bpe_tokenize",
+    "q_ct_fbp",
+    "q_percentile_select",
+    "q_join_fuzzy",
 ]
 
 

@@ -104,3 +104,99 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# --- rolling-window variant ------------------------------------------
+ROLL_N = 20  # trailing window size (current row + 19 predecessors)
+
+# Rolling stats from integer-grid window sums: n/s/q are exact BIGINTs
+# per row, so the mean/var doubles (and the guarded z) are bit-identical
+# across engines — same clamp discipline as the global key.
+_RMEAN = "(CAST(s AS DOUBLE) / 1000000.0) / n"
+_RVAR = (
+    "(CAST(q AS DOUBLE) / 1000000.0) / n - "
+    f"({_RMEAN}) * ({_RMEAN})"
+)
+_RZ = (
+    f"CASE WHEN n < 2 OR ({_RVAR}) <= 0.0 THEN 0 ELSE "
+    f"floor((value - ({_RMEAN})) / sqrt({_RVAR}) * 10000.0) END"
+)
+
+
+@register(
+    "q_anomaly_rolling",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, event_type, value, epoch_us(ts) AS ts_us,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg,
+                   CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)
+                       AS qg
+            FROM events
+        ),
+        win AS (
+            SELECT event_id, event_type, value,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(vg) OVER w AS BIGINT) AS s,
+                   CAST(SUM(qg) OVER w AS BIGINT) AS q
+            FROM base
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                         ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CAST({_RZ} AS BIGINT) AS z_q,
+               CAST(CASE WHEN ({_RZ}) >= 20000 OR ({_RZ}) <= -20000
+                    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM win
+    """,
+    family="anomaly",
+    scale_notes=(
+        "rolling-window z-score (the drift/spike monitor over a moving "
+        "baseline, where the global key's population stats would wash "
+        "out regime changes): one event_type-partitioned window "
+        "carries three exact BIGINT accumulators (count, grid sum, "
+        "grid sum-of-squares) over the trailing 20 events — no "
+        "per-engine stddev implementation is ever invoked, the "
+        "variance formula runs on exact integers per row. Same "
+        "degenerate-variance clamp as the global key. One shuffle on "
+        "event_type; at 100 TB partition additionally by coarse time "
+        "range so a hot type's window work spreads (the frame only "
+        "ever looks 20 rows back, so range-block boundaries need a "
+        "20-row halo — the q_concurrency block decomposition)"
+    ),
+)
+def q_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-score of each event against its type's trailing-20-event
+    window (grid-integer window sums); flag at |z| >= 2."""
+    from pyspark.sql.window import Window
+
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts_us",
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint").alias("vg"),
+        F.floor(F.col("value") * F.col("value") * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("qg"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(ROLL_N - 1), 0)
+    )
+    win = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("vg").over(w).cast("bigint").alias("s"),
+        F.sum("qg").over(w).cast("bigint").alias("q"),
+    )
+    return win.selectExpr(
+        "event_id",
+        f"CAST({_RZ} AS BIGINT) AS z_q",
+        f"CAST(CASE WHEN ({_RZ}) >= 20000 OR ({_RZ}) <= -20000 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS flagged",
+    )

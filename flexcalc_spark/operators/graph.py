@@ -134,3 +134,81 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("r").cast("bigint").alias("rank"),
     )
+
+
+COOCCUR_MIN = 2  # co-occurrence support threshold for the part graph
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {COOCCUR_MIN}
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+               CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
+        FROM tri
+    """,
+    family="graph",
+    scale_notes=(
+        "triangle counting on the part co-occurrence graph via the "
+        "oriented-edge decomposition: edges stored once as u<v, wedges "
+        "= pairs joined on the middle vertex, closed by a second equi "
+        "join on the (u, w) edge — each triangle counted exactly once, "
+        "O(wedges) work instead of O(n^3). At 100 TB the standard "
+        "refinement orients edges by DEGREE (low->high) so wedge "
+        "fan-out is bounded by the lighter endpoint — same two-join "
+        "plan, different orientation key; the support threshold (>=2 "
+        "shared orders) prunes the hairball before any join. The graph "
+        "quality signal behind community detection and spam-cluster "
+        "mining"
+    ),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles in the part co-occurrence graph (parts sharing
+    >=2 orders), edges oriented u<v, wedge-close join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= COOCCUR_MIN)
+        .select("u", "v")
+        .cache()
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u"))
+        & (F.col("e3.v") == F.col("e2.v")),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_triangles", F.col("n_edges").cast("bigint").alias("n_edges"))
+    )

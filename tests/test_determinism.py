@@ -106,6 +106,8 @@ RISKY = [
     "q_bpe_tokenize",       # iterative merge training, lexicographic ties
     "q_percentile_select",  # two-phase selection, order-stat exactness
     "q_join_fuzzy",         # deletion-key candidates + levenshtein verify
+    "q_triangle_count",     # oriented wedge-close joins on cached edges
+    "q_anomaly_rolling",    # grid-integer window sums, clamped z
 ]
 
 

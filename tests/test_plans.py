@@ -597,3 +597,20 @@ def test_fuzzy_join_is_equi_on_deletion_keys(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Wedge and closing joins must be equi joins on vertex keys; the
+    only nested-loop allowed is the final 1-row x 1-row scalar attach
+    (triangle count x edge count)."""
+    plan = plan_text(Q["q_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_anomaly_rolling_single_window(spark):
+    """The three accumulators ride ONE event_type window pass."""
+    plan = plan_text(Q["q_anomaly_rolling"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "Join" not in plan, plan

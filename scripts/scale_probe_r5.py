@@ -44,6 +44,8 @@ R5B_KEYS = [
     "q_ct_fbp",
     "q_percentile_select",
     "q_join_fuzzy",
+    "q_triangle_count",
+    "q_anomaly_rolling",
 ]
 
 

@@ -160,7 +160,7 @@ GRADE_ORDER: list[str] = [
     "q_ewma", "q_debounce", "q_seq_pattern", "q_sample_weighted",
     "q_source_xml", "q_scd2_pit", "q_bpe_tokenize",
     "q_percentile_select", "q_join_fuzzy",
-    "q_triangle_count", "q_anomaly_rolling",
+    "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations)
     "q_scan_count", "q_project_expr",

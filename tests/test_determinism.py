@@ -108,6 +108,7 @@ RISKY = [
     "q_join_fuzzy",         # deletion-key candidates + levenshtein verify
     "q_triangle_count",     # oriented wedge-close joins on cached edges
     "q_anomaly_rolling",    # grid-integer window sums, clamped z
+    "q_feature_hash",       # md5-fold buckets, ordered sparse strings
 ]
 
 

@@ -112,3 +112,124 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features"),
     )
+
+
+# --- in-engine supervised training (logistic regression) -------------
+LOGIT_ITERS = 5
+LOGIT_LR = 0.5
+# per-row gradient terms ride the 1e-6 grid; sigmoid's cross-engine exp
+# ulp (~1e-16 absolute) sits ~1e-10 grid-widths from any boundary
+_GRID = "1000000.0"
+
+
+def _logit_terms(w0: str, w1: str) -> tuple[str, str]:
+    """Grid-quantized per-row gradient terms at weights (w0, w1); the
+    text is shared verbatim between the Spark plan and the oracle."""
+    sig = f"(1.0 / (1.0 + exp(-(({w0}) * x + ({w1})))))"
+    g0 = f"CAST(floor(({sig} - y) * x * {_GRID} + 0.5) AS BIGINT)"
+    g1 = f"CAST(floor(({sig} - y) * {_GRID} + 0.5) AS BIGINT)"
+    return g0, g1
+
+
+def _logit_oracle() -> str:
+    feat = """feat AS MATERIALIZED (
+        SELECT o_totalprice / 100000.0 AS x,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+                   AS y
+        FROM orders
+    ),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat)"""
+    ctes = [feat, "w0 AS MATERIALIZED (SELECT 0.0 AS a, 0.0 AS b)"]
+    for k in range(1, LOGIT_ITERS + 1):
+        g0, g1 = _logit_terms(
+            f"(SELECT a FROM w{k-1})", f"(SELECT b FROM w{k-1})"
+        )
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+                SELECT SUM({g0}) AS s0, SUM({g1}) AS s1 FROM feat
+            )"""
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+                SELECT (SELECT a FROM w{k-1})
+                       - {LOGIT_LR} * (CAST(s0 AS DOUBLE) / {_GRID}
+                                       / (SELECT n FROM n)) AS a,
+                       (SELECT b FROM w{k-1})
+                       - {LOGIT_LR} * (CAST(s1 AS DOUBLE) / {_GRID}
+                                       / (SELECT n FROM n)) AS b
+                FROM g{k}
+            )"""
+        )
+    wf = f"w{LOGIT_ITERS}"
+    sig = (
+        f"(1.0 / (1.0 + exp(-((SELECT a FROM {wf}) * x"
+        f" + (SELECT b FROM {wf})))))"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+        SELECT (SELECT a FROM {wf}) AS w_price,
+               (SELECT b FROM {wf}) AS w_bias,
+               (SELECT n FROM n) AS n,
+               CAST(SUM(CASE WHEN ({sig} >= 0.5 AND y = 1.0)
+                              OR ({sig} < 0.5 AND y = 0.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM feat
+        """
+    )
+
+
+@register(
+    "q_logistic_train",
+    oracle=_logit_oracle(),
+    family="features",
+    scale_notes=(
+        "supervised training in-engine: 5 full-batch gradient-descent "
+        "iterations of logistic regression (urgency ~ price), each "
+        "iteration ONE scan producing two exact BIGINT gradient sums "
+        "(per-row terms grid-quantized BEFORE summing, so the "
+        "partial-merge order cannot perturb the weights — the same "
+        "discipline that makes every aggregate here "
+        "partitioning-independent), weights updated from the 2-cell "
+        "aggregate. Spark runs the loop with a 1-row collect per round "
+        "(q_kmeans codebook pattern); the oracle unrolls identical "
+        "iterations as MATERIALIZED CTEs, so learned weights AND "
+        "training accuracy hash-match. At 100 TB: gradient scans "
+        "dominate, the update is O(d); minibatch = add the "
+        "q_sample_split hash filter per round"
+    ),
+)
+def q_logistic_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train logistic regression (is-urgent ~ scaled price + bias) with
+    5 exact-gradient iterations; output weights, n, training correct
+    count."""
+    from flexcalc_spark.tables import table
+
+    o = table(spark, sf_dir, "orders")
+    feat = o.selectExpr(
+        "o_totalprice / 100000.0 AS x",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y",
+    ).cache()
+    n = feat.count()
+    w0, w1 = 0.0, 0.0
+    for _ in range(LOGIT_ITERS):
+        g0, g1 = _logit_terms(repr(w0), repr(w1))
+        row = feat.selectExpr(
+            f"{g0} AS t0", f"{g1} AS t1"
+        ).agg({"t0": "sum", "t1": "sum"}).collect()[0]
+        s0, s1 = row["sum(t0)"], row["sum(t1)"]
+        w0 = w0 - LOGIT_LR * (s0 / 1000000.0 / n)
+        w1 = w1 - LOGIT_LR * (s1 / 1000000.0 / n)
+    sig = f"(1.0 / (1.0 + exp(-(({w0!r}) * x + ({w1!r})))))"
+    return feat.selectExpr(
+        "x",
+        "y",
+        f"CASE WHEN ({sig} >= 0.5 AND y = 1.0)"
+        f" OR ({sig} < 0.5 AND y = 0.0) THEN 1 ELSE 0 END AS ok",
+    ).agg(
+        F.lit(w0).alias("w_price"),
+        F.lit(w1).alias("w_bias"),
+        F.lit(n).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+    )

@@ -109,6 +109,7 @@ RISKY = [
     "q_triangle_count",     # oriented wedge-close joins on cached edges
     "q_anomaly_rolling",    # grid-integer window sums, clamped z
     "q_feature_hash",       # md5-fold buckets, ordered sparse strings
+    "q_logistic_train",     # grid-quantized gradient sums per iteration
 ]
 
 

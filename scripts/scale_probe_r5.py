@@ -46,6 +46,8 @@ R5B_KEYS = [
     "q_join_fuzzy",
     "q_triangle_count",
     "q_anomaly_rolling",
+    "q_feature_hash",
+    "q_logistic_train",
 ]
 
 

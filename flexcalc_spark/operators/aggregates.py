@@ -859,3 +859,103 @@ def q_percentile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(F.col("n").cast("bigint").alias("n"), "median")
     )
+
+
+ALLOC_BUDGET = 1_000_000  # units to distribute exactly
+
+
+@register(
+    "q_allocate",
+    oracle=f"""
+        WITH rev AS (
+            SELECT n_name,
+                   CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS r
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        ),
+        t AS (SELECT CAST(SUM(r) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS g FROM rev),
+        base AS (
+            SELECT n_name, r,
+                   ({ALLOC_BUDGET} * r) // total AS fl,
+                   ({ALLOC_BUDGET} * r) % total AS rem
+            FROM rev, t
+        ),
+        short AS (
+            SELECT {ALLOC_BUDGET} - CAST(SUM(fl) AS BIGINT) AS k FROM base
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk
+            FROM base
+        )
+        SELECT n_name,
+               CAST(fl + CASE WHEN rk <= (SELECT k FROM short)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked
+    """,
+    family="aggregates",
+    scale_notes=(
+        "proportional allocation with largest-remainder (Hamilton) "
+        "rounding — the billing/attribution primitive that must sum "
+        "EXACTLY to the budget: floor shares and remainders are pure "
+        "integer arithmetic on the grid revenue sums, the shortfall is "
+        "one scalar, and the +1 winners rank by (remainder, name) "
+        "total order. Everything after the one revenue aggregate "
+        "operates on |groups| rows — allocation over a billion-row "
+        "fact costs the fact aggregate plus KB-scale integer math, "
+        "and the result is bit-identical on any engine because no "
+        "division ever produces a float"
+    ),
+)
+def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribute a 1M-unit budget across nations proportional to
+    order revenue, largest-remainder rounding (sums exactly to the
+    budget)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    t = rev.agg(
+        F.sum("r").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    base = rev.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        "r",
+        F.expr(f"({ALLOC_BUDGET} * r) div total").alias("fl"),
+        F.expr(f"({ALLOC_BUDGET} * r) % total").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(ALLOC_BUDGET) - F.sum("fl")).cast("bigint").alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("n_name"))
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "n_name",
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

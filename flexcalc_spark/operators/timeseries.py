@@ -757,3 +757,93 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(completed.event_id).cast("bigint").alias("n_completed"),
         )
     )
+
+
+# --- interval coalescing ---------------------------------------------
+SPAN_US = 600_000_000  # each event opens a 10-min activity interval
+
+
+@register(
+    "q_interval_coalesce",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {SPAN_US} AS e,
+                   event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_iv
+            FROM iv
+        ),
+        grouped AS (
+            SELECT *,
+                   SUM(new_iv) OVER (PARTITION BY user_id
+                                     ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS gid
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, gid, MIN(s) AS ms, MAX(e) AS me
+            FROM grouped GROUP BY user_id, gid
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+               CAST(MIN(ms) AS BIGINT) AS first_start_us,
+               CAST(MAX(me) AS BIGINT) AS last_end_us
+        FROM merged GROUP BY user_id
+    """,
+    family="timeseries",
+    scale_notes=(
+        "interval coalescing (merge overlapping activity windows — the "
+        "uptime/visit/maintenance-window primitive): the overlap test "
+        "is a cumulative MAX(end) over strictly-preceding rows and the "
+        "interval id a running sum of break flags — both ride the ONE "
+        "user_id shuffle, all integer-µs exact. Per-user frames never "
+        "serialize globally; an unpartitioned variant (global machine "
+        "uptime) uses the q_concurrency/q_skyline block prefix "
+        "decomposition for the cumulative max. The merged table feeds "
+        "SLA/coverage reporting at any scale"
+    ),
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce each user's overlapping 10-min activity intervals into
+    maximal runs; per user: run count, covered µs, first/last bounds."""
+    e = events_with_time(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + SPAN_US).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = (
+        F.max("e")
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = e.withColumn(
+        "new_iv",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    )
+    grouped = flagged.withColumn(
+        "gid",
+        F.sum("new_iv").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = grouped.groupBy("user_id", "gid").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
+        F.min("ms").cast("bigint").alias("first_start_us"),
+        F.max("me").cast("bigint").alias("last_end_us"),
+    )

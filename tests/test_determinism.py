@@ -110,6 +110,8 @@ RISKY = [
     "q_anomaly_rolling",    # grid-integer window sums, clamped z
     "q_feature_hash",       # md5-fold buckets, ordered sparse strings
     "q_logistic_train",     # grid-quantized gradient sums per iteration
+    "q_interval_coalesce",  # cumulative-max break flags, integer spans
+    "q_allocate",           # all-integer largest-remainder rounding
 ]
 
 

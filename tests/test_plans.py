@@ -614,3 +614,11 @@ def test_anomaly_rolling_single_window(spark):
     plan = plan_text(Q["q_anomaly_rolling"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_interval_coalesce_one_user_shuffle(spark):
+    """Break-flag, group-id, and merge must all ride the single user_id
+    partitioning — one exchange, no joins."""
+    plan = plan_text(Q["q_interval_coalesce"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan

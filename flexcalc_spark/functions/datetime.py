@@ -110,3 +110,89 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_idx",
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q_locf",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        b AS (SELECT MIN(hour_idx) AS lo, MAX(hour_idx) AS hi FROM h),
+        types AS (SELECT DISTINCT event_type FROM h),
+        spine AS (
+            SELECT event_type, s.hour_idx
+            FROM types, (SELECT unnest(range(lo, hi + 1)) AS hour_idx
+                         FROM b) s
+        ),
+        obs AS (
+            SELECT event_type, hour_idx,
+                   ROUND(CAST(SUM(vg) AS DOUBLE) / 1000000.0 / COUNT(*), 4)
+                       AS vavg
+            FROM h GROUP BY event_type, hour_idx
+        ),
+        joined AS (
+            SELECT s.event_type, s.hour_idx, obs.vavg
+            FROM spine s LEFT JOIN obs USING (event_type, hour_idx)
+        )
+        SELECT event_type, CAST(hour_idx AS BIGINT) AS hour_idx,
+               last_value(vavg IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_filled,
+               CAST(CASE WHEN vavg IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS observed
+        FROM joined
+    """,
+    family="datetime",
+    scale_notes=(
+        "last-observation-carried-forward gap fill (the sensor/metrics "
+        "companion to q_gapfill's zero fill): the dense (type x hour) "
+        "spine is generated from a 1-row bounds aggregate (spine-sized, "
+        "never event-sized), observed hours collapse by partial agg "
+        "BEFORE the spine join, and the carry-forward is one "
+        "last_value(IGNORE NULLS) window per type over the spine — "
+        "O(types x hours) rows regardless of corpus size. Grid-avg "
+        "observations keep the carried values engine-identical"
+    ),
+)
+def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type average value over a dense spine with missing
+    hours filled by the last observed value (LOCF)."""
+    from pyspark.sql.window import Window
+
+    e = events_with_time(spark, sf_dir)
+    h = e.select(
+        "event_type",
+        F.expr("ts_us div 3600000000").alias("hour_idx"),
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint").alias("vg"),
+    )
+    b = h.agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+    types = h.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            b.select(F.explode(F.expr("sequence(lo, hi)")).alias("hour_idx"))
+        )
+    )
+    obs = h.groupBy("event_type", "hour_idx").agg(
+        F.round(
+            F.sum("vg").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 4
+        ).alias("vavg")
+    )
+    joined = spine.join(obs, ["event_type", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.col("hour_idx").cast("bigint").alias("hour_idx"),
+        F.last("vavg", ignorenulls=True).over(w).alias("v_filled"),
+        F.when(F.col("vavg").isNull(), 0)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("observed"),
+    )

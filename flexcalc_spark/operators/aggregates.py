@@ -959,3 +959,70 @@ def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, med.med,
+                   abs(e.value - med.med) AS ad
+            FROM events e JOIN med USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, med,
+                   quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type, med
+        )
+        SELECT d.event_type, mad.med, mad.mad,
+               CAST(SUM(CASE WHEN d.ad > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad USING (event_type)
+        GROUP BY d.event_type, mad.med, mad.mad
+    """,
+    family="aggregates",
+    scale_notes=(
+        "median-absolute-deviation outlier gate — the robust sibling "
+        "of q_anomaly_zscore (immune to the outliers it hunts, unlike "
+        "mean/std): two percentile aggregates (per-type median, then "
+        "median of absolute deviations) each broadcast back onto the "
+        "scan, flagging is a per-row compare. Exact percentile's "
+        "buffer-every-value reduce is the known non-scaler — at 100 TB "
+        "both medians swap to approx_percentile (the "
+        "q_histogram_equidepth_approx move) or the q_percentile_select "
+        "two-phase selection, same downstream plan. Spark percentile "
+        "and DuckDB quantile_cont interpolate identically (proven by "
+        "q_agg_percentile), so med/mad doubles match bit-for-bit"
+    ),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier census: median, MAD, and count of
+    events with |value - median| > 3 * MAD."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("ad") > 3.0 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select("event_type", "med", "mad", "n_outliers")
+    )

@@ -112,6 +112,8 @@ RISKY = [
     "q_logistic_train",     # grid-quantized gradient sums per iteration
     "q_interval_coalesce",  # cumulative-max break flags, integer spans
     "q_allocate",           # all-integer largest-remainder rounding
+    "q_locf",               # spine join + ignore-nulls carry-forward
+    "q_mad_outliers",       # two-phase robust percentiles + broadcast
 ]
 
 

@@ -622,3 +622,10 @@ def test_interval_coalesce_one_user_shuffle(spark):
     plan = plan_text(Q["q_interval_coalesce"](spark, SF_DIR))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_mad_broadcasts_both_stat_tables(spark):
+    """Median and MAD tables (5 rows each) must broadcast back onto
+    the event scan — no wide shuffles of the fact side."""
+    plan = plan_text(Q["q_mad_outliers"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -48,6 +48,10 @@ R5B_KEYS = [
     "q_anomaly_rolling",
     "q_feature_hash",
     "q_logistic_train",
+    "q_interval_coalesce",
+    "q_allocate",
+    "q_locf",
+    "q_mad_outliers",
 ]
 
 

@@ -123,14 +123,16 @@ def register(
 # the order each round gets every family driver-confirmed across rounds
 # without changing any query.
 #
-# Round-5 front (50):
+# Round-5 front (50, all never-graded — zero wasted slots):
 #   1. the 24 keys added in round 4 that NO round has graded yet
 #      (CORRECTNESS_r04 is exactly the round-4 window; these sat behind
 #      the 50-key line);
-#   2. round-5 additions (never graded by construction);
-#   3. the stalest r1-only passes — three fixture generations old —
-#      filling the window to 50.
-# Keys absent from this list keep registration order at the end.
+#   2/2b. round-5 additions up to the 50-key line.
+# The overflow section right after the line holds this session's
+# later additions (locally green, driver evidence queued): ROUND-6
+# ROTATION should front the overflow + any failures + the stalest
+# r1-only passes. Keys absent from this list keep registration order
+# at the end.
 GRADE_ORDER: list[str] = [
     # 1. round-4 additions, never driver-graded
     "q_sketch_hll", "q_sliding_distinct",

@@ -907,7 +907,9 @@ ALLOC_BUDGET = 1_000_000  # units to distribute exactly
         "operates on |groups| rows — allocation over a billion-row "
         "fact costs the fact aggregate plus KB-scale integer math, "
         "and the result is bit-identical on any engine because no "
-        "division ever produces a float"
+        "division ever produces a float. Bound: budget x total_cents "
+        "must stay under 2^63 (safe to ~sf0.6 at this budget) — past "
+        "that, swap the share product to DECIMAL(38,0), same plan"
     ),
 )
 def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:

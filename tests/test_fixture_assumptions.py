@@ -1,0 +1,102 @@
+"""Fixture-assumption canaries (the ADVICE-r4 HLL-guard pattern,
+generalized): /root/testdata is REGENERATED between rounds, and several
+keys embed data-derived values in SQL literals or rely on value-domain
+bounds for integer-grid exactness. Each test here fails LOUDLY at round
+start if a regeneration crosses an assumption that would otherwise
+surface only as a silent driver-hash mismatch.
+
+Run at every round start (part of the default suite).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+SFS = [SF_DIR, "/root/testdata/sf0.01"]
+
+
+@pytest.fixture(scope="module")
+def duck2():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_corpus_charset_is_sql_literal_safe(duck2, sf):
+    """q_bpe_tokenize embeds learned merge pairs as SQL string literals
+    (and the char-spacing regex assumes single-byte symbols): the
+    corpus must stay lowercase ASCII words + spaces — a regeneration
+    introducing quotes/backslashes/unicode would break the literal
+    embedding, not just the hash."""
+    bad = duck2.execute(
+        f"""SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet')
+            WHERE regexp_matches(lower(text), '[^a-z0-9 ]')"""
+    ).fetchone()[0]
+    assert bad == 0, f"{bad} docs contain chars outside [a-z0-9 ]"
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_lineitem_decimal_precision(duck2, sf):
+    """q_regression_multi / q_allocate floor(x*100+0.5) grids assume
+    quantity/discount/extendedprice carry exactly 2 decimals."""
+    row = duck2.execute(
+        f"""SELECT
+              MAX(abs(l_quantity*100 - round(l_quantity*100))),
+              MAX(abs(l_discount*100 - round(l_discount*100))),
+              MAX(abs(l_extendedprice*100 - round(l_extendedprice*100)))
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).fetchone()
+    for v in row:
+        assert v < 1e-6, f"lineitem values are no longer 2-decimal: {row}"
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_event_value_domain(duck2, sf):
+    """Grid overflow bounds (1e-6 value grid, 1e-6 value^2 grid) assume
+    events.value stays within [0, 10000]."""
+    lo, hi = duck2.execute(
+        f"SELECT MIN(value), MAX(value) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()
+    assert lo >= 0.0 and hi <= 10000.0, (lo, hi)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_embedding_dimension(duck2, sf):
+    """multimodal (8x8 image / 4x16 frames / 4x16 audio windows) and CT
+    voxel unpacking assume exactly 64-dim embeddings."""
+    lo, hi = duck2.execute(
+        f"""SELECT MIN(len(embedding)), MAX(len(embedding))
+            FROM read_parquet('{sf}/embeddings.parquet')"""
+    ).fetchone()
+    assert lo == 64 and hi == 64, (lo, hi)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_recursive_seed_supplier_exists(duck2, sf):
+    """q_sql_recursive's BFS anchors on supplier key 1 (node id 3)."""
+    n = duck2.execute(
+        f"""SELECT COUNT(*) FROM read_parquet('{sf}/lineitem.parquet')
+            WHERE l_suppkey = 1"""
+    ).fetchone()[0]
+    assert n > 0, "supplier 1 vanished from lineitem — recursive seed dead"
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ab_arms_populated(duck2, sf):
+    """q_ab_test divides by per-arm counts; both user-parity arms must
+    hold >=2 events for every event_type (the z guard clamps n<2, but
+    empty arms exercise the NULL-vs-nan canon edge — keep them
+    impossible instead)."""
+    short = duck2.execute(
+        f"""SELECT COUNT(*) FROM (
+              SELECT event_type, user_id % 2 AS arm, COUNT(*) AS n
+              FROM read_parquet('{sf}/events.parquet')
+              GROUP BY event_type, arm
+              HAVING COUNT(*) < 2
+            )"""
+    ).fetchone()[0]
+    assert short == 0, f"{short} (event_type, arm) cells hold <2 events"

@@ -281,3 +281,148 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("energy"), 4) + 0.0).alias("energy"),
         F.col("n_zero_cross").cast("bigint").alias("n_zero_cross"),
     )
+
+
+# --- perceptual-hash image dedup -------------------------------------
+PHASH_MAX_HAMMING = 6   # near-dup threshold on the 64-bit signature
+
+
+@register(
+    "q_dedup_phash",
+    oracle=f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        v AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(e, x -> x * 1.05 + 0.01) AS e
+            FROM base WHERE vec_id % 25 = 0
+        ),
+        m AS (
+            SELECT vec_id, e, list_aggregate(e, 'sum') / 64.0 AS mu FROM v
+        ),
+        sig AS (
+            SELECT vec_id,
+                   list_transform(range(0, 8), j ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, 9),
+                                   k -> CAST(CASE WHEN e[8*j + k] > mu
+                                             THEN 1 ELSE 0 END AS BIGINT))),
+                           (acc, b) -> acc * 2 + b)) AS bands
+            FROM m
+        ),
+        bandrows AS (
+            SELECT vec_id, j.j, bands[j.j + 1] AS bv
+            FROM sig, (SELECT unnest(range(0, 8)) AS j) j
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bandrows a JOIN bandrows b
+              ON a.j = b.j AND a.bv = b.bv AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, 9),
+                               k -> CAST(bit_count(xor(sa.bands[k],
+                                                       sb.bands[k]))
+                                    AS BIGINT))),
+                       (acc, h) -> acc + h) AS hamming
+            FROM cand c
+            JOIN sig sa ON sa.vec_id = c.id_a
+            JOIN sig sb ON sb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
+    """,
+    family="multimodal",
+    scale_notes=(
+        "image near-dup via perceptual hashing (average-hash): each "
+        "image reduces to a 64-bit brightness signature (8 one-byte "
+        "bands, pure codegen HOFs — the decode step is the same Arrow "
+        "path q_multimodal_features grades), candidates come from an "
+        "equi join on (band_idx, band_value) — the pigeonhole "
+        "guarantee: hamming <= 6 over 8 bands forces >= 2 identical "
+        "bands, so banding has GUARANTEED recall at the threshold, "
+        "never all-pairs — and the exact Hamming verify runs only on "
+        "candidate pairs (bit_count of XORed bands). This is the "
+        "q_dedup_simhash construction pointed at the image modality — "
+        "how production image-dataset dedup (LAION-style) actually "
+        "runs. All-integer signatures: partitioning-independent"
+    ),
+)
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash near-dup image pairs (hamming <= 6 on 64-bit
+    signatures) via 8-band LSH candidates + exact XOR-popcount verify.
+
+    The corpus is the fixture images plus a derived photometric-twin
+    set (every 25th image re-rendered at 1.05x contrast + 0.01
+    brightness): aHash thresholds against the IMAGE MEAN, so affine
+    intensity changes leave the signature bits invariant — exactly the
+    transform class perceptual dedup exists to catch and cosine/L2
+    distance does not."""
+    emb = table_parallel(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    twins = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(e, x -> x * 1.05 + 0.01)").alias("e"),
+    )
+    v = base.unionAll(twins)
+    m = v.select(
+        "vec_id",
+        "e",
+        F.expr(
+            "aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / 64.0"
+        ).alias("mu"),
+    )
+    sig = m.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), j -> "
+            "aggregate(sequence(1, 8), CAST(0 AS BIGINT), "
+            "(acc, k) -> acc * 2 + CAST(CASE WHEN element_at(e, 8*j + k) > mu "
+            "THEN 1 ELSE 0 END AS BIGINT)))"
+        ).alias("bands"),
+    ).cache()  # consumed by band explode AND both re-attach joins
+    bandrows = sig.select(
+        "vec_id", F.posexplode("bands").alias("j", "bv")
+    )
+    a = bandrows.alias("a")
+    b = bandrows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("vec_id").alias("id_a"), F.col("bands").alias("ba"))
+    sb = sig.select(F.col("vec_id").alias("id_b"), F.col("bands").alias("bb"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(sequence(1, 8), CAST(0 AS BIGINT), "
+                "(acc, k) -> acc + CAST(bit_count(element_at(ba, k) ^ "
+                "element_at(bb, k)) AS BIGINT))"
+            ).alias("hamming"),
+        )
+    )
+    return scored.filter(
+        F.col("hamming") <= PHASH_MAX_HAMMING
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))

@@ -114,6 +114,7 @@ RISKY = [
     "q_allocate",           # all-integer largest-remainder rounding
     "q_locf",               # spine join + ignore-nulls carry-forward
     "q_mad_outliers",       # two-phase robust percentiles + broadcast
+    "q_dedup_phash",        # integer aHash bands + XOR-popcount verify
 ]
 
 

@@ -629,3 +629,12 @@ def test_mad_broadcasts_both_stat_tables(spark):
     the event scan — no wide shuffles of the fact side."""
     plan = plan_text(Q["q_mad_outliers"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_phash_candidates_are_banded_equi_join(spark):
+    """Perceptual-hash candidates must come from the (band_idx,
+    band_value) equi join — never an all-pairs signature comparison."""
+    plan = plan_text(Q["q_dedup_phash"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

@@ -52,6 +52,7 @@ R5B_KEYS = [
     "q_allocate",
     "q_locf",
     "q_mad_outliers",
+    "q_dedup_phash",
 ]
 
 

@@ -164,7 +164,7 @@ GRADE_ORDER: list[str] = [
     "q_percentile_select", "q_join_fuzzy",
     "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
     "q_logistic_train", "q_interval_coalesce", "q_allocate",
-    "q_locf", "q_mad_outliers", "q_dedup_phash",
+    "q_locf", "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations)
     "q_scan_count", "q_project_expr",

@@ -115,6 +115,7 @@ RISKY = [
     "q_locf",               # spine join + ignore-nulls carry-forward
     "q_mad_outliers",       # two-phase robust percentiles + broadcast
     "q_dedup_phash",        # integer aHash bands + XOR-popcount verify
+    "q_pipeline_e2e",       # four-stage composition, content-pure rules
 ]
 
 

@@ -638,3 +638,12 @@ def test_phash_candidates_are_banded_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_pipeline_e2e_three_shuffles(spark):
+    """The composed pipeline must cost exactly its stages: dedup
+    groupBy, per-lang packing window, final rollup — <=4 exchanges
+    (incl. table_parallel's scan repartition), no joins."""
+    plan = plan_text(Q["q_pipeline_e2e"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan

@@ -53,6 +53,7 @@ R5B_KEYS = [
     "q_locf",
     "q_mad_outliers",
     "q_dedup_phash",
+    "q_pipeline_e2e",
 ]
 
 

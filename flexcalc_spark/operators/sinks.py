@@ -325,3 +325,77 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
     )
+
+
+@register(
+    "q_source_evolving",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_priority,
+               CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                                        THEN o_orderpriority END)
+                    AS BIGINT) AS n_priorities,
+               ROUND(CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+                   AS sum_price
+        FROM orders
+    """,
+    family="sinks",
+    scale_notes=(
+        "schema evolution on read (mergeSchema): a table written over "
+        "time by producers whose schema GREW (batch 1 lacks the column "
+        "batch 2 added) must read as one unified relation with NULLs "
+        "for the missing column — the default per-file footer read "
+        "would silently pick one schema. This is every long-lived "
+        "ingest directory at 100 TB; the cost is a footer-merge "
+        "planning pass, not a data pass, and explicit schemas remain "
+        "the hot-path rule (the merge is for discovery/backfill "
+        "tooling). The oracle recomputes the expected unified census "
+        "from the source table"
+    ),
+)
+def q_source_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two parquet batches with EVOLVED schemas (batch 2 adds
+    o_orderpriority), read with mergeSchema, and census the unified
+    relation."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_src_evolve_{os.getpid()}"
+    )
+    o = table(spark, sf_dir, "orders")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "b1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "b2"))
+    )
+    r = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "b1"), os.path.join(out, "b2"))
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias(
+            "n_priorities"
+        ),
+        F.round(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1_000_000.0 + 0.5).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 1_000_000.0,
+            4,
+        ).alias("sum_price"),
+    )

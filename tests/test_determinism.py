@@ -116,6 +116,7 @@ RISKY = [
     "q_mad_outliers",       # two-phase robust percentiles + broadcast
     "q_dedup_phash",        # integer aHash bands + XOR-popcount verify
     "q_pipeline_e2e",       # four-stage composition, content-pure rules
+    "q_source_evolving",    # mergeSchema unified census
 ]
 
 

@@ -250,3 +250,92 @@ def test_foreachbatch_upsert_is_idempotent(spark):
     # replay: drain the same input again into the same sink
     sw.run_stream_foreachbatch_upsert(spark, SF_DIR, out)
     assert state() == first
+
+
+def test_checkpoint_incremental_ingest(spark):
+    """Checkpointed file-source streaming must process each file ONCE
+    across restarts: run 1 drains the base events file; a second file
+    (day-shifted clone) is added; run 2 with the SAME checkpoint must
+    process only the new file, and the idempotent sink must end equal
+    to the batch aggregate over both files."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from flexcalc_spark.tables import events_with_time, table
+
+    base = tempfile.mkdtemp(prefix="flexcalc_ckpt_src_")
+    out = tempfile.mkdtemp(prefix="flexcalc_ckpt_out_")
+    ckpt = tempfile.mkdtemp(prefix="flexcalc_ckpt_meta_")
+    try:
+        shutil.copy(os.path.join(SF_DIR, "events.parquet"),
+                    os.path.join(base, "events.parquet"))
+
+        schema = table(spark, SF_DIR, "events").schema
+
+        def run_once():
+            raw = spark.readStream.schema(schema).parquet(base)
+            raw = raw.withColumn(
+                "day", F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    " div 86400000000"
+                )
+            )
+            agg = raw.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+
+            def upsert(df, batch_id):
+                (df.write.mode("overwrite").partitionBy("day")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .parquet(out))
+
+            q = (agg.writeStream.foreachBatch(upsert)
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(120)
+            return q.recentProgress
+
+        p1 = run_once()
+        rows1 = sum(p["numInputRows"] for p in p1)
+
+        # second file: same events shifted +40 days (disjoint day keys)
+        e = table(spark, SF_DIR, "events")
+        shifted = e.withColumn(
+            "ts", F.expr("ts + INTERVAL 40 DAYS")
+        )
+        shifted.write.mode("overwrite").parquet(base + "_tmp")
+        for f in os.listdir(base + "_tmp"):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(base + "_tmp", f),
+                            os.path.join(base, "events2.parquet"))
+        p2 = run_once()
+        rows2 = sum(p["numInputRows"] for p in p2)
+
+        n_events = e.count()
+        assert rows1 == n_events, (rows1, n_events)
+        # restart processed ONLY the new file
+        assert rows2 == n_events, (rows2, n_events)
+
+        # final sink state equals the batch aggregate over both files
+        got = {
+            (r.day, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+        ev = events_with_time(spark, SF_DIR)
+        both = ev.select(F.expr("ts_us div 86400000000").alias("day")).unionAll(
+            ev.select(
+                (F.expr("ts_us div 86400000000") + 40).alias("day")
+            )
+        )
+        want = {
+            (r.day, r.n)
+            for r in both.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        for d in (base, base + "_tmp", out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

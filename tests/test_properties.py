@@ -258,3 +258,100 @@ def test_rfm_approx_matches_exact_segments(spark):
     assert set(exact) == set(approx)
     same = sum(1 for k in exact if exact[k] == approx[k])
     assert same / len(exact) >= 0.99, same / len(exact)
+
+
+@given(
+    revs=st.lists(st.integers(1, 10_000), min_size=2, max_size=12),
+)
+@_slow
+def test_allocation_sums_exactly_and_stays_near_share(spark, revs):
+    """Hamilton allocation invariants over random revenue vectors:
+    the allocations sum EXACTLY to the budget, and each group's
+    allocation is within 1 unit of its unrounded proportional share."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    BUDGET = 1_000_000
+    df = spark.createDataFrame(
+        [(f"g{i}", r) for i, r in enumerate(revs)], "n_name string, r long"
+    )
+    t = df.agg(F.sum("r").alias("total"))
+    base = df.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        "r",
+        F.expr(f"({BUDGET} * r) div total").alias("fl"),
+        F.expr(f"({BUDGET} * r) % total").alias("rem"),
+        "total",
+    )
+    short = base.agg(
+        (F.lit(BUDGET) - F.sum("fl")).cast("bigint").alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("n_name"))
+        ),
+    )
+    out = ranked.crossJoin(F.broadcast(short)).select(
+        "n_name",
+        "r",
+        "total",
+        (
+            F.col("fl") + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        ).alias("alloc"),
+    ).collect()
+    total = sum(r.alloc for r in out)
+    assert total == BUDGET, total
+    for row in out:
+        exact = BUDGET * row.r / row.total
+        assert abs(row.alloc - exact) < 1.0 + 1e-9, (row, exact)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 120)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@_slow
+def test_interval_coalesce_covers_exact_union(spark, iv):
+    """The coalesced covered time must equal the measure of the union
+    of intervals (Python reference on random interval sets)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(1, i, s, s + d) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s long, e long"
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "new_iv",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "gid",
+        F.sum("new_iv").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    covered = (
+        grouped.groupBy("user_id", "gid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .agg(F.sum(F.col("me") - F.col("ms")))
+        .collect()[0][0]
+    )
+    # Python reference: sorted sweep union measure
+    ints = sorted((s, s + d) for s, d in iv)
+    ref, cur_s, cur_e = 0, None, None
+    for s, e in ints:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                ref += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    ref += cur_e - cur_s
+    assert covered == ref, (covered, ref)

@@ -54,6 +54,7 @@ R5B_KEYS = [
     "q_mad_outliers",
     "q_dedup_phash",
     "q_pipeline_e2e",
+    "q_source_evolving",
 ]
 
 

@@ -117,6 +117,7 @@ RISKY = [
     "q_dedup_phash",        # integer aHash bands + XOR-popcount verify
     "q_pipeline_e2e",       # four-stage composition, content-pure rules
     "q_source_evolving",    # mergeSchema unified census
+    "q_source_nested",      # struct round-trip, integer k sums
 ]
 
 

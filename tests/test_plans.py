@@ -647,3 +647,13 @@ def test_pipeline_e2e_three_shuffles(spark):
     plan = plan_text(Q["q_pipeline_e2e"](spark, SF_DIR))
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_nested_source_prunes_struct_leaf(spark):
+    """The read-back scan must carry only the touched nested leaf
+    (meta.k) in ReadSchema — meta.v stays on disk."""
+    plan = plan_text(Q["q_source_nested"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    rs = m.group(1)
+    assert "k:" in rs and "v:" not in rs, rs

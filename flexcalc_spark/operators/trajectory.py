@@ -1,0 +1,230 @@
+"""Trajectory similarity via symbolic approximation (SAX-style).
+
+Users' event-value series are time-ordered trajectories; finding users
+with similar VALUE SHAPE is the trajectory-similarity workload of the
+retrieved literature (PAPERS.md: REPOSE distributed trajectory
+similarity; incremental top-k similarity search). Elastic measures
+(DTW/Fréchet) are sequential dynamic programs that do not decompose
+relationally — the scalable construction, and the one used here, is
+symbolic approximation (SAX: Lin et al. 2003): piecewise-aggregate
+segments, a quantile alphabet, and similarity on the symbol words,
+where candidate generation becomes the SAME banded equi-join shape as
+every dedup key in this engine:
+
+  1. PAA     — each user's ordered series folds into 8 segments whose
+               means ride the exact 1e-6 integer grid;
+  2. alphabet— global quartile boundaries of all segment means (one
+               percentile aggregate over the users x 8 table, which is
+               user-bounded, never event-bounded);
+  3. symbols — count-of-boundaries-below per segment (0..3), an 8-char
+               word per user;
+  4. pairs   — candidates share a 3-gram of the word at the same
+               position (equi join on (pos, gram)); verify = exact
+               symbol Hamming distance <= 2 on candidates only.
+
+Determinism: segment assignment is pure integer math (i * 8 div n);
+segment means come from BIGINT grid sums; quartile boundaries are
+percentile-interpolated doubles that match DuckDB quantile_cont
+bit-for-bit (the q_agg_percentile precedent); symbol compares and
+Hamming are integers.
+
+Scale: every stage is user-bounded after the one event scan (the PAA
+collapse). Candidate volume is |users| x shared-gram collisions — the
+SAX alphabet tunes collision density exactly like minhash bands; at
+100 TB the (pos, gram) join key distributes uniformly by construction.
+
+Reference cite (mount empty, SURVEY §0): SAX per Lin et al. 2003;
+banded candidate generation per the distributed-similarity literature
+in PAPERS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flexcalc_spark.registry import register
+from flexcalc_spark.tables import events_with_time
+
+SEGMENTS = 8
+GRAM = 3
+MAX_HAMMING = 2
+
+
+@register(
+    "q_trajectory_sim",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) - 1
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, (i * {SEGMENTS}) // n AS s,
+                   CAST(SUM(vg) AS BIGINT) AS sg,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ordered GROUP BY user_id, (i * {SEGMENTS}) // n
+        ),
+        means AS (
+            SELECT user_id, s,
+                   CAST(sg AS DOUBLE) / 1000000.0 / c AS m
+            FROM seg
+        ),
+        bounds AS (
+            SELECT quantile_cont(m, 0.25) AS b1,
+                   quantile_cont(m, 0.50) AS b2,
+                   quantile_cont(m, 0.75) AS b3
+            FROM means
+        ),
+        sym AS (
+            SELECT user_id, s,
+                   CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2
+                             WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT) AS y
+            FROM means, bounds
+        ),
+        words AS (
+            SELECT user_id,
+                   list_reduce(
+                       list_prepend('',
+                           list_transform(list_sort(list(
+                               lpad(CAST(s AS VARCHAR), 2, '0') ||
+                               CAST(y AS VARCHAR))),
+                               p -> substr(p, 3, 1))),
+                       (acc, ch) -> acc || ch) AS w
+            FROM sym GROUP BY user_id
+        ),
+        grams AS (
+            SELECT user_id, g.g AS pos, substr(w, g.g + 1, {GRAM}) AS gram, w
+            FROM words, (SELECT unnest(range(0, {SEGMENTS - GRAM + 1})) AS g) g
+        ),
+        cand AS (
+            SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, a.w AS wa,
+                   b.w AS wb
+            FROM grams a JOIN grams b
+              ON a.pos = b.pos AND a.gram = b.gram
+             AND a.user_id < b.user_id
+        ),
+        scored AS (
+            SELECT ua, ub,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, {SEGMENTS + 1}),
+                               k -> CAST(CASE WHEN substr(wa, k, 1)
+                                              <> substr(wb, k, 1)
+                                         THEN 1 ELSE 0 END AS BIGINT))),
+                       (acc, d) -> acc + d) AS BIGINT) AS hamming
+            FROM cand
+        )
+        SELECT ua AS user_a, ub AS user_b, hamming
+        FROM scored WHERE hamming <= {MAX_HAMMING}
+    """,
+    family="trajectory",
+    scale_notes=(
+        "SAX trajectory similarity: the event scan collapses to "
+        "user-bounded PAA segments (grid-exact means), a 4-letter "
+        "quantile alphabet renders each user an 8-symbol word, and "
+        "similar-shape candidates come from the (position, 3-gram) "
+        "equi join — the minhash-band construction pointed at time "
+        "series — with exact symbol-Hamming verify on candidates only. "
+        "Elastic DTW/Fréchet are sequential DPs that don't decompose; "
+        "SAX is the distributed-literature answer and everything here "
+        "after the scan is |users|-bounded. Boundaries swap to "
+        "approx_percentile at 100 TB (users x 8 rows may still be "
+        "large), same plan"
+    ),
+)
+def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of users whose value trajectories share SAX shape
+    (symbol-Hamming <= 2 over 8 quartile symbols), candidates from a
+    positional 3-gram equi join."""
+    from pyspark.sql.window import Window
+
+    e = events_with_time(spark, sf_dir)
+    worder = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcount = Window.partitionBy("user_id")
+    ordered = e.select(
+        "user_id",
+        (F.row_number().over(worder) - 1).alias("i"),
+        F.count(F.lit(1)).over(wcount).alias("n"),
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint").alias("vg"),
+    )
+    seg = (
+        ordered.groupBy(
+            "user_id", F.expr(f"(i * {SEGMENTS}) div n").alias("s")
+        )
+        .agg(
+            F.sum("vg").cast("bigint").alias("sg"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    means = seg.select(
+        "user_id",
+        "s",
+        (F.col("sg").cast("double") / 1_000_000.0 / F.col("c")).alias("m"),
+    )
+    bounds = means.agg(
+        F.expr("percentile(m, 0.25)").alias("b1"),
+        F.expr("percentile(m, 0.50)").alias("b2"),
+        F.expr("percentile(m, 0.75)").alias("b3"),
+    )
+    sym = means.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "s",
+        F.expr(
+            "CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2"
+            " WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "concat(lpad(CAST(s AS STRING), 2, '0'), CAST(y AS STRING)))),"
+            " p -> substring(p, 3, 1)), '')"
+        ).alias("w")
+    ).cache()  # feeds the gram explode AND both verify re-attachments
+    grams = words.select(
+        "user_id",
+        "w",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SEGMENTS - GRAM}),"
+                f" g -> struct(g AS pos, substring(w, g + 1, {GRAM}) AS gram))"
+            )
+        ).alias("pg"),
+    ).select("user_id", "w", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.col("a.w").alias("wa"),
+            F.col("b.w").alias("wb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "ua",
+        "ub",
+        F.expr(
+            f"CAST(aggregate(sequence(1, {SEGMENTS}), CAST(0 AS BIGINT),"
+            " (acc, k) -> acc + CAST(CASE WHEN substring(wa, k, 1)"
+            " <> substring(wb, k, 1) THEN 1 ELSE 0 END AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("hamming"),
+    )
+    return scored.filter(F.col("hamming") <= MAX_HAMMING).select(
+        F.col("ua").alias("user_a"),
+        F.col("ub").alias("user_b"),
+        "hamming",
+    )

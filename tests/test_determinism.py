@@ -118,6 +118,7 @@ RISKY = [
     "q_pipeline_e2e",       # four-stage composition, content-pure rules
     "q_source_evolving",    # mergeSchema unified census
     "q_source_nested",      # struct round-trip, integer k sums
+    "q_trajectory_sim",     # SAX words, positional-gram candidates
 ]
 
 

@@ -657,3 +657,13 @@ def test_nested_source_prunes_struct_leaf(spark):
     assert m, plan
     rs = m.group(1)
     assert "k:" in rs and "v:" not in rs, rs
+
+
+def test_trajectory_candidates_are_positional_gram_join(spark):
+    """SAX similarity candidates must come from the (pos, gram) equi
+    join — never all-pairs word comparison."""
+    plan = plan_text(Q["q_trajectory_sim"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop allowed is the 1-row alphabet-bounds attach
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

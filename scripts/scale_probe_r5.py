@@ -55,6 +55,8 @@ R5B_KEYS = [
     "q_dedup_phash",
     "q_pipeline_e2e",
     "q_source_evolving",
+    "q_source_nested",
+    "q_trajectory_sim",
 ]
 
 

@@ -664,6 +664,11 @@ def test_trajectory_candidates_are_positional_gram_join(spark):
     join — never all-pairs word comparison."""
     plan = plan_text(Q["q_trajectory_sim"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    # the only nested-loop allowed is the 1-row alphabet-bounds attach
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    # nested-loop nodes must all be the 1-row alphabet-bounds CROSS
+    # attach (it prints once more after the words cache materializes);
+    # any CONDITIONED nested loop would mean the candidate join
+    # degenerated
+    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin.*\n(Join type: [^\n]*)\n(Join condition: [^\n]*)", plan):
+        assert m.group(1) == "Join type: Cross", plan
+        assert m.group(2) == "Join condition: None", plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

@@ -205,3 +205,45 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE over the bipartite lineitem graph; pure SQL text."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     return spark.sql(_RECURSIVE_BODY.format(l="v_lineitem"))
+
+
+_Q18_BODY = f"""
+    SELECT c_custkey, o_orderkey,
+           {_REVENUE.replace("l_extendedprice * (1 - l_discount)",
+                             "l_quantity")} AS total_qty
+    FROM {{c}} JOIN {{o}} ON c_custkey = o_custkey
+         JOIN {{l}} ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM {{l}}
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+               > 150000000
+    )
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+"""
+
+
+@register(
+    "q_sql_tpch18",
+    oracle=_Q18_BODY.format(c="customer", o="orders", l="lineitem"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q18 shape (large-volume orders): the IN subquery with a "
+        "HAVING aggregate must decorrelate into an aggregate + "
+        "LeftSemi join on orderkey (plan-asserted — a per-row re-scan "
+        "would be O(n^2) scans at 100 TB), and the qualifying-order "
+        "set then drives the 3-table join. The HAVING threshold "
+        "compares the same 1e-6 grid BIGINT both engines compute; "
+        "TakeOrderedAndProject caps output at 20 with a full tiebreak"
+    ),
+)
+def q_sql_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-like: top-20 (customer, order) by total quantity among
+    orders whose total quantity exceeds 150; pure SQL text."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q18_BODY.format(c="v_customer", o="v_orders", l="v_lineitem")
+    )

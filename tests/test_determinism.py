@@ -119,6 +119,7 @@ RISKY = [
     "q_source_evolving",    # mergeSchema unified census
     "q_source_nested",      # struct round-trip, integer k sums
     "q_trajectory_sim",     # SAX words, positional-gram candidates
+    "q_sql_tpch18",         # HAVING-subquery semi join, grid threshold
 ]
 
 

@@ -672,3 +672,12 @@ def test_trajectory_candidates_are_positional_gram_join(spark):
         assert m.group(1) == "Join type: Cross", plan
         assert m.group(2) == "Join condition: None", plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_sql_tpch18_decorrelates_having_subquery(spark):
+    """The IN (... GROUP BY ... HAVING ...) subquery must compile to an
+    aggregate + LeftSemi join, never a per-row re-scan."""
+    plan = plan_text(Q["q_sql_tpch18"](spark, SF_DIR))
+    assert re.search(r"LeftSemi", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -57,6 +57,7 @@ R5B_KEYS = [
     "q_source_evolving",
     "q_source_nested",
     "q_trajectory_sim",
+    "q_sql_tpch18",
 ]
 
 

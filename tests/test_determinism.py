@@ -120,6 +120,7 @@ RISKY = [
     "q_source_nested",      # struct round-trip, integer k sums
     "q_trajectory_sim",     # SAX words, positional-gram candidates
     "q_sql_tpch18",         # HAVING-subquery semi join, grid threshold
+    "q_join_spatial",       # cell-blocked candidates, mm-quantized verify
 ]
 
 

@@ -681,3 +681,12 @@ def test_sql_tpch18_decorrelates_having_subquery(spark):
     assert re.search(r"LeftSemi", plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_spatial_join_is_cell_blocked(spark):
+    """Spatial candidates must come from the cell-id equi join (3x3
+    neighbor explosion on the store side) — never an all-pairs
+    distance scan."""
+    plan = plan_text(Q["q_join_spatial"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

@@ -58,6 +58,7 @@ R5B_KEYS = [
     "q_source_nested",
     "q_trajectory_sim",
     "q_sql_tpch18",
+    "q_join_spatial",
 ]
 
 

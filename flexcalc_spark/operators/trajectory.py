@@ -129,7 +129,10 @@ MAX_HAMMING = 2
         "quantile alphabet renders each user an 8-symbol word, and "
         "similar-shape candidates come from the (position, 3-gram) "
         "equi join — the minhash-band construction pointed at time "
-        "series — with exact symbol-Hamming verify on candidates only. "
+        "series, LSH-style: NOT pigeonhole-complete (two symbol edits "
+        "can touch all six grams); measured recall 39/42 = 0.93 at "
+        "sf0.01 vs brute force, floor-asserted in tests/test_recall.py "
+        "— with exact symbol-Hamming verify on candidates only. "
         "Elastic DTW/Fréchet are sequential DPs that don't decompose; "
         "SAX is the distributed-literature answer and everything here "
         "after the scan is |users|-bounded. Boundaries swap to "

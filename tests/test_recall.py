@@ -103,3 +103,129 @@ def test_embed_lsh_full_recall_on_planted_pairs(spark):
         f"extra {pairs - expect}"
     )
     assert all(r.cos_q >= 9900 for r in rows)
+
+
+def test_phash_banding_recall_is_complete(spark):
+    """Pigeonhole guarantee: hamming <= 6 over 8 one-byte bands forces
+    >= 2 identical bands, so the banded candidate set must contain
+    EVERY brute-force near-dup pair — verified exhaustively over all
+    signatures."""
+    import itertools
+
+    from pyspark.sql import functions as F
+    from flexcalc_spark import registry
+    from tests.conftest import SF_DIR
+
+    out = {
+        (r.id_a, r.id_b)
+        for r in registry.QUERIES["q_dedup_phash"](spark, SF_DIR).collect()
+    }
+    # rebuild signatures exactly as the operator does
+    from flexcalc_spark.operators.multimodal import PHASH_MAX_HAMMING
+    from flexcalc_spark.tables import table_parallel
+
+    emb = table_parallel(spark, SF_DIR, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    twins = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(e, x -> x * 1.05 + 0.01)").alias("e"),
+    )
+    sig = {
+        r.vec_id: r.bands
+        for r in base.unionAll(twins)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(0, 7), j -> aggregate(sequence(1, 8),"
+                " CAST(0 AS BIGINT), (acc, k) -> acc * 2 +"
+                " CAST(CASE WHEN element_at(e, 8*j + k) >"
+                " aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 64.0"
+                " THEN 1 ELSE 0 END AS BIGINT)))"
+            ).alias("bands"),
+        )
+        .collect()
+    }
+    ids = sorted(sig)
+    brute = set()
+    for a, b in itertools.combinations(ids, 2):
+        h = sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+        if h <= PHASH_MAX_HAMMING:
+            brute.add((a, b))
+    assert brute <= out, f"banding missed {sorted(brute - out)[:5]}"
+    assert out <= brute, f"false positives {sorted(out - brute)[:5]}"
+
+
+def test_trajectory_banding_recall_floor(spark):
+    """Positional-gram blocking is LSH-style (NOT pigeonhole-complete:
+    two symbol changes can touch all six grams). Measure recall against
+    brute-force symbol-Hamming pairs and hold the floor; the measured
+    figure at sf0.01 is 39/42 = 0.93."""
+    import itertools
+
+    from flexcalc_spark import registry
+    from tests.conftest import SF_DIR
+
+    out = {
+        (r.user_a, r.user_b)
+        for r in registry.QUERIES["q_trajectory_sim"](spark, SF_DIR).collect()
+    }
+    # rebuild words via the graded plan's own intermediates: re-run the
+    # registered query without the candidate restriction is not exposed,
+    # so brute-force from the oracle word construction in DuckDB
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/events.parquet')"
+    )
+    words = dict(
+        con.execute(
+            """
+        WITH ordered AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) - 1 AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        seg AS (SELECT user_id, (i * 8) // n AS s,
+                       CAST(SUM(vg) AS BIGINT) AS sg,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM ordered GROUP BY user_id, (i * 8) // n),
+        means AS (SELECT user_id, s,
+                         CAST(sg AS DOUBLE) / 1000000.0 / c AS m FROM seg),
+        bounds AS (SELECT quantile_cont(m, 0.25) AS b1,
+                          quantile_cont(m, 0.50) AS b2,
+                          quantile_cont(m, 0.75) AS b3 FROM means),
+        sym AS (SELECT user_id, s,
+                       CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2
+                                 WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT) AS y
+                FROM means, bounds)
+        SELECT user_id,
+               list_reduce(list_prepend('',
+                   list_transform(list_sort(list(
+                       lpad(CAST(s AS VARCHAR), 2, '0')
+                       || CAST(y AS VARCHAR))),
+                       p -> substr(p, 3, 1))), (acc, ch) -> acc || ch)
+        FROM sym GROUP BY user_id
+        """
+        ).fetchall()
+    )
+    con.close()
+    ids = sorted(words)
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if sum(x != y for x, y in zip(words[a], words[b])) <= 2
+    }
+    caught = brute & out
+    # every emitted pair must be a true near pair (verify is exact)
+    assert out <= brute, sorted(out - brute)[:5]
+    if brute:
+        recall = len(caught) / len(brute)
+        assert recall >= 0.8, f"gram-blocking recall fell to {recall:.2f}"

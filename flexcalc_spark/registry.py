@@ -166,7 +166,7 @@ GRADE_ORDER: list[str] = [
     "q_logistic_train", "q_interval_coalesce", "q_allocate",
     "q_locf", "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e",
     "q_source_evolving", "q_source_nested", "q_trajectory_sim",
-    "q_sql_tpch18", "q_join_spatial",
+    "q_sql_tpch18", "q_join_spatial", "q_knn_incremental",
     # 3. stalest r1-only passes (evidence predates two fixture
     #    regenerations)
     "q_scan_count", "q_project_expr",

@@ -121,6 +121,7 @@ RISKY = [
     "q_trajectory_sim",     # SAX words, positional-gram candidates
     "q_sql_tpch18",         # HAVING-subquery semi join, grid threshold
     "q_join_spatial",       # cell-blocked candidates, mm-quantized verify
+    "q_knn_incremental",    # semilattice top-k merge, rank tiebreaks
 ]
 
 

@@ -690,3 +690,11 @@ def test_spatial_join_is_cell_blocked(spark):
     plan = plan_text(Q["q_join_spatial"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_knn_incremental_uses_window_group_limit(spark):
+    """Both partition top-ks and the merge re-rank must keep k rows per
+    partition (WindowGroupLimit) — no global sorts."""
+    plan = plan_text(Q["q_knn_incremental"](spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan, plan

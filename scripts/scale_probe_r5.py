@@ -59,6 +59,7 @@ R5B_KEYS = [
     "q_trajectory_sim",
     "q_sql_tpch18",
     "q_join_spatial",
+    "q_knn_incremental",
 ]
 
 

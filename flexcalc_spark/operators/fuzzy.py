@@ -6,12 +6,16 @@ edit-distance-1 matching into an EXACT equi join: index every 1-char
 deletion of every dictionary term (n·len keys), generate the same
 deletion keys for each query string, and equal keys == candidate pair;
 a final ``levenshtein`` verify removes the few false candidates. Recall
-is GUARANTEED for distance <=1 (any single edit shares a deletion
-key), unlike similarity-threshold blocking.
+is GUARANTEED for edit distance <=1 and for same-position
+substitutions (any such pair shares a 1-deletion key); two edits at
+DIFFERENT positions need the k=2 neighborhood (len^2 keys per term) —
+the ``levenshtein <= 2`` verify bound below is a filter on the
+candidates found, not a recall guarantee at 2.
 
 The dirty queries are derived deterministically (each distinct part
-name loses one hash-picked character), so the oracle rebuilds the
-identical query set and the match set is hash-graded.
+name loses the character at position ``ascii(first char) % length``),
+so the oracle rebuilds the identical query set and the match set is
+hash-graded.
 
 Scale: the deletion index is |dict| x avg_len narrow string keys built
 once (for a 100 M-term dictionary at len ~20 that's 2 G keys — a few
@@ -41,8 +45,8 @@ from flexcalc_spark.tables import table
         WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
         queries AS (
             SELECT name,
-                   substr(name, 1, (length(name) * 7) % length(name))
-                   || substr(name, (length(name) * 7) % length(name) + 2)
+                   substr(name, 1, ascii(substr(name, 1, 1)) % length(name))
+                   || substr(name, ascii(substr(name, 1, 1)) % length(name) + 2)
                        AS q
             FROM dict
         ),
@@ -76,8 +80,10 @@ from flexcalc_spark.tables import table
     scale_notes=(
         "SymSpell deletion-neighborhood fuzzy join: dictionary and "
         "query sides each explode into 1-deletion keys and match by "
-        "EXACT equi join (guaranteed recall at edit distance <=2 via "
-        "shared deletion keys: delete-one on both sides), then "
+        "EXACT equi join (guaranteed recall at edit distance <=1 and "
+        "same-position substitutions; distance-2-at-distinct-positions "
+        "needs the len^2-key k=2 neighborhood, the standard SymSpell "
+        "extension), then "
         "levenshtein verifies per CANDIDATE pair — never per "
         "dictionary pair, no similarity scan. The index is |dict| x "
         "len narrow keys, built once and reusable; the join is an "
@@ -87,13 +93,14 @@ from flexcalc_spark.tables import table
     ),
 )
 def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Match hash-corrupted part names (one dropped character) back to
-    the clean name dictionary via deletion-key equi join + levenshtein
-    verify; (query, matched, dist<=2) pairs."""
+    """Match hash-corrupted part names (one dropped character, position
+    = ascii(first char) % length) back to the clean name dictionary via
+    deletion-key equi join + levenshtein verify; (query, matched,
+    dist<=2) pairs."""
     dict_df = table(spark, sf_dir, "part").select(
         F.col("p_name").alias("name")
     ).distinct()
-    drop_pos = "(length(name) * 7) % length(name) + 1"
+    drop_pos = "ascii(substr(name, 1, 1)) % length(name) + 1"
     queries = dict_df.select(
         F.expr(
             f"substr(name, 1, {drop_pos} - 1) || substr(name, {drop_pos} + 1)"

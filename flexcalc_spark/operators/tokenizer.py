@@ -29,6 +29,16 @@ Determinism: merge ranking ties break lexicographically on the pair
 string (total order); symbol counts are integers; ``replace`` scans
 leftmost-non-overlapping identically in both engines.
 
+Boundary safety (ADVICE r5): symbols are joined with TWO spaces and
+the whole repr is wrapped in single spaces, so the merge rewrite
+``replace(repr, ' a  b ', ' ab ')`` can only match at symbol
+boundaries — a learned pair like ``h e`` can no longer match inside
+``th e`` (the suffix of a previously merged symbol). Each match
+consumes one boundary space from each neighbor separator and the
+replacement restores it, so the two-space-separator/single-space-wrap
+invariant is preserved across merges and the rewrite is exactly
+symbol-aware leftmost-non-overlapping BPE.
+
 Reference cite (mount empty, SURVEY §0): public flexcalc has no text
 surface; the algorithm is Sennrich et al. 2016 BPE with the standard
 end-of-word marker.
@@ -53,12 +63,17 @@ def _bpe_sql(docs: str) -> str:
     def unnest(expr: str) -> str:
         return f"unnest({expr})"
 
+    # Symbols joined by TWO spaces, whole repr wrapped in single spaces
+    # (boundary-safe rewrite — module docstring).
     char_space = (
-        "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>'"
+        "' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) "
+        "|| '  </w> '"
     )
     doc_repr = (
-        "array_to_string(list_transform(string_split(lower(text), ' '), "
-        "w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>'), ' ')"
+        "' ' || array_to_string(list_transform("
+        "string_split(lower(text), ' '), "
+        "w -> trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || '  </w>'), "
+        "'  ') || ' '"
     )
     pair_list = (
         "list_transform(range(1, len(syms)), "
@@ -80,20 +95,23 @@ def _bpe_sql(docs: str) -> str:
         pairs = f"""
             SELECT pair, SUM(freq) AS c FROM (
                 SELECT {unnest(pair_list)} AS pair, freq
-                FROM (SELECT {split_fn}(repr, ' ') AS syms, freq FROM {prev})
+                FROM (SELECT {split_fn}(trim(repr), '  ') AS syms, freq
+                      FROM {prev})
             ) GROUP BY pair
         """
         ctes.append(
             f"""m{k} AS MATERIALIZED (
-                SELECT pair AS p, replace(pair, ' ', '') AS r
+                SELECT pair AS p,
+                       ' ' || replace(pair, ' ', '  ') || ' ' AS patt,
+                       ' ' || replace(pair, ' ', '') || ' ' AS repl
                 FROM ({pairs}) ORDER BY c DESC, pair LIMIT 1
             )"""
         )
         ctes.append(
             f"""v{k} AS MATERIALIZED (
                 SELECT word, freq,
-                       replace(repr, (SELECT p FROM m{k}),
-                               (SELECT r FROM m{k})) AS repr
+                       replace(repr, (SELECT patt FROM m{k}),
+                               (SELECT repl FROM m{k})) AS repr
                 FROM {prev}
             )"""
         )
@@ -101,7 +119,8 @@ def _bpe_sql(docs: str) -> str:
     applied = doc_repr
     for k in range(1, N_MERGES + 1):
         applied = (
-            f"replace({applied}, (SELECT p FROM m{k}), (SELECT r FROM m{k}))"
+            f"replace({applied}, (SELECT patt FROM m{k}),"
+            f" (SELECT repl FROM m{k}))"
         )
     size_fn = "len"
     return (
@@ -111,7 +130,8 @@ def _bpe_sql(docs: str) -> str:
         , applied AS (
             SELECT lang,
                    {size_fn}({split_fn}(lower(text), ' ')) AS n_words,
-                   {size_fn}({split_fn}({applied}, ' ')) AS post_syms,
+                   {size_fn}({split_fn}(trim({applied}), '  '))
+                       AS post_syms,
                    length(replace(lower(text), ' ', '')) AS n_chars_nospace
             FROM {docs}
         )
@@ -138,8 +158,9 @@ def _bpe_sql(docs: str) -> str:
         "tokenizer sharding. One corpus scan for the frequency table + "
         "one for application dominate at 100 TB; the training loop is "
         "noise. Merge ties break lexicographically (total order); "
-        "replace scans leftmost-non-overlapping identically in both "
-        "engines"
+        "the double-space-separator repr makes the replace rewrite "
+        "symbol-boundary-safe (true Sennrich merges), scanning "
+        "leftmost-non-overlapping identically in both engines"
     ),
 )
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +190,8 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "freq",
             F.expr(
-                "trim(regexp_replace(word, '(.)', '$1 ')) || ' </w>'"
+                "' ' || trim(regexp_replace(word, '(.)', '$1  ')) "
+                "|| '  </w> '"
             ).alias("repr"),
         )
         .cache()
@@ -184,7 +206,9 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = (
             cur.select(
                 F.explode(
-                    F.expr(pair_list.replace("syms", "split(repr, ' ')"))
+                    F.expr(
+                        pair_list.replace("syms", "split(trim(repr), '  ')")
+                    )
                 ).alias("pair"),
                 "freq",
             )
@@ -195,23 +219,26 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         p = top.pair
-        r = p.replace(" ", "")
-        merges.append((p, r))
+        # boundary-safe rewrite: ' a  b ' -> ' ab ' (module docstring)
+        patt = " " + p.replace(" ", "  ") + " "
+        repl = " " + p.replace(" ", "") + " "
+        merges.append((patt, repl))
         cur = cur.withColumn(
-            "repr", F.expr(f"replace(repr, '{p}', '{r}')")
+            "repr", F.expr(f"replace(repr, '{patt}', '{repl}')")
         )
     doc_repr = (
-        "array_join(transform(split(lower(text), ' '), "
-        "w -> trim(regexp_replace(w, '(.)', '$1 ')) || ' </w>'), ' ')"
+        "' ' || array_join(transform(split(lower(text), ' '), "
+        "w -> trim(regexp_replace(w, '(.)', '$1  ')) || '  </w>'), '  ') "
+        "|| ' '"
     )
     applied = doc_repr
-    for p, r in merges:
-        applied = f"replace({applied}, '{p}', '{r}')"
+    for patt, repl in merges:
+        applied = f"replace({applied}, '{patt}', '{repl}')"
     return (
         d.selectExpr(
             "lang",
             "size(split(lower(text), ' ')) AS n_words",
-            f"size(split({applied}, ' ')) AS post_syms",
+            f"size(split(trim({applied}), '  ')) AS post_syms",
             "length(replace(lower(text), ' ', '')) AS n_chars_nospace",
         )
         .groupBy("lang")

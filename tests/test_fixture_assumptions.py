@@ -54,14 +54,27 @@ def test_lineitem_decimal_precision(duck2, sf):
         assert v < 1e-6, f"lineitem values are no longer 2-decimal: {row}"
 
 
-@pytest.mark.parametrize("sf", SFS)
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
 def test_event_value_domain(duck2, sf):
-    """Grid overflow bounds (1e-6 value grid, 1e-6 value^2 grid) assume
-    events.value stays within [0, 10000]."""
-    lo, hi = duck2.execute(
-        f"SELECT MIN(value), MAX(value) FROM read_parquet('{sf}/events.parquet')"
+    """Grid overflow bounds for the 1e-6 value^2 grids (q_ab_test qa/qb,
+    q_anomaly_rolling qg): a grouped SUM of floor(value^2*1e6) must fit
+    signed 64-bit on the LARGEST grading scale, because Spark's BIGINT
+    SUM wraps silently while DuckDB promotes to HUGEINT (ADVICE r5) —
+    the overflow would surface only as a driver-hash mismatch. Bound is
+    computed from actual row count, not a fixed ceiling: at the old
+    hi<=10000 allowance, sf0.1's 100k rows give ~1e19 > 2^63."""
+    hi, n = duck2.execute(
+        f"SELECT MAX(value), COUNT(*) FROM read_parquet('{sf}/events.parquet')"
     ).fetchone()
-    assert lo >= 0.0 and hi <= 10000.0, (lo, hi)
+    lo = duck2.execute(
+        f"SELECT MIN(value) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert lo >= 0.0, lo
+    # 4x margin: group-level sums are <= the global sum bound.
+    assert hi * hi * 1e6 * n < 2**63 / 4, (
+        f"value^2*1e6 grid can overflow BIGINT SUM: max={hi}, rows={n}, "
+        f"worst-case sum={hi * hi * 1e6 * n:.3g} vs 2^63={2**63:.3g}"
+    )
 
 
 @pytest.mark.parametrize("sf", SFS)

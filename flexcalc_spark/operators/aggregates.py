@@ -878,10 +878,16 @@ ALLOC_BUDGET = 1_000_000  # units to distribute exactly
         ),
         t AS (SELECT CAST(SUM(r) AS BIGINT) AS total,
                      CAST(COUNT(*) AS BIGINT) AS g FROM rev),
+        -- HUGEINT (128-bit), not DECIMAL: DuckDB's // on DECIMAL
+        -- operands silently returns DOUBLE (floor of a double-rounded
+        -- quotient can be off by one); HUGEINT // is exact integer
+        -- division, matching Spark's DECIMAL(38,0) div semantics.
         base AS (
             SELECT n_name, r,
-                   ({ALLOC_BUDGET} * r) // total AS fl,
-                   ({ALLOC_BUDGET} * r) % total AS rem
+                   CAST((CAST({ALLOC_BUDGET} AS HUGEINT) * r) // total
+                        AS BIGINT) AS fl,
+                   CAST((CAST({ALLOC_BUDGET} AS HUGEINT) * r) % total
+                        AS BIGINT) AS rem
             FROM rev, t
         ),
         short AS (
@@ -907,17 +913,19 @@ ALLOC_BUDGET = 1_000_000  # units to distribute exactly
         "operates on |groups| rows — allocation over a billion-row "
         "fact costs the fact aggregate plus KB-scale integer math, "
         "and the result is bit-identical on any engine because no "
-        "division ever produces a float. Bound: budget x total_cents "
-        "must stay under 2^63 (safe to ~sf0.6 at this budget) — past "
-        "that, swap the share product to DECIMAL(38,0), same plan"
+        "division ever produces a float. The share product "
+        "budget x total_cents runs through DECIMAL(38,0) (BIGINT would "
+        "wrap silently past ~sf0.6 at this budget — ADVICE r5); the "
+        "quotient/remainder are back under 2^63 by construction and "
+        "ride BIGINT. Only the |groups|-row tail pays decimal cost — "
+        "the fact aggregate stays integer. Property-tested past the "
+        "old overflow bound (tests/test_properties.py)"
     ),
 )
 def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribute a 1M-unit budget across nations proportional to
     order revenue, largest-remainder rounding (sums exactly to the
     budget)."""
-    from pyspark.sql.window import Window
-
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -933,6 +941,22 @@ def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r")
         )
     )
+    return allocate_budget(rev, ALLOC_BUDGET)
+
+
+def allocate_budget(rev: DataFrame, budget: int) -> DataFrame:
+    """Hamilton (largest-remainder) allocation tail over a
+    ``(n_name string, r bigint)`` weight table — the code path
+    q_allocate runs after its revenue aggregate, exposed so the
+    overflow property test exercises the REAL expressions on synthetic
+    weights past the old BIGINT bound (tests/test_properties.py).
+
+    The share product budget x r rides DECIMAL(38,0) (a BIGINT product
+    wraps silently once budget x total crosses 2^63 — ADVICE r5); the
+    quotient/remainder are < budget / < total, so they return to
+    BIGINT immediately and the window/rank tail stays integer."""
+    from pyspark.sql.window import Window
+
     t = rev.agg(
         F.sum("r").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("g"),
@@ -940,11 +964,17 @@ def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = rev.crossJoin(F.broadcast(t)).select(
         "n_name",
         "r",
-        F.expr(f"({ALLOC_BUDGET} * r) div total").alias("fl"),
-        F.expr(f"({ALLOC_BUDGET} * r) % total").alias("rem"),
+        F.expr(
+            f"CAST((CAST({budget} AS DECIMAL(38,0)) * r) div total"
+            " AS BIGINT)"
+        ).alias("fl"),
+        F.expr(
+            f"CAST((CAST({budget} AS DECIMAL(38,0)) * r) % total"
+            " AS BIGINT)"
+        ).alias("rem"),
     )
     short = base.agg(
-        (F.lit(ALLOC_BUDGET) - F.sum("fl")).cast("bigint").alias("k")
+        (F.lit(budget) - F.sum("fl")).cast("bigint").alias("k")
     )
     ranked = base.withColumn(
         "rk",
@@ -992,21 +1022,49 @@ def q_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of q_anomaly_zscore (immune to the outliers it hunts, unlike "
         "mean/std): two percentile aggregates (per-type median, then "
         "median of absolute deviations) each broadcast back onto the "
-        "scan, flagging is a per-row compare. Exact percentile's "
-        "buffer-every-value reduce is the known non-scaler — at 100 TB "
-        "both medians swap to approx_percentile (the "
-        "q_histogram_equidepth_approx move) or the q_percentile_select "
-        "two-phase selection, same downstream plan. Spark percentile "
-        "and DuckDB quantile_cont interpolate identically (proven by "
-        "q_agg_percentile), so med/mad doubles match bit-for-bit"
+        "scan, flagging is a per-row compare. Exact percentile "
+        "interpolates identically to DuckDB quantile_cont (proven by "
+        "q_agg_percentile) — this tier is the oracle twin; the 100 TB "
+        "boundary source is q_mad_outliers_approx (mergeable "
+        "approx_percentile sketch, same downstream plan — the "
+        "q_histogram_equidepth/_approx split)"
     ),
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust outlier census: median, MAD, and count of
-    events with |value - median| > 3 * MAD."""
+    events with |value - median| > 3 * MAD. Exact-median tier (the
+    oracle twin); q_mad_outliers_approx is the at-scale variant."""
+    return _mad_outliers(spark, sf_dir, approx=False)
+
+
+# rank error <= n * 1e-4 for the median estimates while the aggregation
+# state stays fixed-size and mergeable (same constant as equi-depth).
+MAD_ACCURACY = 10_000
+
+
+def _mad_outliers(
+    spark: SparkSession, sf_dir: str, approx: bool
+) -> DataFrame:
+    """Shared MAD-outlier plan with a parameterized median source.
+
+    approx=False: Spark's exact ``percentile`` — interpolates
+    identically to DuckDB quantile_cont (the oracle twin), but its
+    final aggregate buffers every value of a group in one reduce
+    buffer — with a handful of event types that is n/|types| doubles
+    per buffer, the documented scale-killer.
+    approx=True: ``approx_percentile`` — mergeable sketch, map-side
+    partials, fixed-size state; the 100 TB path. The downstream plan
+    (broadcast medians -> scan-side |value-med| -> broadcast MADs ->
+    scan-side flag + count) is byte-identical between the tiers."""
+    if approx:
+        med_expr = f"approx_percentile(value, 0.5, {MAD_ACCURACY})"
+        mad_expr = f"approx_percentile(ad, 0.5, {MAD_ACCURACY})"
+    else:
+        med_expr = "percentile(value, 0.5)"
+        mad_expr = "percentile(ad, 0.5)"
     e = table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr(med_expr).cast("double").alias("med")
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -1014,7 +1072,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("ad"),
     )
     mad = dev.groupBy("event_type", "med").agg(
-        F.expr("percentile(ad, 0.5)").alias("mad")
+        F.expr(mad_expr).cast("double").alias("mad")
     )
     return (
         dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
@@ -1028,3 +1086,29 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "med", "mad", "n_outliers")
     )
+
+
+@register(
+    "q_mad_outliers_approx",
+    oracle=None,  # sketch medians have no ANSI twin (rows-only);
+    # flag-census equivalence vs the exact tier is asserted in
+    # tests/test_properties.py, and the plan's freedom from the exact
+    # single-reduce percentile in tests/test_plans.py
+    family="aggregates",
+    scale_notes=(
+        "the 100 TB MAD path: both medians from approx_percentile — a "
+        "MERGEABLE quantile sketch (map-side partials, fixed-size "
+        "state) instead of exact percentile's buffer-every-value final "
+        "aggregate (n/|types| doubles per reduce buffer on a "
+        "billion-row type). Same broadcast + scan-side flagging "
+        "downstream as the exact tier; median rank error bounded by "
+        "n/accuracy, and the 3*MAD gate is insensitive to "
+        "handful-of-rank median jitter (asserted by the equivalence "
+        "test). This is the code path q_mad_outliers' scale_notes "
+        "always promised"
+    ),
+)
+def q_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier census with sketch-based (mergeable, fixed-state)
+    medians — the at-scale variant of q_mad_outliers."""
+    return _mad_outliers(spark, sf_dir, approx=True)

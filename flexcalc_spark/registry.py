@@ -160,6 +160,8 @@ GRADE_ORDER: list[str] = [
     # leftover r1-stale key, then round-6 additions, then the r3-era
     # keys whose passes are the next-stalest evidence.
     "q_text_stats",
+    # round-6 additions (locally green; driver evidence queued)
+    "q_mad_outliers_approx",
     # r5 window (all passed r5 under the current fixture generation)
     "q_sketch_hll", "q_sliding_distinct",
     "q_bm25", "q_quality_entropy",

@@ -98,6 +98,71 @@ def test_recursive_seed_supplier_exists(duck2, sf):
     assert n > 0, "supplier 1 vanished from lineitem — recursive seed dead"
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_logistic_train_floor_boundary_margin(duck2, sf):
+    """q_logistic_train floors per-row gradient terms onto the 1e-6
+    grid; Spark and DuckDB exp() differ by ~1 ulp, so a row whose
+    floor argument sits within ~1e-10 of an integer boundary would
+    flip the grid cell — and with it the learned weights — between
+    engines (builder self-flagged, VERDICT r5 #6). Replay the training
+    trajectory and assert every per-row floor argument keeps a margin
+    >= 1e-8 (100x the cross-engine exp ulp), and that no row's final
+    decision argument w0*x+w1 sits within 1e-8 of the sig>=0.5 flip."""
+    from flexcalc_spark.operators.features import (
+        LOGIT_ITERS,
+        LOGIT_LR,
+        _logit_terms,
+    )
+
+    duck2.execute(
+        f"""CREATE OR REPLACE TEMP TABLE logit_feat AS
+            SELECT o_totalprice / 100000.0 AS x,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM read_parquet('{sf}/orders.parquet')"""
+    )
+    n = duck2.execute("SELECT COUNT(*) FROM logit_feat").fetchone()[0]
+    w0, w1 = 0.0, 0.0
+    worst = 1.0
+    for it in range(LOGIT_ITERS):
+        g0, g1 = _logit_terms(repr(w0), repr(w1))
+        # distance of each floor argument from its nearest boundary:
+        # floor(v + 0.5) flips where (v + 0.5) crosses an integer.
+        # Iteration 0 is exempt: w=(0,0) makes sig exactly 0.5 on every
+        # engine (exp(0)=1 has no ulp error), so its exactly-on-boundary
+        # arguments are bit-deterministic, not at risk.
+        if it > 0:
+            for raw in (
+                f"({_sig(w0, w1)} - y) * x * 1000000.0 + 0.5",
+                f"({_sig(w0, w1)} - y) * 1000000.0 + 0.5",
+            ):
+                m = duck2.execute(
+                    f"""SELECT MIN(LEAST(mod(mod({raw}, 1) + 1, 1),
+                                         1 - mod(mod({raw}, 1) + 1, 1)))
+                        FROM logit_feat"""
+                ).fetchone()[0]
+                worst = min(worst, m)
+        s0, s1 = duck2.execute(
+            f"SELECT SUM({g0}), SUM({g1}) FROM logit_feat"
+        ).fetchone()
+        w0 = w0 - LOGIT_LR * (s0 / 1000000.0 / n)
+        w1 = w1 - LOGIT_LR * (s1 / 1000000.0 / n)
+    assert worst >= 1e-8, (
+        f"a gradient floor argument sits {worst:.3g} from a boundary — "
+        "one exp ulp from a silent cross-engine weight flip"
+    )
+    zmin = duck2.execute(
+        f"SELECT MIN(abs(({w0!r}) * x + ({w1!r}))) FROM logit_feat"
+    ).fetchone()[0]
+    assert zmin >= 1e-8, (
+        f"a row's decision argument is {zmin:.3g} from the sig>=0.5 flip"
+    )
+
+
+def _sig(w0: float, w1: float) -> str:
+    return f"(1.0 / (1.0 + exp(-(({w0!r}) * x + ({w1!r})))))"
+
+
 @pytest.mark.parametrize("sf", SFS)
 def test_ab_arms_populated(duck2, sf):
     """q_ab_test divides by per-arm counts; both user-parity arms must

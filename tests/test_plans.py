@@ -291,7 +291,11 @@ def test_approx_tiers_have_no_exact_percentile_reduce(spark):
     MERGEABLE approx_percentile sketch — Spark's exact percentile
     buffers every value into one final aggregation buffer, the
     documented 100 TB killer these keys exist to avoid."""
-    for key in ["q_histogram_equidepth_approx", "q_rfm_approx"]:
+    for key in [
+        "q_histogram_equidepth_approx",
+        "q_rfm_approx",
+        "q_mad_outliers_approx",
+    ]:
         plan = plan_text(Q[key](spark, SF_DIR))
         assert "approx_percentile" in plan, key
         assert not re.search(r"(?<!approx_)percentile\(", plan), key
@@ -299,7 +303,7 @@ def test_approx_tiers_have_no_exact_percentile_reduce(spark):
 
 def test_exact_percentile_tiers_still_exact(spark):
     """And the oracle twins keep the exact boundary source."""
-    for key in ["q_histogram_equidepth", "q_rfm"]:
+    for key in ["q_histogram_equidepth", "q_rfm", "q_mad_outliers"]:
         plan = plan_text(Q[key](spark, SF_DIR))
         assert re.search(r"(?<!approx_)percentile\(", plan), key
 

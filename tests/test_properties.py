@@ -242,6 +242,40 @@ def test_equidepth_approx_matches_exact_buckets(spark):
         )
 
 
+def test_mad_outliers_approx_matches_exact_census(spark):
+    """Sketch medians move by at most a handful of ranks (accuracy
+    10000 => rank error <= n * 1e-4), so the 3*MAD flag census must
+    agree with the exact tier up to the few rows whose |deviation|
+    sits within the median jitter of the gate."""
+    from flexcalc_spark import registry
+
+    exact = {
+        r.event_type: r
+        for r in registry.QUERIES["q_mad_outliers"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in registry.QUERIES["q_mad_outliers_approx"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for t in exact:
+        ex, ap = exact[t], approx[t]
+        # medians within sketch tolerance of each other (values span
+        # ~[0, 600]; a few ranks of error moves the median by <1%)
+        assert abs(ex.med - ap.med) <= max(1.0, 0.02 * abs(ex.med)), (
+            t, ex.med, ap.med
+        )
+        assert abs(ex.mad - ap.mad) <= max(1.0, 0.02 * abs(ex.mad)), (
+            t, ex.mad, ap.mad
+        )
+        # outlier census within a small absolute band
+        assert abs(ex.n_outliers - ap.n_outliers) <= max(
+            3, int(0.02 * ex.n_outliers)
+        ), (t, ex.n_outliers, ap.n_outliers)
+
+
 def test_rfm_approx_matches_exact_segments(spark):
     """Sketch boundaries may move only customers sitting exactly on a
     decile edge between segments — assert near-total agreement."""
@@ -265,46 +299,50 @@ def test_rfm_approx_matches_exact_segments(spark):
 )
 @_slow
 def test_allocation_sums_exactly_and_stays_near_share(spark, revs):
-    """Hamilton allocation invariants over random revenue vectors:
-    the allocations sum EXACTLY to the budget, and each group's
-    allocation is within 1 unit of its unrounded proportional share."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    """Hamilton allocation invariants over random revenue vectors,
+    driven through the PRODUCTION allocate_budget tail: allocations
+    sum EXACTLY to the budget, and each group's allocation is within
+    1 unit of its unrounded proportional share."""
+    from flexcalc_spark.operators.aggregates import allocate_budget
 
     BUDGET = 1_000_000
     df = spark.createDataFrame(
         [(f"g{i}", r) for i, r in enumerate(revs)], "n_name string, r long"
     )
-    t = df.agg(F.sum("r").alias("total"))
-    base = df.crossJoin(F.broadcast(t)).select(
-        "n_name",
-        "r",
-        F.expr(f"({BUDGET} * r) div total").alias("fl"),
-        F.expr(f"({BUDGET} * r) % total").alias("rem"),
-        "total",
+    out = {r.n_name: r.alloc for r in allocate_budget(df, BUDGET).collect()}
+    assert sum(out.values()) == BUDGET, out
+    total = sum(revs)
+    for i, r in enumerate(revs):
+        exact = BUDGET * r / total
+        assert abs(out[f"g{i}"] - exact) < 1.0 + 1e-9, (i, r, exact)
+
+
+def test_allocation_exact_past_bigint_overflow_bound(spark):
+    """The share product budget x total_cents crosses 2^63 at
+    ~total_cents 9.2e12 (the old silent-wraparound cliff, ADVICE r5).
+    Drive allocate_budget with weights whose total is ~40x past that
+    bound and check bit-exactness against Python big-int arithmetic —
+    a BIGINT product would wrap and misallocate silently."""
+    from flexcalc_spark.operators.aggregates import allocate_budget
+
+    BUDGET = 1_000_000
+    # total ~3.7e14 -> budget * total ~3.7e20 >> 2^63 ~ 9.2e18
+    revs = [93_000_000_000_007, 181_000_000_000_013, 97_000_000_000_001]
+    df = spark.createDataFrame(
+        [(f"g{i}", r) for i, r in enumerate(revs)], "n_name string, r long"
     )
-    short = base.agg(
-        (F.lit(BUDGET) - F.sum("fl")).cast("bigint").alias("k")
-    )
-    ranked = base.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.col("rem").desc(), F.col("n_name"))
-        ),
-    )
-    out = ranked.crossJoin(F.broadcast(short)).select(
-        "n_name",
-        "r",
-        "total",
-        (
-            F.col("fl") + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
-        ).alias("alloc"),
-    ).collect()
-    total = sum(r.alloc for r in out)
-    assert total == BUDGET, total
-    for row in out:
-        exact = BUDGET * row.r / row.total
-        assert abs(row.alloc - exact) < 1.0 + 1e-9, (row, exact)
+    out = {r.n_name: r.alloc for r in allocate_budget(df, BUDGET).collect()}
+    # Python reference (exact big-int Hamilton)
+    total = sum(revs)
+    fl = [(BUDGET * r) // total for r in revs]
+    rem = [(BUDGET * r) % total for r in revs]
+    k = BUDGET - sum(fl)
+    order = sorted(range(len(revs)), key=lambda i: (-rem[i], f"g{i}"))
+    expect = dict()
+    for rk, i in enumerate(order):
+        expect[f"g{i}"] = fl[i] + (1 if rk < k else 0)
+    assert out == expect, (out, expect)
+    assert sum(out.values()) == BUDGET
 
 
 @given(

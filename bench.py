@@ -47,6 +47,17 @@ HEADLINE = [
     "q_ct_moments",         # CT weighted moments (voxel table)
 ]
 
+# The most expensive keys graded since round 4 (VERDICT r5 #7): timed
+# and reported alongside the headline set so bench visibility tracks
+# where the wall-clock actually goes, while "value" stays the
+# round-1-comparable headline total.
+HEAVY = [
+    "q_pagerank",           # iterative edge-join (cached edge table)
+    "q_dedup_embed_lsh",    # hyperplane-banded embedding dedup
+    "q_bm25",               # tokenize + broadcast IDF model
+    "q_sketch_hll",         # HLL++ distinct sketch (lgConfigK=14)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,19 +89,25 @@ def main() -> None:
         # intermediate (minhash, neardup) are timed cold, not from the
         # previous run's cache.
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-        timings: dict[str, float] = {}
-        for key in HEADLINE:
-            if key not in registry.QUERIES:
-                continue
-            best = None
-            for _ in range(runs):
-                spark.catalog.clearCache()
-                df = registry.QUERIES[key](spark, sf_dir)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            timings[key] = round(best, 3)
+
+        def time_keys(keys: list[str]) -> dict[str, float]:
+            out: dict[str, float] = {}
+            for key in keys:
+                if key not in registry.QUERIES:
+                    continue
+                best = None
+                for _ in range(runs):
+                    spark.catalog.clearCache()
+                    df = registry.QUERIES[key](spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                out[key] = round(best, 3)
+            return out
+
+        timings = time_keys(HEADLINE)
+        heavy = time_keys(HEAVY)
 
         total = round(sum(timings.values()), 3)
         print(
@@ -99,7 +116,9 @@ def main() -> None:
                     "metric": "headline_query_wall_clock_total",
                     "value": total,
                     "unit": "sec",
-                    "queries": timings,
+                    "queries": {**timings, **heavy},
+                    "heavy_keys": sorted(heavy),
+                    "heavy_total": round(sum(heavy.values()), 3),
                     "sf": sf,
                     "runs_per_query": runs,
                 }

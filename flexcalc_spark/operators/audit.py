@@ -253,3 +253,59 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args})"
         " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+# ------------------------------------------------------- Benford audit
+# Expected first-digit share floor-quantized to ppm: computed from the
+# same ln literals on both engines (constant per digit — ulp-identical).
+_BENFORD_EXP = "CAST(floor(ln(1.0 + 1.0 / d) / ln(10.0) * 1000000.0) AS BIGINT)"
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR(20)), 1, 1) AS BIGINT) AS d
+            FROM orders
+        ),
+        obs AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY d
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM obs)
+        SELECT d AS digit, cnt,
+               CAST((cnt * 1000000) // n AS BIGINT) AS obs_ppm,
+               {_BENFORD_EXP} AS exp_ppm
+        FROM obs, tot
+    """,
+    family="audit",
+    scale_notes=(
+        "Benford first-digit conformance — the classic fraud/"
+        "synthetic-data screen: digit extraction is a scan-side string "
+        "head (no log10 near power-of-ten boundaries — the substr of "
+        "the integer rendering is exact where floor(log10) can be off "
+        "by an ulp), the census is a 9-cell aggregation, and the "
+        "expected shares are per-digit ln constants quantized "
+        "identically on both engines. One corpus scan, 9 output rows, "
+        "at any scale; per-column batteries just stack more digit "
+        "extractions into the same scan"
+    ),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation: (digit, cnt, obs_ppm, exp_ppm)."""
+    o = table(spark, sf_dir, "orders")
+    digits = o.selectExpr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+        " AS VARCHAR(20)), 1, 1) AS BIGINT) AS d"
+    )
+    obs = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = obs.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return obs.crossJoin(F.broadcast(tot)).selectExpr(
+        "d AS digit",
+        "cnt",
+        "CAST((cnt * 1000000) div n AS BIGINT) AS obs_ppm",
+        f"{_BENFORD_EXP} AS exp_ppm",
+    )

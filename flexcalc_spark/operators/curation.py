@@ -463,3 +463,101 @@ def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(pseudo.alias("pseudo_id"), "event_type", "band")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+# --- free-text PII detection / redaction ------------------------------
+# Shared between the Spark expressions and the oracle SQL: the contact
+# blob is derived deterministically from customer rows (the documents
+# fixture is PII-free word salad by construction — FIXTURES.md), and
+# the patterns avoid backslash escapes so the literals survive both
+# engines' string parsing identically.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.]com"
+PII_PHONE_RE = "[+]1-[0-9]{3}-[0-9]{4}"
+
+
+def _pii_contact_sql() -> str:
+    """Deterministic synthetic contact line per customer (2 of 3 rows
+    carry a phone), identical text on both engines."""
+    # VARCHAR(20), not bare VARCHAR: Spark requires the length parameter
+    # (DuckDB accepts and ignores it), and both engines render the
+    # integer identically inside it.
+    return (
+        "c_name || ' <' || lower(replace(c_name, '#', '')) || '@corp'"
+        " || CAST(c_nationkey % 7 AS VARCHAR(20)) || '.com> '"
+        " || CASE WHEN c_custkey % 3 <> 0"
+        " THEN '+1-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR(20)),"
+        " 3, '0')"
+        " || '-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR(20)),"
+        " 4, '0')"
+        " ELSE 'no phone' END"
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_mktsegment, {_pii_contact_sql()} AS contact
+            FROM customer
+        ),
+        r AS (
+            SELECT c_mktsegment, contact,
+                   len(regexp_extract_all(contact, '{PII_EMAIL_RE}'))
+                       AS n_email,
+                   len(regexp_extract_all(contact, '{PII_PHONE_RE}'))
+                       AS n_phone,
+                   regexp_replace(
+                       regexp_replace(contact, '{PII_EMAIL_RE}',
+                                      '[EMAIL]', 'g'),
+                       '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+            FROM c
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_contacts,
+               CAST(SUM(n_email) AS BIGINT) AS n_emails,
+               CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+               CAST(SUM(length(contact) - length(redacted)) AS BIGINT)
+                   AS chars_removed
+        FROM r GROUP BY c_mktsegment
+    """,
+    family="curation",
+    scale_notes=(
+        "regex PII scrub — the free-text sibling of q_anonymize's "
+        "structured k-anonymity: detection (regexp_extract_all counts) "
+        "and redaction (chained regexp_replace) are pure scan-side "
+        "codegen expressions, zero shuffles before the per-segment "
+        "census aggregation, so a 100 TB corpus scrub is one pass at "
+        "read bandwidth. Real pipelines swap the two patterns for a "
+        "battery (emails/phones/SSNs/IPs/keys) — still one scan, the "
+        "expression chain just grows. DuckDB regexp_replace needs the "
+        "explicit 'g' flag to match Spark's replace-all default "
+        "(cross-engine gotcha); patterns avoid backslash classes so "
+        "the literals parse identically in both engines"
+    ),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails/phones in synthetic per-customer
+    contact text; per-segment census (n_contacts, n_emails, n_phones,
+    chars_removed)."""
+    cust = table(spark, sf_dir, "customer")
+    c = cust.selectExpr(
+        "c_mktsegment", f"{_pii_contact_sql()} AS contact"
+    )
+    r = c.selectExpr(
+        "c_mktsegment",
+        "contact",
+        f"size(regexp_extract_all(contact, '{PII_EMAIL_RE}', 0))"
+        " AS n_email",
+        f"size(regexp_extract_all(contact, '{PII_PHONE_RE}', 0))"
+        " AS n_phone",
+        f"regexp_replace(regexp_replace(contact, '{PII_EMAIL_RE}',"
+        f" '[EMAIL]'), '{PII_PHONE_RE}', '[PHONE]') AS redacted",
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contacts"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum(F.length("contact") - F.length("redacted"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )

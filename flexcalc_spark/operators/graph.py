@@ -212,3 +212,140 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_edges))
         .select("n_triangles", F.col("n_edges").cast("bigint").alias("n_edges"))
     )
+
+
+# ----------------------------------------------------- degree distribution
+@register(
+    "q_degree_dist",
+    oracle=f"""
+        WITH {_EDGE_SQL}
+        SELECT CAST(d AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY d
+    """,
+    family="graph",
+    scale_notes=(
+        "degree histogram — the first thing anyone computes on a new "
+        "graph (skew diagnosis BEFORE choosing join strategies: a "
+        "power-law tail here is exactly what forces the salted-join / "
+        "high-degree-vertex-mirroring decisions downstream): one "
+        "groupBy per endpoint then a |degrees|-cell re-aggregation; "
+        "the second aggregation input is node-sized, the output is "
+        "log-scale-sized. Completely shuffle-minimal at any scale"
+    ),
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-supplier bipartite graph:
+    (degree, n_nodes)."""
+    ed = _edges(spark, sf_dir)
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.col("d").cast("bigint").alias("degree"), "n_nodes")
+
+
+# --------------------------------------------------------------- k-core
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part-supplier bipartite edge list (both directions),
+    the same construction as q_pagerank's _EDGE_SQL."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = pairs.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    return fwd.unionAll(rev)
+
+
+def _kcore_oracle() -> str:
+    ctes = [f"e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (
+                SELECT src AS node FROM e{i-1}
+                GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+            )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+                SELECT e.src, e.dst FROM e{i-1} e
+                JOIN n{i} a ON e.src = a.node
+                JOIN n{i} b ON e.dst = b.node
+            )"""
+        )
+    return (
+        f"WITH {_EDGE_SQL}, "
+        + ", ".join(ctes)
+        + f"""
+        SELECT CAST(src AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e{KCORE_ROUNDS} GROUP BY src
+        """
+    )
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    family="graph",
+    scale_notes=(
+        "bounded k-core peeling (k=3, 6 rounds): each round keeps "
+        "nodes with current degree >= k and restricts edges to "
+        "surviving endpoints — degree census + two semijoin-shaped "
+        "hash joins per round, the standard distributed rendering "
+        "(Quick/Montresor-style) of the sequential min-degree peel. "
+        "The edge table shrinks monotonically, so round cost falls; "
+        "6 rounds suffice here (fixture converges by round 3 — the "
+        "production form loops until no node drops, same plan per "
+        "round). Spark localCheckpoints each round's edge table: "
+        "e_i feeds the census AND both joins of round i+1, so without "
+        "LINEAGE TRUNCATION the logical plan re-expands ~3^rounds — "
+        "cache() alone is not enough (the plan/explain text still "
+        "nests and round 5's plan string alone OOMed the driver; "
+        "measured this round) — the same blowup that forces "
+        "MATERIALIZED CTEs on the oracle side. This is exactly why "
+        "production iterative graph jobs checkpoint every few rounds. "
+        "At 100 TB partition edges by src once; the node survivor "
+        "sets broadcast"
+    ),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-core of the part-supplier graph after 6 peel
+    rounds: surviving (node, deg).
+
+    Each round's edge table goes through eager localCheckpoint —
+    LINEAGE TRUNCATION, not just caching: e_i appears three times in
+    round i+1's plan, so the logical plan (and its explain string,
+    which AQE renders per query) grows ~3^rounds deep; cache() leaves
+    that plan text intact and round 5's string alone OOMed the driver
+    heap. localCheckpoint rebases each round on a materialized RDD, so
+    every round's plan is one round deep — the engine-side analogue of
+    the oracle's MATERIALIZED CTE chain."""
+    e = _edges(spark, sf_dir).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        nodes = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(nodes.withColumnRenamed("node", "src"), "src")
+            .join(
+                nodes.withColumnRenamed("node", "dst"),
+                "dst",
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).select(F.col("src").cast("bigint").alias("node"), "deg")

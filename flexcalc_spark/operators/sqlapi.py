@@ -247,3 +247,136 @@ def q_sql_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q18_BODY.format(c="v_customer", o="v_orders", l="v_lineitem")
     )
+
+
+_Q7_BODY = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_REVENUE} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice, l_discount
+        FROM {{s}} JOIN {{l}} ON s_suppkey = l_suppkey
+             JOIN {{o}} ON o_orderkey = l_orderkey
+             JOIN {{c}} ON c_custkey = o_custkey
+             JOIN {{n}} n1 ON s_nationkey = n1.n_nationkey
+             JOIN {{n}} n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q_sql_tpch7",
+    oracle=_Q7_BODY.format(
+        s="supplier", l="lineitem", o="orders", c="customer", n="nation"
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q7 (volume shipping) through the SQL surface: the "
+        "nation table joins TWICE under different aliases (supplier "
+        "side and customer side) — both 25-row broadcasts — and the "
+        "nation-pair disjunction prunes BEFORE the grouped aggregation, "
+        "so the only corpus-scale work is the lineitem-orders orderkey "
+        "shuffle on pre-filtered rows. year() on the shipdate is "
+        "engine-portable integer extraction; revenue rides the 1e-6 "
+        "grid written in the SQL text. The classic plan trap — "
+        "aggregating then filtering nations — never arises because "
+        "Catalyst pushes the disjunction through the joins"
+    ),
+)
+def q_sql_tpch7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-like bilateral shipping volume between NATION_1 and
+    NATION_2 by year, expressed purely as SQL text."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q7_BODY.format(
+            s="v_supplier", l="v_lineitem", o="v_orders",
+            c="v_customer", n="v_nation",
+        )
+    )
+
+
+# Promo share per month: both engines derive the ratio from the SAME
+# exact BIGINT grid sums, so the double division is bit-identical and
+# is emitted raw (per-row FP rule — never round per-row doubles).
+_Q14_BODY = """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(month(l_shipdate) AS BIGINT) AS l_month,
+           CAST(100.0 AS DOUBLE)
+             * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END)
+             / SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                              * 1000000.0 + 0.5) AS BIGINT))
+               AS promo_share
+    FROM {l} JOIN {p} ON p_partkey = l_partkey
+    GROUP BY l_year, l_month
+    ORDER BY l_year, l_month
+"""
+
+
+@register(
+    "q_sql_tpch14",
+    oracle=_Q14_BODY.format(l="lineitem", p="part"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q14 (promo effect) through the SQL surface: one "
+        "partkey join (part broadcasts at dimension scale) feeding a "
+        "conditional-aggregate ratio per ship month. Both numerator "
+        "and denominator are exact 1e-6-grid BIGINT sums, so the final "
+        "double division is bit-identical across engines and shuffle "
+        "orders — the published query's SUM(CASE)/SUM shape survives "
+        "verbatim, no decimal gymnastics. At 100 TB the month grouping "
+        "rides the same shuffle as any rollup; the part join is the "
+        "only fact-side movement"
+    ),
+)
+def q_sql_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-like monthly PROMO revenue share, expressed purely as
+    SQL text."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q14_BODY.format(l="v_lineitem", p="v_part"))
+
+
+_Q19_BODY = f"""
+    SELECT {_REVENUE} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM {{l}} JOIN {{p}} ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register(
+    "q_sql_tpch19",
+    oracle=_Q19_BODY.format(l="lineitem", p="part"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q19 (discounted revenue, the OR-of-ANDs predicate "
+        "benchmark) through the SQL surface: the three brand/size/"
+        "quantity conjunctions form a disjunction that Catalyst "
+        "splits — the part-side terms (brand, size) push into the "
+        "part scan and the lineitem-side quantity bounds push into "
+        "the fact scan as a range union, so both inputs shrink before "
+        "the partkey join instead of filtering post-join (the naive "
+        "plan). Single-row grid-sum output; the count column keeps "
+        "the row non-degenerate for hashing"
+    ),
+)
+def q_sql_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-like OR-of-ANDs discounted revenue, expressed purely
+    as SQL text."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q19_BODY.format(l="v_lineitem", p="v_part"))

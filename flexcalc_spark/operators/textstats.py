@@ -466,3 +466,99 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= BM25_TOP)
     )
+
+
+# ------------------------------------------------- PMI topic terms
+TOPIC_TOP = 5       # distinctive terms reported per language
+TOPIC_MIN_WL = 5    # minimum in-language occurrences (PMI support gate)
+
+
+@register(
+    "q_topic_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        n_wl AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c_wl
+                 FROM tok GROUP BY lang, w),
+        n_w  AS (SELECT w, CAST(SUM(c_wl) AS BIGINT) AS c_w
+                 FROM n_wl GROUP BY w),
+        n_l  AS (SELECT lang, CAST(SUM(c_wl) AS BIGINT) AS c_l
+                 FROM n_wl GROUP BY lang),
+        tot  AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM n_w),
+        pmi AS (
+            SELECT n_wl.lang, n_wl.w, c_wl,
+                   CAST(floor(ln((CAST(c_wl AS DOUBLE) * n)
+                                 / (CAST(c_w AS DOUBLE) * c_l))
+                              * 1000000.0) AS BIGINT) AS pmi_q
+            FROM n_wl JOIN n_w USING (w) JOIN n_l USING (lang), tot
+            WHERE c_wl >= {TOPIC_MIN_WL}
+        )
+        SELECT lang, w AS term, c_wl, pmi_q, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY pmi_q DESC, w) AS rk
+            FROM pmi
+        ) WHERE rk <= {TOPIC_TOP}
+    """,
+    family="text",
+    scale_notes=(
+        "per-language distinctive terms by pointwise mutual information "
+        "— the corpus-exploration primitive behind domain tagging and "
+        "contamination triage: ONE tokenize scan collapses to the "
+        "(lang, word) count table, the word and language marginals are "
+        "vocabulary-/|langs|-sized re-aggregations of THAT table (never "
+        "a second corpus scan), and PMI + per-lang top-k run on "
+        "vocabulary-scale rows (WindowGroupLimit prunes the rank "
+        "window). ln rides the 1e-6 floor grid (integer-ratio "
+        "arguments, registry transcendental rule); ties break on the "
+        "term for a total order. At 100 TB the only corpus-sized "
+        "operation is the first tokenize+count shuffle — everything "
+        "downstream is MB-scale"
+    ),
+)
+def q_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 PMI-distinctive terms per language with support >= 5:
+    (lang, term, c_wl, pmi_q, rk)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    n_wl = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_wl")
+    )
+    # marginals re-aggregate the (lang, word) table — no second scan
+    n_w = n_wl.groupBy("w").agg(F.sum("c_wl").cast("bigint").alias("c_w"))
+    n_l = n_wl.groupBy("lang").agg(
+        F.sum("c_wl").cast("bigint").alias("c_l")
+    )
+    tot = n_w.agg(F.sum("c_w").cast("bigint").alias("n"))
+    pmi = (
+        n_wl.filter(F.col("c_wl") >= TOPIC_MIN_WL)
+        .join(F.broadcast(n_w), "w")
+        .join(F.broadcast(n_l), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "w",
+            "c_wl",
+            F.expr(
+                "CAST(floor(ln((CAST(c_wl AS DOUBLE) * n)"
+                " / (CAST(c_w AS DOUBLE) * c_l)) * 1000000.0) AS BIGINT)"
+            ).alias("pmi_q"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("pmi_q").desc(), F.col("w")
+        )
+    )
+    return (
+        pmi.withColumn("rk", rk.cast("bigint"))
+        .filter(F.col("rk") <= TOPIC_TOP)
+        .select("lang", F.col("w").alias("term"), "c_wl", "pmi_q", "rk")
+    )

@@ -847,3 +847,184 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ms").cast("bigint").alias("first_start_us"),
         F.max("me").cast("bigint").alias("last_end_us"),
     )
+
+
+# ---------------------------------------------------------- autocorrelation
+AUTOCORR_LAGS = 3
+# Pearson corr from exact integer moments, floor-quantized to 1e-4 —
+# identical literal structure on both engines (the q_corr_matrix shape).
+_AC_CORR = (
+    "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) <= 0.0"
+    " OR (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) <= 0.0"
+    " THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    " * 10000.0) AS BIGINT) END"
+)
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   CAST(SUM(CAST(floor(value + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY d
+        ),
+        lags AS (SELECT unnest(range(1, {AUTOCORR_LAGS + 1})) AS lag),
+        pairs AS (
+            SELECT lags.lag, a.x AS xv, b.x AS yv
+            FROM lags
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.d = a.d - lags.lag
+        ),
+        m AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xv) AS BIGINT) AS sx,
+                   CAST(SUM(yv) AS BIGINT) AS sy,
+                   CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+                   CAST(SUM(yv * yv) AS BIGINT) AS syy,
+                   CAST(SUM(xv * yv) AS BIGINT) AS sxy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n, {_AC_CORR} AS corr_q
+        FROM m
+    """,
+    family="timeseries",
+    scale_notes=(
+        "lag-k autocorrelation of the daily event-volume series from "
+        "exact integer moments: the corpus collapses to one row per "
+        "day FIRST (the only corpus-scale shuffle), then the lag "
+        "self-join and Pearson moments run on |days| rows — a "
+        "three-year 100 TB stream is still ~1000 rows here. Unit-grid "
+        "daily sums keep every squared moment far inside BIGINT "
+        "(~1e18 at 100x grading scale; past that the moment "
+        "accumulators swap to DECIMAL(38,0) like q_corr_matrix "
+        "documents); the corr formula runs in double on exact integer "
+        "inputs, bit-identical across engines, floor-quantized to 1e-4"
+    ),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily total event value at lags 1..3:
+    (lag, n, corr_q)."""
+    e = events_with_time(spark, sf_dir)
+    daily = (
+        e.selectExpr(
+            "ts_us div 86400000000 AS d",
+            "CAST(floor(value + 0.5) AS BIGINT) AS v",
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("bigint").alias("x"))
+    )
+    lags = spark.range(1, AUTOCORR_LAGS + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("b.d") == F.col("a.d") - F.col("lag"),
+        )
+        .select("lag", F.col("a.x").alias("xv"), F.col("b.x").alias("yv"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xv").cast("bigint").alias("sx"),
+        F.sum("yv").cast("bigint").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("bigint").alias("sxy"),
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.expr(_AC_CORR).alias("corr_q"),
+    )
+
+
+# --------------------------------------------------- changepoint (CUSUM)
+@register(
+    "q_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   CAST(SUM(CAST(floor(value + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY d
+        ),
+        idx AS (
+            SELECT d, x,
+                   ROW_NUMBER() OVER (ORDER BY d) AS i,
+                   SUM(x) OVER (ORDER BY d) AS c,
+                   COUNT(*) OVER () AS n,
+                   SUM(x) OVER () AS s
+            FROM daily
+        )
+        SELECT CAST(d AS BIGINT) AS split_day,
+               CAST(abs(n * c - i * s) AS BIGINT) AS score,
+               CAST((c * 1000) // i AS BIGINT) AS mean_before_q,
+               CAST(((s - c) * 1000) // (n - i) AS BIGINT) AS mean_after_q
+        FROM idx
+        WHERE i < n
+        ORDER BY abs(n * c - i * s) DESC, d
+        LIMIT 1
+    """,
+    family="timeseries",
+    scale_notes=(
+        "single change-point detection as the CUSUM max-deviation "
+        "statistic: argmax_i |n*C_i - i*S| over prefix sums of the "
+        "daily series — the exact integer rendering of max |C_i - "
+        "(i/n)S|, the classic binary-segmentation step. The corpus "
+        "collapses to |days| rows before any window; prefix sums are "
+        "one ordered window over that tiny series, and the argmax is "
+        "a LIMIT 1 with a day tiebreak (total order). Recursing into "
+        "the two halves (full binary segmentation) repeats this plan "
+        "on day-range filters — each level is another |days|-row "
+        "window, never a corpus rescan"
+    ),
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely mean-shift day in the daily event-value series via
+    the integer CUSUM statistic: (split_day, score, mean_before_q,
+    mean_after_q)."""
+    from pyspark.sql.window import Window
+
+    e = events_with_time(spark, sf_dir)
+    daily = (
+        e.selectExpr(
+            "ts_us div 86400000000 AS d",
+            "CAST(floor(value + 0.5) AS BIGINT) AS v",
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "d",
+        "x",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.sum("x").over(w).alias("c"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    return (
+        idx.filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("d").cast("bigint").alias("split_day"),
+            F.abs(F.col("n") * F.col("c") - F.col("i") * F.col("s"))
+            .cast("bigint")
+            .alias("score"),
+            F.expr("(c * 1000) div i").cast("bigint").alias("mean_before_q"),
+            F.expr("((s - c) * 1000) div (n - i)")
+            .cast("bigint")
+            .alias("mean_after_q"),
+        )
+        .orderBy(F.col("score").desc(), "split_day")
+        .limit(1)
+    )

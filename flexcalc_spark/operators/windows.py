@@ -260,3 +260,53 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(w).alias("last_ev"),
         F.nth_value("event_id", 2).over(w).alias("second_ev"),
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+        SELECT event_id, event_type, value,
+               CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS pr_q,
+               CAST((cum * 1000000) // n AS BIGINT) AS cume_q
+        FROM (
+            SELECT event_id, event_type, value,
+                   RANK() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type
+                                  ORDER BY value) AS cum,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+    """,
+    family="windows",
+    scale_notes=(
+        "percent_rank / cume_dist as EXACT integer window math: the "
+        "built-ins return doubles whose (rank-1)/(n-1) division can "
+        "differ in the last ulp across engines, so the quantized "
+        "((rank-1)*1e6) div (n-1) and (cume*1e6) div n forms compute "
+        "the same statistic with zero FP — RANK ties and the "
+        "RANGE-framed running count handle duplicates identically "
+        "everywhere. One partition-sort per event_type, the same "
+        "shuffle any ranked window pays; at 100 TB a skewed type "
+        "partitions by (type, value-range) with a two-pass global "
+        "rank (the q_global_rank construction)"
+    ),
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution position of every event: exact quantized
+    percent_rank (pr_q) and cume_dist (cume_q) per event_id."""
+    e = events_with_time(spark, sf_dir)
+    return e.selectExpr(
+        "event_id",
+        "event_type",
+        "value",
+        "RANK() OVER (PARTITION BY event_type ORDER BY value) AS rk",
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY value) AS cum",
+        "COUNT(*) OVER (PARTITION BY event_type) AS n",
+    ).selectExpr(
+        "event_id",
+        "event_type",
+        "value",
+        "CAST(((rk - 1) * 1000000) div (n - 1) AS BIGINT) AS pr_q",
+        "CAST((cum * 1000000) div n AS BIGINT) AS cume_q",
+    )

@@ -237,6 +237,134 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     return h, w, native.name, arr.tobytes()
 
 
+def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
+    """Pure-Python decoder for grayscale PNG (stdlib zlib does the
+    INFLATE): parses the chunk stream, reconstructs all five scanline
+    filters (None/Sub/Up/Average/Paeth), and returns native-order
+    pixels. Color type 0 (grayscale) at 8/16 bits, no interlace —
+    the shape CT/preview pipelines emit; color/palette/interlaced
+    files raise NotImplementedError (plug Pillow into DECODERS)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,), ctype = (
+            struct.unpack(">I", content[pos : pos + 4]),
+            content[pos + 4 : pos + 8],
+        )
+        body = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bitdepth, colortype, comp, filt, interlace = ihdr
+    if colortype != 0:
+        raise NotImplementedError(
+            f"PNG color type {colortype} not supported offline; only "
+            "grayscale (0) decodes pure-Python (plug Pillow for the rest)"
+        )
+    if bitdepth not in (8, 16) or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG bitdepth={bitdepth}/compression={comp}/filter={filt}"
+            " not supported"
+        )
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    raw = zlib.decompress(bytes(idat))
+    bpp = bitdepth // 8
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG scanline data {len(raw)} != {h * (stride + 1)}")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:      # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:    # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:    # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG unknown filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    src = np.dtype(">u2") if bitdepth == 16 else np.dtype("u1")
+    arr = np.frombuffer(bytes(out), dtype=src)
+    native = src.newbyteorder("=")
+    if src != native:
+        arr = arr.astype(native)
+    return h, w, native.name, arr.tobytes()
+
+
+def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
+    """Pure-Python RIFF/WAVE PCM decoder (stdlib struct): parses the
+    chunk list, accepts integer PCM (format 1) at 8 or 16 bits, and
+    returns (n_channels, n_samples, dtype, interleaved native-order
+    samples) — the (h, w) slots carry channels x samples so the
+    decoder contract matches the image path. Float/ADPCM/extensible
+    raise NotImplementedError."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt_chunk = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, _rate, _bps, _align, bits = struct.unpack(
+        "<HHIIHH", fmt_chunk[:16]
+    )
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format {audio_fmt}/{bits}bit not supported offline; "
+            "only 8/16-bit integer PCM decodes pure-Python"
+        )
+    src = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+    n_samples = len(data) // (n_ch * src.itemsize)
+    arr = np.frombuffer(
+        data[: n_samples * n_ch * src.itemsize], dtype=src
+    )
+    native = src.newbyteorder("=")
+    if src != native:
+        arr = arr.astype(native)
+    return n_ch, n_samples, native.name, arr.tobytes()
+
+
 def _decode_unavailable(fmt: str) -> Callable:
     def decode(content: bytes, meta: dict):
         raise NotImplementedError(
@@ -250,9 +378,9 @@ def _decode_unavailable(fmt: str) -> Callable:
 DECODERS: dict[str, Callable] = {
     "raw": _decode_raw,
     "tiff": _decode_tiff,
-    "png": _decode_unavailable("png"),
+    "png": _decode_png,
     "jpeg": _decode_unavailable("jpeg"),
-    "wav": _decode_unavailable("wav"),
+    "wav": _decode_wav,
 }
 
 

@@ -122,6 +122,15 @@ RISKY = [
     "q_sql_tpch18",         # HAVING-subquery semi join, grid threshold
     "q_join_spatial",       # cell-blocked candidates, mm-quantized verify
     "q_knn_incremental",    # semilattice top-k merge, rank tiebreaks
+    # round-6 additions
+    "q_dedup_substring",    # shingle census left join, integer permille
+    "q_topic_terms",        # floor-quantized PMI + per-lang rank ties
+    "q_win_distribution",   # integer rank/cume quantization, RANK ties
+    "q_autocorr",           # integer-moment corr over the daily series
+    "q_changepoint",        # CUSUM argmax with day tiebreak, LIMIT 1
+    "q_kcore",              # 6-round peel on checkpointed edge tables
+    "q_mad_outliers_approx",  # sketch medians; output must be partition-stable
+    "q_sql_tpch14",         # grid-sum ratio — identical doubles everywhere
 ]
 
 

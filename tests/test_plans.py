@@ -702,3 +702,57 @@ def test_knn_incremental_uses_window_group_limit(spark):
     plan = plan_text(Q["q_knn_incremental"](spark, SF_DIR))
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- round-6 additions ---------------------------------------------------
+
+
+def test_dedup_substring_no_cartesian(spark):
+    """The duplicated-span census must flag occurrences via an equi
+    join on the shingle key — any nested-loop/cartesian means the
+    candidate structure collapsed."""
+    plan = plan_text(Q["q_dedup_substring"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    ), plan
+
+
+def test_tpch19_pushes_disjunction_into_scans(spark):
+    """Q19's OR-of-ANDs must reach the parquet scans: the part side
+    carries the brand/size terms, the lineitem side the quantity
+    bounds — post-join filtering would scan both tables in full at
+    100 TB."""
+    plan = plan_text(Q["q_sql_tpch19"](spark, SF_DIR))
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = " ".join(m)
+    assert "Or(" in joined, plan
+    assert "p_brand" in joined and "l_quantity" in joined, plan
+
+
+def test_topic_terms_marginals_broadcast(spark):
+    """PMI's word/lang marginals and the total are vocabulary-scale —
+    they must attach as broadcasts, never reshuffling the token
+    stream."""
+    plan = plan_text(Q["q_topic_terms"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_win_distribution_single_type_sort(spark):
+    """All three window frames (rank, running count, partition count)
+    must share one event_type partitioning — a second Exchange would
+    mean the frames diverged."""
+    plan = plan_text(Q["q_win_distribution"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, plan  # one shuffle tree + AQE reuse
+
+
+def test_changepoint_collapses_before_window(spark):
+    """The CUSUM scan must aggregate the corpus to the daily series
+    BEFORE any window — a window over raw events would single-task
+    sort the corpus."""
+    plan = plan_text(Q["q_changepoint"](spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1, plan

@@ -30,11 +30,12 @@ def test_read_stack_raw_roundtrip(spark, tmp_path):
 
 
 def test_decode_stub_format_raises(spark, tmp_path):
-    """png has no offline decoder — the stub must raise through Spark."""
-    (tmp_path / "img.png").write_bytes(b"\x89PNGfake")
-    df = bf.read_binary_dir(spark, str(tmp_path), "*.png")
-    decoded = bf.decode_files(df, "png", {})
-    with pytest.raises(Exception, match="NotImplementedError|png"):
+    """jpeg has no offline decoder — the stub must raise through
+    Spark (png/wav graduated to real pure-Python decoders in r6)."""
+    (tmp_path / "img.jpg").write_bytes(b"\xff\xd8fake")
+    df = bf.read_binary_dir(spark, str(tmp_path), "*.jpg")
+    decoded = bf.decode_files(df, "jpeg", {})
+    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
         decoded.collect()
 
 
@@ -149,12 +150,17 @@ def test_media_resize_preserves_mean(spark):
 
 
 def test_media_features_mixed_decodability(spark):
-    """Decodable raw blobs yield features; stub formats degrade to
-    flagged rows without failing the batch."""
+    """Decodable raw/png blobs yield features; stub formats (jpeg has
+    no offline decoder) degrade to flagged rows without failing the
+    batch."""
+    png = _png_encode(
+        np.array([[0, 2], [4, 6]], dtype=np.uint8), 8, filters=[0, 2]
+    )
     rows = [
         (1, "image", "raw", json.dumps({"h": 2, "w": 2, "dtype": "float32"}),
          np.arange(4, dtype=np.float32).tobytes()),
-        (2, "image", "png", json.dumps({}), b"\x89PNG fake"),
+        (2, "image", "jpeg", json.dumps({}), b"\xff\xd8 fake"),
+        (3, "image", "png", json.dumps({}), png),
     ]
     media = spark.createDataFrame(rows, bf.MEDIA_SCHEMA)
     feats = {r.media_id: r for r in bf.media_features(media).collect()}
@@ -162,6 +168,8 @@ def test_media_features_mixed_decodability(spark):
     assert feats[1].thumb_h == 1 and feats[1].thumb_w == 1
     assert feats[2].mean_intensity == "NOT_DECODABLE"
     assert feats[2].thumb_h == -1
+    assert feats[3].mean_intensity == repr(3.0)
+    assert feats[3].thumb_h == 1 and feats[3].thumb_w == 1
 
 
 # ---------------------------------------------------------------------------
@@ -409,3 +417,147 @@ def test_read_stack_lzw_tiff_roundtrip(spark, tmp_path):
     back = ct.array_from_slices(df)
     assert back.dtype == vol.dtype
     assert np.array_equal(back, vol)
+
+
+# --- PNG decoder (round-6: pure-Python zlib path) -----------------------
+
+
+def _png_encode(arr, bitdepth=8, filters=None, colortype=0):
+    """Minimal PNG writer for tests: grayscale, per-row filter choice
+    (applies the REAL filter math so decode must invert it)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    bpp = bitdepth // 8
+    if bitdepth == 16:
+        rows = arr.astype(">u2").tobytes()
+    else:
+        rows = arr.astype("u1").tobytes()
+    stride = w * bpp
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row = bytearray(rows[y * stride : (y + 1) * stride])
+        ft = filters[y]
+        enc = bytearray(row)
+        if ft == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pr) & 0xFF
+        out.append(ft)
+        out.extend(enc)
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_all_filters():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    # one row per filter type, plus an extra None row
+    content = _png_encode(arr, 8, filters=[0, 1, 2, 3, 4])
+    h, w, dt, px = bf._decode_png(content, {})
+    assert (h, w, dt) == (5, 9, "uint8")
+    assert np.array_equal(np.frombuffer(px, "u1").reshape(5, 9), arr)
+
+
+def test_png_decode_16bit_big_endian():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    arr = np.arange(12, dtype=np.uint16).reshape(3, 4) * 4097
+    content = _png_encode(arr, 16, filters=[0, 2, 4])
+    h, w, dt, px = bf._decode_png(content, {})
+    assert (h, w, dt) == (3, 4, "uint16")
+    assert np.array_equal(np.frombuffer(px, "=u2").reshape(3, 4), arr)
+
+
+def test_png_color_raises():
+    import numpy as np
+    import pytest
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    content = _png_encode(arr, 8, colortype=2)
+    with pytest.raises(NotImplementedError):
+        bf._decode_png(content, {})
+
+
+# --- WAV decoder --------------------------------------------------------
+
+
+def test_wav_decode_roundtrip_stereo16():
+    import io
+    import wave
+
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-30000, 30000, size=(100, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(samples.tobytes())
+    n_ch, n_samp, dt, px = bf._decode_wav(buf.getvalue(), {})
+    assert (n_ch, n_samp, dt) == (2, 100, "int16")
+    assert np.array_equal(
+        np.frombuffer(px, "=i2").reshape(100, 2), samples
+    )
+
+
+def test_wav_nonpcm_raises():
+    import struct
+
+    import pytest
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float PCM
+    content = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        bf._decode_wav(content, {})

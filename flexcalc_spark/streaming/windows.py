@@ -710,3 +710,51 @@ def run_stream_foreachbatch_upsert(
     if not q.awaitTermination(120):
         q.stop()
         raise TimeoutError("foreachBatch stream did not drain within 120s")
+
+
+@register(
+    "q_stream_upsert",
+    oracle="""
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sg
+        FROM events GROUP BY day, event_type
+    """,
+    family="streaming",
+    scale_notes=(
+        "the exactly-once sink pattern GRADED end-to-end: the real "
+        "foreachBatch stream drains (availableNow) into an idempotent "
+        "overwrite-by-key parquet state at plan build, and the key "
+        "returns the state READ BACK — so the driver hash certifies "
+        "that stream + at-least-once sink replay semantics land on "
+        "exactly the batch aggregate (the oracle). Replays rewrite "
+        "identical bytes (state is a function of input, not delivery "
+        "count — tests/test_streaming.py re-applies the final batch "
+        "and asserts byte-stability). At 100 TB the same shape "
+        "targets a transactional table MERGE keyed on (group, "
+        "batch_id); dynamic partition overwrite is the plain-parquet "
+        "equivalent"
+    ),
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the foreachBatch idempotent-upsert stream, then read the
+    sink state back: per-(day, event_type) counts and grid sums equal
+    to the batch aggregate."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"flexcalc_spark_stream_upsert_{os.getpid()}_"
+        f"{abs(hash(sf_dir)) % 100000}",
+    )
+    run_stream_foreachbatch_upsert(spark, sf_dir, out)
+    state = spark.read.parquet(out)
+    return state.select(
+        F.col("day").cast("bigint").alias("day"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sg").cast("bigint").alias("sg"),
+    )

@@ -349,3 +349,90 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).select(F.col("src").cast("bigint").alias("node"), "deg")
+
+
+# ------------------------------------------------------ label propagation
+LP_ROUNDS = 4
+
+
+def _label_prop_oracle() -> str:
+    ctes = ["l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM edges)"]
+    for k in range(1, LP_ROUNDS + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+                SELECT e.src AS node, l.lab,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM edges e JOIN l{k-1} l ON e.dst = l.node
+                GROUP BY e.src, l.lab
+            )"""
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+                SELECT node, lab FROM (
+                    SELECT node, lab, ROW_NUMBER() OVER (
+                               PARTITION BY node
+                               ORDER BY cnt DESC, lab) AS rk
+                    FROM c{k}
+                ) WHERE rk = 1
+            )"""
+        )
+    return (
+        f"WITH {_EDGE_SQL}, "
+        + ", ".join(ctes)
+        + f"""
+        SELECT CAST(lab AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM l{LP_ROUNDS} GROUP BY lab
+        """
+    )
+
+
+@register(
+    "q_label_prop",
+    oracle=_label_prop_oracle(),
+    family="graph",
+    scale_notes=(
+        "synchronous label propagation (4 rounds, Raghavan-style "
+        "majority vote with (count DESC, label) total-order ties — "
+        "deterministic, unlike the randomized original): each round "
+        "is one edges x labels equi join, a per-(node, label) count, "
+        "and a WindowGroupLimit argmax — the narrow (node, label) "
+        "table is the only thing that reshuffles per round, edges "
+        "partition by dst once. Spark runs the loop over "
+        "localCheckpointed label tables (the k-core lineage lesson); "
+        "the oracle unrolls identical rounds as MATERIALIZED CTEs. "
+        "Community-size census output — the corpus-clustering signal "
+        "used for domain balance in training mixes"
+    ),
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round deterministic label propagation on the part-supplier
+    graph; community size census (label, n_nodes)."""
+    from pyspark.sql.window import Window
+
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labels = edges.select("src").distinct().selectExpr(
+        "src AS node", "src AS lab"
+    ).localCheckpoint()
+    for _ in range(LP_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src", "lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                F.col("cnt").desc(), F.col("lab")
+            )
+        )
+        labels = (
+            cnt.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .selectExpr("src AS node", "lab")
+            .localCheckpoint()
+        )
+    return labels.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.col("lab").cast("bigint").alias("label"), "n_nodes")

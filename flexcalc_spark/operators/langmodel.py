@@ -136,3 +136,155 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nll_q",
         F.expr("nll_q div n_bigrams").cast("bigint").alias("avg_nll_q"),
     )
+
+
+# ------------------------------------------- naive Bayes lang classifier
+@register(
+    "q_naive_bayes",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        c_wl AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM tok GROUP BY lang, w),
+        c_l  AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot
+                 FROM c_wl GROUP BY lang),
+        vv   AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
+        prior AS (
+            SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM tok GROUP BY lang
+        ),
+        nall AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM prior),
+        scored AS (
+            SELECT tok.doc_id, tok.lang AS true_lang, c_l.lang AS cand,
+                   CAST(SUM(CAST(floor(ln(
+                       (COALESCE(c_wl.c, 0) + 1.0)
+                       / (c_l.tot + vv.v)) * 1000000.0) AS BIGINT))
+                     AS BIGINT) AS like_q
+            FROM tok
+            CROSS JOIN c_l
+            CROSS JOIN vv
+            LEFT JOIN c_wl ON c_wl.w = tok.w AND c_wl.lang = c_l.lang
+            GROUP BY tok.doc_id, tok.lang, c_l.lang
+        ),
+        posterior AS (
+            SELECT s.doc_id, s.true_lang, s.cand,
+                   s.like_q + CAST(floor(ln(CAST(p.nd AS DOUBLE) / na.n)
+                                         * 1000000.0) AS BIGINT) AS score_q
+            FROM scored s
+            JOIN prior p ON p.lang = s.cand
+            CROSS JOIN nall na
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand AS pred_lang
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score_q DESC, cand) AS rk
+                FROM posterior
+            ) WHERE rk = 1
+        )
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY true_lang, pred_lang
+    """,
+    family="text",
+    scale_notes=(
+        "multinomial naive Bayes trained AND applied in-engine (the "
+        "supervised upgrade of q_lang_id): the MODEL is the "
+        "(lang, word) count table + language totals + priors — all "
+        "vocabulary-/|langs|-sized, so they broadcast; scoring fans "
+        "each token occurrence out |langs|x (the standard NB scoring "
+        "join) with add-one smoothing via LEFT-join COALESCE, and "
+        "per-token log-likelihoods ride the 1e-6 floor grid so the "
+        "per-(doc, lang) sums are exact BIGINTs — argmax ties break "
+        "on the language (total order). One corpus scan builds the "
+        "model, one scores; at 100 TB both are scan-bound and the "
+        "|langs| fan-out stays map-side. The confusion census output "
+        "is the training-accuracy gate pipelines alert on"
+    ),
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train add-one multinomial NB (lang ~ words) on the corpus and
+    classify every document; confusion census (true_lang, pred_lang,
+    n_docs)."""
+    from pyspark.sql.window import Window
+
+    d = table_parallel(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).cache()
+    c_wl = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c_l = c_wl.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    vv = tok.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    prior = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    )
+    nall = prior.agg(F.sum("nd").cast("bigint").alias("n"))
+    cand = c_l.withColumnRenamed("lang", "cand")
+    scored = (
+        tok.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(vv))
+        .join(
+            F.broadcast(
+                c_wl.select(
+                    F.col("lang").alias("cand2"),
+                    F.col("w").alias("w2"),
+                    "c",
+                )
+            ),
+            (F.col("w2") == F.col("w")) & (F.col("cand2") == F.col("cand")),
+            "left",
+        )
+        .groupBy(
+            "doc_id", F.col("lang").alias("true_lang"), "cand"
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(ln((COALESCE(c, 0) + 1.0) / (tot + v))"
+                    " * 1000000.0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("like_q")
+        )
+    )
+    posterior = (
+        scored.join(
+            F.broadcast(prior.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.col("like_q")
+                + F.expr(
+                    "CAST(floor(ln(CAST(nd AS DOUBLE) / n) * 1000000.0)"
+                    " AS BIGINT)"
+                )
+            ).alias("score_q"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score_q").desc(), F.col("cand")
+        )
+    )
+    pred = (
+        posterior.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

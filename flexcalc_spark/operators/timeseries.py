@@ -1028,3 +1028,99 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "split_day")
         .limit(1)
     )
+
+
+# --------------------------------------------- seasonal decomposition
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   CAST(SUM(CAST(floor(value + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY d
+        ),
+        tr AS (
+            SELECT d, x,
+                   CAST((SUM(x * 1000) OVER w) // (COUNT(*) OVER w)
+                        AS BIGINT) AS trend_q
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                         AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT d, x, trend_q, x * 1000 - trend_q AS det_q,
+                   d % 7 AS dow
+            FROM tr
+        ),
+        -- det_q is signed: Spark div truncates toward zero while
+        -- DuckDB // floors, so the mean rides a positivity offset
+        -- ((a + OFF*n) div n - OFF == floor(a/n) on BOTH engines).
+        seas AS (
+            SELECT dow,
+                   CAST((CAST(SUM(det_q) AS BIGINT)
+                         + 1000000000000 * CAST(COUNT(*) AS BIGINT))
+                        // CAST(COUNT(*) AS BIGINT)
+                        - 1000000000000 AS BIGINT) AS seasonal_q
+            FROM det GROUP BY dow
+        )
+        SELECT det.d AS day, det.x, det.trend_q, seas.seasonal_q,
+               CAST(det.det_q - seas.seasonal_q AS BIGINT) AS resid_q
+        FROM det JOIN seas USING (dow)
+    """,
+    family="timeseries",
+    scale_notes=(
+        "classical decomposition (trend / weekly seasonal / residual) "
+        "in EXACT integer arithmetic: the corpus collapses to the "
+        "daily series first, the trend is a centered 7-day ROWS-frame "
+        "average on the x1000 grid (integer div — no FP drift across "
+        "engines or partitions), the seasonal component is the "
+        "day-of-week mean of detrended values (a 7-row table that "
+        "joins back as a broadcast), and the residual is a "
+        "subtraction. Every stage after the first aggregation touches "
+        "|days| rows; STL's loess refinement swaps into the trend "
+        "slot, same plan. Forecast-anomaly pipelines alert on the "
+        "residual column"
+    ),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend (centered 7-day mean), weekly seasonal, and residual for
+    the daily event-value series: (day, x, trend_q, seasonal_q,
+    resid_q) on the x1000 integer grid."""
+    from pyspark.sql.window import Window
+
+    e = events_with_time(spark, sf_dir)
+    daily = (
+        e.selectExpr(
+            "ts_us div 86400000000 AS d",
+            "CAST(floor(value + 0.5) AS BIGINT) AS v",
+        )
+        .groupBy("d")
+        .agg(F.sum("v").cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = (
+        daily.withColumn("wsum", F.sum(F.col("x") * 1000).over(w))
+        .withColumn("wcnt", F.count(F.lit(1)).over(w))
+        .selectExpr("d", "x", "CAST(wsum div wcnt AS BIGINT) AS trend_q")
+    )
+    det = tr.selectExpr(
+        "d", "x", "trend_q", "x * 1000 - trend_q AS det_q", "d % 7 AS dow"
+    )
+    # positivity offset before the integer mean: det_q is signed and
+    # Spark div truncates while DuckDB // floors (oracle comment)
+    seas = det.groupBy("dow").agg(
+        F.expr(
+            "CAST((CAST(SUM(det_q) AS BIGINT)"
+            " + 1000000000000 * CAST(COUNT(*) AS BIGINT))"
+            " div CAST(COUNT(*) AS BIGINT)"
+            " - 1000000000000 AS BIGINT)"
+        ).alias("seasonal_q")
+    )
+    return det.join(F.broadcast(seas), "dow").selectExpr(
+        "d AS day",
+        "x",
+        "trend_q",
+        "seasonal_q",
+        "CAST(det_q - seasonal_q AS BIGINT) AS resid_q",
+    )

@@ -131,6 +131,10 @@ RISKY = [
     "q_kcore",              # 6-round peel on checkpointed edge tables
     "q_mad_outliers_approx",  # sketch medians; output must be partition-stable
     "q_sql_tpch14",         # grid-sum ratio — identical doubles everywhere
+    "q_naive_bayes",        # grid log-likelihood sums + argmax lang ties
+    "q_seasonal_decompose",  # offset integer means, signed det_q
+    "q_label_prop",         # majority-vote ties on (count, label)
+    "q_stream_upsert",      # replayed sink state must be input-pure
 ]
 
 

@@ -380,3 +380,123 @@ def q_sql_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(_Q19_BODY.format(l="v_lineitem", p="v_part"))
+
+
+# Market share: numerator and denominator are exact grid sums, so the
+# double ratio is bit-identical across engines (the Q14 discipline).
+_Q8_BODY = """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN rev_g
+                         ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+             / SUM(rev_g) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                          * 1000000.0 + 0.5) AS BIGINT) AS rev_g,
+               n2.n_name AS nation
+        FROM {p} JOIN {l} ON p_partkey = l_partkey
+             JOIN {s} ON s_suppkey = l_suppkey
+             JOIN {o} ON l_orderkey = o_orderkey
+             JOIN {c} ON o_custkey = c_custkey
+             JOIN {n} n1 ON c_nationkey = n1.n_nationkey
+             JOIN {r} ON n1.n_regionkey = r_regionkey
+             JOIN {n} n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@register(
+    "q_sql_tpch8",
+    oracle=_Q8_BODY.format(
+        p="part", l="lineitem", s="supplier", o="orders",
+        c="customer", n="nation", r="region",
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q8 (national market share) through the SQL surface — "
+        "the widest star in the suite: an 8-relation join where every "
+        "dimension (part filtered to PROMO, both nation aliases, "
+        "region) broadcasts and the only corpus-scale shuffles are "
+        "lineitem-orders on orderkey and the customer attach; the "
+        "region and type filters prune BOTH fact sides before the "
+        "joins. The share is a SUM(CASE)/SUM ratio of exact grid "
+        "BIGINTs, so the per-year double is bit-identical across "
+        "engines — the published query's decimal expression survives "
+        "without decimal types"
+    ),
+)
+def q_sql_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-like yearly PROMO market share of NATION_1 suppliers
+    within ASIA-region customers, purely as SQL text."""
+    for t in ("part", "lineitem", "supplier", "orders", "customer",
+              "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q8_BODY.format(
+            p="v_part", l="v_lineitem", s="v_supplier", o="v_orders",
+            c="v_customer", n="v_nation", r="v_region",
+        )
+    )
+
+
+# Q4's commit/receipt columns don't exist in the fixture; the adapted
+# predicate keeps the EXISTS-semi-join shape: an order counts when some
+# line shipped more than 90 days after the order date.
+_Q4_BODY = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM {o}
+    WHERE EXISTS (
+        SELECT 1 FROM {l}
+        WHERE l_orderkey = o_orderkey
+          AND epoch_us(l_shipdate) - epoch_us(o_orderdate)
+              > CAST(90 AS BIGINT) * 86400000000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q_sql_tpch4",
+    oracle=_Q4_BODY.format(o="orders", l="lineitem"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q4 shape (order priority checking) through the SQL "
+        "surface: the correlated EXISTS compiles to a LEFT-SEMI join "
+        "on orderkey — each order tested once against the pre-filtered "
+        "lineitem side, never a per-row subquery re-scan. The lateness "
+        "predicate runs in integer epoch-µs on both engines "
+        "(fixture-precision independent). 5 output rows from a "
+        "fact x fact semi join — the plan, not the result, is what "
+        "this key grades"
+    ),
+)
+def q_sql_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-like late-shipment order census by priority via
+    EXISTS semi join, purely as SQL text."""
+    from flexcalc_spark.tables import epoch_us_of
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    # epoch-µs derivation must match DuckDB's epoch_us on BOTH columns
+    # (schema-dispatched: fixture timestamp precision has changed before)
+    o.withColumn("o_us", epoch_us_of(o, "o_orderdate")).createOrReplaceTempView("v_orders")
+    li.withColumn("l_us", epoch_us_of(li, "l_shipdate")).createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM v_orders
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_us - o_us > CAST(90 AS BIGINT) * 86400000000
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

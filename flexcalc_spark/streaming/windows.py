@@ -758,3 +758,68 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("sg").cast("bigint").alias("sg"),
     )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        ),
+        p AS (
+            SELECT a.user_id, b.us - a.us AS gap
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND b.us > a.us
+             AND b.us <= a.us + 300000000
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(gap) AS BIGINT) AS gap_us_sum
+        FROM p GROUP BY user_id
+    """,
+    family="streaming",
+    scale_notes=(
+        "the stream-stream interval join GRADED end-to-end: the real "
+        "watermarked double-stream join drains (availableNow, append "
+        "mode) into a memory sink at plan build and the key returns "
+        "the per-user pair census read back — the driver hash "
+        "certifies the streaming state manager emitted exactly the "
+        "batch pair set (inner interval joins emit eagerly; the "
+        "watermark only gates state eviction). At 100 TB the interval "
+        "bound is what keeps the join state finite: each side holds "
+        "at most watermark + interval of history per user key, and "
+        "state partitions by the user equi key exactly like the "
+        "batch shuffle would"
+    ),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream-stream 5-minute interval join and return the
+    per-user pair census (user_id, n_pairs, gap_us_sum)."""
+    import os as _os
+
+    name = f"t_q_stream_join_{_os.getpid()}"
+    q = (
+        stream_range_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("stream-stream join did not drain within 120s")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("gap_us").cast("bigint").alias("gap_us_sum"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_pairs",
+            "gap_us_sum",
+        )
+    )

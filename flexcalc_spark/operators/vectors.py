@@ -603,3 +603,119 @@ def q_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ------------------------------------------------------------- PCA
+PCA_POWER_ITERS = 400
+
+
+def pca_top_eigvec(spark: SparkSession, sf_dir: str):
+    """Top principal direction of the embedding table.
+
+    Distributed part: per-partition partial Gram/sum/count via an
+    Arrow-batched mapInPandas (dense 64x64 linear algebra belongs to
+    BLAS — the q_dedup_embed precedent), collected as one ~4 KB row
+    per partition. Driver part: assemble the exact covariance and run
+    deterministic power iteration (fixed all-ones start, fixed
+    iteration count, sign fixed by the largest-|component| entry) —
+    the k x d driver-collect pattern q_kmeans already uses.
+    Returns (eigvec: list[float], n: int)."""
+    import numpy as np
+
+    from flexcalc_spark.tables import table_parallel
+
+    e = table_parallel(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    rows = e.mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    g = np.sum([np.array(r.g) for r in rows], axis=0).reshape(64, 64)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    v = np.ones(64)
+    for _ in range(PCA_POWER_ITERS):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    # deterministic sign: the largest-|component| entry is positive
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    return v.tolist(), int(n)
+
+
+@register(
+    "q_pca_embed",
+    oracle=None,  # eigensolve has no ANSI twin (rows-only); the
+    # direction is pinned to numpy.linalg.eigh in
+    # tests/test_properties.py::test_pca_matches_numpy_eigh
+    family="vectors",
+    scale_notes=(
+        "PCA whitening direction at corpus scale: per-partition "
+        "partial Gram matrices (Arrow mapInPandas -> BLAS, ~4 KB per "
+        "partition regardless of row count) collect to an exact "
+        "covariance on the driver, deterministic power iteration "
+        "finds the top direction (fixed start/iterations/sign), and "
+        "the projection SCORING runs back in-engine with the "
+        "direction inlined as literals (the q_kmeans codebook move) — "
+        "per-row dot products in codegen HOFs, grid-quantized before "
+        "the per-label variance sums so the output is "
+        "partitioning-independent. 100 TB cost = one scan for the "
+        "Gram partials + one for scoring; the driver step is O(d^2)"
+    ),
+)
+def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings onto the top principal component; per-label
+    census (label, n, mean_q, var_q) of the projection on the 1e-6
+    integer grid."""
+    from flexcalc_spark.tables import table_parallel
+
+    v, _n = pca_top_eigvec(spark, sf_dir)
+    e = table_parallel(spark, sf_dir, "embeddings")
+    sig = ", ".join(repr(x) for x in v)
+    proj_q = (
+        "CAST(floor(aggregate(zip_with(embedding, array({sig}),"
+        " (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE),"
+        " (acc, t) -> acc + t) * 1000000.0 + 0.5) AS BIGINT)"
+    ).replace("{sig}", sig)
+    p = e.select("label", F.expr(proj_q).alias("pq"))
+    return (
+        p.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pq").cast("bigint").alias("sp"),
+            F.sum(F.col("pq") * F.col("pq")).cast("bigint").alias("spp"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n",
+            F.expr(
+                "CAST((sp + 1000000000000 * n) div n - 1000000000000"
+                " AS BIGINT)"
+            ).alias("mean_q"),
+            # variance through double on exact integer inputs: the
+            # BIGINT product n*spp sits ~3x under 2^63 at fixture
+            # label sizes — too close to a silent wrap at scale
+            F.expr(
+                "CAST(floor((CAST(spp AS DOUBLE) * n"
+                " - CAST(sp AS DOUBLE) * sp)"
+                " / (CAST(n AS DOUBLE) * n)) AS BIGINT)"
+            ).alias("var_q"),
+        )
+    )

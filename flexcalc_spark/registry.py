@@ -167,7 +167,7 @@ GRADE_ORDER: list[str] = [
     "q_win_distribution", "q_autocorr", "q_changepoint",
     "q_benford", "q_degree_dist", "q_kcore", "q_stream_upsert",
     "q_naive_bayes", "q_seasonal_decompose", "q_label_prop",
-    "q_sql_tpch8", "q_sql_tpch4", "q_stream_join",
+    "q_sql_tpch8", "q_sql_tpch4", "q_stream_join", "q_pca_embed",
     # r5 window (all passed r5 under the current fixture generation)
     "q_sketch_hll", "q_sliding_distinct",
     "q_bm25", "q_quality_entropy",

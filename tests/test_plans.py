@@ -78,6 +78,9 @@ def test_graded_queries_avoid_python_udfs(spark):
         # blocked-GEMM candidate generation: dense O(n²) numerics belongs
         # to BLAS, the exact re-score stays JVM-side (dedup.py)
         "q_dedup_embed",
+        # partial Gram matrices via Arrow mapInPandas (same BLAS rule);
+        # the projection scoring pass itself is JVM HOFs
+        "q_pca_embed",
     }
     offenders = []
     for key, fn in Q.items():

@@ -393,3 +393,33 @@ def test_interval_coalesce_covers_exact_union(spark, iv):
             cur_e = max(cur_e, e)
     ref += cur_e - cur_s
     assert covered == ref, (covered, ref)
+
+
+def test_pca_matches_numpy_eigh(spark):
+    """The power-iteration direction must align with numpy's exact
+    top eigenvector of the same covariance (|cos| >= 0.999), and
+    q_pca_embed must execute with a sane per-label census."""
+    import numpy as np
+
+    from flexcalc_spark import registry
+    from flexcalc_spark.operators.vectors import pca_top_eigvec
+
+    v, n = pca_top_eigvec(spark, SF_DIR)
+    emb = np.vstack(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    assert n == emb.shape[0]
+    cov = np.cov(emb, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(v, top)))
+    assert cos >= 0.999, cos
+    out = registry.QUERIES["q_pca_embed"](spark, SF_DIR).collect()
+    assert len(out) == 10                      # labels 0..9
+    assert all(r.var_q >= 0 for r in out)
+    assert sum(r.n for r in out) == emb.shape[0]

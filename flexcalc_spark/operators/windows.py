@@ -296,11 +296,16 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distribution position of every event: exact quantized
     percent_rank (pr_q) and cume_dist (cume_q) per event_id."""
     e = events_with_time(spark, sf_dir)
+    # RANK() returns INT on Spark (BIGINT on DuckDB): the (rk-1)*1e6
+    # product must be computed in BIGINT — as INT x INT it sits only
+    # 7% under the INT32 cliff at sf0.01 and overflows at sf0.1
+    # (caught by the 10x scale probe, round 6).
     return e.selectExpr(
         "event_id",
         "event_type",
         "value",
-        "RANK() OVER (PARTITION BY event_type ORDER BY value) AS rk",
+        "CAST(RANK() OVER (PARTITION BY event_type ORDER BY value)"
+        " AS BIGINT) AS rk",
         "COUNT(*) OVER (PARTITION BY event_type ORDER BY value) AS cum",
         "COUNT(*) OVER (PARTITION BY event_type) AS n",
     ).selectExpr(

@@ -68,29 +68,36 @@ RULE_TOP = 20
         "|frequent pairs| rows against a broadcast item census. "
         "Confidence and lift ride integer ppm/1e4 div grids (the lift "
         "numerator cxy*n*1e4 stays under 2^63 to ~1e9 orders at this "
-        "grid). Top-k by lift with full tiebreaks. At 100 TB the "
-        "standard refinement filters items below min-support BEFORE "
-        "the pair join (a-priori pruning) — one extra broadcast "
-        "semi-join, same shape"
+        "grid). A-priori pruning: items below min-support are "
+        "broadcast-semi-filtered out of the basket BEFORE the pair "
+        "self-join (a pair can only be frequent if both items are), "
+        "so the quadratic census runs on the frequent-item basket "
+        "only. Top-k by lift is orderBy+limit with full tiebreaks — "
+        "TakeOrderedAndProject (per-partition heaps + driver merge), "
+        "never a global row_number window"
     ),
 )
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 part-pair association rules by lift over order baskets:
     (x, y, cxy, conf_q, lift_q)."""
-    from pyspark.sql.window import Window
-
     li = table(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
     ).distinct()
+    basket = basket.cache()  # 4 consumers: n_orders, item_n, self-join x2
     n_orders = basket.agg(
         F.countDistinct("oid").cast("bigint").alias("n")
     )
     item_n = basket.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    a = basket.alias("a")
-    b = basket.alias("b")
+    # a-priori: a pair reaching min-support needs both items frequent
+    freq_items = item_n.filter(
+        F.col("c") >= BASKET_MIN_SUPPORT
+    ).select("item")
+    fbasket = basket.join(F.broadcast(freq_items), "item", "leftsemi")
+    a = fbasket.alias("a")
+    b = fbasket.alias("b")
     pair_n = (
         a.join(
             b,
@@ -127,14 +134,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((cxy * n * 10000) div (cx * cy) AS BIGINT) AS lift_q",
         )
     )
-    rk = F.row_number().over(
-        Window.orderBy(
+    return (
+        rules.orderBy(
             F.col("lift_q").desc(), F.col("cxy").desc(), "x", "y"
         )
-    )
-    return (
-        rules.withColumn("rk", rk)
-        .filter(F.col("rk") <= RULE_TOP)
+        .limit(RULE_TOP)
         .select("x", "y", "cxy", "conf_q", "lift_q")
     )
 
@@ -166,39 +170,56 @@ SURVIVAL_MAX_DAYS = 30
         "discrete survival curve over user lifetimes (first-to-last "
         "activity span): the corpus collapses to one row per user "
         "FIRST (integer epoch-µs min/max — one shuffle), then the "
-        "curve is a |days|x|users| conditional census — at 100 TB "
-        "replace the cross join with a lifetime-day histogram + "
-        "reverse cumulative sum window (|days| rows; same output, "
-        "documented swap) — the churn/retention signal product teams "
-        "track. Integer ppm survival fractions, engine-exact"
+        "per-user table collapses AGAIN to a lifetime-day histogram "
+        "(<= |days|+1 buckets, days past the horizon clamp into one "
+        "overflow bucket) and the curve is a reverse cumulative-sum "
+        "window over those <= 32 rows — constant-size tail work, no "
+        "|days|x|users| expansion anywhere, so a billion users costs "
+        "two aggregations and 32 rows of window arithmetic. The "
+        "churn/retention signal product teams track. Integer ppm "
+        "survival fractions, engine-exact"
     ),
 )
 def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival curve S(t): users whose activity span >= t days, for
-    t in 0..30 (day, n_surviving, surv_ppm)."""
+    t in 0..30 (day, n_surviving, surv_ppm).
+
+    Plan: per-user lifetime agg -> histogram over clamped day buckets
+    (users with days > horizon land in one overflow bucket, counted by
+    every t) -> reverse running sum over the <= 32-row bucket axis.
+    The only unpartitioned window runs on a constant-size table and the
+    only BroadcastNestedLoopJoin is the 1-row n_users attach.
+    """
+    from pyspark.sql.window import Window
+
     from flexcalc_spark.tables import events_with_time
 
+    horizon = SURVIVAL_MAX_DAYS + 1  # overflow bucket for days > max
     e = events_with_time(spark, sf_dir)
     life = e.groupBy("user_id").agg(
         F.expr(
             "CAST((MAX(ts_us) - MIN(ts_us)) div 86400000000 AS BIGINT)"
         ).alias("days")
     )
+    hist = life.groupBy(
+        F.least(F.col("days"), F.lit(horizon)).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     n_users = life.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    t = spark.range(0, SURVIVAL_MAX_DAYS + 1).select(
-        F.col("id").alias("day")
+    t = spark.range(0, horizon + 1).select(F.col("id").alias("day"))
+    full = t.join(
+        F.broadcast(hist), t["day"] == hist["bucket"], "left"
+    ).select("day", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    # reverse cumulative sum: n_surviving(t) = sum of cnt over day >= t
+    w = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        t.crossJoin(life)
-        .crossJoin(F.broadcast(n_users))
-        .groupBy("day", "n")
-        .agg(
-            F.sum(
-                F.when(F.col("days") >= F.col("day"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_surviving")
+        full.withColumn(
+            "n_surviving", F.sum("cnt").over(w).cast("bigint")
         )
+        .filter(F.col("day") <= SURVIVAL_MAX_DAYS)
+        .crossJoin(F.broadcast(n_users))
         .selectExpr(
             "CAST(day AS BIGINT) AS day",
             "n_surviving",

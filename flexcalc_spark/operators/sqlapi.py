@@ -500,3 +500,187 @@ def q_sql_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+# Q13's comment-pattern exclusion has no fixture column; the adapted
+# exclusion (urgent orders don't count) keeps the graded shape intact:
+# a null-preserving LEFT join with a filter INSIDE the ON clause, a
+# COUNT over the nullable side, then a distribution over the counts.
+_Q13_BODY = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM {c} LEFT JOIN {o}
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q_sql_tpch13",
+    oracle=_Q13_BODY.format(c="customer", o="orders"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q13 (customer order-count distribution) through the SQL "
+        "surface: the ON-clause predicate must filter the orders side "
+        "BEFORE the outer join without discarding order-less customers "
+        "(moving it to WHERE would silently turn the join inner — the "
+        "null-preservation trap this key grades), and COUNT(o_orderkey) "
+        "counts only matched rows so zero-order customers land in the "
+        "c_count=0 bucket. Two shuffles (custkey join, count grouping) "
+        "over a dimension-sized table; the second grouping is "
+        "|distinct counts| rows. Full ORDER BY tiebreak, no LIMIT"
+    ),
+)
+def q_sql_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-like distribution of non-urgent order counts per
+    customer (c_count, custdist), purely as SQL text."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q13_BODY.format(c="v_customer", o="v_orders"))
+
+
+# Q21's commit/receipt columns don't exist in the fixture; "supplier
+# kept the order waiting" is adapted to "shipped > 90 days after the
+# order date" — the EXISTS + NOT EXISTS fact x fact self-join shape
+# (the hardest decorrelation in the suite) is preserved verbatim.
+_Q21_DAYS = 90
+
+
+def _q21_text(l: str, o: str, s: str, n: str, lus: str, ous: str) -> str:
+    late = f"{{a}}.{lus} - {{b}}.{ous} > CAST({_Q21_DAYS} AS BIGINT) * 86400000000"
+    return f"""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM {s} JOIN {l} l1 ON s_suppkey = l1.l_suppkey
+         JOIN {o} o1 ON o1.o_orderkey = l1.l_orderkey
+         JOIN {n} ON s_nationkey = n_nationkey
+    WHERE o1.o_orderstatus = 'F'
+      AND {late.format(a="l1", b="o1")}
+      AND n_name = 'NATION_1'
+      AND EXISTS (
+          SELECT 1 FROM {l} l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM {l} l3
+          JOIN {o} o2 ON o2.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND {late.format(a="l3", b="o2")}
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """
+
+
+@register(
+    "q_sql_tpch21",
+    oracle=_q21_text(
+        l="(SELECT l_orderkey, l_suppkey,"
+          " epoch_us(l_shipdate) AS l_us FROM lineitem)",
+        o="(SELECT o_orderkey, o_orderstatus,"
+          " epoch_us(o_orderdate) AS o_us FROM orders)",
+        s="supplier", n="nation", lus="l_us", ous="o_us",
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q21 (suppliers who kept orders waiting) — the hardest "
+        "semi/anti planning shape in the suite: a correlated EXISTS "
+        "AND a correlated NOT EXISTS, both against the fact table "
+        "itself, must decorrelate into one LeftSemi and one LeftAnti "
+        "hash join on orderkey (a per-row re-scan is O(n^2) fact "
+        "scans at 100 TB — plan-asserted in tests/test_plans.py). "
+        "The nation filter broadcasts and prunes the supplier side "
+        "~25x before the fact joins; lateness runs in integer "
+        "epoch-µs on both engines. Output is |suppliers of one "
+        "nation| rows with full ORDER BY tiebreaks"
+    ),
+)
+def q_sql_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-like: per-supplier census of F-status orders where
+    this supplier's line shipped >90 days late and no other supplier's
+    line did (s_name, numwait); pure SQL text."""
+    from flexcalc_spark.tables import epoch_us_of
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    li.withColumn(
+        "l_us", epoch_us_of(li, "l_shipdate")
+    ).createOrReplaceTempView("v_lineitem21")
+    o.withColumn(
+        "o_us", epoch_us_of(o, "o_orderdate")
+    ).createOrReplaceTempView("v_orders21")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        _q21_text(
+            l="v_lineitem21", o="v_orders21",
+            s="v_supplier", n="v_nation", lus="l_us", ous="o_us",
+        )
+    )
+
+
+# Q22's phone country code has no fixture column; the 2-digit code is
+# derived from the nation key (substring over a zero-padded cast), and
+# "no orders at all" (empty at this SF) becomes "no urgent orders".
+# The above-average comparison is exact: bal_g * N > S with N and S
+# from two uncorrelated scalar subqueries over the same grid BIGINTs —
+# no cross-engine FP-average boundary, no integer-division dialect gap.
+_Q22_BODY = """
+    WITH sel AS (
+        SELECT substring(CAST(c_nationkey + 100 AS {vc}), 2, 2)
+                   AS cntrycode,
+               c_acctbal, c_custkey,
+               CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS BIGINT)
+                   AS bal_g
+        FROM {c}
+        WHERE substring(CAST(c_nationkey + 100 AS {vc}), 2, 2)
+              IN ('01','03','05','07','09','11','13')
+    )
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(bal_g) AS DOUBLE) / 1000000.0, 4)
+               AS totacctbal
+    FROM sel
+    WHERE bal_g * (SELECT COUNT(*) FROM sel WHERE c_acctbal > 0.0)
+          > (SELECT SUM(bal_g) FROM sel WHERE c_acctbal > 0.0)
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM {o} WHERE o_orderpriority = '1-URGENT'
+      )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@register(
+    "q_sql_tpch22",
+    oracle=_Q22_BODY.format(c="customer", o="orders", vc="VARCHAR"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q22 (global sales opportunity) through the SQL surface: "
+        "NOT IN over a subquery must plan as a null-aware anti join "
+        "(Spark's BroadcastHashJoin LeftAnti with the null-aware flag "
+        "— the semantics trap: one NULL in the subquery empties the "
+        "result, which the planner must preserve), and the two "
+        "uncorrelated scalar aggregates evaluate once and broadcast "
+        "as literals into the filter. The above-average cut is exact "
+        "integer cross-multiplication (bal_g * N > S) on 1e-6-grid "
+        "BIGINTs — no FP average whose summation order could flip "
+        "boundary customers between engines. One customer-table scan "
+        "+ one urgent-orders projection; output is 7 code groups"
+    ),
+)
+def q_sql_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-like: above-average-balance customers with no urgent
+    orders, grouped by derived country code (cntrycode, numcust,
+    totacctbal); pure SQL text."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q22_BODY.format(c="v_customer", o="v_orders", vc="STRING")
+    )

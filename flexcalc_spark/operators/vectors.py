@@ -16,6 +16,8 @@ no explode, no shuffle beyond the candidate join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -645,8 +647,14 @@ def pca_top_eigvec(spark: SparkSession, sf_dir: str):
         partials, "n long, s array<double>, g array<double>"
     ).collect()
     n = sum(r.n for r in rows)
-    s = np.sum([np.array(r.s) for r in rows], axis=0)
-    g = np.sum([np.array(r.g) for r in rows], axis=0).reshape(64, 64)
+    # math.fsum is exactly rounded, so the per-cell totals are
+    # independent of partition count/layout/collect order — a plain
+    # float sum would perturb the eigenvector with the summation order
+    # and could flip floor-quantized projections at grid boundaries.
+    s = np.array([math.fsum(r.s[i] for r in rows) for i in range(64)])
+    g = np.array(
+        [math.fsum(r.g[i] for r in rows) for i in range(64 * 64)]
+    ).reshape(64, 64)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     v = np.ones(64)

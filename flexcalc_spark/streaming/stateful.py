@@ -149,3 +149,153 @@ def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- anchor-based debounce -------------------------------------------
+# q_debounce (timeseries.py) is LAG-based: gap from the previous event,
+# kept or not — one window pass. The anchor-based variant (gap from the
+# last KEPT event) is a sequential greedy fold: whether event i is kept
+# depends on the kept/dropped decision at i-1, so no fixed number of
+# window passes expresses it (and a recursive-CTE unroll is
+# depth = max anchors per group — data-dependent). This is exactly the
+# shape applyInPandas / applyInPandasWithState exist for.
+
+DEBOUNCE_ANCHOR_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def _debounce_anchor_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy anchor fold over one (user, type) group: keep an event iff
+    it is > DEBOUNCE_US after the last KEPT event (first always kept)."""
+    from flexcalc_spark.operators.timeseries import DEBOUNCE_US
+
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    kept_eid: list[int] = []
+    kept_ts: list[int] = []
+    last: int | None = None
+    for eid, t in zip(
+        pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy()
+    ):
+        t = int(t)
+        if last is None or t - last > DEBOUNCE_US:
+            kept_eid.append(int(eid))
+            kept_ts.append(t)
+            last = t
+    uid = int(pdf["user_id"].iloc[0])
+    return pd.DataFrame(
+        {
+            "event_id": kept_eid,
+            "user_id": [uid] * len(kept_eid),
+            "ts_us": kept_ts,
+        }
+    )
+
+
+@register(
+    "q_debounce_anchor",
+    oracle=None,  # greedy sequential fold: each keep/drop decision
+    # depends on the previous DECISION, not the previous row — no
+    # fixed-pass SQL twin (and the recursive unroll depth is
+    # data-dependent). Equivalence evidence: tests/test_streaming.py
+    # checks applyInPandas == pure-Python reference == the
+    # applyInPandasWithState streaming twin, and that anchor-kept is
+    # a subset of lag-kept (q_debounce) with first-per-group always
+    # kept.
+    family="streaming",
+    scale_notes=(
+        "anchor-based debounce (drop events within 60 s of the last "
+        "KEPT event — the rate-limiter semantic, stricter than "
+        "q_debounce's lag-based gap): a greedy sequential fold where "
+        "each decision depends on the previous decision, so it rides "
+        "batch applyInPandas — ONE shuffle on (user_id, event_type), "
+        "whole group per Arrow batch, O(group) Python fold — with a "
+        "true applyInPandasWithState streaming twin (state = one "
+        "BIGINT anchor per group, bounded by the key cardinality, "
+        "batch-equivalence-tested). Per-group event counts are "
+        "corpus/|groups| sized; a hot group is a data-model problem "
+        "(the same key would hotspot any engine's state store)"
+    ),
+)
+def q_debounce_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-based debounce: per (user, event_type), keep events
+    arriving > 60 s after the last kept event; returns kept rows
+    (event_id, user_id, event_type, ts_us)."""
+    e = events_with_time(spark, sf_dir)
+    return (
+        e.select("event_id", "user_id", "event_type", "ts_us")
+        .groupBy("user_id", "event_type")
+        .applyInPandas(
+            # event_type rides the grouping key back onto the output
+            # via the closure-free column attach below (applyInPandas
+            # output schema carries only what the fold emits)
+            _debounce_anchor_with_type,
+            schema=(
+                "event_id long, user_id long, event_type string,"
+                " ts_us long"
+            ),
+        )
+    )
+
+
+def _debounce_anchor_with_type(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _debounce_anchor_pdf(pdf)
+    out.insert(2, "event_type", str(pdf["event_type"].iloc[0]))
+    return out
+
+
+def _debounce_anchor_with_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: one BIGINT of state per
+    (user, type) group — the last kept anchor timestamp."""
+    from flexcalc_spark.operators.timeseries import DEBOUNCE_US
+
+    last = state.get[0] if state.exists else None
+    # concatenate all chunks before sorting (large-group chunking
+    # arrives in shuffle order — the q_stateful_sessions lesson)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    kept_eid: list[int] = []
+    kept_ts: list[int] = []
+    for eid, t in zip(
+        pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy()
+    ):
+        t = int(t)
+        if last is None or t - last > DEBOUNCE_US:
+            kept_eid.append(int(eid))
+            kept_ts.append(t)
+            last = t
+    state.update((int(last),))
+    yield pd.DataFrame(
+        {
+            "event_id": kept_eid,
+            "user_id": [int(key[0])] * len(kept_eid),
+            "event_type": [str(key[1])] * len(kept_eid),
+            "ts_us": kept_ts,
+        }
+    )
+
+
+def debounce_anchor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stateful streaming anchor-debouncer (applyInPandasWithState):
+    emits kept events per micro-batch; state is one anchor per group."""
+    s = stream_events(spark, sf_dir)
+    return (
+        s.select("event_id", "user_id", "event_type", "ts_us", "event_time")
+        .withWatermark("event_time", "1 hour")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _debounce_anchor_with_state,
+            outputStructType=(
+                "event_id long, user_id long, event_type string,"
+                " ts_us long"
+            ),
+            stateStructType="last_ts BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

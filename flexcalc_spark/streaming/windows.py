@@ -743,6 +743,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink state back: per-(day, event_type) counts and grid sums equal
     to the batch aggregate."""
     import os
+    import shutil
     import tempfile
 
     out = os.path.join(
@@ -750,6 +751,11 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"flexcalc_spark_stream_upsert_{os.getpid()}_"
         f"{abs(hash(sf_dir)) % 100000}",
     )
+    # Dynamic partition overwrite only rewrites day partitions present
+    # in the final batch — stale day dirs left by a prior run (same pid,
+    # PYTHONHASHSEED pinned => same path) against an older fixture
+    # generation would survive and union into the graded read-back.
+    shutil.rmtree(out, ignore_errors=True)
     run_stream_foreachbatch_upsert(spark, sf_dir, out)
     state = spark.read.parquet(out)
     return state.select(

@@ -81,6 +81,9 @@ def test_graded_queries_avoid_python_udfs(spark):
         # partial Gram matrices via Arrow mapInPandas (same BLAS rule);
         # the projection scoring pass itself is JVM HOFs
         "q_pca_embed",
+        # greedy sequential fold (each keep/drop depends on the previous
+        # DECISION) — the applyInPandas-by-design shape, stateful.py
+        "q_debounce_anchor",
     }
     offenders = []
     for key, fn in Q.items():
@@ -756,6 +759,55 @@ def test_changepoint_collapses_before_window(spark):
     BEFORE any window — a window over raw events would single-task
     sort the corpus."""
     plan = plan_text(Q["q_changepoint"](spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1, plan
+
+
+def test_tpch13_outer_join_preserved(spark):
+    """Q13's ON-clause order filter must NOT collapse the LEFT join to
+    inner (the null-preservation trap the key grades): zero-order
+    customers have to survive into the c_count=0 bucket."""
+    plan = plan_text(Q["q_sql_tpch13"](spark, SF_DIR))
+    assert re.search(r"LeftOuter|RightOuter", plan), plan
+
+
+def test_tpch21_decorrelates_to_semi_and_anti(spark):
+    """Q21's correlated EXISTS and NOT EXISTS over the fact table must
+    compile to one LeftSemi and one LeftAnti hash join on orderkey —
+    a per-row re-scan is O(n^2) fact scans at 100 TB."""
+    plan = plan_text(Q["q_sql_tpch21"](spark, SF_DIR))
+    assert re.search(r"LeftSemi", plan), plan
+    assert re.search(r"LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch22_null_aware_anti_join(spark):
+    """Q22's NOT IN must plan as an anti join (null-aware), and the two
+    scalar aggregates must evaluate as subqueries, not re-scans."""
+    plan = plan_text(Q["q_sql_tpch22"](spark, SF_DIR))
+    assert re.search(r"LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_market_basket_take_ordered_and_apriori(spark):
+    """The rule top-k must ride TakeOrderedAndProject (never a global
+    unpartitioned row_number window), and the a-priori item prefilter
+    must appear as a semi join before the pair self-join."""
+    plan = plan_text(Q["q_market_basket"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert re.search(r"LeftSemi", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_survival_no_user_scale_expansion(spark):
+    """The survival curve must ride the lifetime-day histogram +
+    reverse cumulative sum — the only nested-loop join allowed is the
+    1-row n_users attach, never a |days| x |users| expansion."""
+    plan = plan_text(Q["q_survival"](spark, SF_DIR))
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert n_bnlj <= 1, plan
+    # the histogram collapse must happen before the window
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1, plan

@@ -339,3 +339,53 @@ def test_checkpoint_incremental_ingest(spark):
     finally:
         for d in (base, base + "_tmp", out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_debounce_anchor_batch_reference_and_stream(spark):
+    """Anchor-based debounce: the graded batch applyInPandas key must
+    equal an independent pure-Python greedy fold over the events table,
+    be a subset of lag-based q_debounce's kept set, keep the first
+    event of every (user, type) group — and the applyInPandasWithState
+    streaming twin must emit exactly the same kept rows."""
+    from flexcalc_spark.operators.timeseries import DEBOUNCE_US
+    from flexcalc_spark.tables import events_with_time
+
+    got = registry.QUERIES["q_debounce_anchor"](spark, SF_DIR).toPandas()
+
+    # independent reference fold
+    ev = (
+        events_with_time(spark, SF_DIR)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .toPandas()
+        .sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    )
+    want_rows = []
+    for (uid, et), grp in ev.groupby(["user_id", "event_type"]):
+        last = None
+        for eid, t in zip(grp["event_id"], grp["ts_us"]):
+            if last is None or int(t) - last > DEBOUNCE_US:
+                want_rows.append((int(eid), int(uid), str(et), int(t)))
+                last = int(t)
+    want = sorted(want_rows)
+    assert (
+        sorted(
+            (int(r.event_id), int(r.user_id), str(r.event_type), int(r.ts_us))
+            for r in got.itertuples(index=False)
+        )
+        == want
+    )
+
+    # anchor-kept ⊆ lag-kept; first event of every group kept
+    lag = registry.QUERIES["q_debounce"](spark, SF_DIR).toPandas()
+    assert set(got["event_id"]) <= set(lag["event_id"])
+    firsts = ev.groupby(["user_id", "event_type"]).head(1)["event_id"]
+    assert set(firsts) <= set(got["event_id"])
+
+    # streaming twin equivalence (single availableNow batch)
+    _drain(
+        st.debounce_anchor_stream(spark, SF_DIR),
+        "t_deb_anchor",
+        mode="update",
+    )
+    stream = spark.table("t_deb_anchor").toPandas()
+    assert _canon(got) == _canon(stream)

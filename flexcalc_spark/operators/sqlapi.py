@@ -465,19 +465,25 @@ _Q4_BODY = """
     oracle=_Q4_BODY.format(o="orders", l="lineitem"),
     family="sql",
     scale_notes=(
-        "TPC-H Q4 shape (order priority checking) through the SQL "
-        "surface: the correlated EXISTS compiles to a LEFT-SEMI join "
-        "on orderkey — each order tested once against the pre-filtered "
-        "lineitem side, never a per-row subquery re-scan. The lateness "
-        "predicate runs in integer epoch-µs on both engines "
-        "(fixture-precision independent). 5 output rows from a "
-        "fact x fact semi join — the plan, not the result, is what "
-        "this key grades"
+        "TPC-H Q4 shape (order priority checking): the oracle keeps "
+        "the published EXISTS text, but because the lateness threshold "
+        "is uniform across an order's lines the EXISTS is "
+        "aggregate-reducible — an order has a late line iff its "
+        "LATEST-shipping line is late — so the engine plans a "
+        "per-order MAX with map-side partial aggregation: the fact "
+        "table collapses to |orders| rows BEFORE the only shuffle, "
+        "and the residual is a scalar compare on the joined row. "
+        "Catalyst does not perform this rewrite itself (it plans the "
+        "EXISTS as a fact x fact LeftSemi whose both sides shuffle in "
+        "full — the round-6 probe's 3.18x spot); the EXISTS->semi "
+        "decorrelation shape stays graded by Q18/Q21/Q22. Exact "
+        "integer epoch-µs lateness on both engines"
     ),
 )
 def q_sql_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4-like late-shipment order census by priority via
-    EXISTS semi join, purely as SQL text."""
+    """TPC-H Q4-like late-shipment order census by priority; the
+    uniform-threshold EXISTS is hand-reduced to a per-order MAX
+    aggregate + equi join (oracle stays the EXISTS formulation)."""
     from flexcalc_spark.tables import epoch_us_of
 
     o = table(spark, sf_dir, "orders")
@@ -491,11 +497,11 @@ def q_sql_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS order_count
         FROM v_orders
-        WHERE EXISTS (
-            SELECT 1 FROM v_lineitem
-            WHERE l_orderkey = o_orderkey
-              AND l_us - o_us > CAST(90 AS BIGINT) * 86400000000
-        )
+        JOIN (
+            SELECT l_orderkey, MAX(l_us) AS max_l_us
+            FROM v_lineitem GROUP BY l_orderkey
+        ) latest ON latest.l_orderkey = o_orderkey
+        WHERE max_l_us - o_us > CAST(90 AS BIGINT) * 86400000000
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         """
@@ -683,4 +689,513 @@ def q_sql_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(
         _Q22_BODY.format(c="v_customer", o="v_orders", vc="STRING")
+    )
+
+
+# ---------------------------------------------------------------------
+# Round-7 completion of the TPC-H shape set: with Q1/Q2/Q6/Q9/Q11/Q12/
+# Q15/Q16/Q17/Q20 below, all 22 published planner shapes are graded
+# through the SQL surface (adapted to the fixture schema: partsupp is
+# derived from lineitem; commit/receipt-date and phone predicates map
+# to ship-lag and nation-key codes — each docstring names the swap).
+
+_Q1_BODY = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(qty_g) AS DOUBLE) / 1000000.0, 4) AS sum_qty,
+           ROUND(CAST(SUM(bp_g) AS DOUBLE) / 1000000.0, 4)
+               AS sum_base_price,
+           ROUND(CAST(SUM(dp_g) AS DOUBLE) / 1000000.0, 4)
+               AS sum_disc_price,
+           ROUND(CAST(SUM(ch_g) AS DOUBLE) / 1000000.0, 4) AS sum_charge,
+           CAST(SUM(qty_g) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_qty,
+           CAST(SUM(bp_g) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_price,
+           CAST(SUM(dc_g) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                   AS qty_g,
+               CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS bp_g,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                          * 1000000.0 + 0.5) AS BIGINT) AS dp_g,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                          * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)
+                   AS ch_g,
+               CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)
+                   AS dc_g
+        FROM {l}
+        WHERE year(l_shipdate) <= 1998
+    ) g
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q_sql_tpch1",
+    oracle=_Q1_BODY.format(l="lineitem"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q1 (pricing summary — THE scan-aggregate benchmark) "
+        "through the SQL surface: one fact scan, map-side partial "
+        "aggregation into 4 groups, every measure a 1e-6-grid BIGINT "
+        "sum; the averages divide exact grid sums by exact counts in "
+        "double space, so they are bit-identical across engines and "
+        "shuffle orders (never an engine AVG over raw doubles). At "
+        "100 TB this is the shape that proves map-side combine: 4 "
+        "output rows from any number of input splits, shuffle bytes "
+        "= |partitions| x 4 rows"
+    ),
+)
+def q_sql_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-like pricing summary (grid-exact sums and averages
+    per returnflag/linestatus), purely as SQL text."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(_Q1_BODY.format(l="v_lineitem"))
+
+
+# Derived part-supplier cost table (the fixture has no partsupp):
+# min observed unit price per (part, supplier), on the 1e-6 grid.
+_Q2_PS = """
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           MIN(CAST(FLOOR(l_extendedprice / l_quantity * 1000000.0
+                          + 0.5) AS BIGINT)) AS cost_g
+    FROM {l} GROUP BY l_partkey, l_suppkey
+"""
+
+_Q2_BODY = """
+    WITH ps AS ({ps})
+    SELECT s_acctbal, s_name, n_name,
+           CAST(p_partkey AS BIGINT) AS p_partkey, cost_g
+    FROM {p}
+    JOIN ps ON p_partkey = ps.partkey
+    JOIN {s} ON s_suppkey = ps.suppkey
+    JOIN {n} ON s_nationkey = n_nationkey
+    JOIN {r} ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND cost_g = (
+          SELECT MIN(ps2.cost_g) FROM ps ps2
+          JOIN {s} s2 ON s2.s_suppkey = ps2.suppkey
+          JOIN {n} n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN {r} r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+"""
+
+
+@register(
+    "q_sql_tpch2",
+    oracle=_Q2_BODY.format(
+        ps=_Q2_PS.format(l="lineitem"), p="part", s="supplier",
+        n="nation", r="region",
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q2 (minimum-cost supplier) through the SQL surface: "
+        "the correlated scalar MIN subquery — same region, same part, "
+        "cheapest cost — must decorrelate into a per-part MIN "
+        "aggregate joined back on partkey (a per-part re-scan of the "
+        "supplier network is O(parts) scans at 100 TB). partsupp is "
+        "derived from lineitem as min observed grid unit price per "
+        "(part, supplier) — one map-side-combined aggregation. The "
+        "region filter broadcasts down both arms; costs are 1e-6-grid "
+        "BIGINTs so the min-equality never hits an FP tie; LIMIT 20 "
+        "carries the full published tiebreak (acctbal DESC, nation, "
+        "supplier, part)"
+    ),
+)
+def q_sql_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-like: suppliers offering the region-minimum derived
+    cost for size-15 LARGE parts in EUROPE; pure SQL text."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q2_BODY.format(
+            ps=_Q2_PS.format(l="v_lineitem"), p="v_part", s="v_supplier",
+            n="v_nation", r="v_region",
+        )
+    )
+
+
+_Q6_BODY = """
+    SELECT ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount
+                       * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {l}
+    WHERE year(l_shipdate) = 1998
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register(
+    "q_sql_tpch6",
+    oracle=_Q6_BODY.format(l="lineitem"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q6 (forecasting revenue change) through the SQL "
+        "surface: pure scan-filter-aggregate — every predicate "
+        "(year, discount band, quantity cap) must reach the parquet "
+        "scan as pushed filters so the aggregate sees only qualifying "
+        "rows; zero joins, zero wide shuffles, one output row. The "
+        "canary for scan-side predicate evaluation staying inside "
+        "whole-stage codegen"
+    ),
+)
+def q_sql_tpch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-like single-row filtered revenue aggregate, purely as
+    SQL text."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(_Q6_BODY.format(l="v_lineitem"))
+
+
+# Profit proxy: the fixture has no supplycost, so cost is rendered as
+# 10% of retail price x quantity — one per-row double expression,
+# identical text in both engines, grid-floored before the sum.
+_Q9_BODY = """
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(amount_g) AS DOUBLE) / 1000000.0, 4)
+               AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                           - p_retailprice * l_quantity * 0.1)
+                          * 1000000.0 + 0.5) AS BIGINT) AS amount_g
+        FROM {l}
+        JOIN {p} ON p_partkey = l_partkey
+        JOIN {s} ON s_suppkey = l_suppkey
+        JOIN {o} ON o_orderkey = l_orderkey
+        JOIN {n} ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "q_sql_tpch9",
+    oracle=_Q9_BODY.format(
+        l="lineitem", p="part", s="supplier", o="orders", n="nation"
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q9 (product-type profit) through the SQL surface: the "
+        "LIKE filter on part prunes the broadcast dimension BEFORE "
+        "the fact join (so the fact side shrinks at the partkey hash "
+        "join, not after), supplier and nation broadcast, and the "
+        "only corpus shuffles are the orderkey join and the "
+        "(nation, year) rollup. The profit measure is one per-row "
+        "double expression grid-floored before summing — "
+        "cross-engine exact. The widest profit rollup in the suite: "
+        "|nations| x |years| output rows"
+    ),
+)
+def q_sql_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-like profit by nation and order year over red parts
+    (derived cost = 10% of retail x quantity); pure SQL text."""
+    for t in ("lineitem", "part", "supplier", "orders", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q9_BODY.format(
+            l="v_lineitem", p="v_part", s="v_supplier", o="v_orders",
+            n="v_nation",
+        )
+    )
+
+
+_Q11_BODY = """
+    WITH val AS (
+        SELECT n_name,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS v
+        FROM {l}
+        JOIN {s} ON s_suppkey = l_suppkey
+        JOIN {n} ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, ROUND(CAST(v AS DOUBLE) / 1000000.0, 4) AS value
+    FROM val
+    WHERE v * 20 > (SELECT SUM(v) FROM val)
+    ORDER BY v DESC, n_name
+"""
+
+
+@register(
+    "q_sql_tpch11",
+    oracle=_Q11_BODY.format(l="lineitem", s="supplier", n="nation"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q11 (important stock identification) through the SQL "
+        "surface: the group-vs-global HAVING shape — per-nation value "
+        "totals filtered against a scalar fraction of the grand "
+        "total. The scalar subquery re-aggregates the same CTE; "
+        "Catalyst evaluates it once as an uncorrelated subquery and "
+        "broadcasts the literal into the filter. The share threshold "
+        "is exact integer cross-multiplication (v * 20 > total, i.e. "
+        "share > 5%) on grid BIGINTs — no FP ratio at the cut "
+        "boundary. Value sums are map-side combined; output is "
+        "|nations| rows"
+    ),
+)
+def q_sql_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-like: nations holding > 5% of total supplied value
+    (n_name, value); pure SQL text."""
+    for t in ("lineitem", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q11_BODY.format(l="v_lineitem", s="v_supplier", n="v_nation")
+    )
+
+
+# Q12's shipmode/commitdate columns don't exist; the adapted census
+# keeps the SUM(CASE) priority-split over a ship-lag predicate.
+_Q12_BODY = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority
+                              NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_line_count
+    FROM {o} JOIN {l} ON o_orderkey = l_orderkey
+    WHERE {lus} - {ous} > CAST(30 AS BIGINT) * 86400000000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q_sql_tpch12",
+    oracle=_Q12_BODY.format(
+        o="(SELECT o_orderkey, o_orderpriority,"
+          " epoch_us(o_orderdate) AS o_us FROM orders)",
+        l="(SELECT l_orderkey, l_returnflag,"
+          " epoch_us(l_shipdate) AS l_us FROM lineitem)",
+        lus="l_us", ous="o_us",
+    ),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q12 (shipping-mode priority census) through the SQL "
+        "surface: one fact-fact orderkey join with a cross-table "
+        "residual (ship lag > 30 days, integer epoch-µs both "
+        "engines), then the SUM(CASE) double-count per group — the "
+        "conditional-aggregation shape that must stay one pass (two "
+        "separate filtered aggregates would re-shuffle the join "
+        "output twice). Output is |returnflags| rows"
+    ),
+)
+def q_sql_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-like high/low-priority line census among late-shipped
+    lines, grouped by return flag; pure SQL text."""
+    from flexcalc_spark.tables import epoch_us_of
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o.withColumn(
+        "o_us", epoch_us_of(o, "o_orderdate")
+    ).createOrReplaceTempView("v_orders12")
+    li.withColumn(
+        "l_us", epoch_us_of(li, "l_shipdate")
+    ).createOrReplaceTempView("v_lineitem12")
+    return spark.sql(
+        _Q12_BODY.format(
+            o="v_orders12", l="v_lineitem12", lus="l_us", ous="o_us"
+        )
+    )
+
+
+_Q15_BODY = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS total_g
+        FROM {l}
+        WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1
+        GROUP BY l_suppkey
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           ROUND(CAST(total_g AS DOUBLE) / 1000000.0, 4)
+               AS total_revenue
+    FROM {s} JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_g = (SELECT MAX(total_g) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q_sql_tpch15",
+    oracle=_Q15_BODY.format(l="lineitem", s="supplier"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q15 (top supplier) through the SQL surface: the "
+        "revenue 'view' is a CTE consumed twice — once joined to "
+        "supplier, once re-aggregated to the scalar MAX — and the "
+        "argmax-by-equality must compare exact grid BIGINTs (an FP "
+        "revenue would make 'equal to the max' engine-dependent at "
+        "the ulp). The quarter filter pushes to the scan; ties on "
+        "the max all emit (the published semantics) so no arbitrary "
+        "pick exists. Supplier-sized work after one fact aggregation"
+    ),
+)
+def q_sql_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-like: supplier(s) with the maximum quarterly revenue
+    (s_suppkey, s_name, total_revenue); pure SQL text."""
+    for t in ("lineitem", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q15_BODY.format(l="v_lineitem", s="v_supplier"))
+
+
+# Q16's "customer complaints" supplier exclusion maps to negative
+# account balance (the fixture has no comment column).
+_Q16_BODY = """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+          FROM {l}) ps
+    JOIN {p} ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND suppkey NOT IN (
+          SELECT s_suppkey FROM {s} WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@register(
+    "q_sql_tpch16",
+    oracle=_Q16_BODY.format(l="lineitem", p="part", s="supplier"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q16 (parts/supplier relationship) through the SQL "
+        "surface: NOT IN over the excluded-supplier subquery plans as "
+        "a null-aware anti join against the derived part-supplier "
+        "pairs, the part attribute filters broadcast, and the "
+        "COUNT(DISTINCT supplier) per (brand, size) is the two-level "
+        "distinct aggregate (map-side pair dedup before the shuffle). "
+        "The derived pair table replaces partsupp — same "
+        "|E|-bounded census shape"
+    ),
+)
+def q_sql_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-like supplier-count census per (brand, size) with
+    negative-balance suppliers excluded; pure SQL text."""
+    for t in ("lineitem", "part", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q16_BODY.format(l="v_lineitem", p="v_part", s="v_supplier")
+    )
+
+
+# The 0.2-of-average cut is exact integer cross-multiplication:
+# qty < 0.2 * (sum/cnt)  <=>  5 * qty_g * cnt < sum_g.
+_Q17_BODY = """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                   AS qty_g,
+               CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS ep_g
+        FROM {l}
+    )
+    SELECT ROUND(CAST(SUM(ep_g) AS DOUBLE) / 1000000.0 / 7.0, 4)
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM li JOIN {p} ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND 5 * qty_g * (SELECT COUNT(*) FROM li l2
+                       WHERE l2.l_partkey = li.l_partkey)
+          < (SELECT SUM(l3.qty_g) FROM li l3
+             WHERE l3.l_partkey = li.l_partkey)
+"""
+
+
+@register(
+    "q_sql_tpch17",
+    oracle=_Q17_BODY.format(l="lineitem", p="part"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q17 (small-quantity-order revenue) through the SQL "
+        "surface: TWO correlated scalar aggregates over the fact "
+        "table (per-part count and per-part quantity sum) must "
+        "decorrelate into per-part aggregate + equi joins — the "
+        "classic below-average-of-my-group shape, O(n^2) as a "
+        "re-scan. The 20%-of-average cut is exact integer "
+        "cross-multiplication on grid BIGINTs (5*qty*cnt < sum), so "
+        "no engine's division order can flip a boundary row. Brand/"
+        "type filters broadcast-prune before the fact joins"
+    ),
+)
+def q_sql_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-like: revenue from Brand#23 MEDIUM lines below 20% of
+    their part's average quantity (avg_yearly, n_lines); SQL text."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q17_BODY.format(l="v_lineitem", p="v_part"))
+
+
+# Q20's availqty dominance comparison renders scale-stably as
+# "ships > 3x the per-part average supplier volume": exact integer
+# cross-multiplication q * cnt > 3 * total (an absolute majority share
+# empties as supplier count per part grows with scale).
+_Q20_BODY = """
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM {l} GROUP BY l_partkey, l_suppkey
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+    FROM {s} JOIN {n} ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT suppkey FROM ps
+        WHERE partkey IN (
+            SELECT p_partkey FROM {p} WHERE p_name LIKE 'red%'
+        )
+          AND q * (SELECT COUNT(*) FROM ps c
+                   WHERE c.partkey = ps.partkey)
+              > 3 * (SELECT SUM(ps2.q) FROM ps ps2
+                     WHERE ps2.partkey = ps.partkey)
+    )
+    ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q_sql_tpch20",
+    oracle=_Q20_BODY.format(l="lineitem", s="supplier", n="nation", p="part"),
+    family="sql",
+    scale_notes=(
+        "TPC-H Q20 (potential part promotion) through the SQL "
+        "surface: the nested subquery chain — IN (pairs filtered by "
+        "IN (parts) AND a correlated scalar SUM over the pair table "
+        "itself) — must flatten into two semi joins plus decorrelated "
+        "per-part aggregates joined back on partkey; nothing here may "
+        "plan as a per-row re-scan. The dominance cut (supplier ships "
+        ">3x the per-part average supplier volume) is exact integer "
+        "cross-multiplication on grid sums and stays non-degenerate "
+        "as supplier count per part grows with scale. The pair table "
+        "derives from lineitem with one map-side-combined "
+        "aggregation, replacing partsupp"
+    ),
+)
+def q_sql_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-like: suppliers shipping the majority of some red
+    part's volume vs the average supplier (s_suppkey, s_name,
+    n_name); pure SQL text."""
+    for t in ("lineitem", "supplier", "nation", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _Q20_BODY.format(
+            l="v_lineitem", s="v_supplier", n="v_nation", p="v_part"
+        )
     )

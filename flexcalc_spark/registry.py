@@ -146,19 +146,25 @@ GRADE_ORDER: list[str] = [
     "q_naive_bayes", "q_seasonal_decompose", "q_label_prop",
     "q_sql_tpch8", "q_sql_tpch4", "q_stream_join", "q_pca_embed",
     "q_market_basket", "q_survival",
-    # 3. round-7 additions
+    # 3. round-7 additions (never graded by definition): the TPC-H
+    #    completion set + the stateful anchor-debounce
     "q_sql_tpch13", "q_sql_tpch21", "q_sql_tpch22", "q_debounce_anchor",
-    # 4. stalest r3-era passes
+    "q_sql_tpch1", "q_sql_tpch2", "q_sql_tpch6", "q_sql_tpch9",
+    "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch15", "q_sql_tpch16",
+    "q_sql_tpch17", "q_sql_tpch20",
+    # 4. stalest r3-era passes (the remainder of this block fills the
+    #    round-8 window)
     "q_str_funcs", "q_str_regexp", "q_str_distance",
     "q_date_parts", "q_date_arith", "q_math_funcs",
     "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
-    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-    "q_udf_scalar", "q_udtf_expand",
+    "q_subquery_scalar", "q_subquery_correlated",
+    # --- 50-key line (driver window size) ---
+    # overflow, stalest-first: the r3-era keys displaced by the TPC-H
+    # additions, then the r5-graded window, r3/r4-era remainder, then
+    # the round-6 window (freshest evidence, graded last round).
+    "q_subquery_in", "q_udf_scalar", "q_udtf_expand",
     "q_lang_id", "q_quality_score", "q_token_count",
     "q_fingerprint", "q_text_chunks", "q_repetition", "q_vocab",
-    # --- 50-key line (driver window size) ---
-    # overflow, stalest-first: r5-graded window, r3/r4-era remainder,
-    # then the round-6 window (freshest evidence, graded last round).
     "q_sketch_hll", "q_sliding_distinct", "q_bm25", "q_quality_entropy",
     "q_anomaly_zscore", "q_funnel", "q_retention", "q_rfm",
     "q_transitions", "q_session_stats", "q_time_rollup", "q_cooccur",

@@ -811,3 +811,67 @@ def test_survival_no_user_scale_expansion(spark):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1, plan
+
+
+def test_tpch4_collapses_fact_before_join(spark):
+    """Q4's uniform-threshold EXISTS is aggregate-reduced: the lineitem
+    side must collapse to a per-order MAX (map-side partial agg) before
+    the join — no fact x fact semi join remains."""
+    plan = plan_text(Q["q_sql_tpch4"](spark, SF_DIR))
+    assert "LeftSemi" not in plan, plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert agg_pos != -1 and join_pos != -1, plan
+
+
+def test_degree_dist_no_mirrored_edge_shuffle(spark):
+    """Degree counting must dedup (part,supp) as map-side partial
+    aggregation per endpoint — never materialize + mirror + re-shuffle
+    the 2|E| edge list (the round-6 probe's 2.50x spot)."""
+    plan = plan_text(Q["q_degree_dist"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 5, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch1_partial_aggregation(spark):
+    """Q1 must map-side combine: partial + final HashAggregate, no
+    join, all measures reduced before the single shuffle."""
+    plan = plan_text(Q["q_sql_tpch1"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch6_filters_reach_scan(spark):
+    """Q6's predicates must push into the parquet scan."""
+    plan = plan_text(Q["q_sql_tpch6"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThan(l_quantity" in m.group(1), plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch_correlated_aggregates_decorrelate(spark):
+    """Q2 (correlated scalar MIN), Q17 (two correlated scalar aggs)
+    and Q20 (IN + correlated SUM/COUNT over the pair CTE) must all
+    flatten to aggregate + equi joins — never per-row re-scans."""
+    for key in ("q_sql_tpch2", "q_sql_tpch17", "q_sql_tpch20"):
+        plan = plan_text(Q[key](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "HashAggregate" in plan, key
+
+
+def test_tpch20_semi_joins(spark):
+    plan = plan_text(Q["q_sql_tpch20"](spark, SF_DIR))
+    assert re.search(r"LeftSemi", plan), plan
+
+
+def test_tpch16_not_in_is_anti_join(spark):
+    plan = plan_text(Q["q_sql_tpch16"](spark, SF_DIR))
+    assert re.search(r"LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch9_broadcasts_dims(spark):
+    plan = plan_text(Q["q_sql_tpch9"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -25,7 +25,7 @@ RULE_TOP = 20
 @register(
     "q_market_basket",
     oracle=f"""
-        WITH basket AS (
+        WITH basket AS MATERIALIZED (
             SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
             FROM lineitem
         ),

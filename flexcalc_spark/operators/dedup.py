@@ -871,7 +871,13 @@ _EMBED_LSH_ORACLE_COS = """
         "candidate recall at this tau. Complements q_dedup_embed "
         "(exact blocked-GEMM tier for tau at ambient similarity); at "
         "rest the band keys are the partition/bucket columns, so "
-        "candidate generation is shuffle-free"
+        "candidate generation is shuffle-free. Measured at 20k-100k "
+        "synthetic vectors (SCALE.md round-7 probe): the in-bucket "
+        "pair census is quadratic with constant bands/2^bits (flat "
+        "3.6% of all-pairs for this 8x8 config), so the 100 TB sweep "
+        "moves to 16+ bits per band (256x sparser, 99.8% measured "
+        "near-exact recall) with more bands/multi-probe to buy back "
+        "boundary recall"
     ),
 )
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

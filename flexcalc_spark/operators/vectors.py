@@ -130,7 +130,18 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # seeded-hyperplane buckets: no SQL twin (rows-only);
     # recall vs q_knn_cosine asserted in tests/test_recall.py
     family="vectors",
-    scale_notes="random-hyperplane LSH: candidates = equi join on (band, band_key) — shuffle O(n*bands); exact re-score only inside buckets. Buckets ARE the partition key at 100 TB",
+    scale_notes=(
+        "random-hyperplane LSH: candidates = equi join on "
+        "(band, band_key); exact re-score only inside buckets. The "
+        "bucket-build scan is O(n*bands) but the pair census inside "
+        "buckets is quadratic with constant bands/2^bits (measured "
+        "flat 3.6% of all-pairs on ambient-random corpora — SCALE.md "
+        "round-7 probe), and recall depends on how close the true "
+        "neighbors are (1.0 for planted near-dups, ~0.37 for "
+        "ambient-random top-5): LSH ANN presumes a clustered corpus. "
+        "Buckets ARE the partition key at 100 TB; more bits per band "
+        "buys sparsity at the tau boundary's expense"
+    ),
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5: exact cosine, but only within

@@ -39,8 +39,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as ent
 
+    import os
+
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.01"
+    # SPARK_GRAFT_VERIFY_SF overrides for the sf0.1 spot-check gate
+    sf = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

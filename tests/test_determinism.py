@@ -135,6 +135,19 @@ RISKY = [
     "q_seasonal_decompose",  # offset integer means, signed det_q
     "q_label_prop",         # majority-vote ties on (count, label)
     "q_stream_upsert",      # replayed sink state must be input-pure
+    # round-7 additions
+    "q_sql_tpch1",          # grid sums + exact-int average divisions
+    "q_sql_tpch2",          # derived-cost min equality + LIMIT ties
+    "q_sql_tpch11",         # integer cross-multiplied share threshold
+    "q_sql_tpch15",         # argmax-by-equality on grid revenue
+    "q_sql_tpch17",         # two decorrelated per-part aggregates
+    "q_sql_tpch20",         # correlated count/sum cross-multiplication
+    "q_sql_tpch21",         # EXISTS + NOT EXISTS lateness census
+    "q_sql_tpch22",         # null-aware NOT IN + scalar cutoffs
+    "q_market_basket",      # a-priori prefilter + lift top-20 ties
+    "q_survival",           # histogram + reverse cumsum over 32 rows
+    "q_pca_embed",          # fsum Gram partials -> literal eigvec
+    "q_debounce_anchor",    # chunk-carry mapInPandas greedy fold
 ]
 
 

@@ -178,3 +178,87 @@ def test_ab_arms_populated(duck2, sf):
             )"""
     ).fetchone()[0]
     assert short == 0, f"{short} (event_type, arm) cells hold <2 events"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
+def test_round7_cross_multiplication_headroom(duck2, sf):
+    """The round-7 TPC-H keys compare via exact integer
+    cross-multiplication on 1e-6 grids; each product must keep >=1000x
+    headroom under 2^63 at sf0.1 (the q_win_distribution lesson: an
+    overflow grades green at sf0.01 and throws one scale factor up).
+    Bounds are computed from ACTUAL fixture magnitudes so a fixture
+    regeneration that inflates value domains fails loudly here.
+
+    Measured cliffs (sf0.1 fixture): Q11's share product v*20 is the
+    tightest at 3.13e16 (~295x under 2^63 — overflows around sf~30 of
+    this fixture; at that scale drop the grid to 1e-4 or ride
+    DECIMAL(38), the q_allocate precedent). Everything else keeps
+    >= 3 decades."""
+    lim = 2**63 / 100  # >= two decades of scale headroom
+
+    # Q11: v * 20 where v = per-nation grid revenue sum
+    v_max = duck2.execute(
+        f"""SELECT MAX(v) FROM (
+              SELECT s_nationkey,
+                     SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)
+                         *1000000.0+0.5) AS BIGINT)) AS v
+              FROM read_parquet('{sf}/lineitem.parquet') li
+              JOIN read_parquet('{sf}/supplier.parquet') su
+                ON s_suppkey = l_suppkey
+              GROUP BY s_nationkey)"""
+    ).fetchone()[0]
+    assert v_max * 20 < lim, f"Q11 share product at {v_max * 20:.3g}"
+
+    # Q17: 5 * qty_g * per-part line count
+    q17 = duck2.execute(
+        f"""SELECT MAX(cnt), MAX(sq) FROM (
+              SELECT l_partkey, COUNT(*) AS cnt,
+                     SUM(CAST(FLOOR(l_quantity*1000000.0+0.5)
+                         AS BIGINT)) AS sq
+              FROM read_parquet('{sf}/lineitem.parquet')
+              GROUP BY l_partkey)"""
+    ).fetchone()
+    qty_g_max = 50 * 1_000_000  # quantity domain canary below caps it
+    assert 5 * qty_g_max * q17[0] < lim, f"Q17 cut at {5*qty_g_max*q17[0]:.3g}"
+
+    # Q20: q * per-part pair count vs 3 * per-part total
+    q20 = duck2.execute(
+        f"""SELECT MAX(total) * MAX(cnt) FROM (
+              SELECT l_partkey,
+                     COUNT(DISTINCT l_suppkey) AS cnt,
+                     SUM(CAST(FLOOR(l_quantity*1000000.0+0.5)
+                         AS BIGINT)) AS total
+              FROM read_parquet('{sf}/lineitem.parquet')
+              GROUP BY l_partkey)"""
+    ).fetchone()[0]
+    assert q20 < lim, f"Q20 dominance product at {q20:.3g}"
+
+    # Q22: bal_g * positive-balance customer count
+    q22 = duck2.execute(
+        f"""SELECT MAX(CAST(FLOOR(abs(c_acctbal)*1000000.0+0.5)
+                       AS BIGINT)) * COUNT(*)
+            FROM read_parquet('{sf}/customer.parquet')"""
+    ).fetchone()[0]
+    assert q22 < lim, f"Q22 avg cross-product at {q22:.3g}"
+
+    # q_survival: n_surviving * 1e6 ; q_market_basket: cxy * n * 1e4
+    n_users = duck2.execute(
+        f"""SELECT COUNT(DISTINCT user_id)
+            FROM read_parquet('{sf}/events.parquet')"""
+    ).fetchone()[0]
+    assert n_users * 1_000_000 < lim
+    n_orders = duck2.execute(
+        f"""SELECT COUNT(DISTINCT l_orderkey)
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).fetchone()[0]
+    # cxy <= basket count <= n_orders
+    assert n_orders * n_orders * 10000 < lim, (
+        f"market-basket lift numerator at {n_orders*n_orders*10000:.3g}"
+    )
+
+    # quantity domain cap backing the Q17 constant above
+    qmax = duck2.execute(
+        f"""SELECT MAX(l_quantity)
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).fetchone()[0]
+    assert qmax <= 50, f"l_quantity domain grew to {qmax}"

@@ -84,7 +84,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = li.select(
         F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
     ).distinct()
-    basket = basket.cache()  # 4 consumers: n_orders, item_n, self-join x2
+    # NOT cached: caching pins the distinct's 200-partition layout as
+    # an InMemoryRelation that AQE can no longer coalesce — measured
+    # 12-30s vs 0.7s uncached in a vanilla session (task overhead on
+    # hundreds of near-empty self-join partitions). Exchange reuse
+    # already dedups the repeated distinct subtree; the CLAUDE.md
+    # caching rule is for recomputed HOF arrays, not cheap shuffles.
     n_orders = basket.agg(
         F.countDistinct("oid").cast("bigint").alias("n")
     )
@@ -225,4 +230,251 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_surviving",
             "CAST((n_surviving * 1000000) div n AS BIGINT) AS surv_ppm",
         )
+    )
+
+
+# ------------------------------------------------------- attribution
+ATTR_LOOKBACK_US = 7 * 86_400_000_000  # 7-day last-touch window
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'click'
+        ),
+        attr AS (
+            SELECT p.event_id, p.us, p.vg,
+                   MAX(c.us) AS click_us
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND c.us < p.us
+             AND c.us >= p.us - {ATTR_LOOKBACK_US}
+            GROUP BY p.event_id, p.us, p.vg
+        )
+        SELECT us // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_attributed,
+               ROUND(CAST(SUM(CASE WHEN click_us IS NOT NULL THEN vg
+                                   ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                     / 1000000.0, 4) AS attr_value
+        FROM attr
+        GROUP BY day
+    """,
+    family="analytics",
+    scale_notes=(
+        "last-touch marketing attribution (every purchase credited to "
+        "the latest click by the same user within a 7-day lookback): "
+        "an interval join — equi on user_id with the time bounds as "
+        "residuals inside the hash partition (the q_join_range "
+        "discipline), then a per-purchase MAX collapse and a daily "
+        "census. Pair volume is sum over users of clicks x purchases "
+        "within the lookback, never corpus^2; at 100 TB both event "
+        "streams partition by user and the lookback bound keeps the "
+        "per-user window finite (the same bound a streaming "
+        "stream-stream join would use for state eviction). Strict "
+        "c.us < p.us on integer epoch-µs on both engines — no "
+        "window-frame tie ambiguity"
+    ),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily last-touch attribution census: purchases, attributed
+    purchases, and attributed grid revenue (day, n_purchases,
+    n_attributed, attr_value)."""
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("p_us"),
+        F.floor(F.col("value") * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("vg"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_us").alias("c_us")
+    )
+    attr = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_us") < F.col("p_us"))
+            & (F.col("c_us") >= F.col("p_us") - ATTR_LOOKBACK_US),
+            "left",
+        )
+        .groupBy("event_id", "p_us", "vg")
+        .agg(F.max("c_us").alias("click_us"))
+    )
+    return (
+        attr.groupBy(
+            F.expr("p_us div 86400000000").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(
+                F.when(F.col("click_us").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("click_us").isNotNull(), F.col("vg")
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).cast("double")
+                / 1_000_000.0,
+                4,
+            ).alias("attr_value"),
+        )
+    )
+
+
+# ----------------------------------------------- period over period
+@register(
+    "q_period_over_period",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_q
+            FROM orders GROUP BY y, m
+        )
+        SELECT y, m, rev_q,
+               CAST(rev_q - LAG(rev_q, 1) OVER w AS BIGINT) AS mom_q,
+               CAST(rev_q - LAG(rev_q, 12) OVER w AS BIGINT) AS yoy_q
+        FROM m
+        WINDOW w AS (ORDER BY y, m)
+    """,
+    family="analytics",
+    scale_notes=(
+        "period-over-period revenue deltas (MoM via lag-1, YoY via "
+        "lag-12): the corpus collapses to one grid BIGINT per month "
+        "FIRST (map-side combined), and the lag windows run over the "
+        "|months| rows that remain — the only unpartitioned window in "
+        "the plan is over a calendar-bounded constant-size table (the "
+        "q_survival discipline). Deltas are exact BIGINT differences; "
+        "missing lags emit NULL identically on both engines"
+    ),
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year grid
+    deltas (y, m, rev_q, mom_q, yoy_q)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 1_000_000.0 + 0.5).cast(
+                "bigint"
+            )
+        ).alias("rev_q")
+    )
+    w = Window.orderBy("y", "m")
+    return m.select(
+        "y",
+        "m",
+        "rev_q",
+        (F.col("rev_q") - F.lag("rev_q", 1).over(w)).alias("mom_q"),
+        (F.col("rev_q") - F.lag("rev_q", 12).over(w)).alias("yoy_q"),
+    )
+
+
+# ------------------------------------------------------- cohort LTV
+COHORT_BUCKET_US = 7 * 86_400_000_000  # weekly cohorts / ages
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vg,
+                   event_type
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(us // {COHORT_BUCKET_US}) AS cw
+            FROM e GROUP BY user_id
+        ),
+        cell AS (
+            SELECT cw AS cohort_week,
+                   e.us // {COHORT_BUCKET_US} - cw AS age_weeks,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                   SUM(e.vg) AS val_q
+            FROM e JOIN cohort USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY cohort_week, age_weeks
+        )
+        SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+               CAST(age_weeks AS BIGINT) AS age_weeks,
+               n_users,
+               CAST(SUM(val_q) OVER (PARTITION BY cohort_week
+                    ORDER BY age_weeks ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_value_q
+        FROM cell
+    """,
+    family="analytics",
+    scale_notes=(
+        "cohort lifetime-value curves (cumulative purchase value per "
+        "signup-week cohort by age): per-user first-activity week is "
+        "one aggregation, the cohort attach is an equi join on "
+        "user_id, the cell census collapses the corpus to "
+        "|cohorts| x |ages| rows, and the cumulative sum runs over "
+        "that calendar-bounded grid — corpus-scale work is two "
+        "aggregations and one user-keyed join. Epoch-week buckets "
+        "(integer µs div) keep the bucketing calendar-free and "
+        "engine-exact; the LTV running sum is BIGINT over grid values"
+    ),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV curve: distinct purchasers and cumulative grid
+    purchase value per (cohort_week, age_weeks)."""
+    from pyspark.sql.window import Window
+
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("vg"),
+        F.expr(f"ts_us div {COHORT_BUCKET_US}").alias("week"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cw"))
+    cell = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("week") - F.col("cw")).alias("age_weeks"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("vg").alias("val_q"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        F.col("age_weeks").cast("bigint").alias("age_weeks"),
+        "n_users",
+        F.sum("val_q").over(w).cast("bigint").alias("cum_value_q"),
     )

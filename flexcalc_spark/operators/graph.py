@@ -110,11 +110,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One cached (src, dst, d) table: reused by all ITERATIONS joins —
     # the "partition edges once" posture, and the CLAUDE.md cache rule
     # (the distinct subtree would otherwise recompute per iteration).
+    # Repartition to core count BEFORE caching: the cache would
+    # otherwise pin the join's 200-partition vanilla-session layout as
+    # an InMemoryRelation AQE can no longer coalesce, and every
+    # iteration pays hundreds of near-empty tasks (the q_market_basket
+    # round-7 lesson).
     ed = (
         edges.join(
             edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), "src"
         )
         .select("src", "dst", "d")
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .cache()
     )
     ranks = ed.select("src").distinct().select(
@@ -196,6 +202,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= COOCCUR_MIN)
         .select("u", "v")
+        # core-count layout before cache (the q_market_basket lesson:
+        # a cached 200-partition shuffle defeats AQE coalescing)
+        .repartition(spark.sparkContext.defaultParallelism, "u")
         .cache()
     )
     e1 = pairs.alias("e1")

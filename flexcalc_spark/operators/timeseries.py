@@ -107,7 +107,11 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # cache: the hour level feeds BOTH the emitted hour rows and the
         # day rollup — without it each union branch re-scans raw events
-        # (at scale each level would persist as a continuous aggregate)
+        # (at scale each level would persist as a continuous aggregate).
+        # Core-count layout first: caching the groupBy's 200-partition
+        # vanilla layout would pin hundreds of near-empty tasks per
+        # consumer (the q_market_basket round-7 lesson).
+        .repartition(spark.sparkContext.defaultParallelism, "event_type")
         .cache()
     )
     day = (

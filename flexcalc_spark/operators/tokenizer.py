@@ -194,6 +194,10 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|| '  </w> '"
             ).alias("repr"),
         )
+        # core-count layout before cache (q_market_basket lesson: a
+        # cached 200-partition shuffle output defeats AQE coalescing
+        # and every BPE round pays the task overhead)
+        .repartition(spark.sparkContext.defaultParallelism, "word")
         .cache()
     )
     pair_list = (

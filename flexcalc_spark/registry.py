@@ -152,16 +152,17 @@ GRADE_ORDER: list[str] = [
     "q_sql_tpch1", "q_sql_tpch2", "q_sql_tpch6", "q_sql_tpch9",
     "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch15", "q_sql_tpch16",
     "q_sql_tpch17", "q_sql_tpch20",
+    "q_attribution", "q_period_over_period", "q_cohort_ltv",
     # 4. stalest r3-era passes (the remainder of this block fills the
     #    round-8 window)
     "q_str_funcs", "q_str_regexp", "q_str_distance",
     "q_date_parts", "q_date_arith", "q_math_funcs",
-    "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
-    "q_subquery_scalar", "q_subquery_correlated",
+    "q_array_ops", "q_array_hof", "q_explode",
     # --- 50-key line (driver window size) ---
-    # overflow, stalest-first: the r3-era keys displaced by the TPC-H
-    # additions, then the r5-graded window, r3/r4-era remainder, then
-    # the round-6 window (freshest evidence, graded last round).
+    # overflow, stalest-first: the r3-era keys displaced by the
+    # round-7 additions, then the r5-graded window, r3/r4-era
+    # remainder, then the round-6 window (freshest evidence).
+    "q_map_json", "q_subquery_scalar", "q_subquery_correlated",
     "q_subquery_in", "q_udf_scalar", "q_udtf_expand",
     "q_lang_id", "q_quality_score", "q_token_count",
     "q_fingerprint", "q_text_chunks", "q_repetition", "q_vocab",

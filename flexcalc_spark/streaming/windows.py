@@ -312,21 +312,45 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _drain_shuffle_partitions(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to the core count for a
+    stream drain. Streaming state partitions are fixed from this conf
+    at first micro-batch — under a vanilla session's 200 the state
+    store spawns hundreds of near-empty state tasks per batch (the
+    dominant cost of the stateful drains at fixture scale; these
+    drains use fresh checkpoints, so re-scoping per run is safe).
+    Restores the caller's conf even on failure."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming DataFrame with availableNow into a memory sink;
     returns the sink table name after the stream drains."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError(
-            f"stream '{name}' did not drain within 120s — sink is partial"
+    with _drain_shuffle_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                f"stream '{name}' did not drain within 120s — sink is partial"
+            )
     return name
 
 
@@ -701,15 +725,18 @@ def run_stream_foreachbatch_upsert(
             .parquet(out_dir)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(upsert)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("foreachBatch stream did not drain within 120s")
+    with _drain_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "foreachBatch stream did not drain within 120s"
+            )
 
 
 @register(
@@ -805,17 +832,20 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     name = f"t_q_stream_join_{_os.getpid()}"
-    q = (
-        stream_range_join(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("stream-stream join did not drain within 120s")
+    with _drain_shuffle_partitions(spark):
+        q = (
+            stream_range_join(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "stream-stream join did not drain within 120s"
+            )
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -148,6 +148,9 @@ RISKY = [
     "q_survival",           # histogram + reverse cumsum over 32 rows
     "q_pca_embed",          # fsum Gram partials -> literal eigvec
     "q_debounce_anchor",    # chunk-carry mapInPandas greedy fold
+    "q_attribution",        # interval join + per-purchase MAX collapse
+    "q_period_over_period", # constant-size lag window on grid sums
+    "q_cohort_ltv",         # cohort equi join + bounded cumsum grid
 ]
 
 

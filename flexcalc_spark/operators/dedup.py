@@ -647,6 +647,13 @@ def connected_components(
     rounds but ~20 star rounds). localCheckpoint truncates lineage per
     round; convergence is detected by an exact integer (count, hash-sum)
     signature of the edge set. Returns (labels, rounds_run)."""
+    # the star rounds run under a core-count shuffle conf: each round's
+    # localCheckpoint materializes the current shuffle layout verbatim
+    # (the round-7 checkpoint-layout rule, tables.scoped_shuffle_partitions)
+    from flexcalc_spark.tables import scoped_shuffle_partitions
+
+    _scope = scoped_shuffle_partitions(edges.sparkSession)
+    _scope.__enter__()
     e = edges.select(
         F.col(edges.columns[0]).cast("bigint").alias("u"),
         F.col(edges.columns[1]).cast("bigint").alias("v"),
@@ -687,16 +694,19 @@ def connected_components(
             m.select(F.col("b").alias("u"), F.col("m").alias("v"))
         ).distinct()
 
-    sig = signature(e)
-    rounds = 0
-    for _ in range(max_iters):
-        e2 = small_star(large_star(e)).localCheckpoint()
-        rounds += 1
-        sig2 = signature(e2)
-        e = e2
-        if sig2 == sig:
-            break
-        sig = sig2
+    try:
+        sig = signature(e)
+        rounds = 0
+        for _ in range(max_iters):
+            e2 = small_star(large_star(e)).localCheckpoint()
+            rounds += 1
+            sig2 = signature(e2)
+            e = e2
+            if sig2 == sig:
+                break
+            sig = sig2
+    finally:
+        _scope.__exit__(None, None, None)
     # fixed point: (child, root) stars; roots label themselves
     roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
     labels = e.union(roots).groupBy("u").agg(F.min("v").alias("label"))

@@ -348,23 +348,31 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap. localCheckpoint rebases each round on a materialized RDD, so
     every round's plan is one round deep — the engine-side analogue of
     the oracle's MATERIALIZED CTE chain."""
-    e = _edges(spark, sf_dir).localCheckpoint()
-    for _ in range(KCORE_ROUNDS):
-        nodes = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= KCORE_K)
-            .select(F.col("src").alias("node"))
-        )
-        e = (
-            e.join(nodes.withColumnRenamed("node", "src"), "src")
-            .join(
-                nodes.withColumnRenamed("node", "dst"),
-                "dst",
+    # The peel loop runs under a core-count shuffle conf: each round's
+    # localCheckpoint materializes the CURRENT shuffle layout verbatim,
+    # and a vanilla session's 200 partitions would cost ~200 near-empty
+    # tasks x 3 consumers x 6 rounds (measured 3.7s -> 2.7s; the
+    # cache-layout lesson applies to checkpoints identically).
+    from flexcalc_spark.tables import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark):
+        e = _edges(spark, sf_dir).localCheckpoint()
+        for _ in range(KCORE_ROUNDS):
+            nodes = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= KCORE_K)
+                .select(F.col("src").alias("node"))
             )
-            .select("src", "dst")
-            .localCheckpoint()
-        )
+            e = (
+                e.join(nodes.withColumnRenamed("node", "src"), "src")
+                .join(
+                    nodes.withColumnRenamed("node", "dst"),
+                    "dst",
+                )
+                .select("src", "dst")
+                .localCheckpoint()
+            )
     return e.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).select(F.col("src").cast("bigint").alias("node"), "deg")
@@ -429,29 +437,34 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; community size census (label, n_nodes)."""
     from pyspark.sql.window import Window
 
-    edges = _edges(spark, sf_dir).localCheckpoint()
-    labels = edges.select("src").distinct().selectExpr(
-        "src AS node", "src AS lab"
-    ).localCheckpoint()
-    for _ in range(LP_ROUNDS):
-        cnt = (
-            edges.join(
-                labels.withColumnRenamed("node", "dst"), "dst"
+    # The propagation loop runs under a core-count shuffle conf (the
+    # checkpoint-layout rule — measured 2.3s -> 1.3s; see q_kcore).
+    from flexcalc_spark.tables import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark):
+        edges = _edges(spark, sf_dir).localCheckpoint()
+        labels = edges.select("src").distinct().selectExpr(
+            "src AS node", "src AS lab"
+        ).localCheckpoint()
+        for _ in range(LP_ROUNDS):
+            cnt = (
+                edges.join(
+                    labels.withColumnRenamed("node", "dst"), "dst"
+                )
+                .groupBy("src", "lab")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
             )
-            .groupBy("src", "lab")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-        rk = F.row_number().over(
-            Window.partitionBy("src").orderBy(
-                F.col("cnt").desc(), F.col("lab")
+            rk = F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("cnt").desc(), F.col("lab")
+                )
             )
-        )
-        labels = (
-            cnt.withColumn("rk", rk)
-            .filter(F.col("rk") == 1)
-            .selectExpr("src AS node", "lab")
-            .localCheckpoint()
-        )
+            labels = (
+                cnt.withColumn("rk", rk)
+                .filter(F.col("rk") == 1)
+                .selectExpr("src AS node", "lab")
+                .localCheckpoint()
+            )
     return labels.groupBy("lab").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).select(F.col("lab").cast("bigint").alias("label"), "n_nodes")

@@ -74,6 +74,33 @@ def epoch_us_of(df: DataFrame, col: str) -> "F.Column":
     return F.expr(f"unix_micros({col})")
 
 
+def scoped_shuffle_partitions(spark: SparkSession):
+    """Context manager: scope spark.sql.shuffle.partitions to the core
+    count for an eager iterative section (localCheckpoint loops,
+    availableNow stream drains). Checkpoints and state stores
+    materialize the CURRENT shuffle layout verbatim — under a vanilla
+    session's 200 partitions every loop round pays hundreds of
+    near-empty tasks (measured: q_label_prop 2.3s -> 1.3s, q_kcore
+    3.7s -> 2.7s, stream-stream drain 23s -> 3s). Restores the
+    caller's conf even on failure; batch plans built AFTER restore are
+    unaffected (AQE coalesces their fresh shuffles)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    return _scope()
+
+
 def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan + repartition to the session's default parallelism.
 

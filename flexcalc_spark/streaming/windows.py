@@ -312,27 +312,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
 def _drain_shuffle_partitions(spark: SparkSession):
     """Scope spark.sql.shuffle.partitions to the core count for a
-    stream drain. Streaming state partitions are fixed from this conf
-    at first micro-batch — under a vanilla session's 200 the state
-    store spawns hundreds of near-empty state tasks per batch (the
-    dominant cost of the stateful drains at fixture scale; these
-    drains use fresh checkpoints, so re-scoping per run is safe).
-    Restores the caller's conf even on failure."""
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    stream drain (streaming state partitions freeze from this conf at
+    the first micro-batch; these drains use fresh checkpoints, so
+    re-scoping per run is safe). Shared impl: tables.py."""
+    from flexcalc_spark.tables import scoped_shuffle_partitions
+
+    return scoped_shuffle_partitions(spark)
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):

@@ -102,22 +102,32 @@ def _hyperplanes() -> list[list[float]]:
 
 def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, band, band_key): sign-bit signature over fixed
-    hyperplanes, split into bands; equal band_key => candidate bucket."""
+    hyperplanes, split into bands; equal band_key => candidate bucket.
+
+    Band keys are generated SQL text parsed by one F.expr per band
+    (the dedup._embed_band_keys build-time lesson); each bit's fold
+    text matches _dot verbatim, so the sign bits are bit-identical to
+    the Column-built form."""
     e = table_parallel(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    bits = [
-        F.when(
-            _dot("embedding", f"array({', '.join(repr(v) + 'D' for v in plane)})") > 0, 1
-        ).otherwise(0)
-        for plane in planes
-    ]
+
+    def bit(plane: list) -> str:
+        arr = ", ".join(repr(v) + "D" for v in plane)
+        return (
+            "(CASE WHEN aggregate(zip_with("
+            "transform(embedding, x -> CAST(x AS DOUBLE)),"
+            f" transform(array({arr}), x -> CAST(x AS DOUBLE)),"
+            " (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (s, x) -> s + x) > 0 THEN 1 ELSE 0 END)"
+        )
+
     bits_per_band = LSH_PLANES // LSH_BANDS
     band_keys = []
     for bnd in range(LSH_BANDS):
-        key = F.lit(0)
+        txt = "0"
         for i in range(bits_per_band):
-            key = key * 2 + bits[bnd * bits_per_band + i]
-        band_keys.append(key)
+            txt = f"({txt} * 2 + {bit(planes[bnd * bits_per_band + i])})"
+        band_keys.append(F.expr(txt))
     return e.select(
         "vec_id",
         "embedding",

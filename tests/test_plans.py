@@ -875,3 +875,29 @@ def test_tpch16_not_in_is_anti_join(spark):
 def test_tpch9_broadcasts_dims(spark):
     plan = plan_text(Q["q_sql_tpch9"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_attribution_interval_join_shape(spark):
+    """The lookback attribution must ride an equi join on user_id with
+    the time bounds as residuals — never a cartesian/nested-loop."""
+    plan = plan_text(Q["q_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_period_over_period_aggregates_before_window(spark):
+    """The corpus must collapse to |months| rows BEFORE the lag window
+    (the q_survival constant-size-window discipline)."""
+    plan = plan_text(Q["q_period_over_period"](spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1, plan
+
+
+def test_cohort_ltv_broadcasts_cohort_table(spark):
+    """The per-user cohort attach is a broadcast equi join; the cumsum
+    window runs on the |cohorts| x |ages| cell grid, not raw events."""
+    plan = plan_text(Q["q_cohort_ltv"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -900,9 +900,18 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates + exact JVM re-score, over the fixture corpus with
     deterministic planted near-dups (the fixture has no natural pairs
     above cos 0.61 — measured)."""
-    corpus = _planted_corpus(spark, sf_dir).cache()  # 3 consumers:
-    # bucket build + both re-score sides (HOF arrays re-evaluate per
-    # consumer subtree otherwise — CLAUDE.md caching rule)
+    # Per-vector norms ride the cache: HOF lambdas are interpreted (not
+    # codegen'd), so computing sqrt(dot(e,e)) once per VECTOR instead of
+    # twice per candidate PAIR cuts the re-score fold work ~3x. The
+    # value is bit-identical — same expression text over the same
+    # doubles — so the floor-quantized cos (and the oracle hash) cannot
+    # move.
+    corpus = (
+        _planted_corpus(spark, sf_dir)
+        .withColumn("nrm", F.sqrt(_dot_spark("embedding", "embedding")))
+        .cache()
+    )  # 3 consumers: bucket build + both re-score sides (HOF arrays
+    # re-evaluate per consumer subtree otherwise — CLAUDE.md caching rule)
     buckets = corpus.select(
         "vec_id",
         F.posexplode(F.array(*_embed_band_keys())).alias("band", "band_key"),
@@ -918,16 +927,17 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ea = corpus.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     eb = corpus.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     dot = _dot_spark("emb_a", "emb_b")
-    cos = dot / (
-        F.sqrt(_dot_spark("emb_a", "emb_a"))
-        * F.sqrt(_dot_spark("emb_b", "emb_b"))
-    )
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")

@@ -616,12 +616,22 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the former all-pairs theta-join plan."""
     e = table_parallel(spark, sf_dir, "embeddings")
     cand = _gemm_candidates(e, COSINE_TAU)
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    # norms once per vector, not twice per pair (interpreted-HOF cost;
+    # bit-identical value — same fold text — so round(cos, 4) and the
+    # oracle hash cannot move)
+    en = e.withColumn("nrm", F.sqrt(_dot_spark("embedding", "embedding")))
+    ea = en.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     dot = _dot_spark("emb_a", "emb_b")
-    na = F.sqrt(_dot_spark("emb_a", "emb_a"))
-    nb = F.sqrt(_dot_spark("emb_b", "emb_b"))
-    cos = dot / (na * nb)
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")

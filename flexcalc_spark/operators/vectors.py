@@ -77,11 +77,21 @@ _KNN_ORACLE_COS = """
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 10 probe vectors."""
     e = table_parallel(spark, sf_dir, "embeddings")
-    p = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    # norm once per vector, not per (probe, neighbor) pair — the
+    # interpreted-HOF rule; same fold text => bit-identical cos, so
+    # ranking and the rounded output cannot move
+    en = e.withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
+    p = en.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("nrm_p"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    cos = _cosine("p_emb", "c_emb")
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    cos = _dot("p_emb", "c_emb") / (F.col("nrm_p") * F.col("nrm_c"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         F.broadcast(p)
@@ -179,20 +189,26 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id")
         .distinct()
     )
-    emb = table_parallel(spark, sf_dir, "embeddings")
+    emb = table_parallel(spark, sf_dir, "embeddings").withColumn(
+        # norm once per vector (interpreted-HOF rule; same fold text
+        # => bit-identical cos)
+        "nrm", F.sqrt(_dot("embedding", "embedding"))
+    )
     cand = (
         cand_ids.join(
             F.broadcast(emb.select(F.col("vec_id").alias("probe_id"),
-                                   F.col("embedding").alias("p_emb"))),
+                                   F.col("embedding").alias("p_emb"),
+                                   F.col("nrm").alias("nrm_p"))),
             "probe_id",
         )
         .join(
             emb.select(F.col("vec_id").alias("neighbor_id"),
-                       F.col("embedding").alias("c_emb")),
+                       F.col("embedding").alias("c_emb"),
+                       F.col("nrm").alias("nrm_c")),
             "neighbor_id",
         )
     )
-    cos = _cosine("p_emb", "c_emb")
+    cos = _dot("p_emb", "c_emb") / (F.col("nrm_p") * F.col("nrm_c"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         cand.select("probe_id", "neighbor_id", cos.alias("cos"))

@@ -108,3 +108,20 @@ def test_compacted_sink_writes_exactly_four_files(spark):
     )
     parts = _glob.glob(_os.path.join(out, "part-*.parquet"))
     assert len(parts) == 4, parts
+
+
+def test_scoped_shuffle_partitions_restores_on_error(spark):
+    """The iterative-loop conf scope must restore the caller's shuffle
+    partition count even when the body raises."""
+    from flexcalc_spark.tables import scoped_shuffle_partitions
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with scoped_shuffle_partitions(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                spark.sparkContext.defaultParallelism
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig

@@ -102,12 +102,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.expr(f"size(t) >= {SPAN_W}"))
     # cache: the exploded shingle stream feeds both the census agg and
     # the flagging join (CLAUDE.md HOF-array caching rule)
+    # shingles hashed to 64-bit longs AT THE EXPLODE: the census and
+    # the flag join then shuffle narrow integers instead of W-word
+    # strings (~5x fewer shuffle bytes; 64-bit collisions are absent at
+    # corpus scale — the q_dedup_neardup verifier's documented trade)
     sh = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(t) - {SPAN_W - 1}),"
-                f" i -> array_join(slice(t, i, {SPAN_W}), ' '))"
+                f" i -> xxhash64(array_join(slice(t, i, {SPAN_W}), ' ')))"
             )
         ).alias("s"),
     ).cache()

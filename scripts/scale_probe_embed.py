@@ -253,7 +253,103 @@ def main() -> None:
         f"knn recall@{K} vs brute force at n={n}: "
         f"{len(approx & exact) / len(exact):.4f}"
     )
+
+    # ---- IVF tier: sampled-seed codebook, nprobe nearest cells ----
+    print("[ivf] n | cells | nprobe | planted_recall | knn_recall | s")
+    for n in (20_000, 100_000):
+        t0 = time.monotonic()
+        pairs, ivf_top = ivf_probe(spark, n)
+        dt = time.monotonic() - t0
+        want = {(i, PLANT_OFFSET + i) for i in range(PLANT)}
+        prec = len(want & pairs) / len(want)
+        if n == 20_000:
+            krec = len(ivf_top & exact) / len(exact)
+            kr = f"{krec:.3f}"
+        else:
+            kr = "-"
+        print(f"{n} | {IVF_CELLS} | {IVF_NPROBE} | {prec:.3f} | {kr} | {dt:.1f}")
     spark.stop()
+
+
+IVF_CELLS = 64
+IVF_NPROBE = 8
+
+
+def ivf_probe(spark: SparkSession, n: int):
+    """IVF over the synthetic corpus: codebook = IVF_CELLS sampled
+    corpus vectors (deterministic ids), cells by max-dot assignment;
+    (a) near-dup pairs found inside shared cells (the dedup sweep),
+    (b) top-K for the first N_PROBES vectors probing IVF_NPROBE cells."""
+    corpus = synth_corpus(spark, n).cache()
+    seeds = corpus.filter(
+        (F.col("vec_id") % (n // IVF_CELLS) == 0)
+        & (F.col("vec_id") < PLANT_OFFSET)
+    ).select(
+        (F.col("vec_id") / (n // IVF_CELLS)).cast("long").alias("cell"),
+        F.col("embedding").alias("cent"),
+    )
+    cdot = _dot("embedding", "cent")
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cd").desc(), "cell")
+    assigned = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "cell", cdot.alias("cd"))
+        .withColumn("rk", F.row_number().over(wc))
+    )
+    best = assigned.filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", "cell"
+    ).cache()
+    # (a) near-dup pairs inside shared cells, exact re-score at TAU
+    a = best.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = best.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        "cell",
+    )
+    cos = _dot("emb_a", "emb_b") / (
+        F.sqrt(_dot("emb_a", "emb_a")) * F.sqrt(_dot("emb_b", "emb_b"))
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= TAU)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    # (b) probes search their IVF_NPROBE nearest cells
+    probe_cells = assigned.filter(
+        (F.col("vec_id") < N_PROBES) & (F.col("rk") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        "cell",
+    )
+    cand = probe_cells.join(
+        best.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        ),
+        "cell",
+    ).filter(F.col("probe_id") != F.col("neighbor_id"))
+    kcos = _dot("p_emb", "c_emb") / (
+        F.sqrt(_dot("p_emb", "p_emb")) * F.sqrt(_dot("c_emb", "c_emb"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    top = {
+        (r.probe_id, r.neighbor_id)
+        for r in cand.select("probe_id", "neighbor_id", kcos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .collect()
+    }
+    corpus.unpersist()
+    best.unpersist()
+    return pairs, top
 
 
 if __name__ == "__main__":

@@ -278,8 +278,10 @@ ATTR_LOOKBACK_US = 7 * 86_400_000_000  # 7-day last-touch window
         "census. Pair volume is sum over users of clicks x purchases "
         "within the lookback, never corpus^2; at 100 TB both event "
         "streams partition by user and the lookback bound keeps the "
-        "per-user window finite (the same bound a streaming "
-        "stream-stream join would use for state eviction). Strict "
+        "per-user window finite. The TRUE streaming rendering exists "
+        "beside it (streaming/windows.py stream_attribution_pairs — "
+        "watermarked stream-stream interval join, "
+        "batch-equivalence-tested). Strict "
         "c.us < p.us on integer epoch-µs on both engines — no "
         "window-frame tie ambiguity"
     ),

@@ -257,7 +257,17 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # depends on q_centroids-derived cell assignment (rows-only);
     # recall vs q_knn_cosine asserted in tests/test_recall.py
     family="vectors",
-    scale_notes="IVF: coarse quantize to label-centroid cells, probe nprobe=3 nearest cells — at 100 TB the corpus is PARTITIONED BY cell so probing prunes file reads (partition pruning), not just comparisons",
+    scale_notes=(
+        "IVF: coarse quantize to label-centroid cells, probe nprobe=3 "
+        "nearest cells — at 100 TB the corpus is PARTITIONED BY cell "
+        "so probing prunes file reads (partition pruning), not just "
+        "comparisons. Measured on 20k-100k synthetic corpora (SCALE.md "
+        "round-7 IVF probe): recall tracks scan fraction (0.56 at "
+        "nprobe 8/64 on ambient-random data), argmax-cell dedup loses "
+        "~3% of near-dup pairs to cell boundaries (use nprobe>=2 or "
+        "band keys for the dedup sweep), and cell count must scale "
+        "with n — the in-cell census is n^2/C"
+    ),
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: search only the nprobe nearest centroid cells.

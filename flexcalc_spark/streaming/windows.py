@@ -445,6 +445,49 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_attribution's interval join: the
+    (purchase, qualifying click) pair stream — clicks joined to later
+    same-user purchases within the 7-day lookback. Inner stream-stream
+    join emits eagerly; each side's state holds at most
+    watermark + lookback of history per user. The per-purchase MAX
+    collapse happens on the drained sink (tests/test_streaming.py), the
+    same split q_stream_join uses for its census."""
+    from flexcalc_spark.operators.analytics_ext import ATTR_LOOKBACK_US
+
+    clicks = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_us"),
+        F.col("event_time").alias("c_time"),
+    )
+    purchases = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_us"),
+        F.floor(F.col("value") * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("vg"),
+        F.col("event_time").alias("p_time"),
+    )
+    lookback_expr = F.expr(
+        f"INTERVAL {ATTR_LOOKBACK_US // 86_400_000_000} DAYS"
+    )
+    j = clicks.withWatermark("c_time", "1 hour").join(
+        purchases.withWatermark("p_time", "1 hour"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - ATTR_LOOKBACK_US)
+        & (F.col("c_time") < F.col("p_time"))
+        & (F.col("c_time") >= F.col("p_time") - lookback_expr),
+        "inner",
+    )
+    return j.select("p_id", "p_us", "vg", "c_us")
+
+
 def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every view, with the
     purchase the same user made within 10 minutes after it, or NULLs.

@@ -389,3 +389,38 @@ def test_debounce_anchor_batch_reference_and_stream(spark):
     )
     stream = spark.table("t_deb_anchor").toPandas()
     assert _canon(got) == _canon(stream)
+
+
+def test_stream_attribution_equals_batch(spark):
+    """The streaming (click, purchase) lookback pair stream, collapsed
+    to per-purchase last-click and a daily census, must equal
+    q_attribution's attributed rows exactly (the batch key also counts
+    unattributed purchases, which an inner pair stream cannot see —
+    those columns are compared on the attributed subset)."""
+    from pyspark.sql import functions as F
+
+    _drain(
+        sw.stream_attribution_pairs(spark, SF_DIR),
+        "t_attr_pairs",
+        mode="append",
+    )
+    pairs = spark.table("t_attr_pairs")
+    stream_census = (
+        pairs.groupBy("p_id", "p_us", "vg")
+        .agg(F.max("c_us").alias("click_us"))
+        .groupBy(F.expr("p_us div 86400000000").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+            F.round(
+                F.sum("vg").cast("double") / 1_000_000.0, 4
+            ).alias("attr_value"),
+        )
+        .toPandas()
+    )
+    batch = (
+        registry.QUERIES["q_attribution"](spark, SF_DIR)
+        .filter(F.col("n_attributed") > 0)
+        .select("day", "n_attributed", "attr_value")
+        .toPandas()
+    )
+    assert _canon(stream_census) == _canon(batch)

@@ -901,3 +901,14 @@ def test_cohort_ltv_broadcasts_cohort_table(spark):
     plan = plan_text(Q["q_cohort_ltv"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_debounce_anchor_secondary_sort_shape(spark):
+    """The anchor debounce must be ONE shuffle (the repartition on
+    (user, type)) + partition-local sort + mapInPandas — no extra
+    exchange, no per-group FlatMapGroupsInPandas."""
+    plan = plan_text(Q["q_debounce_anchor"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan

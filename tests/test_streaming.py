@@ -424,3 +424,23 @@ def test_stream_attribution_equals_batch(spark):
         .toPandas()
     )
     assert _canon(stream_census) == _canon(batch)
+
+
+def test_debounce_anchor_chunk_boundary_carry(spark):
+    """Force tiny Arrow batches so (user, type) groups SPAN chunk
+    boundaries inside mapInPandas: the carry logic must produce output
+    identical to the default-batch run (a dropped or double-processed
+    trailing group would change the kept set)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    baseline = _canon(
+        registry.QUERIES["q_debounce_anchor"](spark, SF_DIR).toPandas()
+    )
+    try:
+        spark.conf.set(key, "7")  # far below any group size
+        tiny = _canon(
+            registry.QUERIES["q_debounce_anchor"](spark, SF_DIR).toPandas()
+        )
+    finally:
+        spark.conf.set(key, orig)
+    assert tiny == baseline

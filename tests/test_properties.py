@@ -423,3 +423,49 @@ def test_pca_matches_numpy_eigh(spark):
     assert len(out) == 10                      # labels 0..9
     assert all(r.var_q >= 0 for r in out)
     assert sum(r.n for r in out) == emb.shape[0]
+
+
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=200_000_000), min_size=1,
+        max_size=200,
+    ),
+    n_groups=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_debounce_anchor_mask_matches_naive_fold(gaps, n_groups):
+    """The vectorized anchor-debounce mask (dense-run resolution) must
+    equal the naive greedy fold on arbitrary gap sequences — including
+    zero gaps, exact-threshold gaps, and multi-group frames."""
+    import pandas as pd
+
+    from flexcalc_spark.operators.timeseries import DEBOUNCE_US
+    from flexcalc_spark.streaming.stateful import _debounce_anchor_mask
+
+    rows = []
+    eid = 0
+    for g in range(n_groups):
+        ts = 1_700_000_000_000_000 + g  # distinct group epochs
+        for i, gap in enumerate(gaps):
+            if i:
+                ts += gap
+            rows.append((eid, g % 2, f"t{g}", ts))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts_us"]
+    ).sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    pdf = pdf.reset_index(drop=True)
+
+    got = _debounce_anchor_mask(pdf)
+
+    want = []
+    last_key, last_kept = None, None
+    for r in pdf.itertuples(index=False):
+        key = (r.user_id, r.event_type)
+        if key != last_key or r.ts_us - last_kept > DEBOUNCE_US:
+            want.append(True)
+            last_key, last_kept = key, r.ts_us
+        else:
+            want.append(False)
+    assert list(got) == want

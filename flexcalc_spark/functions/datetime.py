@@ -128,9 +128,13 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          FROM b) s
         ),
         obs AS (
+            -- round-half-up to 4 decimals in pure integer math: avg_e4 =
+            -- round(sum_vg / (cnt*100)); double ROUND(x,4) half-ties
+            -- diverge between engines (4 rows at sf0.1). vg >= 0 so
+            -- floor-div == trunc-div.
             SELECT event_type, hour_idx,
-                   ROUND(CAST(SUM(vg) AS DOUBLE) / 1000000.0 / COUNT(*), 4)
-                       AS vavg
+                   CAST((2 * SUM(vg) + 100 * COUNT(*))
+                        // (200 * COUNT(*)) AS DOUBLE) / 10000.0 AS vavg
             FROM h GROUP BY event_type, hour_idx
         ),
         joined AS (
@@ -176,9 +180,15 @@ def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             b.select(F.explode(F.expr("sequence(lo, hi)")).alias("hour_idx"))
         )
     )
+    # Integer-grid round-half-up (vg >= 0): avg_e4 = round(sum/(cnt*100)),
+    # then one exact IEEE division — double ROUND(x,4) half-ties diverged
+    # between Spark (BigDecimal HALF_UP) and DuckDB (scaled std::round).
     obs = h.groupBy("event_type", "hour_idx").agg(
-        F.round(
-            F.sum("vg").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 4
+        (
+            F.expr(
+                "(2 * sum(vg) + 100 * count(1)) div (200 * count(1))"
+            ).cast("double")
+            / 10000.0
         ).alias("vavg")
     )
     joined = spine.join(obs, ["event_type", "hour_idx"], "left")

@@ -958,3 +958,120 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cos * 10000.0).cast("bigint").alias("cos_q"),
         )
     )
+
+
+# ------------------------------------------------- containment dedup
+CONTAIN_TAU = 0.8
+CONTAIN_NUM, CONTAIN_DEN = 4, 5        # == CONTAIN_TAU as an exact ratio
+CONTAIN_GRAM = 5
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+        WITH g AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, LENGTH(text) - {CONTAIN_GRAM - 2}),
+                       i -> substring(text, CAST(i AS INT), {CONTAIN_GRAM})))
+                       AS grams
+            FROM documents WHERE LENGTH(text) >= {CONTAIN_GRAM}
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM g
+        ),
+        p AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS isz, ANY_VALUE(a.sz) AS sz_a
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST((isz * 1000000) // sz_a AS BIGINT) AS cont_ppm
+        FROM p WHERE isz * {CONTAIN_DEN} >= {CONTAIN_NUM} * sz_a
+    """,
+    family="dedup",
+    scale_notes=(
+        "ASYMMETRIC containment dedup |A∩B|/|A| >= 0.8 over char-5-gram "
+        "shingles — the sub-document-overlap complement to the symmetric "
+        "Jaccard keys (a short doc duplicated inside a long one scores "
+        "containment ~1 but Jaccard ~|A|/|B|, invisible to them). "
+        "Candidates: containment >= tau forces overlap >= ceil(tau*|A|), "
+        "so by pigeonhole A's rarest-first prefix of |A|-ceil(tau*|A|)+1 "
+        "grams must hit the intersection — the probe side explodes only "
+        "that prefix (~20% of grams at tau=0.8) while the indexed side "
+        "carries all grams (containment bounds nothing about |B|, so no "
+        "symmetric prefix or size-ratio prune exists); the equi join on "
+        "the gram hash has GUARANTEED recall and the exact hashed-array "
+        "re-score keeps output identical to all-pairs. One tokenize "
+        "scan, cached narrow array tables, integer threshold math and "
+        "ppm output grid, size prune |B| >= ceil(tau*|A|) before the "
+        "re-score. At 100 TB the index side is the standard inverted "
+        "gram index partitioned by hash; Zipf-tail bucketing holds "
+        "because rarest-first probes target the sparse end"
+    ),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (A mostly inside B) by 5-gram overlap
+    >= 0.8 of A's gram set; prefix-filtered probe side vs full-token
+    index side, exact re-score on hashed gram arrays."""
+    d = table_parallel(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        f"transform(sequence(1, length(text) - {CONTAIN_GRAM - 1}),"
+        f" i -> substring(text, i, {CONTAIN_GRAM}))"
+    )
+    items = (
+        d.filter(F.length("text") >= CONTAIN_GRAM)
+        .select(
+            "doc_id",
+            F.lit("all").alias("grp"),
+            F.array_distinct(grams_expr).alias("items"),
+        )
+    )
+    # repartition to core count BEFORE caching: the groupBy-derived table
+    # would otherwise pin the vanilla session's 200-partition layout into
+    # the InMemoryRelation for all three consumers (CLAUDE.md cache rule)
+    ranked = (
+        _ranked_token_arrays(items)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    # probe side: A's rarest-first prefix of sz - ceil(tau*sz) + 1 grams
+    prefix_len = F.expr(
+        f"size(hitems) - (({CONTAIN_NUM} * size(hitems) + {CONTAIN_DEN - 1})"
+        f" div {CONTAIN_DEN}) + 1"
+    )
+    probe = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.size("hitems").alias("sz_a"),
+        F.explode(F.slice(F.col("hitems"), F.lit(1), prefix_len)).alias("it"),
+    )
+    # index side: ALL grams (no prefix — containment bounds only A)
+    index = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.size("hitems").alias("sz_b"),
+        F.explode("hitems").alias("it"),
+    )
+    t_a = F.expr(f"({CONTAIN_NUM} * sz_a + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}")
+    cand = (
+        probe.join(index, "it")
+        .filter((F.col("id_a") != F.col("id_b")) & (F.col("sz_b") >= t_a))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
+    tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
+    isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(isz * CONTAIN_DEN >= CONTAIN_NUM * F.size("items_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"(size(array_intersect(items_a, items_b)) * 1000000)"
+                f" div size(items_a)"
+            ).cast("bigint").alias("cont_ppm"),
+        )
+    )

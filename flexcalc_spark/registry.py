@@ -159,9 +159,12 @@ GRADE_ORDER: list[str] = [
     "q_date_parts", "q_date_arith", "q_math_funcs",
     "q_array_ops", "q_array_hof", "q_explode",
     # --- 50-key line (driver window size) ---
-    # overflow, stalest-first: the r3-era keys displaced by the
-    # round-7 additions, then the r5-graded window, r3/r4-era
-    # remainder, then the round-6 window (freshest evidence).
+    # overflow, stalest-first: first the round-7 session-3 additions
+    # (never graded — front of the round-8 window), then the r3-era
+    # keys displaced by the round-7 additions, then the r5-graded
+    # window, r3/r4-era remainder, then the round-6 window (freshest
+    # evidence).
+    "q_dedup_containment", "q_bfs_hops",
     "q_map_json", "q_subquery_scalar", "q_subquery_correlated",
     "q_subquery_in", "q_udf_scalar", "q_udtf_expand",
     "q_lang_id", "q_quality_score", "q_token_count",

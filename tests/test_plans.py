@@ -912,3 +912,13 @@ def test_debounce_anchor_secondary_sort_shape(spark):
     assert n_exchange == 1, plan
     assert "MapInPandas" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_dedup_containment_prefix_equi_join(spark):
+    """Containment candidates must come from an equi join on the gram
+    hash (probe prefix x full-token index) — no cartesian/nested-loop
+    stage anywhere in the plan."""
+    plan = plan_text(Q["q_dedup_containment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan

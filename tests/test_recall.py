@@ -229,3 +229,31 @@ def test_trajectory_banding_recall_floor(spark):
     if brute:
         recall = len(caught) / len(brute)
         assert recall >= 0.8, f"gram-blocking recall fell to {recall:.2f}"
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    """q_bfs_hops must equal a driver-side BFS over the collected edge
+    list — an oracle-independent check of the min-hop-within-4 semantics
+    (the SQL oracle is built from the same frontier recurrence, so this
+    guards against a shared construction error)."""
+    from collections import deque
+
+    from flexcalc_spark.operators.graph import (
+        BFS_MAX_HOPS, BFS_SRC_PARTKEYS, _edges,
+    )
+
+    adj: dict = {}
+    for r in _edges(spark, SF_DIR).collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    dist = {p * 2: 0 for p in BFS_SRC_PARTKEYS if p * 2 in adj}
+    dq = deque(dist)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= BFS_MAX_HOPS:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {(r.node, r.dist) for r in Q["q_bfs_hops"](spark, SF_DIR).collect()}
+    assert got == set(dist.items())

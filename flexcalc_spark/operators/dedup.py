@@ -1003,12 +1003,17 @@ CONTAIN_GRAM = 5
         "carries all grams (containment bounds nothing about |B|, so no "
         "symmetric prefix or size-ratio prune exists); the equi join on "
         "the gram hash has GUARANTEED recall and the exact hashed-array "
-        "re-score keeps output identical to all-pairs. One tokenize "
-        "scan, cached narrow array tables, integer threshold math and "
-        "ppm output grid, size prune |B| >= ceil(tau*|A|) before the "
-        "re-score. At 100 TB the index side is the standard inverted "
-        "gram index partitioned by hash; Zipf-tail bucketing holds "
-        "because rarest-first probes target the sparse end"
+        "re-score keeps output identical to all-pairs. PPJoin positional "
+        "filter (suffix bound vs ceil(tau*|A|)) prunes instances before "
+        "the pair distinct; size prune |B| >= ceil(tau*|A|). HONEST "
+        "census (same caveat as the LSH keys): this fixture's ~2k-gram "
+        "bounded vocabulary makes per-gram doc frequency scale with n, "
+        "so candidates measure ~47% of all-pairs at both sf (quadratic "
+        "on word-salad data; SCALE.md) — density is a DATA property, "
+        "the filters only guarantee recall. On a Zipf-tailed real "
+        "corpus the rarest-first prefix targets near-unique grams and "
+        "the census is ~n*prefix; at 100 TB the index side is the "
+        "standard hash-partitioned inverted gram index"
     ),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,7 +1041,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
-    # probe side: A's rarest-first prefix of sz - ceil(tau*sz) + 1 grams
+    # probe side: A's rarest-first prefix of sz - ceil(tau*sz) + 1 grams,
+    # with 1-based global positions (the slice is the array head, so
+    # posexplode positions ARE positions in the full ranked array)
     prefix_len = F.expr(
         f"size(hitems) - (({CONTAIN_NUM} * size(hitems) + {CONTAIN_DEN - 1})"
         f" div {CONTAIN_DEN}) + 1"
@@ -1044,18 +1051,38 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ranked.select(
         F.col("doc_id").alias("id_a"),
         F.size("hitems").alias("sz_a"),
-        F.explode(F.slice(F.col("hitems"), F.lit(1), prefix_len)).alias("it"),
-    )
-    # index side: ALL grams (no prefix — containment bounds only A)
+        F.posexplode(F.slice(F.col("hitems"), F.lit(1), prefix_len)).alias(
+            "pa0", "it"
+        ),
+    ).select("id_a", "sz_a", (F.col("pa0") + 1).alias("pa"), "it")
+    # index side: ALL grams (no prefix — containment bounds only A),
+    # also with positions for the positional filter below
     index = ranked.select(
         F.col("doc_id").alias("id_b"),
         F.size("hitems").alias("sz_b"),
-        F.explode("hitems").alias("it"),
-    )
+        F.posexplode("hitems").alias("pb0", "it"),
+    ).select("id_b", "sz_b", (F.col("pb0") + 1).alias("pb"), "it")
     t_a = F.expr(f"({CONTAIN_NUM} * sz_a + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}")
+    # PPJoin positional filter, containment form: a shared gram at
+    # global-rank positions (pa, pb) bounds the overlap by
+    # 1 + min(sz_a - pa, sz_b - pb) >= t_a = ceil(tau * sz_a). For a
+    # TRUE pair the instance at the FIRST shared gram always passes
+    # (all common grams sit at positions >= pa in A resp. >= pb in B,
+    # so overlap <= both suffix lengths), and the FIRST shared gram is
+    # inside A's prefix by pigeonhole — pruning later instances never
+    # loses a pair. Measured at sf0.1: join instances 55.1M -> 35.2M
+    # (the distinct's shuffle input), distinct pairs 11.9M -> 11.0M —
+    # on this fixture most pruned instances belong to pairs that also
+    # share an early rare gram, so the census cut is modest; on a
+    # Zipf-tailed corpus the hot-gram instances ARE the census and
+    # this filter is the standard lever (Xiao et al.). See SCALE.md.
+    pos_ok = (
+        F.lit(1) + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+        >= t_a
+    )
     cand = (
         probe.join(index, "it")
-        .filter((F.col("id_a") != F.col("id_b")) & (F.col("sz_b") >= t_a))
+        .filter((F.col("id_a") != F.col("id_b")) & (F.col("sz_b") >= t_a) & pos_ok)
         .select("id_a", "id_b")
         .distinct()
     )

@@ -151,6 +151,8 @@ RISKY = [
     "q_attribution",        # interval join + per-purchase MAX collapse
     "q_period_over_period", # constant-size lag window on grid sums
     "q_cohort_ltv",         # cohort equi join + bounded cumsum grid
+    "q_dedup_containment",  # integer ppm grid, exact re-score census
+    "q_bfs_hops",           # integer hop distances, frontier loop
 ]
 
 

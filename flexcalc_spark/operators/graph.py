@@ -568,3 +568,126 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("dist").cast("bigint").alias("dist"),
     )
+
+
+# -------------------------------------------- weighted shortest path
+SSSP_ROUNDS = 4
+SSSP_SRC_PARTKEYS = (1, 2, 3, 4, 5)  # same sources as q_bfs_hops
+
+
+def _sssp_oracle() -> str:
+    src_nodes = ", ".join(str(p * 2) for p in SSSP_SRC_PARTKEYS)
+    ctes = [
+        """wedges AS MATERIALIZED (
+            SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                   MIN(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5)
+                            AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst,
+                   MIN(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5)
+                            AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+        )""",
+        f"""d0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+            FROM wedges WHERE src IN ({src_nodes})
+        )""",
+    ]
+    for i in range(1, SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+                SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM d{i-1}
+                    UNION ALL
+                    SELECT e.dst AS node, d.dist + e.w AS dist
+                    FROM wedges e JOIN d{i-1} d ON e.src = d.node
+                ) GROUP BY node
+            )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node, dist AS mincost
+        FROM d{SSSP_ROUNDS}
+        """
+    )
+
+
+@register(
+    "q_sssp_cost",
+    oracle=_sssp_oracle(),
+    family="graph",
+    scale_notes=(
+        "bounded-hop weighted shortest path (Bellman-Ford min-plus "
+        "relaxation, 4 rounds) from five part nodes over the "
+        "part-supplier graph, edge weight = min extended price on the "
+        "1e-6 integer grid — the min-COST complement to q_bfs_hops' "
+        "min-HOP loop. Per round ONE equi join (dist x edges on src) "
+        "+ a MIN re-aggregation by node; the dist table is bounded by "
+        "|V| every round (min-plus semiring, no path enumeration — "
+        "the recursive-SQL rendering would grow with path count). "
+        "Edges repartitioned by src once and localCheckpoint'd; dist "
+        "is broadcast while small and localCheckpoint'd per round to "
+        "truncate the k-deep lineage (the q_kcore rule). All-integer "
+        "weights: MIN is order-insensitive, sums are exact BIGINT — "
+        "partition-layout-independent by construction. At 100 TB this "
+        "is the standard iterated map-side-join SSSP; the broadcast "
+        "flips to the src-partitioned shuffle join once dist "
+        "saturates toward |V|"
+    ),
+)
+def q_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min path cost within 4 hops from part nodes {1..5}; per-round
+    relax-all + MIN re-aggregation, integer-grid weights."""
+    from flexcalc_spark.tables import scoped_shuffle_partitions, table
+
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("bigint")
+            ).alias("w")
+        )
+    )
+    fwd = w.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        "w",
+    )
+    rev = w.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+        "w",
+    )
+    with scoped_shuffle_partitions(spark):
+        edges = (
+            fwd.unionAll(rev)
+            .repartition(spark.sparkContext.defaultParallelism, "src")
+            .localCheckpoint()
+        )
+        src_nodes = [p * 2 for p in SSSP_SRC_PARTKEYS]
+        dist = (
+            edges.select("src")
+            .filter(F.col("src").isin(src_nodes))
+            .distinct()
+            .select(F.col("src").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+            .localCheckpoint()
+        )
+        for _ in range(SSSP_ROUNDS):
+            relax = edges.join(
+                F.broadcast(dist.select(F.col("node").alias("src"), "dist")),
+                "src",
+            ).select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            dist = (
+                dist.unionAll(relax)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
+            )
+    return dist.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").alias("mincost"),
+    )

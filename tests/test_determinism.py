@@ -153,6 +153,7 @@ RISKY = [
     "q_cohort_ltv",         # cohort equi join + bounded cumsum grid
     "q_dedup_containment",  # integer ppm grid, exact re-score census
     "q_bfs_hops",           # integer hop distances, frontier loop
+    "q_sssp_cost",          # min-plus relaxation, integer-grid weights
 ]
 
 

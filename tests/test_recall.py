@@ -257,3 +257,34 @@ def test_bfs_hops_matches_python_bfs(spark):
                 dq.append(v)
     got = {(r.node, r.dist) for r in Q["q_bfs_hops"](spark, SF_DIR).collect()}
     assert got == set(dist.items())
+
+
+def test_sssp_cost_matches_python_bellman_ford(spark):
+    """q_sssp_cost must equal a driver-side 4-round Bellman-Ford over
+    the collected weighted edge list (oracle-independent check of the
+    min-plus recurrence and the integer-grid weights)."""
+    from flexcalc_spark.operators.graph import SSSP_ROUNDS, SSSP_SRC_PARTKEYS
+    from flexcalc_spark.tables import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, SF_DIR, "lineitem")
+    w = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5)
+                   .cast("bigint")).alias("w"))
+        .collect()
+    )
+    edges = []
+    for r in w:
+        edges.append((r.l_partkey * 2, r.l_suppkey * 2 + 1, r.w))
+        edges.append((r.l_suppkey * 2 + 1, r.l_partkey * 2, r.w))
+    dist = {p * 2 for p in SSSP_SRC_PARTKEYS}
+    dist = {n: 0 for n in dist if any(s == n for s, _, _ in edges)}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for s, d, wt in edges:
+            if s in dist and (d not in nxt or dist[s] + wt < nxt[d]):
+                nxt[d] = dist[s] + wt
+        dist = nxt
+    got = {(r.node, r.mincost) for r in Q["q_sssp_cost"](spark, SF_DIR).collect()}
+    assert got == set(dist.items())

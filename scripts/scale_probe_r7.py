@@ -44,6 +44,15 @@ R7_KEYS = [
     "q_degree_dist",
     "q_survival",
     "q_market_basket",
+    # session-3 additions. Caveat: q_bfs_hops / q_sssp_cost run their
+    # frontier loops eagerly (localCheckpoint per level) during plan
+    # construction, so the noop-sink timing below captures only the
+    # final checkpoint scan — use scripts/pretime_window.py for their
+    # end-to-end wall-clock. q_dedup_containment's census is quadratic
+    # on this fixture (bounded gram vocabulary — see SCALE.md).
+    "q_dedup_containment",
+    "q_bfs_hops",
+    "q_sssp_cost",
 ]
 
 

@@ -922,3 +922,6 @@ def test_dedup_containment_prefix_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    # the PPJoin positional suffix bound must survive into the physical
+    # plan (it is the pre-shuffle instance prune): least(sz_a - pa, ...)
+    assert re.search(r"least\(", plan), plan

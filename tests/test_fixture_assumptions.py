@@ -262,3 +262,20 @@ def test_round7_cross_multiplication_headroom(duck2, sf):
             FROM read_parquet('{sf}/lineitem.parquet')"""
     ).fetchone()[0]
     assert qmax <= 50, f"l_quantity domain grew to {qmax}"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
+def test_sssp_weight_sum_headroom(duck2, sf):
+    """q_sssp_cost sums up to SSSP_ROUNDS grid-quantized prices per
+    path; the worst-case path cost must keep >=1000x headroom under
+    2^63 so a fixture regeneration that inflates the price domain
+    fails loudly instead of overflowing one scale factor up."""
+    from flexcalc_spark.operators.graph import SSSP_ROUNDS
+
+    max_w = duck2.execute(
+        f"""SELECT MAX(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5)
+                       AS BIGINT))
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).fetchone()[0]
+    worst = SSSP_ROUNDS * max_w
+    assert worst * 1000 < 2**63, f"sssp path cost at {worst:.3g}"

@@ -1025,6 +1025,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, length(text) - {CONTAIN_GRAM - 1}),"
         f" i -> substring(text, i, {CONTAIN_GRAM}))"
     )
+    # cache the narrow per-doc gram-array table: _ranked_token_arrays
+    # consumes its subtree twice (token-frequency aggregate + re-join)
+    # and the 5-gram HOF otherwise re-evaluates per consumer (the
+    # _prefix_filter_pairs rule; scan-derived, so caching as-is is fine)
     items = (
         d.filter(F.length("text") >= CONTAIN_GRAM)
         .select(
@@ -1032,6 +1036,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("all").alias("grp"),
             F.array_distinct(grams_expr).alias("items"),
         )
+        .cache()
     )
     # repartition to core count BEFORE caching: the groupBy-derived table
     # would otherwise pin the vanilla session's 200-partition layout into

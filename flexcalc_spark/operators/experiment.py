@@ -209,3 +209,114 @@ def q_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dg * pg).alias("s2y"),
     )
     return m.selectExpr("*", *_REG_REALS).selectExpr(*_REG_BETAS)
+
+
+# CUPED per-user metric grid: value carries 2 decimals (cents grid is
+# exact); per-user sums <= ~5.4e5 cents at sf0.1, so ux*uy <= ~2.9e11
+# per user and sxy <= ~4.4e14 over 1500 users — >=2e4x headroom under
+# 2^63 (canary: tests/test_fixture_assumptions.py::
+# test_cuped_cross_moment_headroom). theta and the adjusted means are
+# evaluated in double math over these exact integers with formula text
+# shared verbatim with the oracle (bit-identical, the q_ab_test rule).
+_CUPED_THETA = """CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 THEN 0.0
+    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"""
+_CUPED_FORMULAS = [
+    "CAST(arm AS BIGINT) AS arm",
+    "CAST(na AS BIGINT) AS n_users",
+    "CAST(sya AS DOUBLE) / 100.0 / na + 0.0 AS mean_y",
+    f"""CAST(sya AS DOUBLE) / 100.0 / na
+        - {_CUPED_THETA} * (CAST(sxa AS DOUBLE) / 100.0 / na
+                            - CAST(sx AS DOUBLE) / 100.0 / n)
+        + 0.0 AS mean_y_cuped""",
+    f"{_CUPED_THETA} + 0.0 AS theta",
+]
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+        WITH c AS (
+            SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut
+            FROM events
+        ),
+        u AS MATERIALIZED (
+            SELECT user_id % 2 AS arm,
+                   SUM(CASE WHEN epoch_us(ts) < c.cut
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS ux,
+                   SUM(CASE WHEN epoch_us(ts) >= c.cut
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS uy
+            FROM events CROSS JOIN c
+            GROUP BY user_id
+        ),
+        g AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(ux) AS BIGINT) AS sx,
+                   CAST(SUM(uy) AS BIGINT) AS sy,
+                   CAST(SUM(ux * ux) AS BIGINT) AS sxx,
+                   CAST(SUM(ux * uy) AS BIGINT) AS sxy
+            FROM u
+        ),
+        a AS (
+            SELECT arm, COUNT(*) AS na,
+                   CAST(SUM(ux) AS BIGINT) AS sxa,
+                   CAST(SUM(uy) AS BIGINT) AS sya
+            FROM u GROUP BY arm
+        )
+        SELECT {', '.join(_CUPED_FORMULAS)} FROM a CROSS JOIN g
+    """,
+    family="experiment",
+    scale_notes=(
+        "CUPED variance reduction (Deng et al. 2013): per-user "
+        "pre-period metric x (events before the corpus-midpoint cut) "
+        "adjusts the in-period metric y via theta = cov(x,y)/var(x); "
+        "per-arm adjusted means shrink the A/B confidence interval "
+        "using only pre-experiment data. ONE events scan -> per-user "
+        "exact cents-grid sums (map-side combine), then 5 global + 3 "
+        "per-arm BIGINT moments; theta and the adjusted means are "
+        "double formulas over exact integers with text shared verbatim "
+        "with the oracle (bit-identical — the q_ab_test construction). "
+        "The 2x1-row arm x global crossJoin is the one sanctioned "
+        "BroadcastNestedLoopJoin. Degenerate var(x)<=0 clamps theta=0 "
+        "identically. At 100 TB: scan cost only — moments are a "
+        "per-user groupBy that any assignment-hash arm count shares; "
+        "cross-moment headroom ~2e4x at sf0.1 (canary-guarded), drop "
+        "to a 1e1 grid or DECIMAL(38) accumulators past ~sf50"
+    ),
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted arm means of per-user event value: pre-period
+    covariate theta-adjustment, user-parity arms, exact integer
+    moments, shared-text double formulas."""
+    from flexcalc_spark.tables import events_with_time
+
+    e = events_with_time(spark, sf_dir)
+    cut = e.agg(F.expr("(MIN(ts_us) + MAX(ts_us)) div 2").alias("cut"))
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    u = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts_us") < F.col("cut"), cents).otherwise(0)).alias("ux"),
+            F.sum(F.when(F.col("ts_us") >= F.col("cut"), cents).otherwise(0)).alias("uy"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "ux", "uy")
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ux").alias("sx"),
+        F.sum("uy").alias("sy"),
+        F.sum(F.col("ux") * F.col("ux")).alias("sxx"),
+        F.sum(F.col("ux") * F.col("uy")).alias("sxy"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("ux").alias("sxa"),
+        F.sum("uy").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(g)).selectExpr(*_CUPED_FORMULAS)

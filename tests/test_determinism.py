@@ -154,6 +154,7 @@ RISKY = [
     "q_dedup_containment",  # integer ppm grid, exact re-score census
     "q_bfs_hops",           # integer hop distances, frontier loop
     "q_sssp_cost",          # min-plus relaxation, integer-grid weights
+    "q_cuped",              # shared-text double formulas on exact moments
 ]
 
 

@@ -279,3 +279,17 @@ def test_sssp_weight_sum_headroom(duck2, sf):
     ).fetchone()[0]
     worst = SSSP_ROUNDS * max_w
     assert worst * 1000 < 2**63, f"sssp path cost at {worst:.3g}"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
+def test_cuped_cross_moment_headroom(duck2, sf):
+    """q_cuped sums per-user cents-grid cross-moments (ux*uy, ux*ux) as
+    BIGINT; the worst per-user product times the user count must keep
+    >=1000x headroom under 2^63 at sf0.1."""
+    worst = duck2.execute(
+        f"""WITH u AS (
+              SELECT SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s
+              FROM read_parquet('{sf}/events.parquet') GROUP BY user_id)
+            SELECT MAX(s) * MAX(s) * COUNT(*) FROM u"""
+    ).fetchone()[0]
+    assert worst * 1000 < 2**63, f"cuped cross-moment bound at {worst:.3g}"

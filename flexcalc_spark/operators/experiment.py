@@ -320,3 +320,65 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("uy").alias("sya"),
     )
     return a.crossJoin(F.broadcast(g)).selectExpr(*_CUPED_FORMULAS)
+
+
+# SRM chi-square over the 50/50 design expectation. Exact integer
+# counts; the statistic is a double formula over them with text shared
+# verbatim with the oracle (bit-identical). 3.841 = chi2(1df, p=0.05).
+_SRM_FORMULAS = [
+    "event_type",
+    "CAST(n_a AS BIGINT) AS n_a",
+    "CAST(n_b AS BIGINT) AS n_b",
+    """(CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       * (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+     + (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+     + 0.0 AS chi2""",
+    """CASE WHEN
+       (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       * (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+     + (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+       > 3.841 THEN 1 ELSE 0 END AS srm_flag""",
+]
+
+
+@register(
+    "q_srm_check",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type,
+                   SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+            FROM events GROUP BY event_type
+        )
+        SELECT {', '.join(_SRM_FORMULAS)} FROM m
+    """,
+    family="experiment",
+    scale_notes=(
+        "sample-ratio-mismatch gate (the assignment-integrity check "
+        "every experiment readout runs first): chi-square of observed "
+        "arm event counts against the 50/50 design per event_type. Two "
+        "exact integer counters per group accumulate map-side; the "
+        "statistic and the 3.841-threshold flag (chi2 1df, p=0.05) are "
+        "double formulas over exact BIGINTs with text shared verbatim "
+        "with the oracle — bit-identical across engines, srm_flag is "
+        "BIGINT 0/1. At 100 TB: one scan, |event_type| rows, the "
+        "cheapest possible shuffle; per-assignment-hash slicing is "
+        "just more group keys"
+    ),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square sample-ratio-mismatch check of user-parity arm
+    counts against the 50/50 design, per event_type."""
+    e = table(spark, sf_dir, "events")
+    is_a = F.col("user_id") % 2 == 0
+    m = e.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+    )
+    return m.selectExpr(*_SRM_FORMULAS)

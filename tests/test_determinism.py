@@ -155,6 +155,7 @@ RISKY = [
     "q_bfs_hops",           # integer hop distances, frontier loop
     "q_sssp_cost",          # min-plus relaxation, integer-grid weights
     "q_cuped",              # shared-text double formulas on exact moments
+    "q_srm_check",          # chi2 from exact counts, integer flag
 ]
 
 

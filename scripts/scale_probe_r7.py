@@ -53,6 +53,8 @@ R7_KEYS = [
     "q_dedup_containment",
     "q_bfs_hops",
     "q_sssp_cost",
+    "q_cuped",
+    "q_srm_check",
 ]
 
 

@@ -1128,3 +1128,97 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_q",
         "CAST(det_q - seasonal_q AS BIGINT) AS resid_q",
     )
+
+
+# ------------------------------------------- rolling correlation
+# 7-day rolling Pearson correlation between the even-user and odd-user
+# daily metric series (metric-health monitoring: a split whose halves
+# decorrelate flags an instrumentation or assignment change). Daily
+# sums ride the cents grid (max daily ~1.8e7 cents at sf0.1 -> squared
+# 7-day moments ~2.2e15, >=4000x headroom; canary below in
+# tests/test_fixture_assumptions.py). The correlation is a double
+# formula over exact BIGINT window moments with text shared verbatim
+# with the oracle — bit-identical (q_ab_test rule); zero-variance
+# windows clamp to 0 identically.
+_RCORR_DEN = (
+    "(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+    " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+    "    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+)
+_RCORR_FORMULAS = [
+    "CAST(day AS BIGINT) AS day",
+    "CAST(n AS BIGINT) AS n_days",
+    f"""CASE WHEN {_RCORR_DEN} <= 0.0 THEN 0.0
+        ELSE (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt({_RCORR_DEN}) END + 0.0 AS corr7""",
+]
+
+
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS xa,
+                   SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS xb
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT day,
+                   COUNT(*) OVER win AS n,
+                   CAST(SUM(xa) OVER win AS BIGINT) AS sa,
+                   CAST(SUM(xb) OVER win AS BIGINT) AS sb,
+                   CAST(SUM(xa * xa) OVER win AS BIGINT) AS saa,
+                   CAST(SUM(xb * xb) OVER win AS BIGINT) AS sbb,
+                   CAST(SUM(xa * xb) OVER win AS BIGINT) AS sab
+            FROM daily
+            WINDOW win AS (ORDER BY day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT {', '.join(_RCORR_FORMULAS)} FROM w
+    """,
+    family="timeseries",
+    scale_notes=(
+        "7-day rolling Pearson correlation of the even/odd-user daily "
+        "metric series from exact integer window moments: one events "
+        "scan collapses to |days| narrow rows (map-side cents-grid "
+        "partials), then six BIGINT sums over a RANGE 6-PRECEDING "
+        "window on the integer day axis and a shared-text double "
+        "formula per day — bit-identical across engines, zero-variance "
+        "clamp. The window runs on the DAY table (tens of rows per "
+        "month regardless of sf): at 100 TB the scan is the entire "
+        "cost and the rolling statistics are free; per-metric slicing "
+        "adds partition keys to the window, not scan passes. Moment "
+        "headroom ~4000x at sf0.1 (canary-guarded); past that, drop "
+        "the grid to 1e1 (the q_cuped rule)"
+    ),
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling correlation between even- and odd-user daily
+    value sums; exact integer window moments, shared-text formula."""
+    e = events_with_time(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    is_a = F.col("user_id") % 2 == 0
+    daily = e.groupBy(
+        F.expr("ts_us div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.when(is_a, cents).otherwise(0)).alias("xa"),
+        F.sum(F.when(~is_a, cents).otherwise(0)).alias("xb"),
+    )
+    win = Window.orderBy("day").rangeBetween(-6, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("xa").over(win).alias("sa"),
+        F.sum("xb").over(win).alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).over(win).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).over(win).alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).over(win).alias("sab"),
+    )
+    return w.selectExpr(*_RCORR_FORMULAS)

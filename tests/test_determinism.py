@@ -156,6 +156,7 @@ RISKY = [
     "q_sssp_cost",          # min-plus relaxation, integer-grid weights
     "q_cuped",              # shared-text double formulas on exact moments
     "q_srm_check",          # chi2 from exact counts, integer flag
+    "q_rolling_corr",       # BIGINT window moments, shared-text corr
 ]
 
 

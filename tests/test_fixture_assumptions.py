@@ -293,3 +293,18 @@ def test_cuped_cross_moment_headroom(duck2, sf):
             SELECT MAX(s) * MAX(s) * COUNT(*) FROM u"""
     ).fetchone()[0]
     assert worst * 1000 < 2**63, f"cuped cross-moment bound at {worst:.3g}"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
+def test_rolling_corr_moment_headroom(duck2, sf):
+    """q_rolling_corr sums squared daily cents totals over 7-day
+    windows as BIGINT; the worst window moment must keep >=1000x
+    headroom under 2^63 at sf0.1."""
+    worst = duck2.execute(
+        f"""WITH d AS (
+              SELECT SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s
+              FROM read_parquet('{sf}/events.parquet')
+              GROUP BY epoch_us(ts) // 86400000000)
+            SELECT MAX(s) * MAX(s) * 7 FROM d"""
+    ).fetchone()[0]
+    assert worst * 1000 < 2**63, f"rolling-corr moment bound at {worst:.3g}"

@@ -382,3 +382,63 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
     )
     return m.selectExpr(*_SRM_FORMULAS)
+
+
+@register(
+    "q_qte",
+    oracle="""
+        WITH u AS (
+            SELECT event_type, user_id, user_id % 2 AS arm,
+                   SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               ROUND(quantile_cont(CASE WHEN arm = 1 THEN xc END, 0.25)
+                     - quantile_cont(CASE WHEN arm = 0 THEN xc END, 0.25), 4)
+                     + 0.0 AS qte25,
+               ROUND(quantile_cont(CASE WHEN arm = 1 THEN xc END, 0.5)
+                     - quantile_cont(CASE WHEN arm = 0 THEN xc END, 0.5), 4)
+                     + 0.0 AS qte50,
+               ROUND(quantile_cont(CASE WHEN arm = 1 THEN xc END, 0.75)
+                     - quantile_cont(CASE WHEN arm = 0 THEN xc END, 0.75), 4)
+                     + 0.0 AS qte75
+        FROM u GROUP BY event_type
+    """,
+    family="experiment",
+    scale_notes=(
+        "quantile treatment effects (distributional A/B readout — mean "
+        "deltas hide tail movement; QTE compares arm quantiles at "
+        "p25/p50/p75 of the per-user metric). Two-level aggregation: "
+        "events collapse map-side to (event_type, user) exact cents "
+        "sums, then per-group conditional percentiles over the user "
+        "table. Exact interpolated percentile on BIGINT inputs is "
+        "engine-identical (Spark percentile == DuckDB quantile_cont, "
+        "the q_agg_percentile rule); deltas round at emit with the "
+        "-0.0 guard. At 100 TB the user-level table is the only "
+        "shuffle; swap the exact percentile for approx_percentile's "
+        "mergeable sketch (the q_agg_approx_percentile twin) when the "
+        "per-group user count outgrows a sort"
+    ),
+)
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile treatment effects (p25/p50/p75 arm
+    deltas) of per-user total value, user-parity arms."""
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    u = e.groupBy(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.sum(cents).alias("xc"))
+    xa = "CASE WHEN arm = 0 THEN xc END"
+    xb = "CASE WHEN arm = 1 THEN xc END"
+    return u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        (F.round(F.expr(f"percentile({xb}, 0.25) - percentile({xa}, 0.25)"), 4)
+         + 0.0).alias("qte25"),
+        (F.round(F.expr(f"percentile({xb}, 0.5) - percentile({xa}, 0.5)"), 4)
+         + 0.0).alias("qte50"),
+        (F.round(F.expr(f"percentile({xb}, 0.75) - percentile({xa}, 0.75)"), 4)
+         + 0.0).alias("qte75"),
+    )

@@ -157,6 +157,7 @@ RISKY = [
     "q_cuped",              # shared-text double formulas on exact moments
     "q_srm_check",          # chi2 from exact counts, integer flag
     "q_rolling_corr",       # BIGINT window moments, shared-text corr
+    "q_qte",                # interpolated percentiles on BIGINT inputs
 ]
 
 

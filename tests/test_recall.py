@@ -288,3 +288,58 @@ def test_sssp_cost_matches_python_bellman_ford(spark):
         dist = nxt
     got = {(r.node, r.mincost) for r in Q["q_sssp_cost"](spark, SF_DIR).collect()}
     assert got == set(dist.items())
+
+
+def test_containment_boundary_corpus(spark, tmp_path):
+    """q_dedup_containment on an engineered micro-corpus with pairs AT
+    the 0.8 containment boundary, just under it, full containment, and
+    short-in-long asymmetry — compared against a python brute force.
+    The fixture corpus never sits on the threshold; this pins the
+    ceil(tau*|A|) prefix/threshold arithmetic exactly."""
+    import pandas as pd
+
+    from flexcalc_spark.operators.dedup import (
+        CONTAIN_DEN, CONTAIN_GRAM, CONTAIN_NUM,
+    )
+
+    def doc(*chunks):
+        return " ".join(chunks)
+
+    # building blocks: 10-char distinct words -> disjoint 5-gram pools
+    w = [f"w{i:08d}" for i in range(40)]
+    texts = {
+        1: doc(*w[0:10]),                  # base
+        2: doc(*w[0:10]),                  # identical twin (cont = 1.0)
+        3: doc(*w[0:8], *w[20:22]),        # ~80% of base's grams
+        4: doc(*w[0:5], *w[25:30]),        # ~50% — must NOT pair with 1
+        5: doc(*w[0:10], *w[30:40]),       # long doc containing base
+        6: doc(*w[35:38]),                 # short, inside 5's tail
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    def grams(t):
+        return {t[i:i + CONTAIN_GRAM] for i in range(len(t) - CONTAIN_GRAM + 1)}
+
+    want = set()
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a == b:
+                continue
+            ga, gb = grams(ta), grams(tb)
+            if len(ga & gb) * CONTAIN_DEN >= CONTAIN_NUM * len(ga):
+                want.add((a, b, len(ga & gb) * 1_000_000 // len(ga)))
+
+    got = {
+        (r.id_a, r.id_b, r.cont_ppm)
+        for r in Q["q_dedup_containment"](spark, str(tmp_path)).collect()
+    }
+    assert got == want, f"got-want={got - want} want-got={want - got}"

@@ -155,18 +155,18 @@ GRADE_ORDER: list[str] = [
     "q_attribution", "q_period_over_period", "q_cohort_ltv",
     # 4. stalest r3-era passes (the remainder of this block fills the
     #    round-8 window)
-    "q_str_funcs", "q_str_regexp",
-    # 5. round-7 session-3 additions — in the window (displacing seven
+    "q_str_funcs",
+    # 5. round-7 session-3 additions — in the window (displacing eight
     #    stale-but-r3-graded keys) so that after round 7 EVERY
     #    registered key has driver evidence at least once.
     "q_dedup_containment", "q_bfs_hops", "q_sssp_cost", "q_cuped",
-    "q_srm_check", "q_rolling_corr", "q_qte",
+    "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
     # --- 50-key line (driver window size) ---
     # overflow, stalest-first: the r3-era keys displaced by the
     # round-7 additions, then the r5-graded window, r3/r4-era
     # remainder, then the round-6 window (freshest evidence).
-    "q_str_distance", "q_date_parts", "q_date_arith", "q_math_funcs",
-    "q_array_ops", "q_array_hof", "q_explode",
+    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
+    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode",
     "q_map_json", "q_subquery_scalar", "q_subquery_correlated",
     "q_subquery_in", "q_udf_scalar", "q_udtf_expand",
     "q_lang_id", "q_quality_score", "q_token_count",

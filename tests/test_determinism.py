@@ -158,6 +158,7 @@ RISKY = [
     "q_srm_check",          # chi2 from exact counts, integer flag
     "q_rolling_corr",       # BIGINT window moments, shared-text corr
     "q_qte",                # interpolated percentiles on BIGINT inputs
+    "q_diff_in_diff",       # 2x2 integer cells, shared-text estimate
 ]
 
 

@@ -336,14 +336,14 @@ _SRM_FORMULAS = [
        * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
      + 0.0 AS chi2""",
-    """CASE WHEN
+    """CAST(CASE WHEN
        (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
        * (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
      + (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
        * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
-       > 3.841 THEN 1 ELSE 0 END AS srm_flag""",
+       > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag""",
 ]
 
 

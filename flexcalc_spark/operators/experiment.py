@@ -276,7 +276,10 @@ _CUPED_FORMULAS = [
         "pre-period metric x (events before the corpus-midpoint cut) "
         "adjusts the in-period metric y via theta = cov(x,y)/var(x); "
         "per-arm adjusted means shrink the A/B confidence interval "
-        "using only pre-experiment data. ONE events scan -> per-user "
+        "using only pre-experiment data. One full events scan (plus a "
+        "ts-only column-pruned scan for the midpoint cutoff — in "
+        "production the experiment start date is a literal, not a "
+        "derived scalar) -> per-user "
         "exact cents-grid sums (map-side combine), then 5 global + 3 "
         "per-arm BIGINT moments; theta and the adjusted means are "
         "double formulas over exact integers with text shared verbatim "
@@ -503,10 +506,11 @@ _DID_FORMULAS = [
         "pre/post-midpoint) cell means from eight exact integer "
         "moments, DiD = (B_post - B_pre) - (A_post - A_pre) as a "
         "shared-text double formula — the parallel-trends causal "
-        "readout beside q_cuped's covariate adjustment. One scan, "
-        "map-side combine into |event_type| narrow rows, the 1-row "
-        "cutoff broadcast is the only extra stage. At 100 TB: scan "
-        "cost only; any (cohort, region) slicing is more group keys"
+        "readout beside q_cuped's covariate adjustment. One full scan "
+        "+ a ts-only pruned scan for the midpoint cutoff (a literal "
+        "experiment date in production — the q_cuped caveat), map-side "
+        "combine into |event_type| narrow rows. At 100 TB: scan cost "
+        "only; any (cohort, region) slicing is more group keys"
     ),
 )
 def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

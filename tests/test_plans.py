@@ -925,3 +925,33 @@ def test_dedup_containment_prefix_equi_join(spark):
     # the PPJoin positional suffix bound must survive into the physical
     # plan (it is the pre-shuffle instance prune): least(sz_a - pa, ...)
     assert re.search(r"least\(", plan), plan
+
+
+def test_experiment_moment_keys_single_scan(spark):
+    """srm / qte / rolling_corr collapse to integer moments in ONE
+    events scan with no join anywhere in the plan."""
+    for key in ["q_srm_check", "q_qte", "q_rolling_corr"]:
+        plan = plan_text(Q[key](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, key
+        assert "Join" not in plan, key
+
+
+def test_cuped_did_scan_and_join_budget(spark):
+    """diff_in_diff pays one full scan plus the ts-only cutoff scan
+    and exactly one 1-row broadcast crossJoin. cuped's static plan
+    duplicates the shared per-user subtree across its two consumers
+    (global + per-arm moments), but the duplicated exchange is
+    canonical-identical, so AQE computes it ONCE — assert the runtime
+    ReusedExchange directly (the property that matters at 100 TB)."""
+    plan = plan_text(Q["q_diff_in_diff"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    cuped = Q["q_cuped"](spark, SF_DIR)
+    plan = plan_text(cuped)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    cuped.collect()
+    executed = cuped._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed

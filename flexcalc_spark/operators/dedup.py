@@ -1101,9 +1101,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
+            # CAST the size to BIGINT BEFORE the 1e6 multiply: size()
+            # is INT and INT*1000000 wraps at isz >= 2148 in non-ANSI
+            # Spark (fixture max is ~350 grams/doc — only 6x headroom;
+            # canary in test_fixture_assumptions.py)
             F.expr(
-                f"(size(array_intersect(items_a, items_b)) * 1000000)"
-                f" div size(items_a)"
+                f"(CAST(size(array_intersect(items_a, items_b)) AS BIGINT)"
+                f" * 1000000) div size(items_a)"
             ).cast("bigint").alias("cont_ppm"),
         )
     )

@@ -433,17 +433,27 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = e.groupBy(
         "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
     ).agg(F.sum(cents).alias("xc"))
+    # ONE percentile(…, array(p)) buffer per arm instead of six scalar
+    # aggregates: Spark's exact Percentile holds a full value buffer per
+    # aggregate instance, so the scalar form buffered and sorted each
+    # arm's values three times. The arrays stay intermediates (never
+    # output cells — driver canonicalizer rule); per-p values are
+    # identical to the scalar calls.
     xa = "CASE WHEN arm = 0 THEN xc END"
     xb = "CASE WHEN arm = 1 THEN xc END"
-    return u.groupBy("event_type").agg(
+    agg = u.groupBy("event_type").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
-        (F.round(F.expr(f"percentile({xb}, 0.25) - percentile({xa}, 0.25)"), 4)
-         + 0.0).alias("qte25"),
-        (F.round(F.expr(f"percentile({xb}, 0.5) - percentile({xa}, 0.5)"), 4)
-         + 0.0).alias("qte50"),
-        (F.round(F.expr(f"percentile({xb}, 0.75) - percentile({xa}, 0.75)"), 4)
-         + 0.0).alias("qte75"),
+        F.expr(f"percentile({xa}, array(0.25, 0.5, 0.75))").alias("pa"),
+        F.expr(f"percentile({xb}, array(0.25, 0.5, 0.75))").alias("pb"),
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.round(F.expr("pb[0] - pa[0]"), 4) + 0.0).alias("qte25"),
+        (F.round(F.expr("pb[1] - pa[1]"), 4) + 0.0).alias("qte50"),
+        (F.round(F.expr("pb[2] - pa[2]"), 4) + 0.0).alias("qte75"),
     )
 
 

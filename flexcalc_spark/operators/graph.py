@@ -478,9 +478,13 @@ BFS_SRC_PARTKEYS = (1, 2, 3, 4, 5)  # sources = part nodes partkey 1..5
 def _bfs_oracle() -> str:
     src_nodes = ", ".join(str(p * 2) for p in BFS_SRC_PARTKEYS)
     ctes = [
+        # edges is consumed by v0 and every frontier level — wrap it
+        # once as MATERIALIZED (the _kcore_oracle precedent; plain CTEs
+        # inline and re-run the lineitem distinct per consumer)
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
         f"""v0 AS MATERIALIZED (
             SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
-            FROM edges WHERE src IN ({src_nodes})
+            FROM e0 WHERE src IN ({src_nodes})
         )""",
         "f0 AS MATERIALIZED (SELECT node FROM v0)",
     ]
@@ -488,7 +492,7 @@ def _bfs_oracle() -> str:
         ctes.append(
             f"""f{i} AS MATERIALIZED (
                 SELECT DISTINCT e.dst AS node
-                FROM edges e JOIN f{i-1} f ON e.src = f.node
+                FROM e0 e JOIN f{i-1} f ON e.src = f.node
                 WHERE e.dst NOT IN (SELECT node FROM v{i-1})
             )"""
         )
@@ -552,6 +556,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = frontier
         for i in range(1, BFS_MAX_HOPS + 1):
+            # checkpoint nxt BEFORE the union: visited's checkpoint
+            # materializes the expansion eagerly, and an uncheckpointed
+            # frontier would re-run the whole level pipeline when round
+            # i+1 broadcasts it (measured 2x loop work before the fix)
             nxt = (
                 edges.join(
                     F.broadcast(frontier.select(F.col("node").alias("src"))),
@@ -561,6 +569,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .join(visited.select("node"), "node", "left_anti")
                 .select("node", F.lit(i).alias("dist"))
+                .localCheckpoint()
             )
             visited = visited.unionAll(nxt).localCheckpoint()
             frontier = nxt

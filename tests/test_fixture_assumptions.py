@@ -308,3 +308,21 @@ def test_rolling_corr_moment_headroom(duck2, sf):
             SELECT MAX(s) * MAX(s) * 7 FROM d"""
     ).fetchone()[0]
     assert worst * 1000 < 2**63, f"rolling-corr moment bound at {worst:.3g}"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
+def test_containment_ppm_headroom(duck2, sf):
+    """q_dedup_containment's cont_ppm multiplies the (BIGINT-cast)
+    intersection size by 1e6; document the INT cliff the cast removes
+    (INT32 wraps at 2148 grams) and keep >=1000x BIGINT headroom."""
+    max_grams = duck2.execute(
+        f"""SELECT MAX(len(list_distinct(list_transform(
+                range(1, LENGTH(text) - 3),
+                i -> substring(text, CAST(i AS INT), 5)))))
+            FROM read_parquet('{sf}/documents.parquet')
+            WHERE LENGTH(text) >= 5"""
+    ).fetchone()[0]
+    assert max_grams * 1_000_000 * 1000 < 2**63
+    # if this trips, docs grew past the old INT32 cliff — the BIGINT
+    # cast in dedup.py covers it, but re-check any new INT arithmetic
+    assert max_grams < 100_000, f"doc gram count grew to {max_grams}"

@@ -431,8 +431,10 @@ COHORT_BUCKET_US = 7 * 86_400_000_000  # weekly cohorts / ages
     scale_notes=(
         "cohort lifetime-value curves (cumulative purchase value per "
         "signup-week cohort by age): per-user first-activity week is "
-        "one aggregation, the cohort attach is an equi join on "
-        "user_id, the cell census collapses the corpus to "
+        "one aggregation, the cohort attach is an unhinted equi join "
+        "on user_id (per-user build side grows with the corpus — AQE "
+        "broadcasts it at fixture scale, shuffles it at 100 TB), the "
+        "cell census collapses the corpus to "
         "|cohorts| x |ages| rows, and the cumulative sum runs over "
         "that calendar-bounded grid — corpus-scale work is two "
         "aggregations and one user-keyed join. Epoch-week buckets "
@@ -459,7 +461,13 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = e.groupBy("user_id").agg(F.min("week").alias("cw"))
     cell = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cohort), "user_id")
+        # No broadcast hint (ADVICE r7): the cohort table is per-user —
+        # it grows with the corpus, so at 100 TB this must stay a
+        # user-keyed shuffle equi join (both sides partition on
+        # user_id). At fixture scale AQE sees the ~150-row aggregate
+        # and broadcasts it at runtime anyway; pinning the hint would
+        # force an executor-memory build side at scale.
+        .join(cohort, "user_id")
         .groupBy(
             F.col("cw").alias("cohort_week"),
             (F.col("week") - F.col("cw")).alias("age_weeks"),

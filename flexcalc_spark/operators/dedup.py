@@ -857,9 +857,11 @@ _EMBED_LSH_ORACLE_COS = """
 """
 
 
-@register(
-    "q_dedup_embed_lsh",
-    oracle=f"""
+# Exact all-pairs oracle over the planted corpus — shared by BOTH
+# LSH tiers (8x8 and 4x16+multiprobe): a driver hash match against
+# it certifies 100% candidate recall for whichever plan produced
+# the pairs.
+_EMBED_LSH_EXACT_ORACLE = f"""
         WITH corpus AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
             FROM embeddings
@@ -882,7 +884,12 @@ _EMBED_LSH_ORACLE_COS = """
                    AS cos_q
         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         WHERE {_EMBED_LSH_ORACLE_COS} >= {EMBED_LSH_TAU}
-    """,
+    """
+
+
+@register(
+    "q_dedup_embed_lsh",
+    oracle=_EMBED_LSH_EXACT_ORACLE,
     family="dedup",
     scale_notes=(
         "the 100 TB embedding-dedup tier: near-dup tau (0.9) makes true "
@@ -948,6 +955,139 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = _dot_spark("emb_a", "emb_b")
     cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cos >= EMBED_LSH_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cos * 10000.0).cast("bigint").alias("cos_q"),
+        )
+    )
+
+
+
+# --- Scale tier: 4 bands x 16 bits + Hamming-1 multi-probe ----------
+#
+# The round-7 probe (scripts/scale_probe_embed.py, SCALE.md) showed the
+# 8x8 config's in-bucket pair census is QUADRATIC with constant
+# bands/2^bits (flat ~3.6% of all-pairs), while 16-bit bands are 256x
+# sparser per band. But wider bands trade recall: at cos ~0.999 a
+# 16-bit band agrees with p ~ (1 - theta/pi)^16 ~ 0.80, and 4
+# independent bands miss with p ~ 1.7e-3 — MEASURED: plain 4x16 missed
+# 1 of 200 planted pairs at sf0.01 (the grading scale). The standard
+# fix is multi-probe LSH (Lv et al., VLDB 2007): probe each band's
+# Hamming-1 ball (the 16 single-bit flips) so a pair is a candidate
+# when any band differs by <= 1 bit — per-band miss drops to
+# P(>=2 flipped bits) and the 4-band miss to ~2.3e-7 per pair.
+# Measured on the fixture corpus (all three sf): 0 missed true pairs;
+# candidate fraction 0.26% (sf0.01) / 0.19% (sf0.1) of all-pairs —
+# ~15x sparser than the 8x8 config — so this is the config the 100 TB
+# sweep actually runs, and here it is graded against the exact oracle.
+EMBED_WIDE_BANDS = 4           # 4 bands x 16 bits over the same planes
+EMBED_WIDE_BITS = 16
+
+
+def _embed_band_keys_wide() -> list:
+    """4 band keys (16 sign bits each) over the SAME seeded hyperplanes
+    as the 8x8 tier (regrouped), as generated-SQL-text F.exprs (the
+    py4j/plan-construction rule — see _embed_band_keys)."""
+    import numpy as np
+
+    rng = np.random.RandomState(20260814)
+    planes = rng.standard_normal((EMBED_LSH_PLANES, 64)).tolist()
+
+    def bit(plane: list) -> str:
+        arr = ", ".join(repr(v) + "D" for v in plane)
+        return (
+            "(CASE WHEN aggregate(zip_with(embedding, array(" + arr
+            + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, t) -> acc + t) > 0 THEN 1 ELSE 0 END)"
+        )
+
+    keys = []
+    for bnd in range(EMBED_WIDE_BANDS):
+        txt = "0L"
+        for i in range(EMBED_WIDE_BITS):
+            txt = f"({txt} * 2 + {bit(planes[bnd * EMBED_WIDE_BITS + i])})"
+        keys.append(F.expr(txt))
+    return keys
+
+
+@register(
+    "q_dedup_embed_lsh_wide",
+    oracle=_EMBED_LSH_EXACT_ORACLE,
+    family="dedup",
+    scale_notes=(
+        "the GRADED 100 TB embedding-dedup configuration: 4 bands x "
+        "16 sign bits with Hamming-1 multi-probe, against the same "
+        "exact all-pairs oracle as q_dedup_embed_lsh — the driver hash "
+        "certifies 100% candidate recall of this sparse config, not "
+        "just the dense 8x8 one. Signatures are 4 BIGINT columns "
+        "computed once per vector (64 JVM HOF dot folds); the probe "
+        "side expands each key to its 17-element Hamming-1 ball with "
+        "pure integer XORs (no re-hashing), so candidates are an equi "
+        "join on (band, key) at 0.19-0.26% of all-pairs (measured, "
+        "~15x sparser than 8x8; per-pair miss ~2.3e-7 at cos 0.999). "
+        "At rest the 4 band keys are the table's partition/bucket "
+        "columns: candidate generation reads only same-key buckets "
+        "and the ball probe turns into 17 bucket lookups — no "
+        "all-pairs shuffle at any scale. Wider corpora lower the "
+        "census further by adding bits per band and buying recall "
+        "back with more probes (the measured bits-vs-probes tradeoff "
+        "in SCALE.md)"
+    ),
+)
+def q_dedup_embed_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= 0.9) via sparse 4x16
+    sign-LSH with Hamming-1 multi-probe + exact JVM re-score; same
+    planted corpus and output as q_dedup_embed_lsh."""
+    corpus = (
+        _planted_corpus(spark, sf_dir)
+        .withColumn("nrm", F.sqrt(_dot_spark("embedding", "embedding")))
+        .cache()
+    )  # consumers: signature build + both re-score sides
+    sig = corpus.select(
+        "vec_id",
+        F.posexplode(F.array(*_embed_band_keys_wide())).alias(
+            "band", "bkey"
+        ),
+    ).cache()  # narrow (id, band, key); consumed by probe AND index —
+    # uncached, each consumer re-runs the 64 interpreted HOF dot folds
+    ball = F.array(
+        F.col("bkey"),
+        *[
+            F.expr(f"bkey ^ {1 << j}L")
+            for j in range(EMBED_WIDE_BITS)
+        ],
+    )
+    probe = sig.select(
+        F.col("vec_id").alias("id_p"),
+        "band",
+        F.explode(ball).alias("bkey"),
+    )
+    index = sig.select(F.col("vec_id").alias("id_i"), "band", "bkey")
+    cand = (
+        probe.join(index, ["band", "bkey"])
+        .filter(F.col("id_p") != F.col("id_i"))
+        .select(
+            F.least("id_p", "id_i").alias("id_a"),
+            F.greatest("id_p", "id_i").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = corpus.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot_spark("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")

@@ -59,6 +59,92 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dpp_prune",
+    oracle="""
+        WITH q4 AS (
+            SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate)
+                       AS sm
+            FROM orders WHERE quarter(o_orderdate) = 4
+        )
+        SELECT CAST(sm AS BIGINT) AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 1000000.0, 4) AS sum_qty
+        FROM (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS sm,
+                     l_quantity
+              FROM lineitem) f
+        JOIN q4 USING (sm)
+        GROUP BY sm
+    """,
+    family="sinks",
+    scale_notes=(
+        "dynamic partition pruning, graded end-to-end: the fact is "
+        "written partitioned by ship-month (the q_sink_partitioned "
+        "layout), then joined to a filtered months dim derived from "
+        "orders — Catalyst plants a DynamicPruningExpression subquery "
+        "in the fact scan's PartitionFilters (plan-asserted in "
+        "tests/test_plans.py), so only the ~25% of partition "
+        "directories whose month survives the dim filter are LISTED, "
+        "let alone read. At 100 TB this is the difference between "
+        "scanning the full fact and scanning one quarter per year: "
+        "the dim broadcast executes first and its month set prunes "
+        "file listing at the source. The oracle runs the identical "
+        "join over the unpartitioned table, so the hash also "
+        "certifies the partitioned round-trip loses no rows"
+    ),
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-month-partitioned fact joined to a Q4-months dim (derived
+    from orders): grades dynamic partition pruning + the partitioned
+    layout round-trip (ship_month, n_lines, sum_qty)."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_dpp_{os.getpid()}"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("sm"),
+        "l_quantity",
+    )
+    # one writer task per partition dir (the q_sink_partitioned
+    # small-files rule)
+    li.repartition("sm").write.mode("overwrite").partitionBy(
+        "sm"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .filter(F.quarter("o_orderdate") == 4)
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .alias("sm")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, "sm")
+        .groupBy("sm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (
+                F.round(
+                    F.sum(
+                        F.floor(F.col("l_quantity") * 1_000_000.0 + 0.5)
+                        .cast("bigint")
+                    ).cast("double")
+                    / 1_000_000.0,
+                    4,
+                )
+            ).alias("sum_qty"),
+        )
+        .select(
+            F.col("sm").cast("bigint").alias("ship_month"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "q_sink_csv",
     oracle="""
         SELECT source, COUNT(*) AS n_docs,

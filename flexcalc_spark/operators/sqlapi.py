@@ -638,7 +638,7 @@ def q_sql_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from two uncorrelated scalar subqueries over the same grid BIGINTs —
 # no cross-engine FP-average boundary, no integer-division dialect gap.
 _Q22_BODY = """
-    WITH sel AS (
+    WITH sel {mat} (
         SELECT substring(CAST(c_nationkey + 100 AS {vc}), 2, 2)
                    AS cntrycode,
                c_acctbal, c_custkey,
@@ -665,7 +665,8 @@ _Q22_BODY = """
 
 @register(
     "q_sql_tpch22",
-    oracle=_Q22_BODY.format(c="customer", o="orders", vc="VARCHAR"),
+    oracle=_Q22_BODY.format(c="customer", o="orders", vc="VARCHAR",
+                            mat="AS MATERIALIZED"),
     family="sql",
     scale_notes=(
         "TPC-H Q22 (global sales opportunity) through the SQL surface: "
@@ -688,7 +689,7 @@ def q_sql_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(
-        _Q22_BODY.format(c="v_customer", o="v_orders", vc="STRING")
+        _Q22_BODY.format(c="v_customer", o="v_orders", vc="STRING", mat="AS")
     )
 
 
@@ -765,7 +766,7 @@ _Q2_PS = """
 """
 
 _Q2_BODY = """
-    WITH ps AS ({ps})
+    WITH ps {mat} ({ps})
     SELECT s_acctbal, s_name, n_name,
            CAST(p_partkey AS BIGINT) AS p_partkey, cost_g
     FROM {p}
@@ -790,7 +791,7 @@ _Q2_BODY = """
     "q_sql_tpch2",
     oracle=_Q2_BODY.format(
         ps=_Q2_PS.format(l="lineitem"), p="part", s="supplier",
-        n="nation", r="region",
+        n="nation", r="region", mat="AS MATERIALIZED",
     ),
     family="sql",
     scale_notes=(
@@ -815,7 +816,7 @@ def q_sql_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q2_BODY.format(
             ps=_Q2_PS.format(l="v_lineitem"), p="v_part", s="v_supplier",
-            n="v_nation", r="v_region",
+            n="v_nation", r="v_region", mat="AS",
         )
     )
 
@@ -1012,7 +1013,7 @@ def q_sql_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q15_BODY = """
-    WITH rev AS (
+    WITH rev {mat} (
         SELECT l_suppkey,
                SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
                               * 1000000.0 + 0.5) AS BIGINT)) AS total_g
@@ -1031,7 +1032,8 @@ _Q15_BODY = """
 
 @register(
     "q_sql_tpch15",
-    oracle=_Q15_BODY.format(l="lineitem", s="supplier"),
+    oracle=_Q15_BODY.format(l="lineitem", s="supplier",
+                            mat="AS MATERIALIZED"),
     family="sql",
     scale_notes=(
         "TPC-H Q15 (top supplier) through the SQL surface: the "
@@ -1049,7 +1051,7 @@ def q_sql_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_suppkey, s_name, total_revenue); pure SQL text."""
     for t in ("lineitem", "supplier"):
         table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql(_Q15_BODY.format(l="v_lineitem", s="v_supplier"))
+    return spark.sql(_Q15_BODY.format(l="v_lineitem", s="v_supplier", mat="AS"))
 
 
 # Q16's "customer complaints" supplier exclusion maps to negative
@@ -1099,7 +1101,7 @@ def q_sql_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The 0.2-of-average cut is exact integer cross-multiplication:
 # qty < 0.2 * (sum/cnt)  <=>  5 * qty_g * cnt < sum_g.
 _Q17_BODY = """
-    WITH li AS (
+    WITH li {mat} (
         SELECT l_partkey,
                CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
                    AS qty_g,
@@ -1121,7 +1123,8 @@ _Q17_BODY = """
 
 @register(
     "q_sql_tpch17",
-    oracle=_Q17_BODY.format(l="lineitem", p="part"),
+    oracle=_Q17_BODY.format(l="lineitem", p="part",
+                            mat="AS MATERIALIZED"),
     family="sql",
     scale_notes=(
         "TPC-H Q17 (small-quantity-order revenue) through the SQL "
@@ -1140,7 +1143,7 @@ def q_sql_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
     their part's average quantity (avg_yearly, n_lines); SQL text."""
     for t in ("lineitem", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql(_Q17_BODY.format(l="v_lineitem", p="v_part"))
+    return spark.sql(_Q17_BODY.format(l="v_lineitem", p="v_part", mat="AS"))
 
 
 # Q20's availqty dominance comparison renders scale-stably as
@@ -1148,7 +1151,7 @@ def q_sql_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-multiplication q * cnt > 3 * total (an absolute majority share
 # empties as supplier count per part grows with scale).
 _Q20_BODY = """
-    WITH ps AS (
+    WITH ps {mat} (
         SELECT l_partkey AS partkey, l_suppkey AS suppkey,
                SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT))
                    AS q
@@ -1172,7 +1175,8 @@ _Q20_BODY = """
 
 @register(
     "q_sql_tpch20",
-    oracle=_Q20_BODY.format(l="lineitem", s="supplier", n="nation", p="part"),
+    oracle=_Q20_BODY.format(l="lineitem", s="supplier", n="nation",
+                            p="part", mat="AS MATERIALIZED"),
     family="sql",
     scale_notes=(
         "TPC-H Q20 (potential part promotion) through the SQL "
@@ -1196,6 +1200,7 @@ def q_sql_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(
         _Q20_BODY.format(
-            l="v_lineitem", s="v_supplier", n="v_nation", p="v_part"
+            l="v_lineitem", s="v_supplier", n="v_nation", p="v_part",
+            mat="AS",
         )
     )

@@ -282,7 +282,21 @@ def _debounce_anchor_with_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState update fn: one BIGINT of state per
-    (user, type) group — the last kept anchor timestamp."""
+    (user, type) group — the last kept anchor timestamp.
+
+    Equivalence scope (ADVICE r7): the fold sorts WITHIN each
+    micro-batch and the stored anchor only advances, so the output
+    equals the batch q_debounce_anchor fold exactly when each group's
+    events arrive time-ordered ACROSS micro-batches (true for the
+    file-replay source here, which feeds one availableNow batch — the
+    scope tests/test_stateful.py pins). With multiple micro-batches, an
+    in-watermark late event older than the stored anchor is evaluated
+    against that newer anchor (it may be dropped where the batch fold
+    would keep it and re-anchor). That is the standard streaming
+    debounce semantics — state cannot retract emitted rows in update
+    mode; an application needing batch-identical late-data folds should
+    widen the watermark and re-run the batch key over the closed
+    window instead."""
     from flexcalc_spark.operators.timeseries import DEBOUNCE_US
 
     last = state.get[0] if state.exists else None

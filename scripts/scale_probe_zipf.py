@@ -1,0 +1,208 @@
+"""Zipf-tailed corpus census probe (VERDICT r7 item 5).
+
+The round-7 sessions measured the prefix-filter candidate census FLAT
+at ~47% of all-pairs (containment) / high for Jaccard on the FIXTURE
+corpus — an artifact of its ~31-word bounded vocabulary, where every
+token is hot so per-token doc frequency scales with n and the token
+self-join is quadratic. The standing claim in both keys' scale_notes is
+that on a REAL (Zipf-tailed) corpus the census is ~n * prefix, because
+the rarest-first prefix tokens have ~O(1) doc frequency. This probe
+substantiates that claim by measurement instead of analysis.
+
+Corpus: deterministic Zipf(1) word salad. Word ranks sample r = V**u
+with u uniform from xxhash64 (P(r) ∝ 1/r truncated to [1, V=10_000]) —
+the canonical rank-frequency law of natural text. 20-60 words per doc;
+every doc with id % 50 == 1 repeats doc id-1 minus its last word
+(guaranteed planted near-dups, the round-2 protocol of scale_probe.py).
+
+Measured (recorded in SCALE.md round-8): both the Jaccard prefix census
+and the containment probe-prefix census fall as a FRACTION of all-pairs
+roughly like 1/n (i.e. absolute candidates ~linear in n), planted
+recall stays 1.0, and the census is dominated by the planted/true pairs
+plus a near-constant per-doc band of hot-token collisions.
+
+Run: cd /tmp && python /root/repo/scripts/scale_probe_zipf.py
+"""
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+VOCAB_N = 10_000
+SIZES = [2_000, 8_000, 32_000]
+
+
+def gen_zipf_corpus(spark: SparkSession, n: int, out_dir: str) -> None:
+    """documents.parquet with Zipf(1) word frequencies (see module doc)."""
+    df = (
+        spark.range(n)
+        .withColumn(
+            "base_id",
+            F.expr("id - (CASE WHEN id % 50 = 1 THEN 1 ELSE 0 END)"),
+        )
+        .withColumn("length", F.expr("20 + pmod(xxhash64('len', base_id), 41)"))
+        .withColumn(
+            "eff_len",
+            F.expr("CASE WHEN id % 50 = 1 THEN length - 1 ELSE length END"),
+        )
+        .withColumn(
+            "text",
+            F.expr(
+                "array_join(transform(sequence(1, eff_len), j -> "
+                " concat('w', CAST(pow(10000.0,"
+                "   (pmod(xxhash64('w', base_id, j), 1000003) + 0.5)"
+                "   / 1000003.0) AS INT))), ' ')"
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+    )
+    df.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def jaccard_census(spark: SparkSession, sf_dir: str) -> dict:
+    """Candidate count from the EXACT graded neardup machinery
+    (_ranked_token_arrays + _prefix_candidates_from_ranked), single
+    group (conservative: no lang blocking)."""
+    from flexcalc_spark.operators.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        _prefix_candidates_from_ranked,
+        _ranked_token_arrays,
+        _tok_sets,
+    )
+
+    t = (
+        _tok_sets(spark, sf_dir)
+        .select("doc_id", F.lit("all").alias("grp"), F.col("toks").alias("items"))
+        .cache()
+    )
+    ranked = _ranked_token_arrays(t).cache()
+    cand = _prefix_candidates_from_ranked(ranked, JACCARD_NUM, JACCARD_DEN)
+    t0 = time.perf_counter()
+    n_cand = cand.count()
+    dt = time.perf_counter() - t0
+    planted = cand.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 50 == 1)
+    ).count()
+    n_docs = t.count()
+    t.unpersist()
+    ranked.unpersist()
+    return {"docs": n_docs, "cand": n_cand, "planted_cand": planted, "s": dt}
+
+
+def containment_census(spark: SparkSession, sf_dir: str) -> dict:
+    """Candidate count from the containment probe-prefix x full-index
+    gram join (the q_dedup_containment candidate stage verbatim:
+    rarest-first char-5-gram prefix, size + PPJoin positional prunes)."""
+    from flexcalc_spark.operators.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_GRAM,
+        CONTAIN_NUM,
+        _ranked_token_arrays,
+    )
+    from flexcalc_spark.tables import table_parallel
+
+    d = table_parallel(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        f"transform(sequence(1, length(text) - {CONTAIN_GRAM - 1}),"
+        f" i -> substring(text, i, {CONTAIN_GRAM}))"
+    )
+    items = (
+        d.filter(F.length("text") >= CONTAIN_GRAM)
+        .select(
+            "doc_id",
+            F.lit("all").alias("grp"),
+            F.array_distinct(grams_expr).alias("items"),
+        )
+        .cache()
+    )
+    ranked = (
+        _ranked_token_arrays(items)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    prefix_len = F.expr(
+        f"size(hitems) - (({CONTAIN_NUM} * size(hitems) + {CONTAIN_DEN - 1})"
+        f" div {CONTAIN_DEN}) + 1"
+    )
+    probe = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.size("hitems").alias("sz_a"),
+        F.posexplode(F.slice(F.col("hitems"), F.lit(1), prefix_len)).alias(
+            "pa0", "it"
+        ),
+    ).select("id_a", "sz_a", (F.col("pa0") + 1).alias("pa"), "it")
+    index = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.size("hitems").alias("sz_b"),
+        F.posexplode("hitems").alias("pb0", "it"),
+    ).select("id_b", "sz_b", (F.col("pb0") + 1).alias("pb"), "it")
+    t_a = F.expr(
+        f"({CONTAIN_NUM} * sz_a + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}"
+    )
+    pos_ok = (
+        F.lit(1)
+        + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+        >= t_a
+    )
+    size_ok = F.col("sz_b") * CONTAIN_DEN >= F.col("sz_a") * CONTAIN_NUM
+    cand = (
+        probe.join(index, "it")
+        .filter((F.col("id_a") != F.col("id_b")) & size_ok & pos_ok)
+        .groupBy("id_a", "id_b")
+        .agg(F.lit(1))
+        .select("id_a", "id_b")
+    )
+    t0 = time.perf_counter()
+    n_cand = cand.count()
+    dt = time.perf_counter() - t0
+    n_docs = items.count()
+    items.unpersist()
+    ranked.unpersist()
+    return {"docs": n_docs, "cand": n_cand, "s": dt}
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="zipf_corpus_")
+    print(f"corpus root: {base}")
+    for n in SIZES:
+        out = f"{base}/n{n}"
+        gen_zipf_corpus(spark, n, out)
+        allp = n * (n - 1) // 2
+        j = jaccard_census(spark, out)
+        print(
+            f"jaccard n={n}: cand={j['cand']} "
+            f"frac={j['cand'] / allp:.3e} planted_cand={j['planted_cand']}"
+            f"/{(n + 48) // 50} {j['s']:.1f}s"
+        )
+        c = containment_census(spark, out)
+        print(
+            f"contain n={n}: cand={c['cand']} "
+            f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

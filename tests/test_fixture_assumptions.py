@@ -180,6 +180,31 @@ def test_ab_arms_populated(duck2, sf):
     assert short == 0, f"{short} (event_type, arm) cells hold <2 events"
 
 
+@pytest.mark.parametrize("sf", SFS + ["/root/testdata/sf0.1"])
+def test_did_cells_populated(duck2, sf):
+    """q_diff_in_diff divides by each 2x2 (arm x pre/post-midpoint)
+    cell count per event_type; an empty cell is a double 0/0 whose
+    NULL-vs-IEEE handling diverges between Spark and DuckDB (silent
+    hash mismatch). Assert all 4 cells per event_type are populated
+    (ADVICE r7 — the q_ab_test canary, extended with the time split)."""
+    empty = duck2.execute(
+        f"""WITH c AS (
+              SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut
+              FROM read_parquet('{sf}/events.parquet')
+            ),
+            cells AS (
+              SELECT event_type, user_id % 2 AS arm,
+                     CASE WHEN epoch_us(ts) < c.cut THEN 0 ELSE 1 END
+                         AS post,
+                     COUNT(*) AS n
+              FROM read_parquet('{sf}/events.parquet') CROSS JOIN c
+              GROUP BY 1, 2, 3
+            )
+            SELECT COUNT(DISTINCT event_type) * 4 - COUNT(*) FROM cells"""
+    ).fetchone()[0]
+    assert empty == 0, f"{empty} empty (event_type, arm, period) DiD cells"
+
+
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.1"])
 def test_round7_cross_multiplication_headroom(duck2, sf):
     """The round-7 TPC-H keys compare via exact integer
@@ -326,3 +351,32 @@ def test_containment_ppm_headroom(duck2, sf):
     # if this trips, docs grew past the old INT32 cliff — the BIGINT
     # cast in dedup.py covers it, but re-check any new INT arithmetic
     assert max_grams < 100_000, f"doc gram count grew to {max_grams}"
+
+
+def test_containment_oracle_doc_count_budget(duck2):
+    """The q_dedup_containment / q_dedup_neardup pair oracles use the
+    inverted-index self-join form whose DuckDB cost is quadratic in
+    docs-per-token bucket: measured ~1 s at 500 docs (sf0.01, the
+    grading scale) but ~90 s at 5,000 (sf0.1). A fixture regeneration
+    that grows the sf0.01 documents table 10x would blow the driver's
+    grading window — catch it at round start, not in the driver run
+    (VERDICT r7 item 7)."""
+    n = duck2.execute(
+        "SELECT COUNT(*) FROM"
+        " read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchone()[0]
+    assert n <= 1200, (
+        f"sf0.01 documents grew to {n} rows — the pair-similarity "
+        "oracles' DuckDB cost is quadratic; re-budget before grading"
+    )
+    n1 = duck2.execute(
+        "SELECT COUNT(*) FROM"
+        " read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    ).fetchone()[0]
+    if n1 > 8000:
+        import warnings
+
+        warnings.warn(
+            f"sf0.1 documents at {n1} rows — the ~90 s verify-time "
+            "containment oracle will degrade; spot-check budgets"
+        )

@@ -292,6 +292,30 @@ def test_embed_lsh_candidates_are_equi_band_join(spark):
     ), plan
 
 
+def test_embed_lsh_wide_multiprobe_is_equi_join(spark):
+    """q_dedup_embed_lsh_wide: the Hamming-1 ball probe must stay an
+    equi join on (band, key) — the ball expands via integer XOR on the
+    already-computed key column (plan shows no second HOF signature
+    fold on the probe side), and no cartesian/nested-loop stage."""
+    plan = plan_text(Q["q_dedup_embed_lsh_wide"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    ), plan
+
+
+def test_dpp_prune_plans_dynamic_pruning(spark):
+    """q_dpp_prune exists to grade dynamic partition pruning: the
+    month-partitioned fact scan must carry a DynamicPruningExpression
+    in its PartitionFilters (the dim's surviving months prune file
+    LISTING, not just rows), closing the SURVEY §4.2 posture claim
+    with plan-level evidence."""
+    plan = plan_text(Q["q_dpp_prune"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_approx_tiers_have_no_exact_percentile_reduce(spark):
     """The scale-path variants must aggregate boundaries with the
     MERGEABLE approx_percentile sketch — Spark's exact percentile
@@ -895,12 +919,18 @@ def test_period_over_period_aggregates_before_window(spark):
     assert agg_pos != -1 and win_pos != -1, plan
 
 
-def test_cohort_ltv_broadcasts_cohort_table(spark):
-    """The per-user cohort attach is a broadcast equi join; the cumsum
-    window runs on the |cohorts| x |ages| cell grid, not raw events."""
+def test_cohort_ltv_cohort_attach_is_equi_join(spark):
+    """The per-user cohort attach is an UNHINTED equi join on user_id
+    (ADVICE r7: the build side is per-user and grows with the corpus,
+    so no pinned broadcast — AQE picks broadcast at fixture scale,
+    shuffle at 100 TB); the cumsum window runs on the
+    |cohorts| x |ages| cell grid, not raw events."""
     plan = plan_text(Q["q_cohort_ltv"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    ), plan
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_debounce_anchor_secondary_sort_shape(spark):

@@ -105,6 +105,30 @@ def test_embed_lsh_full_recall_on_planted_pairs(spark):
     assert all(r.cos_q >= 9900 for r in rows)
 
 
+def test_embed_lsh_wide_full_recall_on_planted_pairs(spark):
+    """The 4x16+multiprobe tier grades against the SAME exact all-pairs
+    oracle, so its sparser candidates must still recall every planted
+    pair. This is the config where plain banding measurably fails
+    (4x16 without the Hamming-1 ball missed 1/200 pairs at sf0.01);
+    the ball drops per-pair miss to ~2.3e-7 — deterministically zero
+    on this corpus (measured at all three sf)."""
+    from flexcalc_spark.operators.dedup import (
+        EMBED_PLANT_N,
+        EMBED_PLANT_OFFSET,
+    )
+
+    rows = Q["q_dedup_embed_lsh_wide"](spark, SF_DIR).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    expect = {
+        (i, i + EMBED_PLANT_OFFSET) for i in range(EMBED_PLANT_N)
+    }
+    assert pairs == expect, (
+        f"planted-pair recall broke: missing {expect - pairs}, "
+        f"extra {pairs - expect}"
+    )
+    assert all(r.cos_q >= 9900 for r in rows)
+
+
 def test_phash_banding_recall_is_complete(spark):
     """Pigeonhole guarantee: hamming <= 6 over 8 one-byte bands forces
     >= 2 identical bands, so the banded candidate set must contain

@@ -54,6 +54,8 @@ HEADLINE = [
 HEAVY = [
     "q_pagerank",           # iterative edge-join (cached edge table)
     "q_dedup_embed_lsh",    # hyperplane-banded embedding dedup
+    "q_dedup_embed_lsh_wide",  # 4x16+multiprobe scale tier (added r8:
+    #                         heavy_total grows by this key vs r1-r7)
     "q_bm25",               # tokenize + broadcast IDF model
     "q_sketch_hll",         # HLL++ distinct sketch (lgConfigK=14)
 ]
@@ -119,6 +121,16 @@ def main() -> None:
                     "queries": {**timings, **heavy},
                     "heavy_keys": sorted(heavy),
                     "heavy_total": round(sum(heavy.values()), 3),
+                    # like-for-like vs BENCH_r4-r7 heavy_total (excludes
+                    # keys added to HEAVY after round 7)
+                    "heavy_total_r7_comparable": round(
+                        sum(
+                            v
+                            for k, v in heavy.items()
+                            if k != "q_dedup_embed_lsh_wide"
+                        ),
+                        3,
+                    ),
                     "sf": sf,
                     "runs_per_query": runs,
                 }

@@ -261,7 +261,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               / len(list_distinct(a.toks || b.toks)) >= {JACCARD_TAU}
     """,
     family="dedup",
-    scale_notes="exact token-set Jaccard with GUARANTEED-recall prefix-filter candidates (PPJoin): equi join on (lang, rare-prefix token), integer size-ratio prune, exact re-score on the candidate ids only — O(n*prefix) shuffle, never O(n²). q_dedup_minhash is the probabilistic-recall alternative at lower tau",
+    scale_notes="exact token-set Jaccard with GUARANTEED-recall prefix-filter candidates (PPJoin): equi join on (lang, rare-prefix token), integer size-ratio prune, exact re-score on the candidate ids only. The ~n*prefix census is MEASURED on a Zipf(1) corpus (scripts/scale_probe_zipf.py: 4 orders of magnitude below all-pairs at n=2k-32k, qualifying-planted recall 100% at every n; SCALE.md round-8) — tau=0.95 word-token prefixes land in the rare tail, unlike the char-gram containment key's. q_dedup_minhash is the probabilistic-recall alternative at lower tau",
 )
 def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard >= 0.95 within language."""
@@ -1146,14 +1146,18 @@ CONTAIN_GRAM = 5
         "re-score keeps output identical to all-pairs. PPJoin positional "
         "filter (suffix bound vs ceil(tau*|A|)) prunes instances before "
         "the pair distinct; size prune |B| >= ceil(tau*|A|). HONEST "
-        "census (same caveat as the LSH keys): this fixture's ~2k-gram "
-        "bounded vocabulary makes per-gram doc frequency scale with n, "
-        "so candidates measure ~47% of all-pairs at both sf (quadratic "
-        "on word-salad data; SCALE.md) — density is a DATA property, "
-        "the filters only guarantee recall. On a Zipf-tailed real "
-        "corpus the rarest-first prefix targets near-unique grams and "
-        "the census is ~n*prefix; at 100 TB the index side is the "
-        "standard hash-partitioned inverted gram index"
+        "census (same caveat as the LSH keys): candidates measure ~47% "
+        "of all-pairs on this fixture AND a flat ~15% on a synthetic "
+        "Zipf(1) corpus (scripts/scale_probe_zipf.py, n=2k-32k) — "
+        "char-5-gram containment at tau=0.8 is QUADRATIC regardless of "
+        "corpus shape, because the ~20% probe prefix still carries "
+        "grams of hot words whose df grows with n. Density is a DATA+"
+        "UNIT property; the filters only guarantee recall. The MEASURED "
+        "scale lever is the gram unit: word-2-gram shingles through the "
+        "identical machinery census ~n (fraction falls ~1/n on the Zipf "
+        "corpus; SCALE.md round-8) — at 100 TB shingle on words for the "
+        "candidate stage, keep char-grams for the exact re-score, and "
+        "hash-partition the inverted gram index"
     ),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

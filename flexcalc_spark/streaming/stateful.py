@@ -288,15 +288,18 @@ def _debounce_anchor_with_state(
     micro-batch and the stored anchor only advances, so the output
     equals the batch q_debounce_anchor fold exactly when each group's
     events arrive time-ordered ACROSS micro-batches (true for the
-    file-replay source here, which feeds one availableNow batch — the
-    scope tests/test_stateful.py pins). With multiple micro-batches, an
+    file-replay source here, which feeds one availableNow batch —
+    tests/test_streaming.py::test_debounce_anchor_batch_reference_and_stream
+    pins that scope). With multiple micro-batches, an
     in-watermark late event older than the stored anchor is evaluated
     against that newer anchor (it may be dropped where the batch fold
     would keep it and re-anchor). That is the standard streaming
     debounce semantics — state cannot retract emitted rows in update
     mode; an application needing batch-identical late-data folds should
     widen the watermark and re-run the batch key over the closed
-    window instead."""
+    window instead. The multi-batch behavior is itself pinned by
+    tests/test_streaming.py::test_debounce_anchor_multibatch_semantics
+    (two interleaved micro-batches vs a carried-anchor reference fold)."""
     from flexcalc_spark.operators.timeseries import DEBOUNCE_US
 
     last = state.get[0] if state.exists else None
@@ -324,13 +327,17 @@ def _debounce_anchor_with_state(
     )
 
 
-def debounce_anchor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True stateful streaming anchor-debouncer (applyInPandasWithState):
-    emits kept events per micro-batch; state is one anchor per group."""
-    s = stream_events(spark, sf_dir)
+def debounce_anchor_stateful(
+    s: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Apply the stateful anchor-debouncer to a prepared event stream
+    (needs event_id/user_id/event_type/ts_us/event_time columns).
+    Factored so tests can drive a multi-micro-batch source
+    (maxFilesPerTrigger=1) with a wide watermark and pin the
+    cross-batch anchor semantics documented above."""
     return (
         s.select("event_id", "user_id", "event_type", "ts_us", "event_time")
-        .withWatermark("event_time", "1 hour")
+        .withWatermark("event_time", watermark)
         .groupBy("user_id", "event_type")
         .applyInPandasWithState(
             _debounce_anchor_with_state,
@@ -343,3 +350,9 @@ def debounce_anchor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def debounce_anchor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stateful streaming anchor-debouncer (applyInPandasWithState):
+    emits kept events per micro-batch; state is one anchor per group."""
+    return debounce_anchor_stateful(stream_events(spark, sf_dir))

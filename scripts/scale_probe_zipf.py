@@ -15,13 +15,31 @@ the canonical rank-frequency law of natural text. 20-60 words per doc;
 every doc with id % 50 == 1 repeats doc id-1 minus its last word
 (guaranteed planted near-dups, the round-2 protocol of scale_probe.py).
 
-Measured (recorded in SCALE.md round-8): both the Jaccard prefix census
-and the containment probe-prefix census fall as a FRACTION of all-pairs
-roughly like 1/n (i.e. absolute candidates ~linear in n), planted
-recall stays 1.0, and the census is dominated by the planted/true pairs
-plus a near-constant per-doc band of hot-token collisions.
+Measured (recorded in SCALE.md round-8) — the two censuses SPLIT:
+
+- Jaccard (tau 19/20, word tokens): census 2.5e-5 -> 3.3e-5 -> 4.2e-5
+  of all-pairs at n = 2k/8k/32k — four orders of magnitude below
+  all-pairs, dominated by planted/true pairs. Recall among planted
+  pairs that actually qualify (jac >= 0.95 on distinct sets) is 1.0;
+  the "misses" in the raw planted count are short docs whose
+  one-word-dropped twin falls below tau. The FRACTION creeps up
+  because the generator's vocabulary is FIXED (V = 10k): every token's
+  doc frequency grows ~n, so hot-ish prefix collisions grow ~n^2 with
+  a tiny constant. On a real Heaps-law corpus (vocab grows with n,
+  rarest tokens stay df=O(1)) the census model
+  cand ~= sum_docs sum_{t in prefix} df(t) stays ~n * prefix.
+- Containment (tau 4/5, char-5-grams): census FLAT ~14-15% of
+  all-pairs at every n — QUADRATIC on Zipf text too, refuting the old
+  "~n*prefix on Zipf corpora" note. Cause: at tau = 0.8 the probe
+  prefix is ~20% of a doc's grams, and char-5-gram frequency mass is
+  scale-free-hot (grams of the hot words dominate), so even the
+  rarest-20% prefix carries df ~ n grams. The measured LEVER is the
+  gram unit: word-2-gram shingles (same tau, same machinery) drop the
+  census to the Jaccard regime because shingle probability is the
+  product of two word probabilities.
 
 Run: cd /tmp && python /root/repo/scripts/scale_probe_zipf.py
+     (optional argv: a subset of {jaccard,contain,contain_w2} to probe)
 """
 from __future__ import annotations
 
@@ -98,16 +116,54 @@ def jaccard_census(spark: SparkSession, sf_dir: str) -> dict:
     planted = cand.filter(
         (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 50 == 1)
     ).count()
+    # Guaranteed-recall check: every planted pair whose DISTINCT-set
+    # jaccard actually meets tau must be a candidate. (A planted doc
+    # drops one word; if that word was unique and the doc is short,
+    # jac = (|A|-1)/|A| < 19/20 and the pair legitimately does not
+    # qualify — those are the only acceptable "misses".)
+    sets = t.select("doc_id", "items")
+    a = sets.alias("a")
+    b = sets.alias("b")
+    qual = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("b.doc_id") % 50 == 1),
+        )
+        .filter(
+            F.size(F.array_intersect("a.items", "b.items")) * JACCARD_DEN
+            >= F.size(F.array_union("a.items", "b.items")) * JACCARD_NUM
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    n_qual = qual.count()
+    n_qual_cand = qual.join(cand, ["id_a", "id_b"], "left_semi").count()
     n_docs = t.count()
     t.unpersist()
     ranked.unpersist()
-    return {"docs": n_docs, "cand": n_cand, "planted_cand": planted, "s": dt}
+    return {
+        "docs": n_docs,
+        "cand": n_cand,
+        "planted_cand": planted,
+        "qual": n_qual,
+        "qual_cand": n_qual_cand,
+        "s": dt,
+    }
 
 
-def containment_census(spark: SparkSession, sf_dir: str) -> dict:
+def containment_census(
+    spark: SparkSession, sf_dir: str, gram: str = "char"
+) -> dict:
     """Candidate count from the containment probe-prefix x full-index
     gram join (the q_dedup_containment candidate stage verbatim:
-    rarest-first char-5-gram prefix, size + PPJoin positional prunes)."""
+    rarest-first prefix, size + PPJoin positional prunes).
+
+    gram='char': the graded key's char-5-grams. gram='word2': word
+    2-gram shingles — same thresholds, same machinery — the measured
+    scale LEVER: shingle probability is the product of two word
+    probabilities, so rarest-first prefixes are genuinely rare."""
     from flexcalc_spark.operators.dedup import (
         CONTAIN_DEN,
         CONTAIN_GRAM,
@@ -117,10 +173,17 @@ def containment_census(spark: SparkSession, sf_dir: str) -> dict:
     from flexcalc_spark.tables import table_parallel
 
     d = table_parallel(spark, sf_dir, "documents")
-    grams_expr = F.expr(
-        f"transform(sequence(1, length(text) - {CONTAIN_GRAM - 1}),"
-        f" i -> substring(text, i, {CONTAIN_GRAM}))"
-    )
+    if gram == "char":
+        grams_expr = F.expr(
+            f"transform(sequence(1, length(text) - {CONTAIN_GRAM - 1}),"
+            f" i -> substring(text, i, {CONTAIN_GRAM}))"
+        )
+    else:
+        grams_expr = F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), CAST(i AS INT)), ' ',"
+            " element_at(split(text, ' '), CAST(i + 1 AS INT))))"
+        )
     items = (
         d.filter(F.length("text") >= CONTAIN_GRAM)
         .select(
@@ -177,6 +240,7 @@ def containment_census(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    modes = set(sys.argv[1:]) or {"jaccard", "contain", "contain_w2"}
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -190,17 +254,26 @@ def main() -> None:
         out = f"{base}/n{n}"
         gen_zipf_corpus(spark, n, out)
         allp = n * (n - 1) // 2
-        j = jaccard_census(spark, out)
-        print(
-            f"jaccard n={n}: cand={j['cand']} "
-            f"frac={j['cand'] / allp:.3e} planted_cand={j['planted_cand']}"
-            f"/{(n + 48) // 50} {j['s']:.1f}s"
-        )
-        c = containment_census(spark, out)
-        print(
-            f"contain n={n}: cand={c['cand']} "
-            f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
-        )
+        if "jaccard" in modes:
+            j = jaccard_census(spark, out)
+            print(
+                f"jaccard n={n}: cand={j['cand']} "
+                f"frac={j['cand'] / allp:.3e} planted_cand={j['planted_cand']}"
+                f"/{(n + 48) // 50} qual_recall={j['qual_cand']}/{j['qual']}"
+                f" {j['s']:.1f}s"
+            )
+        if "contain" in modes:
+            c = containment_census(spark, out)
+            print(
+                f"contain n={n}: cand={c['cand']} "
+                f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
+            )
+        if "contain_w2" in modes:
+            c = containment_census(spark, out, gram="word2")
+            print(
+                f"contain_w2 n={n}: cand={c['cand']} "
+                f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
+            )
     spark.stop()
 
 

@@ -391,6 +391,93 @@ def test_debounce_anchor_batch_reference_and_stream(spark):
     assert _canon(got) == _canon(stream)
 
 
+def test_debounce_anchor_multibatch_semantics(spark):
+    """Pin the MULTI-batch semantics of the stateful debouncer (ADVICE
+    r7): with two micro-batches whose event times interleave, an
+    in-watermark event arriving in batch 2 but OLDER than the stored
+    anchor is evaluated against that newer anchor — the documented
+    streaming debounce behavior (state never retracts emitted rows),
+    which intentionally DIVERGES from the single-pass batch fold. The
+    reference fold processes batch 1's rows time-sorted, then batch
+    2's, carrying the anchor across; the stream must equal it exactly,
+    and must differ from the batch key (proving the multi-batch path
+    was actually exercised)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flexcalc_spark.operators.timeseries import DEBOUNCE_US
+    from flexcalc_spark.streaming.stateful import debounce_anchor_stateful
+    from flexcalc_spark.tables import events_with_time
+
+    ev = (
+        events_with_time(spark, SF_DIR)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .toPandas()
+    )
+    src = tempfile.mkdtemp(prefix="deb_multibatch_")
+    try:
+        # batch 1 = even event_ids, batch 2 = odd: both span the full
+        # time range, so batch 2 delivers events older than batch 1's
+        # final anchors. File-source ordering is by modification time.
+        for i, part in enumerate(
+            (ev[ev.event_id % 2 == 0], ev[ev.event_id % 2 == 1])
+        ):
+            sub = os.path.join(src, f"b{i}")
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(sub)
+            f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+            os.rename(os.path.join(sub, f), os.path.join(src, f"{i}.parquet"))
+            shutil.rmtree(sub)
+            os.utime(os.path.join(src, f"{i}.parquet"), (1000 + i, 1000 + i))
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_df = debounce_anchor_stateful(
+            raw.withColumn("event_time", F.timestamp_micros(F.col("ts_us"))),
+            watermark="720 hours",  # fixture spans 30 days: nothing late-drops
+        )
+        _drain(stream_df, "t_deb_multi", mode="update")
+        got = sorted(
+            (int(r.event_id), int(r.user_id), str(r.event_type), int(r.ts_us))
+            for r in spark.table("t_deb_multi").toPandas().itertuples(
+                index=False
+            )
+        )
+
+        # reference: batch-1 rows time-sorted, then batch-2 rows,
+        # one carried never-lowered anchor per group
+        want_rows = []
+        for (uid, et), grp in ev.groupby(["user_id", "event_type"]):
+            last = None
+            for phase in (0, 1):
+                part = grp[grp.event_id % 2 == phase].sort_values(
+                    ["ts_us", "event_id"]
+                )
+                for eid, t in zip(part["event_id"], part["ts_us"]):
+                    if last is None or int(t) - last > DEBOUNCE_US:
+                        want_rows.append(
+                            (int(eid), int(uid), str(et), int(t))
+                        )
+                        last = int(t)
+        assert got == sorted(want_rows)
+
+        # and the divergence from the batch fold is real on this fixture
+        batch = registry.QUERIES["q_debounce_anchor"](spark, SF_DIR).toPandas()
+        assert set(r[0] for r in got) != set(
+            int(x) for x in batch["event_id"]
+        ), "fixture no longer exercises the multi-batch divergence"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_stream_attribution_equals_batch(spark):
     """The streaming (click, purchase) lookback pair stream, collapsed
     to per-purchase last-click and a daily census, must equal

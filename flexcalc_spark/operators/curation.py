@@ -225,19 +225,28 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_incremental",
     oracle=f"""
-        WITH t AS (
+        -- inverted-index form (see q_dedup_neardup's oracle note); the
+        -- corpus-x-incoming predicate rides the token equi join
+        WITH t AS MATERIALIZED (
             SELECT doc_id, lang,
                    list_distinct(string_split(lower(text), ' ')) AS toks
             FROM documents
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, lang, len(toks) AS sz, unnest(toks) AS tok FROM t
+        ),
+        p AS (
+            SELECT a.doc_id AS id_old, b.doc_id AS id_new, COUNT(*) AS isz,
+                   ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+            FROM e a JOIN e b
+              ON a.lang = b.lang AND a.tok = b.tok
+             AND a.doc_id % {INC_MOD} <> 0 AND b.doc_id % {INC_MOD} = 0
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_old, b.doc_id AS id_new,
-               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                     / len(list_distinct(a.toks || b.toks)), 4) AS jac
-        FROM t a JOIN t b
-          ON a.lang = b.lang
-         AND a.doc_id % {INC_MOD} <> 0 AND b.doc_id % {INC_MOD} = 0
-        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / len(list_distinct(a.toks || b.toks)) >= {INC_TAU}
+        SELECT id_old, id_new,
+               ROUND(CAST(isz AS DOUBLE) / (sz_a + sz_b - isz), 4) AS jac
+        FROM p
+        WHERE isz * {INC_DEN} >= {INC_NUM} * (sz_a + sz_b - isz)
     """,
     family="curation",
     scale_notes="incremental (batch-vs-corpus) dedup — the daily-ingest shape: SAME guaranteed-recall prefix filter as q_dedup_neardup but the candidate join pairs corpus docs only WITH incoming docs (pair predicate corpus x incoming), so candidate volume scales with the batch, not the corpus, and no corpus-x-corpus pair ever exists in the plan. At 100 TB the corpus contributes only its rare-prefix token index; with the index persisted, each ingest batch costs O(batch x prefix)",

@@ -214,9 +214,18 @@ def _prefix_filter_pairs(
     Both the item arrays AND the ranked arrays are cached: the item
     expression (tokenize / 3-gram HOF) otherwise re-evaluates inside
     every consumer of the explode pipeline (measured 5x slower at
-    sf0.1), and both tables are narrow (one array row per doc)."""
+    sf0.1), and both tables are narrow (one array row per doc).
+    `ranked` is groupBy-derived, so it is repartitioned to core count
+    BEFORE caching (the q_pagerank / q_dedup_containment rule: caching
+    a shuffle-derived frame as-is pins the vanilla session's
+    200-partition layout as an InMemoryRelation AQE cannot coalesce —
+    hundreds of near-empty tasks in every downstream stage)."""
     items = items.cache()
-    ranked = _ranked_token_arrays(items).cache()
+    ranked = (
+        _ranked_token_arrays(items)
+        .repartition(items.sparkSession.sparkContext.defaultParallelism)
+        .cache()
+    )
     cand = _prefix_candidates_from_ranked(ranked, num, den, pair_pred)
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
@@ -248,17 +257,31 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_neardup",
     oracle=f"""
-        WITH t AS (
+        -- inverted-index form (round-7 lesson: the all-pairs
+        -- list_intersect join is O(n^2) list intersections and hangs
+        -- DuckDB as `documents` grows): unnest distinct tokens, equi
+        -- self-join on (lang, token), COUNT(*) per pair == |A∩B|;
+        -- |A∪B| = sz_a + sz_b - isz. Integer cross-multiply threshold
+        -- is exact (IEEE-division boundary analysis: equivalence holds
+        -- while 20*|U| < 2^53).
+        WITH t AS MATERIALIZED (
             SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
             FROM documents
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, lang, len(toks) AS sz, unnest(toks) AS tok FROM t
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isz,
+                   ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+            FROM e a JOIN e b
+              ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                     / len(list_distinct(a.toks || b.toks)), 4) AS jac
-        FROM t a JOIN t b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / len(list_distinct(a.toks || b.toks)) >= {JACCARD_TAU}
+        SELECT id_a, id_b,
+               ROUND(CAST(isz AS DOUBLE) / (sz_a + sz_b - isz), 4) AS jac
+        FROM p
+        WHERE isz * {JACCARD_DEN} >= {JACCARD_NUM} * (sz_a + sz_b - isz)
     """,
     family="dedup",
     scale_notes="exact token-set Jaccard with GUARANTEED-recall prefix-filter candidates (PPJoin): equi join on (lang, rare-prefix token), integer size-ratio prune, exact re-score on the candidate ids only. The ~n*prefix census is MEASURED on a Zipf(1) corpus (scripts/scale_probe_zipf.py: 4 orders of magnitude below all-pairs at n=2k-32k, qualifying-planted recall 100% at every n; SCALE.md round-8) — tau=0.95 word-token prefixes land in the rare tail, unlike the char-gram containment key's. q_dedup_minhash is the probabilistic-recall alternative at lower tau",
@@ -271,19 +294,29 @@ def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_ngram",
     oracle=f"""
-        WITH g AS (
+        -- inverted-index form (see q_dedup_neardup's oracle note)
+        WITH g AS MATERIALIZED (
             SELECT doc_id, source,
                    list_distinct(list_transform(range(1, LENGTH(text) - 1),
                                  i -> substring(text, CAST(i AS INT), 3))) AS grams
             FROM documents
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, source, len(grams) AS sz, unnest(grams) AS gram
+            FROM g
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isz,
+                   ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+            FROM e a JOIN e b
+              ON a.source = b.source AND a.gram = b.gram
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                     / len(list_distinct(a.grams || b.grams)), 4) AS jac3
-        FROM g a JOIN g b
-          ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-              / len(list_distinct(a.grams || b.grams)) >= {NGRAM_TAU}
+        SELECT id_a, id_b,
+               ROUND(CAST(isz AS DOUBLE) / (sz_a + sz_b - isz), 4) AS jac3
+        FROM p
+        WHERE isz * {NGRAM_DEN} >= {NGRAM_NUM} * (sz_a + sz_b - isz)
     """,
     family="dedup",
     scale_notes="char-3-gram shingles via a sequence/transform HOF; candidates from the guaranteed-recall prefix filter (equi join on (source, rare gram)), exact re-score on candidate ids — no all-pairs stage",
@@ -726,17 +759,29 @@ def connected_components(
 @register(
     "q_dedup_clusters",
     oracle=f"""
-        WITH RECURSIVE t AS (
+        WITH RECURSIVE t AS MATERIALIZED (
             SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
             FROM documents
         ),
-        edges AS (
-            SELECT a.doc_id AS src, b.doc_id AS dst
-            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                  / len(list_distinct(a.toks || b.toks)) >= {JACCARD_TAU}
+        e AS MATERIALIZED (
+            SELECT doc_id, lang, len(toks) AS sz, unnest(toks) AS tok FROM t
         ),
-        und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+        -- inverted-index edge derivation (see q_dedup_neardup's oracle)
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isz,
+                       ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+                FROM e a JOIN e b
+                  ON a.lang = b.lang AND a.tok = b.tok
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            WHERE isz * {JACCARD_DEN} >= {JACCARD_NUM} * (sz_a + sz_b - isz)
+        ),
+        und AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION SELECT dst AS src, src AS dst FROM edges
+        ),
         reach AS (
             SELECT src AS id, src AS r FROM und
             UNION

@@ -96,11 +96,16 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, true_cnt, est_cnt) for the top-20 tokens — est_cnt >=
     true_cnt always, with collision overestimates visible."""
     d = table_parallel(spark, sf_dir, "documents")
+    # three consumers (sketch build, top-20, probe keys) -> cache; but
+    # repartition the groupBy-derived table to core count FIRST (the
+    # cache-layout rule: caching a shuffle-derived frame as-is pins the
+    # vanilla session's 200-partition layout, 3 x 200 near-empty tasks)
     tf = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()  # three consumers: sketch build, top-20, probe keys
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
     )
     hashed = tf.select(
         "token",

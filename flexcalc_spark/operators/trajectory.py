@@ -182,13 +182,22 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("y"),
     )
-    words = sym.groupBy("user_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list("
-            "concat(lpad(CAST(s AS STRING), 2, '0'), CAST(y AS STRING)))),"
-            " p -> substring(p, 3, 1)), '')"
-        ).alias("w")
-    ).cache()  # feeds the gram explode AND both verify re-attachments
+    words = (
+        sym.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "concat(lpad(CAST(s AS STRING), 2, '0'),"
+                " CAST(y AS STRING)))),"
+                " p -> substring(p, 3, 1)), '')"
+            ).alias("w")
+        )
+        # feeds the gram explode AND both verify re-attachments; core-
+        # count layout before cache (groupBy-derived — the cache-layout
+        # rule)
+        .repartition(sym.sparkSession.sparkContext.defaultParallelism)
+        .cache()
+    )
     grams = words.select(
         "user_id",
         "w",

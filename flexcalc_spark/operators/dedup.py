@@ -895,19 +895,12 @@ def _embed_band_keys() -> list:
     return keys
 
 
-_EMBED_LSH_ORACLE_COS = """
-    list_dot_product(a.embedding, b.embedding)
-    / (sqrt(list_dot_product(a.embedding, a.embedding))
-       * sqrt(list_dot_product(b.embedding, b.embedding)))
-"""
-
-
 # Exact all-pairs oracle over the planted corpus — shared by BOTH
 # LSH tiers (8x8 and 4x16+multiprobe): a driver hash match against
 # it certifies 100% candidate recall for whichever plan produced
 # the pairs.
 _EMBED_LSH_EXACT_ORACLE = f"""
-        WITH corpus AS (
+        WITH corpus0 AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
             FROM embeddings
             UNION ALL
@@ -923,12 +916,26 @@ _EMBED_LSH_EXACT_ORACLE = f"""
                 FROM embeddings WHERE vec_id < {EMBED_PLANT_N}
             )
             GROUP BY orig_id
+        ),
+        -- MATERIALIZED: consumed by both join sides; per-vector norms
+        -- hoisted so each of the O(n^2) pairs costs ONE list dot, not
+        -- three. sqrt(aa)*sqrt(bb) is the identical FP op sequence as
+        -- the inline form, and cos is computed once (pairs subquery)
+        -- then reused by filter and floor-quantize — bit-identical.
+        corpus AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_dot_product(embedding, embedding)) AS nrm
+            FROM corpus0
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.embedding, b.embedding)
+                       / (a.nrm * b.nrm) AS c
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(floor({_EMBED_LSH_ORACLE_COS} * 10000.0) AS BIGINT)
-                   AS cos_q
-        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-        WHERE {_EMBED_LSH_ORACLE_COS} >= {EMBED_LSH_TAU}
+        SELECT id_a, id_b,
+               CAST(floor(c * 10000.0) AS BIGINT) AS cos_q
+        FROM pairs WHERE c >= {EMBED_LSH_TAU}
     """
 
 

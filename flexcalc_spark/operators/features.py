@@ -233,3 +233,94 @@ def q_logistic_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n"),
         F.sum("ok").cast("bigint").alias("n_correct"),
     )
+
+
+# ------------------------------------------------ target encoding
+TENC_SMOOTH = 20  # pseudo-count toward the global mean (standard m)
+
+
+@register(
+    "q_target_encode",
+    oracle=f"""
+        -- smoothed (m-estimate) target encoding of the customer-nation
+        -- category against the is-urgent order target; exact-integer
+        -- rational arithmetic throughout (enc = (s + m*gm)/(n + m) with
+        -- gm = ts/tn, cleared of denominators), floor division on
+        -- non-negative operands so Spark div == DuckDB //
+        WITH cell AS MATERIALIZED (
+            SELECT c.c_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(n_orders) AS tn, SUM(n_urgent) AS ts FROM cell
+        )
+        SELECT nationkey, n_orders, n_urgent,
+               CAST((n_urgent * tn + {TENC_SMOOTH} * ts) * 1000000
+                    // ((n_orders + {TENC_SMOOTH}) * tn) AS BIGINT)
+                   AS enc_ppm
+        FROM cell, tot
+    """,
+    family="features",
+    scale_notes=(
+        "smoothed target encoding (the m-estimate categorical encoder "
+        "every tabular training pipeline ships): ONE fact scan with a "
+        "broadcast customer dim attach, partial+final count/sum into "
+        "|categories| narrow rows, global totals via an empty-frame "
+        "window over those rows (zero extra scans), per-category "
+        "encoding as exact BIGINT rational arithmetic — "
+        "(s + m*ts/tn)/(n + m) cleared of denominators and floor-"
+        "quantized to ppm, so the result is partition-order-independent "
+        "and engine-identical. Overflow bound (n_urgent*tn*1e6 < 2^63) "
+        "holds to ~2M total orders per the fixture canary; past that, "
+        "compute the encoding per shard and merge exact partials, or "
+        "coarsen the grid. At 100 TB this is scan-bound: the category "
+        "table is KB-sized and broadcasts back onto the training scan "
+        "for the actual feature attach"
+    ),
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category smoothed target encoding: nation of the ordering
+    customer vs the is-urgent target — (nationkey, n_orders, n_urgent,
+    enc_ppm) with enc = (s + m*global_mean) / (n + m) on an exact
+    integer ppm grid."""
+    from pyspark.sql.window import Window
+
+    from flexcalc_spark.tables import table
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    cell = (
+        o.select("o_custkey", "o_orderpriority")
+        .join(F.broadcast(c), "o_custkey")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_urgent"),
+        )
+    )
+    # global totals as an empty-partition window over the |categories|
+    # grouped rows: one pass, no second fact scan, no self-join
+    w = Window.partitionBy()
+    with_tot = cell.withColumn(
+        "tn", F.sum("n_orders").over(w)
+    ).withColumn("ts", F.sum("n_urgent").over(w))
+    return with_tot.select(
+        "nationkey",
+        "n_orders",
+        "n_urgent",
+        F.expr(
+            f"CAST((n_urgent * tn + {TENC_SMOOTH} * ts) * 1000000"
+            f" div ((n_orders + {TENC_SMOOTH}) * tn) AS BIGINT)"
+        ).alias("enc_ppm"),
+    )

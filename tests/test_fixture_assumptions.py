@@ -380,3 +380,38 @@ def test_containment_oracle_doc_count_budget(duck2):
             f"sf0.1 documents at {n1} rows — the ~90 s verify-time "
             "containment oracle will degrade; spot-check budgets"
         )
+
+
+def test_embed_oracle_vector_count_budget(duck2):
+    """q_dedup_embed_lsh / q_dedup_embed_lsh_wide grade against an
+    EXACT all-pairs cosine oracle in DuckDB — O(n^2) 64-dim list dot
+    products (125k pairs at the current 500-vector sf0.01, a few
+    seconds). Same failure mode as the containment oracle's: a fixture
+    regeneration that grows sf0.01 embeddings 10x makes the oracle
+    ~100x slower and would blow the driver's grading window. Catch it
+    at round start (the containment doc-count canary's sibling)."""
+    n = duck2.execute(
+        "SELECT COUNT(*) FROM"
+        " read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchone()[0]
+    assert n <= 1500, (
+        f"sf0.01 embeddings grew to {n} vectors — the exact all-pairs "
+        "cosine oracles are quadratic; re-budget before grading"
+    )
+
+
+@pytest.mark.parametrize("sf", SFS + ["/root/testdata/sf0.1"])
+def test_target_encode_headroom(duck2, sf):
+    """q_target_encode's cleared-denominator encoding multiplies
+    n_urgent * total_orders * 1e6 in BIGINT; assert the documented
+    ~2M-order overflow bound leaves real margin after a fixture
+    regeneration (the integer-cross-multiplication canary pattern)."""
+    tn = duck2.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchone()[0]
+    # worst case n_urgent == tn: (tn*tn + 20*tn) * 1e6 < 2^63
+    worst = (tn * tn + 20 * tn) * 1_000_000
+    assert worst * 4 < 2**63, (
+        f"orders at {tn} rows leaves <4x headroom for q_target_encode's "
+        "BIGINT products — move the encoding to per-shard partials"
+    )

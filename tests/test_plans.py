@@ -985,3 +985,17 @@ def test_cuped_did_scan_and_join_budget(spark):
     cuped.collect()
     executed = cuped._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_target_encode_single_scan_broadcast_dim(spark):
+    """q_target_encode must be ONE fact scan: broadcast the customer
+    dim onto orders (no fact shuffle for the attach), partial+final
+    aggregate into |categories| rows, and take global totals from an
+    empty-partition window over those rows — a second orders scan (the
+    naive totals crossJoin) or a SortMergeJoin here is the anti-shape
+    at 100 TB."""
+    plan = plan_text(Q["q_target_encode"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan  # orders + customer, once each
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -700,3 +700,97 @@ def q_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("dist").alias("mincost"),
     )
+
+
+# ------------------------------------------------ link prediction
+LINK_TOP = 100
+RA_UNIT = 1_000_000  # resource-allocation terms on an exact ppm grid
+
+
+@register(
+    "q_link_predict",
+    oracle=f"""
+        -- resource-allocation link prediction (Zhou et al. 2009) over
+        -- the part-supplier bipartite graph, brand-blocked: for part
+        -- pairs of the SAME brand sharing >= 1 supplier, score =
+        -- sum over shared suppliers of floor(1e6 / supplier_degree) —
+        -- all-integer (1/log-degree Adamic-Adar would be an FP
+        -- transcendental, the documented cross-engine hazard), floor
+        -- division on positive operands so Spark div == DuckDB //
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        d AS MATERIALIZED (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1
+        ),
+        eb AS MATERIALIZED (
+            SELECT e.l_partkey AS pk, e.l_suppkey AS sk,
+                   p.p_brand AS brand, d.deg
+            FROM e
+            JOIN part p ON e.l_partkey = p.p_partkey
+            JOIN d ON e.l_suppkey = d.l_suppkey
+        ),
+        pr AS (
+            SELECT a.pk AS part_a, b.pk AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS cn,
+                   CAST(SUM({RA_UNIT} // a.deg) AS BIGINT) AS ra_ppm
+            FROM eb a JOIN eb b
+              ON a.sk = b.sk AND a.brand = b.brand AND a.pk < b.pk
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, cn, ra_ppm
+        FROM pr
+        ORDER BY ra_ppm DESC, cn DESC, part_a, part_b
+        LIMIT {LINK_TOP}
+    """,
+    family="graph",
+    scale_notes=(
+        "link prediction by the resource-allocation index (sum of "
+        "1/degree over shared neighbors — the integer-exact sibling of "
+        "Adamic-Adar, whose 1/log(deg) is a cross-engine FP hazard): "
+        "candidates from the inverted neighbor index (equi self-join "
+        "on supplier), degree attached to each edge instance BEFORE "
+        "the pair join (broadcast of the |suppliers|-row degree "
+        "table), pair scores as one integer groupBy, top-k via "
+        "TakeOrderedAndProject with a total-order tiebreak (score, "
+        "cn, ids). HONEST census (the round-8 Zipf lesson applied to "
+        "graphs): pair instances are sum(deg^2)/2 per block — "
+        "quadratic in HUB degree, a data property no filter hides "
+        "(measured 13.4M unblocked at sf0.01); the brand blocking "
+        "divides by ~|blocks| (standard candidate blocking), and at "
+        "100 TB hubs get degree-capped or down-sampled (the "
+        "production lever every link-prediction system ships — cap "
+        "the per-supplier explode, losing only low-signal "
+        "1/deg terms)"
+    ),
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 same-brand part pairs by resource-allocation score over
+    shared suppliers: (part_a, part_b, cn, ra_ppm) — cn = common
+    suppliers, ra_ppm = sum of floor(1e6/deg(supplier))."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    e = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    deg = e.groupBy("sk").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    eb = e.join(F.broadcast(p), "pk").join(F.broadcast(deg), "sk")
+    a = eb.select(
+        F.col("pk").alias("part_a"), "sk", "brand", F.col("deg").alias("dg")
+    )
+    b = eb.select(F.col("pk").alias("part_b"), "sk", "brand")
+    pairs = (
+        a.join(b, ["sk", "brand"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr(f"{RA_UNIT} div dg")).cast("bigint").alias("ra_ppm"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("ra_ppm").desc(), F.col("cn").desc(), "part_a", "part_b"
+    ).limit(LINK_TOP)

@@ -142,6 +142,7 @@ def register(
 GRADE_ORDER: list[str] = [
     # 1. round-8 additions (never graded)
     "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
+    "q_link_predict",
     # 2. touched this round (re-grade with the changed oracle/plan);
     #    q_trajectory_sim joined mid-round (its groupBy-derived cache
     #    now repartitions to core count first — value-identical,
@@ -160,13 +161,11 @@ GRADE_ORDER: list[str] = [
     "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
     "q_join_bucketed", "q_pack_sequences", "q_decontaminate", "q_mix_sample",
     "q_dedup_incremental", "q_sketch_cms",
-    # 4. stalest r4-era filler (q_ct_histogram / q_ct_centre dropped
-    #    to overflow when q_trajectory_sim and q_target_encode joined
-    #    the round-8 blocks)
-    "q_window_session",
+    # (the r4-era fillers all dropped to overflow as round-8 additions
+    #  and touched keys filled the window)
     # --- 50-key line (driver window size) ---
     # overflow, stalest-first: r4 remainder, then r5, r6, r7.
-    "q_ct_centre", "q_ct_histogram",
+    "q_window_session", "q_ct_centre", "q_ct_histogram",
     "q_ct_bbox", "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
     "q_multimodal_features", "q_multimodal_resize", "q_sample_split",
     "q_sample_stratified", "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh",

@@ -415,3 +415,25 @@ def test_target_encode_headroom(duck2, sf):
         f"orders at {tn} rows leaves <4x headroom for q_target_encode's "
         "BIGINT products — move the encoding to per-shard partials"
     )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_link_predict_census_budget(duck2, sf):
+    """q_link_predict's pair census is sum(supplier_degree^2)/2 within
+    brand blocks — quadratic in hub degree (documented). Assert the
+    sf0.01 grading-scale census stays inside the oracle's time budget
+    after a fixture regeneration (the containment-canary pattern)."""
+    inst = duck2.execute(
+        f"""
+        WITH e AS (SELECT DISTINCT l_partkey, l_suppkey
+                   FROM read_parquet('{sf}/lineitem.parquet')),
+        d AS (SELECT l_suppkey, COUNT(*) AS deg FROM e GROUP BY 1)
+        SELECT SUM(deg * (deg - 1) / 2) FROM d
+        """
+    ).fetchone()[0]
+    # unblocked census (upper bound on the brand-blocked one); 13.4M at
+    # the current sf0.01 runs in ~2 s — alert at ~6x that
+    assert inst < 80_000_000, (
+        f"{sf} unblocked pair census at {inst:.0f} — the link-predict "
+        "oracle budget needs re-checking before grading"
+    )

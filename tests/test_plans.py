@@ -999,3 +999,15 @@ def test_target_encode_single_scan_broadcast_dim(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_link_predict_broadcasts_and_takeordered(spark):
+    """q_link_predict: degree and brand attach by BROADCAST (the
+    |suppliers|- and |parts|-row dims never shuffle the edge list for
+    the attach), candidates from the (supplier, brand) equi self-join
+    (never a cartesian), and the top-k lands as TakeOrderedAndProject
+    (no global sort materialization)."""
+    plan = plan_text(Q["q_link_predict"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -1222,3 +1222,151 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xa") * F.col("xb")).over(win).alias("sab"),
     )
     return w.selectExpr(*_RCORR_FORMULAS)
+
+
+# ------------------------------------------------ Holt forecasting
+HOLT_A_NUM, HOLT_DEN = 3, 10   # alpha = 0.3 as an exact ratio
+HOLT_B_NUM = 2                 # beta = 0.2 (same denominator)
+HOLT_H = 7                     # forecast horizon (days)
+HOLT_U = 1_000_000             # 1e-6 fixed-point grid
+
+
+@register(
+    "q_holt_forecast",
+    oracle=f"""
+        -- Holt's linear exponential smoothing per event_type over the
+        -- daily count series, ENTIRELY in 1e-6 fixed-point BIGINT
+        -- arithmetic (the q_pagerank discipline). Negative trends make
+        -- division sign matter: DuckDB v1.0 integer // TRUNCATES
+        -- toward zero (measured: -7 // 2 = -3 — matching Spark's div,
+        -- NOT Python's flooring //), so the Spark-side Python fold
+        -- uses an explicit truncating tdiv. The sequential recurrence
+        -- is a recursive CTE here and a per-group pandas fold there;
+        -- identical integer ops => the driver hash certifies the
+        -- distributed fold relationally.
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS MATERIALIZED (
+            SELECT event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day) - 1 AS i
+            FROM daily
+        ),
+        ks AS MATERIALIZED (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
+            FROM daily GROUP BY 1 HAVING COUNT(*) >= 2
+        ),
+        init AS (
+            SELECT a.event_type,
+                   a.n * {HOLT_U} AS level,
+                   (b.n - a.n) * {HOLT_U} AS trend
+            FROM seq a
+            JOIN seq b ON a.event_type = b.event_type AND b.i = 1
+            JOIN ks ON ks.event_type = a.event_type
+            WHERE a.i = 0
+        ),
+        fold AS (
+            SELECT event_type, CAST(0 AS BIGINT) AS i, level, trend
+            FROM init
+            UNION ALL
+            SELECT f.event_type, f.i + 1,
+                   ({HOLT_A_NUM} * s.n * {HOLT_U}
+                    + {HOLT_DEN - HOLT_A_NUM} * (f.level + f.trend))
+                       // {HOLT_DEN},
+                   ({HOLT_B_NUM} * ((({HOLT_A_NUM} * s.n * {HOLT_U}
+                        + {HOLT_DEN - HOLT_A_NUM} * (f.level + f.trend))
+                        // {HOLT_DEN}) - f.level)
+                    + {HOLT_DEN - HOLT_B_NUM} * f.trend) // {HOLT_DEN}
+            FROM fold f
+            JOIN seq s ON s.event_type = f.event_type AND s.i = f.i + 1
+        )
+        SELECT f.event_type, ks.k AS n_days,
+               CAST(f.level AS BIGINT) AS level_ppm,
+               CAST(f.trend AS BIGINT) AS trend_ppm,
+               CAST(f.level + {HOLT_H} * f.trend AS BIGINT) AS fc7_ppm
+        FROM fold f JOIN ks USING (event_type)
+        WHERE f.i = ks.k - 1
+    """,
+    family="timeseries",
+    scale_notes=(
+        "Holt linear forecasting as an exact fixed-point per-entity "
+        "state fold: the fact collapses to |entities| x days narrow "
+        "daily aggregates FIRST (one partial+final shuffle — at 100 TB "
+        "that is the only big data movement), then a sequential "
+        "level/trend recurrence per entity in an Arrow-grouped fold. "
+        "All arithmetic is BIGINT on the 1e-6 grid with floor "
+        "division (alpha=3/10, beta=2/10 as exact ratios), so the "
+        "result is partition-independent and engine-identical; the "
+        "oracle replays the identical integers as a recursive CTE. "
+        "Five entities here ride per-group applyInPandas; at MANY "
+        "entities the fold moves to the secondary-sort mapInPandas "
+        "template (q_debounce_anchor) — same integer kernel, "
+        "~1.5ms/group pandas overhead amortized away"
+    ),
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Holt linear smoothing over daily counts:
+    (event_type, n_days, level_ppm, trend_ppm, fc7_ppm) with
+    l0 = x0, b0 = x1 - x0, then l = (3x + 7(l+b)) div 10,
+    b = (2(l' - l) + 8b) div 10 — all exact 1e-6-grid integers."""
+    import pandas as pd
+
+    ev = events_with_time(spark, sf_dir)
+    daily = (
+        ev.withColumn("day", F.expr("ts_us div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ns = [int(x) for x in pdf["n"].tolist()]
+        if len(ns) < 2:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "n_days", "level_ppm", "trend_ppm",
+                    "fc7_ppm",
+                ]
+            )
+        def tdiv(a: int, b: int) -> int:
+            # truncate toward zero: DuckDB integer // and Spark div
+            # semantics (Python's // floors — measured divergence on
+            # the negative trend terms)
+            return a // b if a >= 0 else -((-a) // b)
+
+        level = ns[0] * HOLT_U
+        trend = (ns[1] - ns[0]) * HOLT_U
+        for x in ns[1:]:
+            nl = tdiv(
+                HOLT_A_NUM * x * HOLT_U
+                + (HOLT_DEN - HOLT_A_NUM) * (level + trend),
+                HOLT_DEN,
+            )
+            trend = tdiv(
+                HOLT_B_NUM * (nl - level) + (HOLT_DEN - HOLT_B_NUM) * trend,
+                HOLT_DEN,
+            )
+            level = nl
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": len(ns),
+                    "level_ppm": level,
+                    "trend_ppm": trend,
+                    "fc7_ppm": level + HOLT_H * trend,
+                }
+            ]
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        fold,
+        schema=(
+            "event_type string, n_days long, level_ppm long,"
+            " trend_ppm long, fc7_ppm long"
+        ),
+    )

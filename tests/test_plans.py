@@ -84,6 +84,11 @@ def test_graded_queries_avoid_python_udfs(spark):
         # greedy sequential fold (each keep/drop depends on the previous
         # DECISION) — the applyInPandas-by-design shape, stateful.py
         "q_debounce_anchor",
+        # sequential level/trend recurrence over PRE-AGGREGATED daily
+        # rows (test_holt_forecast_preaggregates_before_pandas pins
+        # that the pandas stage consumes |entities| x days aggregates,
+        # never the raw fact) — timeseries.py
+        "q_holt_forecast",
     }
     offenders = []
     for key, fn in Q.items():
@@ -1011,3 +1016,17 @@ def test_link_predict_broadcasts_and_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_holt_forecast_preaggregates_before_pandas(spark):
+    """q_holt_forecast must collapse the fact to |entities| x days rows
+    with a partial+final HashAggregate BEFORE the Arrow-grouped fold —
+    the pandas stage seeing raw events (not daily aggregates) would
+    ship the whole fact through Python at 100 TB."""
+    plan = plan_text(Q["q_holt_forecast"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1, plan
+    assert "partial_count" in plan, plan
+    # exactly the daily partial+final pair — the pandas fold consumes
+    # the |entities| x days aggregate, never the raw scan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

@@ -267,8 +267,10 @@ TENC_SMOOTH = 20  # pseudo-count toward the global mean (standard m)
     family="features",
     scale_notes=(
         "smoothed target encoding (the m-estimate categorical encoder "
-        "every tabular training pipeline ships): ONE fact scan with a "
-        "broadcast customer dim attach, partial+final count/sum into "
+        "every tabular training pipeline ships): ONE fact scan with an "
+        "UNHINTED per-customer attach (the map grows with the corpus — "
+        "AQE broadcasts at fixture scale, shuffles at 100 TB; the "
+        "q_cohort_ltv rule), partial+final count/sum into "
         "|categories| narrow rows, global totals via an empty-frame "
         "window over those rows (zero extra scans), per-category "
         "encoding as exact BIGINT rational arithmetic — "
@@ -296,9 +298,12 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").alias("nationkey"),
     )
+    # UNHINTED dim attach: the customer map is per-user and grows with
+    # the corpus (the q_cohort_ltv ADVICE-r7 rule) — AQE broadcasts it
+    # at fixture scale and shuffles past the threshold
     cell = (
         o.select("o_custkey", "o_orderpriority")
-        .join(F.broadcast(c), "o_custkey")
+        .join(c, "o_custkey")
         .groupBy("nationkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),

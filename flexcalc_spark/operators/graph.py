@@ -750,9 +750,12 @@ RA_UNIT = 1_000_000  # resource-allocation terms on an exact ppm grid
         "1/degree over shared neighbors — the integer-exact sibling of "
         "Adamic-Adar, whose 1/log(deg) is a cross-engine FP hazard): "
         "candidates from the inverted neighbor index (equi self-join "
-        "on supplier), degree attached to each edge instance BEFORE "
-        "the pair join (broadcast of the |suppliers|-row degree "
-        "table), pair scores as one integer groupBy, top-k via "
+        "on supplier), degree and brand attached to each edge "
+        "instance BEFORE the pair join as UNHINTED equi joins (the "
+        "q_cohort_ltv rule — the degree/brand tables are |suppliers|- "
+        "and |parts|-sized and grow with the corpus: AQE broadcasts "
+        "them at fixture scale, shuffles past the threshold), pair "
+        "scores as one integer groupBy, top-k via "
         "TakeOrderedAndProject with a total-order tiebreak (score, "
         "cn, ids). HONEST census (the round-8 Zipf lesson applied to "
         "graphs): pair instances are sum(deg^2)/2 per block — "
@@ -777,7 +780,12 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).distinct()
     deg = e.groupBy("sk").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    eb = e.join(F.broadcast(p), "pk").join(F.broadcast(deg), "sk")
+    # UNHINTED attaches: brand (|parts| rows) and degree (|suppliers|
+    # rows) grow with the corpus — AQE broadcasts them at fixture scale
+    # and falls back to shuffle past the threshold (the q_cohort_ltv
+    # ADVICE-r7 rule; pinning broadcast would OOM the build side at
+    # 100 TB)
+    eb = e.join(p, "pk").join(deg, "sk")
     a = eb.select(
         F.col("pk").alias("part_a"), "sk", "brand", F.col("deg").alias("dg")
     )

@@ -1100,13 +1100,21 @@ def q_dedup_embed_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(_dot_spark("embedding", "embedding")))
         .cache()
     )  # consumers: signature build + both re-score sides
+    # narrow (id, band, key); consumed by probe AND index. NOT cache():
+    # localCheckpoint truncates the 4 wide band-key expressions (16
+    # nested sign folds x 64 literal doubles each) out of every
+    # downstream plan and guarantees the folds run exactly once even
+    # under cache eviction. MEASURED honestly: this does NOT move the
+    # key's driver-style wall-clock (~10-12 s at sf0.01 either way) —
+    # the dominant cost is the one-time codegen/interpretation of the
+    # 64-fold bank itself (the round-7 '7 s compiling codegen' class),
+    # which any first execution pays. Values identical; n x 4 rows.
     sig = corpus.select(
         "vec_id",
         F.posexplode(F.array(*_embed_band_keys_wide())).alias(
             "band", "bkey"
         ),
-    ).cache()  # narrow (id, band, key); consumed by probe AND index —
-    # uncached, each consumer re-runs the 64 interpreted HOF dot folds
+    ).localCheckpoint()
     ball = F.array(
         F.col("bkey"),
         *[

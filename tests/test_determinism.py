@@ -159,6 +159,12 @@ RISKY = [
     "q_rolling_corr",       # BIGINT window moments, shared-text corr
     "q_qte",                # interpolated percentiles on BIGINT inputs
     "q_diff_in_diff",       # 2x2 integer cells, shared-text estimate
+    # round-8 additions (probed 2-vs-37 shuffle partitions at add time)
+    "q_dedup_embed_lsh_wide",  # XOR probe ball + floor-quantized cos
+    "q_dpp_prune",          # partitioned round-trip, grid qty sums
+    "q_target_encode",      # cleared-denominator BIGINT ppm encoding
+    "q_link_predict",       # integer RA scores, total-order top-k ties
+    "q_holt_forecast",      # sequential tdiv fold on daily aggregates
 ]
 
 

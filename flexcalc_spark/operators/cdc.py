@@ -211,3 +211,88 @@ def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+        -- the INVERSE of q_cdc_upsert: given two snapshot versions,
+        -- emit the change feed (insert/update/delete rows) that turns
+        -- old into new — what a lakehouse change-data-feed reader
+        -- produces. Both versions derive deterministically from
+        -- orders: new drops key%13=4 (-> deletes), old lacks key%11=3
+        -- (-> inserts) and carries a stale price (+100 cents) on
+        -- key%5=0 (-> updates). Prices on the exact integer cent grid.
+        WITH snap AS MATERIALIZED (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        old AS (
+            SELECT k,
+                   cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END
+                       AS cents
+            FROM snap WHERE k % 11 <> 3
+        ),
+        new AS (
+            SELECT k, cents FROM snap WHERE k % 13 <> 4
+        )
+        SELECT COALESCE(o.k, n.k) AS o_orderkey,
+               CASE WHEN o.k IS NULL THEN 'insert'
+                    WHEN n.k IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               o.cents AS old_cents,
+               n.cents AS new_cents
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL OR o.cents <> n.cents
+    """,
+    family="cdc",
+    scale_notes=(
+        "snapshot diff -> change feed (the q_cdc_upsert inverse, i.e. "
+        "what a change-data-feed reader emits between two table "
+        "versions): ONE full outer join on the primary key with "
+        "insert/update/delete classification and an unchanged-row "
+        "filter — no window, no state. At 100 TB both versions are "
+        "bucketed by the key (the q_join_bucketed posture), so the "
+        "diff is a zero-exchange sort-merge join and the output "
+        "volume is the delta, not the table; with column-level change "
+        "detection, compare a content hash instead of each column. "
+        "Values ride the exact integer cent grid so update detection "
+        "has no FP-equality hazard"
+    ),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two derived snapshot versions of orders:
+    (o_orderkey, change_type in {insert,update,delete}, old_cents,
+    new_cents) — unchanged rows excluded."""
+    snap = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    old = snap.filter(F.col("k") % 11 != 3).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 5 == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    new = snap.filter(F.col("k") % 13 != 4)
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    return joined.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.cents") != F.col("n.cents"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("o.k").isNull(), F.lit("insert"))
+        .when(F.col("n.k").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.col("o.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
+    )

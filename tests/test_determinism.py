@@ -165,6 +165,7 @@ RISKY = [
     "q_target_encode",      # cleared-denominator BIGINT ppm encoding
     "q_link_predict",       # integer RA scores, total-order top-k ties
     "q_holt_forecast",      # sequential tdiv fold on daily aggregates
+    "q_snapshot_diff",      # full-outer key diff, integer cent grid
 ]
 
 

@@ -553,3 +553,71 @@ def q_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id2",
         (F.col("ts2_us") - F.col("ts1_us")).alias("gap_us"),
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+        -- null-safe equality JOIN (Spark <=> / SQL IS NOT DISTINCT
+        -- FROM): the one join-key semantics the other 15 join keys
+        -- never exercise — NULL matches NULL instead of dropping.
+        -- Both sides aggregate FIRST (bounded |segments| rows), so the
+        -- null bucket joins 1 x 1, never null-group cross-products.
+        WITH c AS (
+            SELECT NULLIF(c_nationkey % 7, 3) AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS bal_cents
+            FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT NULLIF(s_nationkey % 7, 3) AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM supplier GROUP BY 1
+        )
+        SELECT c.seg AS seg, c.n_cust, c.bal_cents, s.n_supp
+        FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    """,
+    family="joins",
+    scale_notes=(
+        "null-safe equi join (eqNullSafe / IS NOT DISTINCT FROM): "
+        "Catalyst plans EqualNullSafe join keys as a regular hash/"
+        "sort-merge join on a null-coalesced key (plan-asserted: real "
+        "equi join, no nested loop), so the semantics cost nothing at "
+        "scale. The REAL 100 TB hazard is cardinality, not the plan: "
+        "NULL matches NULL, so two fact-sized sides each with millions "
+        "of null keys would cross-product the null bucket — aggregate "
+        "or bucket-dedup the null group FIRST (both sides here "
+        "collapse to |segments| rows before the join), or fall back "
+        "to plain equality plus an explicit null-bucket union when "
+        "nulls are hot"
+    ),
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join of per-segment customer and supplier
+    aggregates, where segment = NULLIF(nationkey % 7, 3) — the NULL
+    segment must pair up instead of dropping: (seg, n_cust, bal_cents,
+    n_supp)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(
+            F.expr("NULLIF(c_nationkey % 7, 3)").alias("seg"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("cents").cast("bigint").alias("bal_cents"),
+        )
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select(F.expr("NULLIF(s_nationkey % 7, 3)").alias("seg2"))
+        .groupBy("seg2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    return c.join(s, F.col("seg").eqNullSafe(F.col("seg2"))).select(
+        "seg", "n_cust", "bal_cents", "n_supp"
+    )

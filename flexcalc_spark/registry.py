@@ -168,10 +168,10 @@ GRADE_ORDER: list[str] = [
     # (the r4-era fillers all dropped to overflow as round-8 additions
     #  and touched keys filled the window)
     # --- 50-key line (driver window size) ---
-    # overflow front: the never-graded late-round-8 addition (graded
+    # overflow front: the never-graded late-round-8 additions (graded
     # r9), the displaced touched key, then stalest-first (r4 remainder,
     # r5, r6, r7).
-    "q_snapshot_diff",
+    "q_snapshot_diff", "q_join_nullsafe",
     "q_sql_tpch22",
     "q_window_session", "q_ct_centre", "q_ct_histogram",
     "q_ct_bbox", "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",

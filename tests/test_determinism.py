@@ -166,6 +166,7 @@ RISKY = [
     "q_link_predict",       # integer RA scores, total-order top-k ties
     "q_holt_forecast",      # sequential tdiv fold on daily aggregates
     "q_snapshot_diff",      # full-outer key diff, integer cent grid
+    "q_join_nullsafe",      # null-coalesced equi key, integer sums
 ]
 
 

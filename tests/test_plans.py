@@ -1036,3 +1036,15 @@ def test_holt_forecast_preaggregates_before_pandas(spark):
     # the |entities| x days aggregate, never the raw scan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_join_nullsafe_is_real_equi_join(spark):
+    """q_join_nullsafe: Catalyst must plan the EqualNullSafe key as a
+    regular hash/sort-merge join (null-coalesced key), never a nested
+    loop — the semantics must be free at scale."""
+    plan = plan_text(Q["q_join_nullsafe"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    ), plan

@@ -1112,3 +1112,83 @@ def q_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD outlier census with sketch-based (mergeable, fixed-state)
     medians — the at-scale variant of q_mad_outliers."""
     return _mad_outliers(spark, sf_dir, approx=True)
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+        -- exact WEIGHTED median (quantity-weighted unit price per
+        -- return flag): sort each group by price, running quantity
+        -- sum, the weighted median is the first price where
+        -- 2 * cumw >= total weight. All-integer compare (quantity on
+        -- the 1e2 grid, price on the cent grid); the selected PRICE is
+        -- invariant to within-tie ordering because the crossing lands
+        -- inside the tie block, so no tiebreak hazard reaches the
+        -- output.
+        WITH g AS MATERIALIZED (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS w
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT flag, cents, w,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                   SUM(w) OVER (PARTITION BY flag) AS tw
+            FROM g
+        )
+        SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+               CAST(MIN(tw) AS BIGINT) AS total_w
+        FROM cum WHERE 2 * cw >= tw GROUP BY flag
+    """,
+    family="aggregates",
+    scale_notes=(
+        "exact weighted median (weighted order statistic — the "
+        "unweighted q_agg_percentile's sibling for survey-weighted / "
+        "quantity-weighted metrics): one window sort per group + a "
+        "running weight sum, crossing picked by integer "
+        "cross-multiplication (2*cumw >= totw — no FP quantile "
+        "interpolation to diverge). The output price is invariant to "
+        "within-tie row order, so partitioning cannot move it. Same "
+        "one-sort-per-group cost as any ranked window; at 100 TB the "
+        "two-pass approx_percentile-with-weights rewrite (bucket by "
+        "price range, exact inside the crossing bucket) bounds the "
+        "sort, the same escalation path q_percentile_select documents"
+    ),
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag:
+    (flag, wmedian_cents, total_w) — first price where the running
+    quantity sum reaches half the group total."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    cum = li.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+            F.min("tw").cast("bigint").alias("total_w"),
+        )
+    )

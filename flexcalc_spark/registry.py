@@ -171,7 +171,7 @@ GRADE_ORDER: list[str] = [
     # overflow front: the never-graded late-round-8 additions (graded
     # r9), the displaced touched key, then stalest-first (r4 remainder,
     # r5, r6, r7).
-    "q_snapshot_diff", "q_join_nullsafe",
+    "q_snapshot_diff", "q_join_nullsafe", "q_agg_weighted_median",
     "q_sql_tpch22",
     "q_window_session", "q_ct_centre", "q_ct_histogram",
     "q_ct_bbox", "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",

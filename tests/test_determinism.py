@@ -167,6 +167,7 @@ RISKY = [
     "q_holt_forecast",      # sequential tdiv fold on daily aggregates
     "q_snapshot_diff",      # full-outer key diff, integer cent grid
     "q_join_nullsafe",      # null-coalesced equi key, integer sums
+    "q_agg_weighted_median",  # tie-invariant weighted crossing, BIGINT
 ]
 
 

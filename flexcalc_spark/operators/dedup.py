@@ -1217,7 +1217,8 @@ CONTAIN_GRAM = 5
         "identical machinery census ~n (fraction falls ~1/n on the Zipf "
         "corpus; SCALE.md round-8) — at 100 TB shingle on words for the "
         "candidate stage, keep char-grams for the exact re-score, and "
-        "hash-partition the inverted gram index"
+        "hash-partition the inverted gram index. The word-shingle tier "
+        "is GRADED as q_dedup_containment_shingle (round 9)"
     ),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,19 +1230,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, length(text) - {CONTAIN_GRAM - 1}),"
         f" i -> substring(text, i, {CONTAIN_GRAM}))"
     )
-    # cache the narrow per-doc gram-array table: _ranked_token_arrays
-    # consumes its subtree twice (token-frequency aggregate + re-join)
-    # and the 5-gram HOF otherwise re-evaluates per consumer (the
-    # _prefix_filter_pairs rule; scan-derived, so caching as-is is fine)
-    items = (
-        d.filter(F.length("text") >= CONTAIN_GRAM)
-        .select(
-            "doc_id",
-            F.lit("all").alias("grp"),
-            F.array_distinct(grams_expr).alias("items"),
-        )
-        .cache()
+    items = d.filter(F.length("text") >= CONTAIN_GRAM).select(
+        "doc_id",
+        F.lit("all").alias("grp"),
+        F.array_distinct(grams_expr).alias("items"),
     )
+    return _containment_pairs(items, CONTAIN_NUM, CONTAIN_DEN)
+
+
+def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
+    """Directed containment pairs |A∩B| >= (num/den)·|A| over per-doc
+    item sets — the machinery shared by the char-gram and word-shingle
+    containment keys (the gram UNIT is the caller's choice and, per the
+    round-8 Zipf census, the scale lever). Guaranteed-recall prefix
+    probe vs full index, PPJoin positional filter, exact hashed
+    re-score; emits (id_a, id_b, cont_ppm)."""
+    spark = items.sparkSession
+    # cache the narrow per-doc item-array table: _ranked_token_arrays
+    # consumes its subtree twice (token-frequency aggregate + re-join)
+    # and the gram HOF otherwise re-evaluates per consumer (the
+    # _prefix_filter_pairs rule; scan-derived, so caching as-is is fine)
+    items = items.cache()
     # repartition to core count BEFORE caching: the groupBy-derived table
     # would otherwise pin the vanilla session's 200-partition layout into
     # the InMemoryRelation for all three consumers (CLAUDE.md cache rule)
@@ -1254,8 +1263,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with 1-based global positions (the slice is the array head, so
     # posexplode positions ARE positions in the full ranked array)
     prefix_len = F.expr(
-        f"size(hitems) - (({CONTAIN_NUM} * size(hitems) + {CONTAIN_DEN - 1})"
-        f" div {CONTAIN_DEN}) + 1"
+        f"size(hitems) - (({num} * size(hitems) + {den - 1})"
+        f" div {den}) + 1"
     )
     probe = ranked.select(
         F.col("doc_id").alias("id_a"),
@@ -1271,7 +1280,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hitems").alias("sz_b"),
         F.posexplode("hitems").alias("pb0", "it"),
     ).select("id_b", "sz_b", (F.col("pb0") + 1).alias("pb"), "it")
-    t_a = F.expr(f"({CONTAIN_NUM} * sz_a + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}")
+    t_a = F.expr(f"({num} * sz_a + {den - 1}) div {den}")
     # PPJoin positional filter, containment form: a shared gram at
     # global-rank positions (pa, pb) bounds the overlap by
     # 1 + min(sz_a - pa, sz_b - pb) >= t_a = ceil(tau * sz_a). For a
@@ -1301,7 +1310,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter(isz * CONTAIN_DEN >= CONTAIN_NUM * F.size("items_a"))
+        .filter(isz * den >= num * F.size("items_a"))
         .select(
             "id_a",
             "id_b",
@@ -1315,3 +1324,77 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("cont_ppm"),
         )
     )
+
+
+@register(
+    "q_dedup_containment_shingle",
+    oracle="""
+        -- inverted-index form (the repo-wide rule: never the all-pairs
+        -- list_intersect join; see q_dedup_containment's oracle)
+        WITH g AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1])) AS grams
+            FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM g
+        ),
+        p AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS isz, ANY_VALUE(a.sz) AS sz_a
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST((isz * 1000000) // sz_a AS BIGINT) AS cont_ppm
+        FROM p WHERE isz * 5 >= 4 * sz_a
+    """,
+    family="dedup",
+    scale_notes=(
+        "the GRADED scale-safe containment tier the round-8 Zipf census "
+        "prescribed: identical machinery to q_dedup_containment "
+        "(guaranteed-recall rarest-first prefix probe vs full index, "
+        "PPJoin positional filter, exact hashed re-score) with the gram "
+        "UNIT moved from char-5-grams to WORD-2-GRAM shingles — the "
+        "measured lever. Char-5-gram candidates census flat ~15% of "
+        "all-pairs on every corpus shape tried (hot-word grams have "
+        "df ~ n); word-2-gram shingle probability is the PRODUCT of two "
+        "word probabilities, so the rarest-first prefix lands in the "
+        "sparse tail and the candidate census is ~n (scripts/"
+        "scale_probe_zipf.py: fraction falls ~1/n, 4.0e-5 -> 4.0e-6 at "
+        "n=2k -> 32k; recall-floor test on the same corpus in tests/"
+        "test_dedup.py). Recall for the key's own semantics is "
+        "GUARANTEED by pigeonhole (not probabilistic, not fixture-"
+        "dependent): containment >= tau forces a shared shingle inside "
+        "A's prefix. At 100 TB this is the candidate stage; a char-gram "
+        "re-score over these candidates (q_dedup_containment's scorer) "
+        "adds sub-word robustness where needed — measured coupling on "
+        "this fixture in SCALE.md round-9 (word-bigram containment of "
+        "true char-gram pairs bottoms at 0.33 at sf0.1, so the unit "
+        "changes the qualifying set; the two keys are siblings, not "
+        "substitutes)"
+    ),
+)
+def q_dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (A mostly inside B) by word-2-gram
+    shingle overlap >= 0.8 of A's shingle set — the scale-safe gram
+    unit through the same prefix-filter machinery as
+    q_dedup_containment."""
+    d = table_parallel(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, size(words) - 1),"
+        " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    )
+    items = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.lit("all").alias("grp"),
+            F.array_distinct(shingles).alias("items"),
+        )
+    )
+    return _containment_pairs(items, CONTAIN_NUM, CONTAIN_DEN)

@@ -119,67 +119,38 @@ def register(
 
 # Driver-verification rotation. The driver's per-round CORRECTNESS
 # grading covers exactly the FIRST 50 keys of queries() order
-# (confirmed count-capped: r1-r7 each graded precisely 50). Rotating
+# (confirmed count-capped: r1-r8 each graded precisely 50). Rotating
 # the order each round gets every family driver-confirmed across rounds
-# without changing any query. After round 7, EVERY key has driver
-# evidence at least once; rotation now chases STALENESS.
+# without changing any query; rotation chases STALENESS.
 #
-# Round-8 front (50, stalest-first per VERDICT r7 item 1):
-#   1. the two round-8 additions (never graded):
-#      q_dedup_embed_lsh_wide (the graded 4x16+multiprobe scale tier)
-#      and q_dpp_prune (dynamic partition pruning, plan-asserted);
-#   2. the six keys TOUCHED this round: q_cohort_ltv (broadcast hint
-#      dropped — ADVICE r7) and the five TPC-H keys whose oracles
-#      gained AS MATERIALIZED on multiply-consumed CTEs (Q2/Q15/Q17/
-#      Q20/Q22 — results verified bit-identical in DuckDB, but a
-#      touched oracle gets driver evidence the same round);
-#   3. ALL 39 keys whose latest evidence is round 3 (two fixture
-#      generations old) — after r8 grades, no key's evidence predates
-#      round 4;
-#   4. the three stalest r4-era keys to fill 50.
-# Overflow: stalest-first (r4 remainder, then r5, r6, r7-graded),
-# registration order within a round.
+# Round-9 front (50, per VERDICT r8 items 1/4/6 — additions capped at
+# one, window spent on evidence):
+#   1. the four never-graded keys: q_dedup_containment_shingle (the
+#      round-9 addition — the scale-safe word-shingle containment tier
+#      the round-8 Zipf census prescribed) and the three round-8 late
+#      additions (q_snapshot_diff, q_join_nullsafe,
+#      q_agg_weighted_median), each locally verified at all three sf;
+#   2. q_sql_tpch22 — its r8 oracle-text change (AS MATERIALIZED) was
+#      displaced from the r8 window; a touched oracle gets driver
+#      evidence at the next opportunity;
+#   3. 45 of the 50 keys whose latest evidence is round 4 (the stalest
+#      block in the repo), q_window_session first as VERDICT r8
+#      demanded; this also refreshes all six r4 rows-only keys
+#      (q_agg_approx, q_dedup_minhash, q_dedup_simhash, q_knn_lsh,
+#      q_knn_ivf, q_stream_late) with r9 rows evidence.
+# Overflow: the five r4 leftovers (q_agg_weighted_centroid, q_rollup,
+# q_cube, q_grouping_sets, q_scan_project — the r10 front), then
+# stalest-first (r5, r6, r7, r8 blocks in prior relative order).
 GRADE_ORDER: list[str] = [
-    # 1. round-8 additions (never graded)
-    "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
-    "q_link_predict", "q_holt_forecast",
-    # 2. touched this round (re-grade with the changed oracle/plan);
-    #    q_trajectory_sim joined mid-round (its groupBy-derived cache
-    #    now repartitions to core count first — value-identical,
-    #    verified sf0.01+sf0.1, but a touched plan gets driver evidence
-    #    the same round)
-    #    (q_sql_tpch22 yields its slot to q_holt_forecast: its change
-    #     is oracle-text-only, verified bit-identical in DuckDB, and
-    #     its evidence is r7-fresh — the cheapest displacement that
-    #     keeps all 39 r3-era keys in the window)
-    "q_cohort_ltv", "q_sql_tpch2", "q_sql_tpch15", "q_sql_tpch17",
-    "q_sql_tpch20", "q_trajectory_sim",
-    # 3. every r3-evidence key (stalest in the repo)
-    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
-    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
-    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
-    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
-    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
-    "q_kmeans", "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
-    "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
-    "q_join_bucketed", "q_pack_sequences", "q_decontaminate", "q_mix_sample",
-    "q_dedup_incremental", "q_sketch_cms",
-    # (the r4-era fillers all dropped to overflow as round-8 additions
-    #  and touched keys filled the window)
-    # --- 50-key line (driver window size) ---
-    # overflow front: the never-graded late-round-8 additions (graded
-    # r9), the displaced touched key, then stalest-first (r4 remainder,
-    # r5, r6, r7).
-    "q_snapshot_diff", "q_join_nullsafe", "q_agg_weighted_median",
-    "q_sql_tpch22",
-    "q_window_session", "q_ct_centre", "q_ct_histogram",
-    "q_ct_bbox", "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
-    "q_multimodal_features", "q_multimodal_resize", "q_sample_split",
-    "q_sample_stratified", "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh",
-    "q_knn_ivf", "q_stream_late", "q_gapfill", "q_udaf_grouped",
-    "q_vector_quantize", "q_agg_regression", "q_window_tumbling",
-    "q_window_sliding", "q_sessionize", "q_stream_dedup", "q_stream_enrich",
+    "q_dedup_containment_shingle", "q_snapshot_diff", "q_join_nullsafe",
+    "q_agg_weighted_median", "q_sql_tpch22", "q_window_session",
+    "q_ct_centre", "q_ct_histogram", "q_ct_bbox", "q_ct_threshold",
+    "q_ct_moments", "q_ct_preprocess", "q_multimodal_features",
+    "q_multimodal_resize", "q_sample_split", "q_sample_stratified",
+    "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
+    "q_stream_late", "q_gapfill", "q_udaf_grouped", "q_vector_quantize",
+    "q_agg_regression", "q_window_tumbling", "q_window_sliding",
+    "q_sessionize", "q_stream_dedup", "q_stream_enrich",
     "q_stateful_sessions", "q_win_lag_lead", "q_win_moving",
     "q_win_range_time", "q_win_firstlast", "q_join_range", "q_join_asof",
     "q_join_salted", "q_agg_distinct", "q_agg_approx",
@@ -205,14 +176,14 @@ GRADE_ORDER: list[str] = [
     "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
     "q_logistic_train", "q_interval_coalesce", "q_allocate", "q_locf",
     "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e", "q_source_evolving",
-    "q_source_nested", "q_sql_tpch18", "q_join_spatial",
-    "q_knn_incremental", "q_scan_count", "q_project_expr", "q_filter_pred",
-    "q_filter_in_like", "q_filter_null", "q_case_when", "q_join_broadcast",
-    "q_join_inner", "q_join_multiway", "q_join_left", "q_join_full",
-    "q_join_semi", "q_join_anti", "q_join_cross", "q_win_rank",
-    "q_win_topk_group", "q_win_running", "q_win_ntile", "q_sort_multi",
-    "q_topk", "q_limit_offset", "q_set_union", "q_set_intersect",
-    "q_set_except", "q_distinct", "q_text_stats", "q_mad_outliers_approx",
+    "q_source_nested", "q_sql_tpch18", "q_join_spatial", "q_knn_incremental",
+    "q_scan_count", "q_project_expr", "q_filter_pred", "q_filter_in_like",
+    "q_filter_null", "q_case_when", "q_join_broadcast", "q_join_inner",
+    "q_join_multiway", "q_join_left", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_cross", "q_win_rank", "q_win_topk_group",
+    "q_win_running", "q_win_ntile", "q_sort_multi", "q_topk",
+    "q_limit_offset", "q_set_union", "q_set_intersect", "q_set_except",
+    "q_distinct", "q_text_stats", "q_mad_outliers_approx",
     "q_dedup_substring", "q_pii_redact", "q_topic_terms", "q_sql_tpch7",
     "q_sql_tpch14", "q_sql_tpch19", "q_win_distribution", "q_autocorr",
     "q_changepoint", "q_benford", "q_degree_dist", "q_kcore",
@@ -224,6 +195,19 @@ GRADE_ORDER: list[str] = [
     "q_attribution", "q_period_over_period", "q_str_funcs",
     "q_dedup_containment", "q_bfs_hops", "q_sssp_cost", "q_cuped",
     "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
+    "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
+    "q_link_predict", "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2",
+    "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20", "q_trajectory_sim",
+    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
+    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
+    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
+    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
+    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
+    "q_kmeans", "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
+    "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
+    "q_join_bucketed", "q_pack_sequences", "q_decontaminate", "q_mix_sample",
+    "q_dedup_incremental", "q_sketch_cms",
 ]
 
 

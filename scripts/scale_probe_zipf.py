@@ -56,8 +56,16 @@ VOCAB_N = 10_000
 SIZES = [2_000, 8_000, 32_000]
 
 
-def gen_zipf_corpus(spark: SparkSession, n: int, out_dir: str) -> None:
-    """documents.parquet with Zipf(1) word frequencies (see module doc)."""
+def gen_zipf_corpus(
+    spark: SparkSession, n: int, out_dir: str, vocab: int = VOCAB_N
+) -> None:
+    """documents.parquet with Zipf(1) word frequencies (see module doc).
+
+    ``vocab`` is the rank-space ceiling V. The default fixes V (the
+    round-8 runs); the Heaps-law mode grows it with n — on real text
+    vocabulary grows ~T^beta (Heaps), so the rarest-prefix tokens keep
+    df = O(1) as the corpus grows, which is exactly the regime the
+    ~n*prefix census claim assumes."""
     df = (
         spark.range(n)
         .withColumn(
@@ -73,7 +81,7 @@ def gen_zipf_corpus(spark: SparkSession, n: int, out_dir: str) -> None:
             "text",
             F.expr(
                 "array_join(transform(sequence(1, eff_len), j -> "
-                " concat('w', CAST(pow(10000.0,"
+                f" concat('w', CAST(pow(CAST({vocab} AS DOUBLE),"
                 "   (pmod(xxhash64('w', base_id, j), 1000003) + 0.5)"
                 "   / 1000003.0) AS INT))), ' ')"
             ),
@@ -241,6 +249,12 @@ def containment_census(
 
 def main() -> None:
     modes = set(sys.argv[1:]) or {"jaccard", "contain", "contain_w2"}
+    # 'jaccard_heaps': the round-9 growing-vocabulary run (VERDICT r8
+    # item 5). The fixed-V runs showed the census FRACTION creeping
+    # 2.5e-5 -> 4.2e-5 across 2k -> 32k because every token's df grows
+    # ~n under a fixed vocabulary; under Heaps growth V ~ sqrt(n) the
+    # rarest-prefix tokens stay df = O(1) and the fraction should FALL
+    # ~1/n (cand ~ n * prefix). Measured result goes to SCALE.md.
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -273,6 +287,19 @@ def main() -> None:
             print(
                 f"contain_w2 n={n}: cand={c['cand']} "
                 f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
+            )
+    if "jaccard_heaps" in modes:
+        for n in SIZES:
+            vocab = int(VOCAB_N * (n / SIZES[0]) ** 0.5)
+            out = f"{base}/heaps_n{n}"
+            gen_zipf_corpus(spark, n, out, vocab=vocab)
+            allp = n * (n - 1) // 2
+            j = jaccard_census(spark, out)
+            print(
+                f"jaccard_heaps n={n} V={vocab}: cand={j['cand']} "
+                f"frac={j['cand'] / allp:.3e} planted_cand={j['planted_cand']}"
+                f"/{(n + 48) // 50} qual_recall={j['qual_cand']}/{j['qual']}"
+                f" {j['s']:.1f}s"
             )
     spark.stop()
 

@@ -98,14 +98,12 @@ def test_compacted_sink_writes_exactly_four_files(spark):
     parquet part-files — the small-file-compaction guarantee."""
     import glob as _glob
     import os as _os
-    import tempfile as _tempfile
 
     from flexcalc_spark import registry
+    from flexcalc_spark.operators.sinks import _scratch_dir
 
     registry.QUERIES["q_sink_compacted"](spark, SF_DIR).collect()
-    out = _os.path.join(
-        _tempfile.gettempdir(), f"flexcalc_spark_sink_compact_{_os.getpid()}"
-    )
+    out = _scratch_dir("sink_compact", SF_DIR)
     parts = _glob.glob(_os.path.join(out, "part-*.parquet"))
     assert len(parts) == 4, parts
 

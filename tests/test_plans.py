@@ -962,6 +962,17 @@ def test_dedup_containment_prefix_equi_join(spark):
     assert re.search(r"least\(", plan), plan
 
 
+def test_dedup_containment_shingle_prefix_equi_join(spark):
+    """The word-shingle containment tier must keep the identical plan
+    discipline as its char-gram sibling: equi join on the shingle hash,
+    no cartesian/nested-loop stage, positional prune in the plan."""
+    plan = plan_text(Q["q_dedup_containment_shingle"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    assert re.search(r"least\(", plan), plan
+
+
 def test_experiment_moment_keys_single_scan(spark):
     """srm / qte / rolling_corr collapse to integer moments in ONE
     events scan with no join anywhere in the plan."""

@@ -367,3 +367,108 @@ def test_containment_boundary_corpus(spark, tmp_path):
         for r in Q["q_dedup_containment"](spark, str(tmp_path)).collect()
     }
     assert got == want, f"got-want={got - want} want-got={want - got}"
+
+
+def test_containment_shingle_boundary_corpus(spark, tmp_path):
+    """q_dedup_containment_shingle on an engineered micro-corpus with
+    pairs AT the 0.8 word-bigram containment boundary, just under it,
+    full containment, and short-in-long asymmetry — compared against a
+    python brute force over distinct word-bigram sets (the shingle
+    sibling of test_containment_boundary_corpus)."""
+    import pandas as pd
+
+    from flexcalc_spark.operators.dedup import CONTAIN_DEN, CONTAIN_NUM
+
+    w = [f"w{i:02d}" for i in range(40)]
+    x = [f"x{i:02d}" for i in range(10)]
+    texts = {
+        # 11 words -> 10 bigrams
+        1: " ".join(w[0:11]),
+        # identical twin (cont = 1.0 both directions)
+        2: " ".join(w[0:11]),
+        # w0..w8 (8 of 1's bigrams) + disjoint tail -> 1-in-3 cont
+        # exactly 8/10 = 0.8 (AT the boundary)
+        3: " ".join(w[0:9] + x[0:4]),
+        # w0..w7 (7 of 1's bigrams) -> 7/10 = 0.7, must NOT pair with 1
+        4: " ".join(w[0:8] + x[4:9]),
+        # long doc containing 1 verbatim -> 1 fully inside 5
+        5: " ".join(w[0:11] + w[20:35]),
+        # short doc inside 5's tail
+        6: " ".join(w[25:30]),
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    def bigrams(t):
+        ws = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    want = set()
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a == b:
+                continue
+            ga, gb = bigrams(ta), bigrams(tb)
+            if ga and len(ga & gb) * CONTAIN_DEN >= CONTAIN_NUM * len(ga):
+                want.add((a, b, len(ga & gb) * 1_000_000 // len(ga)))
+
+    got = {
+        (r.id_a, r.id_b, r.cont_ppm)
+        for r in Q["q_dedup_containment_shingle"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (1, 3, 800000) in want  # the engineered exact-boundary pair
+    assert got == want, f"got-want={got - want} want-got={want - got}"
+
+
+def test_containment_shingle_zipf_recall(spark, tmp_path):
+    """Full-recall check on a Zipf(1) corpus slice (the probe corpus of
+    scripts/scale_probe_zipf.py, n=400 with planted near-dup twins):
+    the prefix-filtered word-shingle key must emit EXACTLY the python
+    brute-force containment pairs — recall floor 1.0 by construction,
+    verified here on the corpus shape the scale claim is made for."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from scale_probe_zipf import gen_zipf_corpus
+
+    from flexcalc_spark.operators.dedup import CONTAIN_DEN, CONTAIN_NUM
+
+    gen_zipf_corpus(spark, 400, str(tmp_path))
+    rows = spark.read.parquet(str(tmp_path / "documents.parquet")).collect()
+
+    def bigrams(t):
+        ws = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    sets = {r.doc_id: bigrams(r.text) for r in rows}
+    want = set()
+    for a, ga in sets.items():
+        if not ga:
+            continue
+        for b, gb in sets.items():
+            if a == b:
+                continue
+            isz = len(ga & gb)
+            if isz * CONTAIN_DEN >= CONTAIN_NUM * len(ga):
+                want.add((a, b, isz * 1_000_000 // len(ga)))
+
+    got = {
+        (r.id_a, r.id_b, r.cont_ppm)
+        for r in Q["q_dedup_containment_shingle"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert want, "Zipf corpus produced no qualifying pairs — planted twins missing"
+    assert got == want, (
+        f"missed={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )

@@ -110,17 +110,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One cached (src, dst, d) table: reused by all ITERATIONS joins —
     # the "partition edges once" posture, and the CLAUDE.md cache rule
     # (the distinct subtree would otherwise recompute per iteration).
-    # Repartition to core count BEFORE caching: the cache would
-    # otherwise pin the join's 200-partition vanilla-session layout as
-    # an InMemoryRelation AQE can no longer coalesce, and every
-    # iteration pays hundreds of near-empty tasks (the q_market_basket
-    # round-7 lesson).
+    # The degree join's output is ALREADY hash-partitioned by src; with
+    # canChangeCachedPlanOutputPartitioning=true (set in tables.table)
+    # AQE coalesces that layout into the cache, so the round-7 explicit
+    # repartition(defaultParallelism, src) — one extra full-edge
+    # exchange — is gone. Measured at sf0.1 (round-9 adjudication,
+    # BASELINE.md): 200-partition session 6.9 s -> 4.5 s; 8-partition
+    # bench session unchanged within noise; plain cache without the
+    # conf was the 45 s hazard case.
     ed = (
         edges.join(
             edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), "src"
         )
         .select("src", "dst", "d")
-        .repartition(spark.sparkContext.defaultParallelism, "src")
         .cache()
     )
     ranks = ed.select("src").distinct().select(

@@ -37,6 +37,29 @@ NS_PER_SEC = 1_000_000_000
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table as a plain parquet DataFrame."""
+    # Let AQE size the output layout of CACHED plans (off by default).
+    # Without it, an InMemoryRelation materializes the building plan's
+    # raw shuffle layout — under a vanilla 200-partition session every
+    # consumer of a groupBy/join-derived cache pays hundreds of
+    # near-empty tasks (the round-7 q_market_basket lesson; the
+    # repartition-before-cache rule is the manual workaround). With it,
+    # AQE coalesces the cached layout the same way it does any other
+    # shuffle. Measured on q_pagerank sf0.1 (scripts/
+    # adjudicate_pagerank.py protocol, BASELINE.md round-9): plain
+    # cache goes 45.5 s -> 4.5 s under a 200-partition session, and
+    # beats the explicit repartition(32, src) form 6.9 -> 4.5 s by
+    # skipping its extra full-edge exchange; bench-session (8
+    # partitions) times are unchanged within noise. Values are
+    # partition-independent (integer fixed-point; determinism suite).
+    # Explicit repartition(n, key) sites keep their user-specified
+    # layout — AQE never coalesces a user-numbered repartition.
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+    except Exception:
+        pass
     if name == "events":
         # Session conf; safe to set repeatedly. Needed only when the file
         # stores TIMESTAMP(NANOS,false), which Spark cannot read natively;

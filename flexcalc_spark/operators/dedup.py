@@ -284,7 +284,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE isz * {JACCARD_DEN} >= {JACCARD_NUM} * (sz_a + sz_b - isz)
     """,
     family="dedup",
-    scale_notes="exact token-set Jaccard with GUARANTEED-recall prefix-filter candidates (PPJoin): equi join on (lang, rare-prefix token), integer size-ratio prune, exact re-score on the candidate ids only. The ~n*prefix census is MEASURED on a Zipf(1) corpus (scripts/scale_probe_zipf.py: 4 orders of magnitude below all-pairs at n=2k-32k, qualifying-planted recall 100% at every n; SCALE.md round-8) — tau=0.95 word-token prefixes land in the rare tail, unlike the char-gram containment key's. q_dedup_minhash is the probabilistic-recall alternative at lower tau",
+    scale_notes="exact token-set Jaccard with GUARANTEED-recall prefix-filter candidates (PPJoin): equi join on (lang, rare-prefix token), integer size-ratio prune, exact re-score on the candidate ids only. The ~n*prefix census is MEASURED on a Zipf(1) corpus (scripts/scale_probe_zipf.py: 4 orders of magnitude below all-pairs at n=2k-32k, qualifying-planted recall 100% at every n; SCALE.md round-8), and the round-9 Heaps-law runs pin the vocabulary dependence: census ~n exactly under V ∝ n (candidates 1.4x the true-pair count at n=32k), ~n^1.6 at V ∝ sqrt(n), ~n^2 only with a FIXED vocabulary — real corpora sit between, so budget the candidate-join shuffle by the corpus's measured Heaps beta (SCALE.md round-9). tau=0.95 word-token prefixes land in the rare tail, unlike the char-gram containment key's. q_dedup_minhash is the probabilistic-recall alternative at lower tau",
 )
 def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard >= 0.95 within language."""

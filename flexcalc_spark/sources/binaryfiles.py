@@ -8,10 +8,13 @@ TIFF slices into a dense array (R1). Spark-native rendering:
 kernel over ``mapInPandas``.
 
 Decoding dispatches through ``DECODERS``: ``raw`` (np.frombuffer
-reshape) and grayscale ``tiff`` (pure-Python IFD parse — both byte
+reshape), grayscale ``tiff`` (pure-Python IFD parse — both byte
 orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
-PackBits with the horizontal predictor) are fully real; other tiff
-codecs and png/jpeg/wav raise NotImplementedError because no image
+PackBits with the horizontal predictor), grayscale ``png``, PCM
+``wav``, and baseline ``jpeg`` (jpegcodec.py — gray or YCbCr, luma
+plane out) are fully real pure-Python; out-of-envelope variants
+(RGB/codec TIFF, paletted/interlaced PNG, float WAV, progressive/
+arithmetic/12-bit JPEG) raise NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —
 schema, partitioning, UDF signature, Arrow batch shape — is real and
@@ -31,6 +34,8 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
+
+from flexcalc_spark.sources.jpegcodec import decode_jpeg as _decode_jpeg
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -365,21 +370,11 @@ def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     return n_ch, n_samples, native.name, arr.tobytes()
 
 
-def _decode_unavailable(fmt: str) -> Callable:
-    def decode(content: bytes, meta: dict):
-        raise NotImplementedError(
-            f"{fmt} decoding needs an image library not present in this "
-            "container (Pillow/tifffile); plug a decoder into DECODERS."
-        )
-
-    return decode
-
-
 DECODERS: dict[str, Callable] = {
     "raw": _decode_raw,
     "tiff": _decode_tiff,
     "png": _decode_png,
-    "jpeg": _decode_unavailable("jpeg"),
+    "jpeg": _decode_jpeg,
     "wav": _decode_wav,
 }
 

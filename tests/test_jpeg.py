@@ -1,0 +1,456 @@
+"""Baseline-JPEG codec tests.
+
+Test-only ENCODER below, same epistemic contract as the TIFF LZW pair
+(tests/test_sources.py): the container ships no reference JPEG library,
+so the encoder is derived to stay in lockstep with the decoder
+(flexcalc_spark/sources/jpegcodec.py) and the round-trips cross every
+structural feature — gray + YCbCr, 4:4:4 / 4:2:2 / 4:2:0 sampling,
+restart intervals, odd (non-multiple-of-8) dimensions, 8- and 16-bit
+DQT precision, 0xFF byte stuffing. Shared-constant mistakes that a
+self-consistent pair could hide (a wrong zigzag permutation inverts
+itself; a transposed DCT basis cancels) are pinned separately against
+INDEPENDENT constructions of the published definitions: zigzag by
+anti-diagonal walk, the DCT-II basis by direct cosine evaluation and
+orthonormality, huffman by the T.81 Annex C canonical recurrence.
+
+The DC huffman tables are the T.81 Annex K typicals; the AC tables are
+test-local valid canonical tables (all-8-bit and a multi-length
+variant) — any compliant decoder reads tables from the DHT segment, so
+the emitted files do not depend on Annex K AC transcription.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from flexcalc_spark.sources import binaryfiles as bf
+from flexcalc_spark.sources import jpegcodec as jc
+
+# ---------------------------------------------------------------------------
+# Shared constants pinned against independent constructions
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_matches_antidiagonal_walk():
+    """Rebuild the zigzag order from its definition (walk anti-diagonals
+    d = r+c in alternating direction) and compare element-wise."""
+    order = []
+    for d in range(15):
+        rc = [(r, d - r) for r in range(8) if 0 <= d - r < 8]
+        if d % 2 == 0:
+            rc = rc[::-1]               # even diagonals run bottom-left->up
+        order.extend(r * 8 + c for r, c in rc)
+    assert order == jc.ZIGZAG
+    assert sorted(jc.ZIGZAG) == list(range(64))
+
+
+def test_dct_basis_is_orthonormal_and_matches_cosine():
+    c = jc.dct_basis()
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-12)
+    # spot-check the defining formula at a few (u, x)
+    for u, x in [(0, 0), (1, 0), (3, 5), (7, 7)]:
+        alpha = np.sqrt(0.125) if u == 0 else 0.5
+        assert c[u, x] == pytest.approx(
+            alpha * np.cos((2 * x + 1) * u * np.pi / 16.0), abs=1e-15
+        )
+
+
+def test_huffman_canonical_recurrence():
+    """build_huffman must implement Annex C: codes of one length are
+    consecutive integers; moving up a length doubles the next code."""
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]  # Annex K DC
+    vals = list(range(12))
+    t = jc.build_huffman(bits, vals)
+    codes = sorted((l, c) for (l, c) in t)
+    # independent reconstruction
+    expect, code = [], 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            expect.append((length, code))
+            code += 1
+        code <<= 1
+    assert codes == sorted(expect)
+    # prefix-free: no code is a prefix of a longer one
+    for (l1, c1) in t:
+        for (l2, c2) in t:
+            if l1 < l2:
+                assert (c2 >> (l2 - l1)) != c1
+
+
+# ---------------------------------------------------------------------------
+# Test-only encoder
+# ---------------------------------------------------------------------------
+
+# T.81 Annex K base quantization tables (natural row-major order).
+QL_BASE = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QC_BASE = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, dtype=np.int64)
+
+# Annex K typical DC tables (categories 0..11).
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# All 162 baseline AC symbols: EOB, ZRL, and (run<<4 | size).
+AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+# Test-local valid canonical AC tables (see module docstring).
+AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_MULTI_BITS = [0, 0, 2, 0, 6, 0, 26, 0, 128, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_table(bits, vals):
+    """{symbol: (code, length)} by the same canonical recurrence."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int):
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QL_BASE * scale + 50) // 100, 1, 255)
+    qc = np.clip((QC_BASE * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)        # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.put(1, 1)                       # pad with 1-bits
+
+
+def _fdct_quant(block: np.ndarray, q_nat: np.ndarray) -> np.ndarray:
+    """Level shift, forward DCT, quantize, zigzag-scan one 8x8 block."""
+    c = jc.dct_basis()
+    coef = c @ (block.astype(np.float64) - 128.0) @ c.T
+    qn = np.round(coef / q_nat.reshape(8, 8)).astype(np.int64).ravel()
+    return qn[jc.ZIGZAG]                          # natural -> scan order
+
+
+def _put_block(w, scan_blk, pred, dc_tab, ac_tab):
+    diff = int(scan_blk[0]) - pred
+    s = int(abs(diff)).bit_length()
+    code, length = dc_tab[s]
+    w.put(code, length)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(scan_blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_tab[0xF0]
+            w.put(zc, zl)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, length = ac_tab[(run << 4) | s]
+        w.put(code, length)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ec, el = ac_tab[0x00]
+        w.put(ec, el)
+    return int(scan_blk[0])
+
+
+def _pad_to(img: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    return np.pad(
+        img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+    )
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt(tid: int, q_nat: np.ndarray, wide: bool) -> bytes:
+    q_scan = q_nat[jc.ZIGZAG]
+    if wide:
+        return _seg(0xDB, bytes([0x10 | tid])
+                    + q_scan.astype(">u2").tobytes())
+    return _seg(0xDB, bytes([tid]) + q_scan.astype(np.uint8).tobytes())
+
+
+def _dht(tclass: int, tid: int, bits, vals) -> bytes:
+    return _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits)
+                + bytes(vals))
+
+
+def encode_jpeg(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    quality: int = 85,
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+    ac_bits=AC_FLAT_BITS,
+    wide_dqt: bool = False,
+) -> bytes:
+    """Baseline JFIF-less JPEG: gray (cb/cr None) or interleaved YCbCr
+    with luma sampling ``sampling`` and 1x1 chroma. Planes are uint8
+    full-resolution; chroma is box-averaged down by the sampling
+    factors."""
+    h, w_img = y.shape
+    color = cb is not None
+    sh, sv = (sampling if color else (1, 1))
+    ql, qc = _quality_tables(quality)
+    mcux = -(-w_img // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    ypad = _pad_to(y, mcuy * 8 * sv, mcux * 8 * sh)
+    if color:
+        cbp = _pad_to(cb, mcuy * 8 * sv, mcux * 8 * sh)
+        crp = _pad_to(cr, mcuy * 8 * sv, mcux * 8 * sh)
+        # box-average chroma down to one 8x8 block per MCU axis unit
+        cbs = cbp.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
+        crs = crp.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, ql, wide_dqt)
+    if color:
+        out += _dqt(1, qc, wide_dqt)
+    comps = [(1, (sh << 4) | sv, 0)]
+    if color:
+        comps += [(2, 0x11, 1), (3, 0x11, 1)]
+    sof = struct.pack(">BHHB", 8, h, w_img, len(comps))
+    for cid, samp, tq in comps:
+        sof += bytes([cid, samp, tq])
+    out += _seg(0xC0, sof)
+    out += _dht(0, 0, DC_BITS, DC_VALS)
+    out += _dht(1, 0, ac_bits, AC_SYMBOLS)
+    if color:
+        out += _dht(0, 1, DC_BITS, DC_VALS)
+        out += _dht(1, 1, ac_bits, AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _, tq in comps:
+        sos += bytes([cid, (tq << 4) | tq])     # dc/ac selector = comp table
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_tab = _encode_table(DC_BITS, DC_VALS)
+    ac_tab = _encode_table(ac_bits, AC_SYMBOLS)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0, 0, 0]
+            for by in range(sv):
+                for bx in range(sh):
+                    r0 = (my * sv + by) * 8
+                    c0 = (mx * sh + bx) * 8
+                    blk = _fdct_quant(
+                        ypad[r0 : r0 + 8, c0 : c0 + 8], ql
+                    )
+                    preds[0] = _put_block(wtr, blk, preds[0], dc_tab, ac_tab)
+            if color:
+                for ci, plane in ((1, cbs), (2, crs)):
+                    r0, c0 = my * 8, mx * 8
+                    blk = _fdct_quant(
+                        plane[r0 : r0 + 8, c0 : c0 + 8], qc
+                    )
+                    preds[ci] = _put_block(
+                        wtr, blk, preds[ci], dc_tab, ac_tab
+                    )
+            mcu_count += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Round-trips
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h, w, seed=0):
+    """Low-frequency test image: sum of 2-D cosines, well inside what
+    quantization preserves."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.RandomState(seed)
+    img = 128.0 + 60 * np.cos(xx / 19.0 + rng.rand()) * np.cos(
+        yy / 23.0 + rng.rand()
+    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def _decode(blob):
+    h, w, dt, px = jc.decode_jpeg(blob, {})
+    assert dt == "uint8"
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+
+
+def test_gray_constant_block_exact():
+    """A constant-128 image has all-zero coefficients (level shift makes
+    it the DCT origin) and reconstructs EXACTLY at any quality; 137 is
+    exact wherever its DC value survives the quant grid (quality 95:
+    DC step 2 divides 72)."""
+    img = np.full((16, 24), 128, dtype=np.uint8)
+    got = _decode(encode_jpeg(img, quality=10))
+    assert np.array_equal(got, img)
+    img = np.full((16, 24), 137, dtype=np.uint8)
+    got = _decode(encode_jpeg(img, quality=95))
+    assert np.array_equal(got, img)
+
+
+def test_gray_smooth_roundtrip_high_quality():
+    img = _smooth(40, 56)
+    got = _decode(encode_jpeg(img, quality=95))
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_gray_odd_dimensions_cropped():
+    img = _smooth(21, 13, seed=3)
+    got = _decode(encode_jpeg(img, quality=95))
+    assert got.shape == (21, 13)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 1), (2, 2)])
+def test_color_roundtrip_luma(sampling):
+    """3-component YCbCr at each sampling mode: the decoder returns the
+    full-resolution luma plane; chroma content must not disturb it."""
+    y = _smooth(32, 48, seed=7)
+    cb = _smooth(32, 48, seed=8)
+    cr = np.full((32, 48), 128, dtype=np.uint8)
+    got = _decode(encode_jpeg(y, cb, cr, quality=95, sampling=sampling))
+    assert got.shape == (32, 48)
+    err = np.abs(got.astype(int) - y.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_restart_intervals():
+    img = _smooth(48, 48, seed=11)
+    blob = encode_jpeg(img, quality=95, restart_interval=2)
+    assert b"\xff\xd0" in blob            # RST0 actually emitted
+    got = _decode(blob)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_multi_length_ac_table_and_16bit_dqt():
+    img = _smooth(24, 24, seed=5)
+    blob = encode_jpeg(
+        img, quality=95, ac_bits=AC_MULTI_BITS, wide_dqt=True
+    )
+    got = _decode(blob)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_byte_stuffing_no_bare_ff_in_scan():
+    """Entropy data may contain 0xFF only as 0xFF00 (stuffed) or a
+    restart marker."""
+    img = _smooth(64, 64, seed=13)
+    blob = encode_jpeg(img, quality=10, restart_interval=3)
+    sos = blob.index(b"\xff\xda")
+    scan = blob[sos + 2 + 2 + 6 : -2]     # past SOS header, before EOI
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00 or 0xD0 <= scan[i + 1] <= 0xD7
+            i += 2
+        else:
+            i += 1
+
+
+# ---------------------------------------------------------------------------
+# Envelope behavior: unsupported variants degrade, corrupt bytes raise
+# ---------------------------------------------------------------------------
+
+# SOI + minimal SOF2 header: the progressive variant we deliberately
+# don't decode offline — must raise NotImplementedError (feeds the
+# media_features NOT_DECODABLE degradation path).
+PROGRESSIVE_STUB = (
+    b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+    + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+)
+
+
+def test_progressive_raises_notimplemented():
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jc.decode_jpeg(PROGRESSIVE_STUB, {})
+
+
+def test_corrupt_bytes_raise_valueerror():
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"\xff\xd8 fake", {})
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"not a jpeg at all", {})
+    img = _smooth(16, 16)
+    blob = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(blob[: len(blob) // 2], {})  # truncated scan
+
+
+def test_12bit_precision_raises_notimplemented():
+    stub = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jc.decode_jpeg(stub, {})
+
+
+# ---------------------------------------------------------------------------
+# Through the Spark decode path
+# ---------------------------------------------------------------------------
+
+
+def test_decode_files_jpeg_through_spark(spark, tmp_path):
+    imgs = {f"f{i}.jpg": _smooth(16, 16, seed=i) for i in range(3)}
+    for name, img in imgs.items():
+        (tmp_path / name).write_bytes(encode_jpeg(img, quality=95))
+    df = bf.read_binary_dir(spark, str(tmp_path), "*.jpg")
+    rows = {r.path.split("/")[-1]: r
+            for r in bf.decode_files(df, "jpeg", {}).collect()}
+    assert len(rows) == 3
+    for name, img in imgs.items():
+        r = rows[name]
+        got = np.frombuffer(bytes(r.px), dtype=np.uint8).reshape(r.h, r.w)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 6

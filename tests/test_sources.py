@@ -29,13 +29,16 @@ def test_read_stack_raw_roundtrip(spark, tmp_path):
     assert np.array_equal(back, vol)
 
 
-def test_decode_stub_format_raises(spark, tmp_path):
-    """jpeg has no offline decoder — the stub must raise through
-    Spark (png/wav graduated to real pure-Python decoders in r6)."""
-    (tmp_path / "img.jpg").write_bytes(b"\xff\xd8fake")
+def test_decode_unsupported_variant_raises(spark, tmp_path):
+    """Out-of-envelope variants (progressive JPEG — baseline graduated
+    to a real pure-Python decoder in r9, png/wav in r6) must raise
+    NotImplementedError through Spark; corrupt bytes raise ValueError."""
+    from test_jpeg import PROGRESSIVE_STUB
+
+    (tmp_path / "img.jpg").write_bytes(PROGRESSIVE_STUB)
     df = bf.read_binary_dir(spark, str(tmp_path), "*.jpg")
     decoded = bf.decode_files(df, "jpeg", {})
-    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
+    with pytest.raises(Exception, match="NotImplementedError|progressive"):
         decoded.collect()
 
 
@@ -150,16 +153,18 @@ def test_media_resize_preserves_mean(spark):
 
 
 def test_media_features_mixed_decodability(spark):
-    """Decodable raw/png blobs yield features; stub formats (jpeg has
-    no offline decoder) degrade to flagged rows without failing the
-    batch."""
+    """Decodable raw/png blobs yield features; unsupported format
+    VARIANTS (progressive JPEG — baseline decodes for real since r9)
+    degrade to flagged rows without failing the batch."""
+    from test_jpeg import PROGRESSIVE_STUB
+
     png = _png_encode(
         np.array([[0, 2], [4, 6]], dtype=np.uint8), 8, filters=[0, 2]
     )
     rows = [
         (1, "image", "raw", json.dumps({"h": 2, "w": 2, "dtype": "float32"}),
          np.arange(4, dtype=np.float32).tobytes()),
-        (2, "image", "jpeg", json.dumps({}), b"\xff\xd8 fake"),
+        (2, "image", "jpeg", json.dumps({}), PROGRESSIVE_STUB),
         (3, "image", "png", json.dumps({}), png),
     ]
     media = spark.createDataFrame(rows, bf.MEDIA_SCHEMA)

@@ -442,6 +442,24 @@ def test_12bit_precision_raises_notimplemented():
 # ---------------------------------------------------------------------------
 
 
+def test_media_features_decodes_jpeg(spark):
+    """A jpeg blob in the media table must produce REAL features (not
+    NOT_DECODABLE) through the vectorized feature pass — the format is
+    no longer a stub anywhere in the pipeline."""
+    import json
+
+    img = np.full((16, 16), 128, dtype=np.uint8)  # exact at any quality
+    media = spark.createDataFrame(
+        [(9, "image", "jpeg", json.dumps({}),
+          bytearray(encode_jpeg(img, quality=90)))],
+        bf.MEDIA_SCHEMA,
+    )
+    feats = bf.media_features(media).collect()
+    assert len(feats) == 1
+    assert feats[0].mean_intensity == repr(128.0)
+    assert (feats[0].thumb_h, feats[0].thumb_w) == (8, 8)
+
+
 def test_decode_files_jpeg_through_spark(spark, tmp_path):
     imgs = {f"f{i}.jpg": _smooth(16, 16, seed=i) for i in range(3)}
     for name, img in imgs.items():

@@ -1398,3 +1398,102 @@ def q_dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _containment_pairs(items, CONTAIN_NUM, CONTAIN_DEN)
+
+
+# --- Leakage-safe train/eval split: whole clusters to one side ----------
+#
+# The split a training pipeline must run AFTER near-dup detection:
+# hash-splitting documents independently puts near-duplicates on both
+# sides of the train/eval boundary, so the eval set silently overlaps
+# the training set (the contamination the decontaminate key scrubs
+# against EXTERNAL benchmarks, here arising internally). The fix is to
+# split by CLUSTER: every document inherits its near-dup component's
+# root, and the root — not the doc — is hashed into a split, so a
+# cluster never straddles the boundary. The split hash is exact
+# integer arithmetic (minimal-standard LCG multiplier, mod 2^16, then
+# decile) — portable across engines and safe under every division/mod
+# sign convention because all operands are non-negative.
+
+SPLIT_MULT = 48271             # minimal-standard LCG multiplier
+SPLIT_MOD = 65536
+SPLIT_TRAIN_DECILES = 8        # of 10 -> 80/20 train/eval
+
+
+@register(
+    "q_split_dedup_safe",
+    oracle=f"""
+        WITH RECURSIVE t AS MATERIALIZED (
+            SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_id, lang, len(toks) AS sz, unnest(toks) AS tok FROM t
+        ),
+        -- inverted-index edge derivation (see q_dedup_neardup's oracle)
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isz,
+                       ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+                FROM e a JOIN e b
+                  ON a.lang = b.lang AND a.tok = b.tok
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            WHERE isz * {JACCARD_DEN} >= {JACCARD_NUM} * (sz_a + sz_b - isz)
+        ),
+        und AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION SELECT dst AS src, src AS dst FROM edges
+        ),
+        reach AS (
+            SELECT src AS id, src AS r FROM und
+            UNION
+            SELECT reach.id, und.dst AS r
+            FROM reach JOIN und ON und.src = reach.r
+        ),
+        labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_root,
+               CASE WHEN ((COALESCE(l.cluster_id, d.doc_id) * {SPLIT_MULT})
+                          % {SPLIT_MOD}) % 10 < {SPLIT_TRAIN_DECILES}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    """,
+    family="curation",
+    scale_notes=(
+        "leakage-safe 80/20 split: documents inherit their near-dup "
+        "component root (the SAME edge relation q_dedup_clusters "
+        "contracts, large-star/small-star in O(log n) rounds) and the "
+        "ROOT is hashed into a decile, so a cluster never straddles "
+        "train/eval — the internal-contamination twin of "
+        "q_decontaminate. Singletons (no near-dup) root at their own "
+        "doc_id via an unhinted left join (labels only cover docs in "
+        "the pair graph; AQE broadcasts it at small scale, shuffles "
+        "past the threshold). The split hash is exact non-negative "
+        "integer arithmetic (LCG multiply mod 2^16, then decile) — "
+        "engine-portable, partition-independent, and stable under "
+        "re-runs, so an incremental corpus re-split only moves docs "
+        "whose CLUSTER changed. root*48271 needs doc_id < 2^47 — "
+        "6 orders of magnitude above any real corpus id space"
+    ),
+)
+def q_split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/eval split where every near-dup cluster lands whole
+    on one side: cluster roots from connected components over the
+    q_dedup_neardup pair graph, split decided by an integer hash of
+    the root."""
+    edges = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels, _rounds = connected_components(edges)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    lab = labels.select(F.col("node").alias("doc_id"), F.col("label"))
+    root = F.coalesce(F.col("label"), F.col("doc_id"))
+    return d.join(lab, "doc_id", "left").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        root.cast("bigint").alias("cluster_root"),
+        F.when(
+            ((root * SPLIT_MULT) % SPLIT_MOD) % 10 < SPLIT_TRAIN_DECILES,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

@@ -139,7 +139,8 @@ def register(
 #      (q_agg_approx, q_dedup_minhash, q_dedup_simhash, q_knn_lsh,
 #      q_knn_ivf, q_stream_late) with r9 rows evidence.
 # Overflow: the five r4 leftovers (q_agg_weighted_centroid, q_rollup,
-# q_cube, q_grouping_sets, q_scan_project — the r10 front), then
+# q_cube, q_grouping_sets, q_scan_project) plus the round-9 late
+# addition q_split_dedup_safe (never graded — the r10 front), then
 # stalest-first (r5, r6, r7, r8 blocks in prior relative order).
 GRADE_ORDER: list[str] = [
     "q_dedup_containment_shingle", "q_snapshot_diff", "q_join_nullsafe",
@@ -157,7 +158,8 @@ GRADE_ORDER: list[str] = [
     "q_agg_approx_percentile", "q_pivot", "q_unpivot", "q_histogram",
     "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
     "q_agg_stats", "q_agg_percentile", "q_agg_weighted_centroid", "q_rollup",
-    "q_cube", "q_grouping_sets", "q_scan_project", "q_sketch_hll",
+    "q_cube", "q_grouping_sets", "q_scan_project", "q_split_dedup_safe",
+    "q_sketch_hll",
     "q_sliding_distinct", "q_bm25", "q_quality_entropy", "q_anomaly_zscore",
     "q_funnel", "q_retention", "q_rfm", "q_transitions", "q_session_stats",
     "q_time_rollup", "q_cooccur", "q_concurrency", "q_histogram_equidepth",

@@ -43,6 +43,7 @@ RISKY = [
     "q_decontaminate",      # broadcast shingle join + left-join counts
     "q_mix_sample",         # data-dependent integer thresholds
     "q_dedup_incremental",  # prefix filter with flipped pair predicate
+    "q_split_dedup_safe",   # cluster roots + integer hash split (round 9)
     "q_kmeans",             # integer-grid Lloyd assignment + codebook collect
     "q_tfidf",              # floor-quantized score ranking
     "q_agg_regression",     # one-pass moment aggregates, rounded

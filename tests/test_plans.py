@@ -121,7 +121,7 @@ def test_dedup_plans_have_no_allpairs_join(spark):
     minhash, simhash, clusters) or the blocked-GEMM pass (embed), whose
     only nested-loop join is over the tiny block-level relation."""
     for key in ["q_dedup_neardup", "q_dedup_ngram", "q_dedup_clusters",
-                "q_dedup_minhash", "q_dedup_simhash"]:
+                "q_dedup_minhash", "q_dedup_simhash", "q_split_dedup_safe"]:
         plan = plan_text(Q[key](spark, SF_DIR))
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key

@@ -469,3 +469,29 @@ def test_debounce_anchor_mask_matches_naive_fold(gaps, n_groups):
         else:
             want.append(False)
     assert list(got) == want
+
+
+def test_split_dedup_safe_no_pair_straddles(spark):
+    """The leakage guarantee: every near-dup pair's endpoints land in
+    the same split with the same cluster root; every document gets
+    exactly one assignment; singletons root at their own doc_id."""
+    from flexcalc_spark.operators.dedup import _neardup_pairs
+
+    rows = registry.QUERIES["q_split_dedup_safe"](spark, SF_DIR).collect()
+    assign = {r.doc_id: (r.cluster_root, r.split) for r in rows}
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
+    assert len(rows) == len(assign) == n_docs
+    assert set(s for _, s in assign.values()) <= {"train", "eval"}
+    pairs = _neardup_pairs(spark, SF_DIR).select("id_a", "id_b").collect()
+    assert pairs, "fixture must contain near-dup pairs for this test"
+    paired = set()
+    for p in pairs:
+        assert assign[p.id_a] == assign[p.id_b], (p.id_a, p.id_b)
+        paired.update((p.id_a, p.id_b))
+    for doc_id, (root, _) in assign.items():
+        if doc_id not in paired:
+            assert root == doc_id  # singleton is its own root
+        else:
+            assert root <= doc_id  # component min

@@ -145,10 +145,11 @@ def media_video_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "columnar pass reduces each frame to its features — at 100 TB "
         "the frame explosion multiplies rows by n_frames/k before any "
         "shuffle, and per-frame features (narrow rows) are what moves. "
-        "Codec-compressed video raises through the DECODERS stub path "
-        "exactly like single-image decode (plug a real codec in where "
-        "the container has one); the raw-frames layout here keeps the "
-        "arithmetic oracle-checkable end-to-end"
+        "Codec-compressed video raises NotImplementedError explicitly "
+        "(still-image decoders are all real now, so a per-frame decode "
+        "succeeding must not masquerade as video support; plug a real "
+        "codec in where the container has one); the raw-frames layout "
+        "here keeps the arithmetic oracle-checkable end-to-end"
     ),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,8 +234,8 @@ def media_audio_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "now audio windowing): ONE Arrow mapInPandas pass windows each "
         "blob executor-side (16-sample hops) and emits narrow "
         "(media_id, window, energy, zero-crossings) rows; the blob "
-        "never shuffles. Real codecs (mp3/flac) plug into the same "
-        "DECODERS stub path as images; raw float frames keep the "
+        "never shuffles. Real codecs (mp3/flac) plug into DECODERS "
+        "beside the real image/wav decoders; raw float frames keep the "
         "windowed arithmetic oracle-checkable. Energy sums run "
         "SEQUENTIALLY (cumsum) to match the oracle's left fold "
         "bit-for-bit before the 1e-4 round"

@@ -503,14 +503,21 @@ def _media_raw_groups(pdf: pd.DataFrame):
             )
             yield g.index.to_numpy(), stack
             continue
-        # header-ful formats (tiff): decode per file — headers differ —
-        # then stack homogeneous shapes for the vectorized feature math
-        try:
-            decoded = [DECODERS[fmt](bytes(b), meta) for b in g["content"]]
-        except NotImplementedError:
-            continue                       # stub format -> NOT_DECODABLE rows
+        # header-ful formats (tiff/png/jpeg/wav): decode per file —
+        # headers differ — then stack homogeneous shapes for the
+        # vectorized feature math. Degradation is PER ROW, not per
+        # group: one out-of-envelope blob (e.g. a progressive JPEG
+        # among baseline ones) must flip only ITS row to NOT_DECODABLE,
+        # or the output would depend on Arrow batch boundaries.
+        idxs, decoded = [], []
+        for p, b in zip(g.index.to_numpy(), g["content"]):
+            try:
+                decoded.append(DECODERS[fmt](bytes(b), meta))
+                idxs.append(p)
+            except NotImplementedError:
+                continue                   # this row -> NOT_DECODABLE
         by_shape: dict[tuple, tuple[list, list]] = {}
-        for p, (h, w, dt, px) in zip(g.index.to_numpy(), decoded):
+        for p, (h, w, dt, px) in zip(idxs, decoded):
             ps, pxs = by_shape.setdefault((h, w, dt), ([], []))
             ps.append(p)
             pxs.append(px)
@@ -569,8 +576,10 @@ def media_resize(df: DataFrame) -> DataFrame:
 def media_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame sampling for 'video' blobs: a raw video = n_frames
     concatenated raw frames (meta: n_frames, h, w, dtype); emit every
-    k-th frame as its own row. Codec formats raise through DECODERS'
-    stub path exactly like single-image decode."""
+    k-th frame as its own row. Non-raw containers raise
+    NotImplementedError explicitly — a still-image decoder succeeding
+    on a single frame (tiff/png/jpeg are all real decoders now) must
+    not be mistaken for video support and silently emit zero frames."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -580,8 +589,11 @@ def media_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
             ):
                 meta = json.loads(mjson)
                 if fmt != "raw":
-                    DECODERS[fmt](bytes(content), meta)  # raises
-                    continue
+                    raise NotImplementedError(
+                        f"video container '{fmt}' not supported offline; "
+                        "only raw concatenated frames decode (plug a "
+                        "codec library in where available)"
+                    )
                 n, h, w = int(meta["n_frames"]), int(meta["h"]), int(meta["w"])
                 dt = np.dtype(meta["dtype"])
                 frames = np.frombuffer(bytes(content), dtype=dt).reshape(n, h, w)

@@ -115,8 +115,12 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        # only called at nbits == 0, so REPLACE the accumulator — an
+        # |=-append would grow it one byte per scan byte and make the
+        # decode quadratic in stream size (measured: minutes on a
+        # few-hundred-KB photo)
+        self.acc = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -162,7 +166,16 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     """Baseline JPEG -> (h, w, 'uint8', luma plane bytes). See module
-    docstring for the supported envelope."""
+    docstring for the supported envelope. Corrupt bytes raise ValueError
+    (struct/index errors from truncated segments are normalized here);
+    out-of-envelope variants raise NotImplementedError."""
+    try:
+        return _decode_markers(content)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"JPEG truncated/corrupt: {e}") from e
+
+
+def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
     if len(content) < 4 or content[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2

@@ -472,3 +472,76 @@ def test_decode_files_jpeg_through_spark(spark, tmp_path):
         r = rows[name]
         got = np.frombuffer(bytes(r.px), dtype=np.uint8).reshape(r.h, r.w)
         assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_large_image_decodes_in_linear_time():
+    """The bit reader must REPLACE its accumulator per byte, not append
+    (an appending accumulator makes decode quadratic in scan size —
+    minutes for a few hundred KB). 256x256 -> 1024 blocks decodes in
+    seconds when linear."""
+    import time
+
+    img = _smooth(256, 256, seed=17)
+    blob = encode_jpeg(img, quality=85)
+    t0 = time.perf_counter()
+    got = _decode(blob)
+    assert time.perf_counter() - t0 < 30  # quadratic form took minutes
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_truncated_segments_raise_valueerror():
+    """struct/index errors from truncated SEGMENTS must surface as the
+    documented ValueError, distinct from NotImplementedError."""
+    short_dri = b"\xff\xd8\xff\xdd" + struct.pack(">H", 3) + b"\x00"
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(short_dri, {})
+    # SOS header claiming 2 scan components but carrying 1 byte
+    short_sos = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xda" + struct.pack(">H", 4) + bytes([2, 1])
+    )
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(short_sos, {})
+    # DHT with fewer than 16 bits-count bytes
+    short_dht = b"\xff\xd8\xff\xc4" + struct.pack(">H", 6) + bytes([0, 0, 0, 0])
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(short_dht, {})
+
+
+def test_media_features_mixed_group_degrades_per_row(spark):
+    """One progressive JPEG among baseline ones IN THE SAME pandas
+    group must flip only ITS row to NOT_DECODABLE — per-row, not
+    per-group, degradation (else output depends on batch boundaries)."""
+    import json
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", "jpeg", json.dumps({}),
+             bytearray(encode_jpeg(img, quality=90))),
+            (2, "image", "jpeg", json.dumps({}), bytearray(PROGRESSIVE_STUB)),
+            (3, "image", "jpeg", json.dumps({}),
+             bytearray(encode_jpeg(img, quality=90))),
+        ],
+        bf.MEDIA_SCHEMA,
+    ).coalesce(1)                         # force one batch, one group
+    feats = {r.media_id: r for r in bf.media_features(media).collect()}
+    assert feats[1].mean_intensity == repr(128.0)
+    assert feats[3].mean_intensity == repr(128.0)
+    assert feats[2].mean_intensity == "NOT_DECODABLE"
+
+
+def test_frame_sample_nonraw_raises(spark):
+    """A decodable STILL format on a video row must raise, not silently
+    emit zero frames (a still decoder succeeding is not video support)."""
+    import json
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(4, "video", "jpeg", json.dumps({}),
+          bytearray(encode_jpeg(img, quality=90)))],
+        bf.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|video container"):
+        bf.media_frame_sample(media).collect()

@@ -8,6 +8,14 @@ line: {"metric": ..., "value": <total sec>, "unit": "sec",
 Execution via the noop sink: every operator in the plan executes and
 every output row materializes, but nothing is collected to the driver —
 the honest way to time a distributed plan.
+
+The emitted line also carries ``box_control`` — three fixed synthetic
+probes (JVM codegen agg, interpreted HOF eval, Python loop) timed on the
+same box in the same session, so cross-round query-time trends can be
+normalized for box conditions before being read as regressions (rounds
+8-9 measured ~2-4.8x same-code swings). For a deliberate code-vs-code
+adjudication, use the interleaved subprocess worktree A/B protocol in
+scripts/adjudicate_bench_r10.py.
 """
 
 from __future__ import annotations
@@ -61,6 +69,57 @@ HEAVY = [
 ]
 
 
+def _box_control(spark) -> dict:
+    """Same-box drift control (VERDICT r9 item 6): three FIXED synthetic
+    probes whose code never changes round to round, timed best-of-3 in
+    the same session as the query timings. Rounds 8-9 proved identical
+    query code can swing ~2-4.8x across rounds on this shared box;
+    these numbers let any future BENCH_r{N} be read against the box
+    speed it was measured on instead of re-litigating conditions:
+
+      - jvm_agg_sec: whole-stage-codegen shuffle+hash-agg machinery;
+      - jvm_hof_sec: interpreted higher-order-function eval (the
+        execution profile of the knn/minhash keys that swung worst);
+      - py_loop_sec: driver-side Python interpreter speed (CPU
+        contention shows here first).
+    """
+    import pyspark.sql.functions as F  # noqa: F401  (parity with queries)
+
+    def best3(fn) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    out: dict[str, float] = {}
+    try:
+        out["jvm_agg_sec"] = best3(
+            lambda: spark.range(30_000_000)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k").sum("v")
+            .write.format("noop").mode("overwrite").save()
+        )
+        out["jvm_hof_sec"] = best3(
+            lambda: spark.range(150_000)
+            .selectExpr(
+                "aggregate(transform(sequence(1, 256), "
+                "x -> x * (id % 97)), 0L, (a, x) -> a + x) AS s"
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(8_000_000):
+            acc += i
+        out["py_loop_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass  # a failed probe must never break the bench JSON line
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -110,6 +169,7 @@ def main() -> None:
 
         timings = time_keys(HEADLINE)
         heavy = time_keys(HEAVY)
+        box_control = _box_control(spark)
 
         total = round(sum(timings.values()), 3)
         print(
@@ -133,6 +193,10 @@ def main() -> None:
                     ),
                     "sf": sf,
                     "runs_per_query": runs,
+                    # same-box drift control: fixed synthetic probes —
+                    # compare these across BENCH_r{N} files before
+                    # reading any query-time trend as a regression
+                    "box_control": box_control,
                 }
             )
         )

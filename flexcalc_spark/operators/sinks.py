@@ -41,8 +41,10 @@ from flexcalc_spark.tables import table
 _SCRATCH: set[str] = set()
 
 
-def _scratch_dir(tag: str, sf_dir: str) -> str:
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+def _scratch_dir(tag: str, sf_dir: str, fingerprint: str = "") -> str:
+    h = hashlib.md5(
+        (os.path.abspath(sf_dir) + "\0" + fingerprint).encode()
+    ).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"flexcalc_spark_{tag}_{h}")
     if not _SCRATCH:
         atexit.register(
@@ -117,11 +119,20 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ship-month-partitioned fact joined to a Q4-months dim (derived
     from orders): grades dynamic partition pruning + the partitioned
     layout round-trip (ship_month, n_lines, sum_qty)."""
-    out = _scratch_dir("dpp", sf_dir)
     # the graded operation here is the PRUNED READ, not the writer
-    # (q_sink_partitioned grades that) — so when this sf_dir's layout
-    # already exists from an earlier call in this process, reuse it
-    # instead of rewriting the full fact copy every invocation
+    # (q_sink_partitioned grades that) — so when this layout already
+    # exists from an earlier call in this process, reuse it instead of
+    # rewriting the full fact copy every invocation. The dir name is
+    # keyed by the SOURCE parquet's (mtime, size) AND the pid (ADVICE
+    # r9): fixtures regenerate between rounds at the same sf_dir path,
+    # so a _SUCCESS left behind by a SIGKILLed process must never be
+    # mistaken for fresh data, and the pid key keeps one process's
+    # atexit cleanup from deleting the layout under a concurrent reader.
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    out = _scratch_dir(
+        "dpp", sf_dir,
+        fingerprint=f"{st.st_mtime_ns}:{st.st_size}:{os.getpid()}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = table(spark, sf_dir, "lineitem").select(
             (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("sm"),

@@ -118,31 +118,80 @@ def register(
 
 
 # Driver-verification rotation. The driver's per-round CORRECTNESS
-# grading covers exactly the FIRST 50 keys of queries() order
-# (confirmed count-capped: r1-r8 each graded precisely 50). Rotating
-# the order each round gets every family driver-confirmed across rounds
-# without changing any query; rotation chases STALENESS.
+# grading covers exactly the FIRST 50 keys of queries() order (confirmed
+# count-capped: r1-r9 each graded precisely 50). Rotating the order each
+# round gets every family driver-confirmed across rounds without
+# changing any query; rotation chases STALENESS.
 #
-# Round-9 front (50, per VERDICT r8 items 1/4/6 — additions capped at
-# one, window spent on evidence):
-#   1. the four never-graded keys: q_dedup_containment_shingle (the
-#      round-9 addition — the scale-safe word-shingle containment tier
-#      the round-8 Zipf census prescribed) and the three round-8 late
-#      additions (q_snapshot_diff, q_join_nullsafe,
-#      q_agg_weighted_median), each locally verified at all three sf;
-#   2. q_sql_tpch22 — its r8 oracle-text change (AS MATERIALIZED) was
-#      displaced from the r8 window; a touched oracle gets driver
-#      evidence at the next opportunity;
-#   3. 45 of the 50 keys whose latest evidence is round 4 (the stalest
-#      block in the repo), q_window_session first as VERDICT r8
-#      demanded; this also refreshes all six r4 rows-only keys
-#      (q_agg_approx, q_dedup_minhash, q_dedup_simhash, q_knn_lsh,
-#      q_knn_ivf, q_stream_late) with r9 rows evidence.
-# Overflow: the five r4 leftovers (q_agg_weighted_centroid, q_rollup,
-# q_cube, q_grouping_sets, q_scan_project) plus the round-9 late
-# addition q_split_dedup_safe (never graded — the r10 front), then
-# stalest-first (r5, r6, r7, r8 blocks in prior relative order).
+# Round-10 front (50, per VERDICT r9 items 2/3 — zero new keys in the
+# window, budget spent on evidence):
+#   1. the five keys whose latest evidence is round 4 (the stalest in
+#      the repo): q_agg_weighted_centroid, q_rollup, q_cube,
+#      q_grouping_sets, q_scan_project;
+#   2. q_split_dedup_safe — the round-9 late addition and the ONLY
+#      registered key never driver-graded (locally verified at 3 sf);
+#   3. the first 44 of the 50 keys whose latest evidence is round 5,
+#      in prior relative order (q_pagerank among them — its round-9
+#      structural fix gets a fresh CORRECTNESS row under the driver's
+#      vanilla session, as VERDICT r9 item 3 demanded).
+# Overflow: the six r5 leftovers (q_sql_tpch5, q_sql_recursive,
+# q_source_csv_dirty, q_join_interval_outer, q_multimodal_audio,
+# q_ct_fbp — the r11 front), then stalest-first (r6, r7, r8, r9 blocks
+# in prior relative order). New keys added this round append to the
+# tail so they never displace the staleness queue.
 GRADE_ORDER: list[str] = [
+    "q_agg_weighted_centroid", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_scan_project", "q_split_dedup_safe", "q_sketch_hll",
+    "q_sliding_distinct", "q_bm25", "q_quality_entropy", "q_anomaly_zscore",
+    "q_funnel", "q_retention", "q_rfm", "q_transitions", "q_session_stats",
+    "q_time_rollup", "q_cooccur", "q_concurrency", "q_histogram_equidepth",
+    "q_agg_skew_distinct", "q_join_bloom", "q_grouped_sample",
+    "q_embed_project", "q_cdc_upsert", "q_table_checksum", "q_sql_tpch3",
+    "q_source_json", "q_source_orc", "q_sink_compacted",
+    "q_dedup_embed_lsh", "q_histogram_equidepth_approx", "q_rfm_approx",
+    "q_ngram_lm", "q_data_audit", "q_data_profile", "q_zorder_layout",
+    "q_inverted_index", "q_sql_tpch10", "q_session_paths", "q_skyline",
+    "q_corr_matrix", "q_global_rank", "q_multimodal_frames", "q_incr_mv",
+    "q_ab_test", "q_regression_multi", "q_pagerank", "q_dedup_chunks",
+    "q_anonymize", "q_sql_tpch5", "q_sql_recursive", "q_source_csv_dirty",
+    "q_join_interval_outer", "q_multimodal_audio", "q_ct_fbp", "q_ewma",
+    "q_debounce", "q_seq_pattern", "q_sample_weighted", "q_source_xml",
+    "q_scd2_pit", "q_bpe_tokenize", "q_percentile_select", "q_join_fuzzy",
+    "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
+    "q_logistic_train", "q_interval_coalesce", "q_allocate", "q_locf",
+    "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e",
+    "q_source_evolving", "q_source_nested", "q_sql_tpch18",
+    "q_join_spatial", "q_knn_incremental", "q_scan_count", "q_project_expr",
+    "q_filter_pred", "q_filter_in_like", "q_filter_null", "q_case_when",
+    "q_join_broadcast", "q_join_inner", "q_join_multiway", "q_join_left",
+    "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+    "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_ntile",
+    "q_sort_multi", "q_topk", "q_limit_offset", "q_set_union",
+    "q_set_intersect", "q_set_except", "q_distinct", "q_text_stats",
+    "q_mad_outliers_approx", "q_dedup_substring", "q_pii_redact",
+    "q_topic_terms", "q_sql_tpch7", "q_sql_tpch14", "q_sql_tpch19",
+    "q_win_distribution", "q_autocorr", "q_changepoint", "q_benford",
+    "q_degree_dist", "q_kcore", "q_stream_upsert", "q_naive_bayes",
+    "q_seasonal_decompose", "q_label_prop", "q_sql_tpch8", "q_sql_tpch4",
+    "q_stream_join", "q_pca_embed", "q_market_basket", "q_survival",
+    "q_sql_tpch13", "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1",
+    "q_sql_tpch6", "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12",
+    "q_sql_tpch16", "q_attribution", "q_period_over_period", "q_str_funcs",
+    "q_dedup_containment", "q_bfs_hops", "q_sssp_cost", "q_cuped",
+    "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
+    "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
+    "q_link_predict", "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2",
+    "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20", "q_trajectory_sim",
+    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
+    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
+    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
+    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
+    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
+    "q_kmeans", "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
+    "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
+    "q_join_bucketed", "q_pack_sequences", "q_decontaminate",
+    "q_mix_sample", "q_dedup_incremental", "q_sketch_cms",
     "q_dedup_containment_shingle", "q_snapshot_diff", "q_join_nullsafe",
     "q_agg_weighted_median", "q_sql_tpch22", "q_window_session",
     "q_ct_centre", "q_ct_histogram", "q_ct_bbox", "q_ct_threshold",
@@ -157,59 +206,9 @@ GRADE_ORDER: list[str] = [
     "q_join_salted", "q_agg_distinct", "q_agg_approx",
     "q_agg_approx_percentile", "q_pivot", "q_unpivot", "q_histogram",
     "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
-    "q_agg_stats", "q_agg_percentile", "q_agg_weighted_centroid", "q_rollup",
-    "q_cube", "q_grouping_sets", "q_scan_project", "q_split_dedup_safe",
-    "q_sketch_hll",
-    "q_sliding_distinct", "q_bm25", "q_quality_entropy", "q_anomaly_zscore",
-    "q_funnel", "q_retention", "q_rfm", "q_transitions", "q_session_stats",
-    "q_time_rollup", "q_cooccur", "q_concurrency", "q_histogram_equidepth",
-    "q_agg_skew_distinct", "q_join_bloom", "q_grouped_sample",
-    "q_embed_project", "q_cdc_upsert", "q_table_checksum", "q_sql_tpch3",
-    "q_source_json", "q_source_orc", "q_sink_compacted", "q_dedup_embed_lsh",
-    "q_histogram_equidepth_approx", "q_rfm_approx", "q_ngram_lm",
-    "q_data_audit", "q_data_profile", "q_zorder_layout", "q_inverted_index",
-    "q_sql_tpch10", "q_session_paths", "q_skyline", "q_corr_matrix",
-    "q_global_rank", "q_multimodal_frames", "q_incr_mv", "q_ab_test",
-    "q_regression_multi", "q_pagerank", "q_dedup_chunks", "q_anonymize",
-    "q_sql_tpch5", "q_sql_recursive", "q_source_csv_dirty",
-    "q_join_interval_outer", "q_multimodal_audio", "q_ct_fbp", "q_ewma",
-    "q_debounce", "q_seq_pattern", "q_sample_weighted", "q_source_xml",
-    "q_scd2_pit", "q_bpe_tokenize", "q_percentile_select", "q_join_fuzzy",
-    "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
-    "q_logistic_train", "q_interval_coalesce", "q_allocate", "q_locf",
-    "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e", "q_source_evolving",
-    "q_source_nested", "q_sql_tpch18", "q_join_spatial", "q_knn_incremental",
-    "q_scan_count", "q_project_expr", "q_filter_pred", "q_filter_in_like",
-    "q_filter_null", "q_case_when", "q_join_broadcast", "q_join_inner",
-    "q_join_multiway", "q_join_left", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_cross", "q_win_rank", "q_win_topk_group",
-    "q_win_running", "q_win_ntile", "q_sort_multi", "q_topk",
-    "q_limit_offset", "q_set_union", "q_set_intersect", "q_set_except",
-    "q_distinct", "q_text_stats", "q_mad_outliers_approx",
-    "q_dedup_substring", "q_pii_redact", "q_topic_terms", "q_sql_tpch7",
-    "q_sql_tpch14", "q_sql_tpch19", "q_win_distribution", "q_autocorr",
-    "q_changepoint", "q_benford", "q_degree_dist", "q_kcore",
-    "q_stream_upsert", "q_naive_bayes", "q_seasonal_decompose",
-    "q_label_prop", "q_sql_tpch8", "q_sql_tpch4", "q_stream_join",
-    "q_pca_embed", "q_market_basket", "q_survival", "q_sql_tpch13",
-    "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1", "q_sql_tpch6",
-    "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16",
-    "q_attribution", "q_period_over_period", "q_str_funcs",
-    "q_dedup_containment", "q_bfs_hops", "q_sssp_cost", "q_cuped",
-    "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
-    "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
-    "q_link_predict", "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2",
-    "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20", "q_trajectory_sim",
-    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
-    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
-    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
-    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
-    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
-    "q_kmeans", "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
-    "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
-    "q_join_bucketed", "q_pack_sequences", "q_decontaminate", "q_mix_sample",
-    "q_dedup_incremental", "q_sketch_cms",
+    "q_agg_stats", "q_agg_percentile",
+    # round-10 addition (tail: never displaces the staleness queue)
+    "q_dedup_containment_2stage",
 ]
 
 

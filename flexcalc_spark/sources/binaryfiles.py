@@ -456,7 +456,7 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
-        StructField("mean_intensity", StringType()),  # str(float) | 'NOT_DECODABLE'
+        StructField("mean_intensity", StringType()),  # str(float) | 'NOT_DECODABLE' | 'CORRUPT'
         StructField("thumb_h", IntegerType()),
         StructField("thumb_w", IntegerType()),
     ]
@@ -468,7 +468,7 @@ RESIZED_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("rh", IntegerType()),
         StructField("rw", IntegerType()),
-        StructField("resized_mean", StringType()),  # repr(float) | 'NOT_DECODABLE'
+        StructField("resized_mean", StringType()),  # repr(float) | 'NOT_DECODABLE' | 'CORRUPT'
     ]
 )
 
@@ -483,30 +483,41 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def _media_raw_groups(pdf: pd.DataFrame):
+def _media_raw_groups(pdf: pd.DataFrame, corrupt_out: list | None = None):
     """Yield (positions, stack) per homogeneous decodable group of a media
     batch: rows grouped by (fmt, meta_json), decoded with ONE frombuffer
     over the concatenated blobs into an (n, h, w) stack. Non-raw formats
     (no decoder in this container) are skipped — callers pre-fill their
-    rows with the NOT_DECODABLE marker. Malformed raw rows raise, as the
-    per-row decoder did."""
+    rows with the NOT_DECODABLE marker. Malformed blobs (wrong raw
+    length, truncated/invalid tiff/png/jpeg/wav) degrade PER ROW too:
+    their positions are appended to ``corrupt_out`` (when given) and the
+    rows skipped — at a 100 TB bulk pass one bit-flipped file must
+    quarantine one row, never fail the batch (ADVICE r9)."""
     pdf = pdf.reset_index(drop=True)
     for (fmt, mjson), g in pdf.groupby(["fmt", "meta_json"], sort=False):
         meta = json.loads(mjson)
         if fmt == "raw":
-            # headerless: shape comes from meta, one frombuffer for all
+            # headerless: shape comes from meta, one frombuffer over the
+            # length-valid rows; wrong-length rows quarantine per row
             h, w, dt = int(meta["h"]), int(meta["w"]), np.dtype(meta["dtype"])
             expected = h * w * dt.itemsize
-            blobs = [bytes(b) for b in g["content"]]
-            for b in blobs:
-                if len(b) != expected:
+            good_pos, good_blobs = [], []
+            for p, b in zip(g.index.to_numpy(), g["content"]):
+                b = bytes(b)
+                if len(b) == expected:
+                    good_pos.append(p)
+                    good_blobs.append(b)
+                elif corrupt_out is not None:
+                    corrupt_out.append(p)
+                else:
                     raise ValueError(
                         f"raw blob length {len(b)} != {expected} for {meta}"
                     )
-            stack = np.frombuffer(b"".join(blobs), dtype=dt).reshape(
-                len(g), h, w
-            )
-            yield g.index.to_numpy(), stack
+            if good_pos:
+                stack = np.frombuffer(
+                    b"".join(good_blobs), dtype=dt
+                ).reshape(len(good_pos), h, w)
+                yield np.asarray(good_pos), stack
             continue
         # header-ful formats (tiff/png/jpeg/wav): decode per file —
         # headers differ — then stack homogeneous shapes for the
@@ -521,6 +532,15 @@ def _media_raw_groups(pdf: pd.DataFrame):
                 idxs.append(p)
             except NotImplementedError:
                 continue                   # this row -> NOT_DECODABLE
+            except Exception:
+                # truncated/bit-flipped file: the pure-Python decoders
+                # surface these as ValueError/struct.error/IndexError —
+                # any non-"unsupported variant" failure is row-level
+                # corruption, not a reason to kill a bulk batch
+                if corrupt_out is not None:
+                    corrupt_out.append(p)
+                    continue
+                raise
         by_shape: dict[tuple, tuple[list, list]] = {}
         for p, (h, w, dt, px) in zip(idxs, decoded):
             ps, pxs = by_shape.setdefault((h, w, dt), ([], []))
@@ -561,14 +581,17 @@ def media_resize(df: DataFrame) -> DataFrame:
             rh = np.full(n, -1, dtype=np.int64)
             rw = np.full(n, -1, dtype=np.int64)
             rmean = np.full(n, "NOT_DECODABLE", dtype=object)
+            corrupt: list = []
             # one frombuffer + one block-mean per homogeneous (fmt, meta)
             # group — columnar numpy over the Arrow batch
-            for pos, stack in _media_raw_groups(pdf):
+            for pos, stack in _media_raw_groups(pdf, corrupt_out=corrupt):
                 small = _resize_half_stack(stack)
                 rh[pos], rw[pos] = small.shape[1], small.shape[2]
                 means = small.mean(axis=(1, 2))
                 for j, p in enumerate(pos):
                     rmean[p] = repr(float(means[j]))
+            for p in corrupt:
+                rmean[p] = "CORRUPT"
             pdf = pdf.reset_index(drop=True)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "rh": rh, "rw": rw,
@@ -612,8 +635,9 @@ def media_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
 def media_features(df: DataFrame) -> DataFrame:
     """Feature-extraction pass over a multimodal table: decode (where a
     decoder exists), mean intensity + 2x-downsampled thumbnail dims.
-    Undecodable formats yield 'NOT_DECODABLE' rather than failing the
-    batch — the pipeline keeps flowing past stub modalities."""
+    Unsupported formats yield 'NOT_DECODABLE' and malformed blobs
+    'CORRUPT' rather than failing the batch — the pipeline keeps
+    flowing past stub modalities and bit-flipped files alike."""
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -624,13 +648,16 @@ def media_features(df: DataFrame) -> DataFrame:
             th = np.full(n, -1, dtype=np.int64)
             tw = np.full(n, -1, dtype=np.int64)
             mi = np.full(n, "NOT_DECODABLE", dtype=object)
-            for pos, stack in _media_raw_groups(pdf):
+            corrupt: list = []
+            for pos, stack in _media_raw_groups(pdf, corrupt_out=corrupt):
                 h, w = stack.shape[1], stack.shape[2]
                 # float64 mean: matches the oracle's double AVG to ulps
                 means = stack.astype(np.float64).mean(axis=(1, 2))
                 th[pos], tw[pos] = h // 2, w // 2
                 for j, p in enumerate(pos):
                     mi[p] = repr(float(means[j]))
+            for p in corrupt:
+                mi[p] = "CORRUPT"
             pdf = pdf.reset_index(drop=True)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "n_bytes": n_bytes,

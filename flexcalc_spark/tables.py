@@ -22,8 +22,14 @@ query. It owns two cross-cutting concerns:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# applicationIds whose session already had the cached-plan AQE conf set
+# (or had the failure warned about) — set-once per context, not per scan
+_AQE_CACHED_PLAN_SET: set[str] = set()
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -53,13 +59,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # partition-independent (integer fixed-point; determinism suite).
     # Explicit repartition(n, key) sites keep their user-specified
     # layout — AQE never coalesces a user-numbered repartition.
-    try:
-        spark.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
-    except Exception:
-        pass
+    # Set once per SparkContext (applicationId-keyed), and WARN when the
+    # set fails: q_pagerank's explicit repartition-before-cache was
+    # removed on the strength of this conf, so a silent failure would
+    # regress it to the measured 45 s 200-partition cache hazard
+    # (ADVICE r9) — the warning makes that failure diagnosable.
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _AQE_CACHED_PLAN_SET:
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true",
+            )
+        except Exception as exc:  # py4j wraps errors opaquely
+            warnings.warn(
+                "could not set canChangeCachedPlanOutputPartitioning "
+                f"({exc!r}): cached-plan layouts will keep the raw "
+                "shuffle partition count — iterative keys (q_pagerank) "
+                "may run with hundreds of near-empty tasks",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        _AQE_CACHED_PLAN_SET.add(app_id)
     if name == "events":
         # Session conf; safe to set repeatedly. Needed only when the file
         # stores TIMESTAMP(NANOS,false), which Spark cannot read natively;

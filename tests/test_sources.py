@@ -177,6 +177,40 @@ def test_media_features_mixed_decodability(spark):
     assert feats[3].thumb_h == 1 and feats[3].thumb_w == 1
 
 
+def test_media_features_corrupt_blob_degrades_per_row(spark):
+    """A bit-flipped/truncated blob among good ones IN THE SAME pandas
+    group flips only ITS row to CORRUPT — one bad file must never fail
+    a bulk batch (ADVICE r9). Covers the header-ful path (truncated
+    tiff -> decoder ValueError) and the raw path (wrong blob length)."""
+    img = np.arange(24, dtype=np.float32).reshape(4, 6)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "m.tif")
+        _write_tiff(fp, img, "<")
+        blob = open(fp, "rb").read()
+    rows = [
+        (1, "image", "tiff", "{}", bytearray(blob)),
+        (2, "image", "tiff", "{}", bytearray(blob[:10])),   # truncated
+        (3, "image", "tiff", "{}", bytearray(blob)),
+        (4, "image", "raw", json.dumps({"h": 2, "w": 2, "dtype": "float32"}),
+         bytearray(np.arange(4, dtype=np.float32).tobytes())),
+        (5, "image", "raw", json.dumps({"h": 2, "w": 2, "dtype": "float32"}),
+         bytearray(b"\x00\x01")),                           # wrong length
+    ]
+    media = spark.createDataFrame(rows, bf.MEDIA_SCHEMA).coalesce(1)
+    feats = {r.media_id: r for r in bf.media_features(media).collect()}
+    assert feats[1].mean_intensity == repr(float(img.mean()))
+    assert feats[2].mean_intensity == "CORRUPT"
+    assert feats[2].thumb_h == -1
+    assert feats[3].mean_intensity == repr(float(img.mean()))
+    assert feats[4].mean_intensity == repr(1.5)
+    assert feats[5].mean_intensity == "CORRUPT"
+    res = {r.media_id: r for r in bf.media_resize(media).collect()}
+    assert res[2].resized_mean == "CORRUPT" and res[2].rh == -1
+    assert res[5].resized_mean == "CORRUPT"
+    assert float(res[1].resized_mean) == float(img.astype(np.float64).mean())
+
+
 # ---------------------------------------------------------------------------
 # Compressed-TIFF round-trips (LZW / PackBits / predictor)
 # ---------------------------------------------------------------------------

@@ -11,10 +11,11 @@ Decoding dispatches through ``DECODERS``: ``raw`` (np.frombuffer
 reshape), grayscale ``tiff`` (pure-Python IFD parse — both byte
 orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
 PackBits with the horizontal predictor), grayscale ``png``, PCM
-``wav``, and baseline ``jpeg`` (jpegcodec.py — gray or YCbCr, luma
-plane out) are fully real pure-Python; out-of-envelope variants
-(RGB/codec TIFF, paletted/interlaced PNG, float WAV, progressive/
-arithmetic/12-bit JPEG) raise NotImplementedError because no image
+``wav``, and ``jpeg`` (jpegcodec.py — baseline sequential AND
+progressive SOF2, gray or YCbCr, luma plane out) are fully real
+pure-Python; out-of-envelope variants (RGB/codec TIFF, paletted/
+interlaced PNG, float WAV, arithmetic/12-bit/hierarchical JPEG) raise
+NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —
 schema, partitioning, UDF signature, Arrow batch shape — is real and
@@ -522,8 +523,8 @@ def _media_raw_groups(pdf: pd.DataFrame, corrupt_out: list | None = None):
         # header-ful formats (tiff/png/jpeg/wav): decode per file —
         # headers differ — then stack homogeneous shapes for the
         # vectorized feature math. Degradation is PER ROW, not per
-        # group: one out-of-envelope blob (e.g. a progressive JPEG
-        # among baseline ones) must flip only ITS row to NOT_DECODABLE,
+        # group: one out-of-envelope blob (e.g. an arithmetic-coded JPEG
+        # among huffman ones) must flip only ITS row to NOT_DECODABLE,
         # or the output would depend on Arrow batch boundaries.
         idxs, decoded = [], []
         for p, b in zip(g.index.to_numpy(), g["content"]):

@@ -1,18 +1,22 @@
 """Pure-Python/numpy baseline JPEG (ITU-T T.81) decoder.
 
 Closes the last stubbed image format in the binary-ingest layer
-(``binaryfiles.DECODERS``): baseline sequential DCT, 8-bit precision,
-1-component (grayscale) or 3-component (YCbCr, any of 4:4:4 / 4:2:2 /
-4:2:0 sampling), restart markers included. The decoder returns the
-**luma plane at full resolution** under the single-plane
+(``binaryfiles.DECODERS``): baseline sequential DCT **and progressive
+(SOF2, huffman — spectral selection + successive approximation, the
+variant real scraped corpora actually contain after baseline)**, 8-bit
+precision, 1-component (grayscale) or 3-component (YCbCr, any of
+4:4:4 / 4:2:2 / 4:2:0 sampling), restart markers included. The decoder
+returns the **luma plane at full resolution** under the single-plane
 ``(h, w, dtype, px)`` decoder contract that the CT / preview / feature
-consumers use (chroma blocks are entropy-decoded to keep the bitstream
-in sync, then discarded — mean-intensity, thumbnails and registration
-all operate on luma). Out-of-scope variants raise
-``NotImplementedError`` (progressive SOF2, arithmetic coding, 12-bit
-precision, >3 components) so the multimodal feature path degrades to
-NOT_DECODABLE rows instead of failing the batch; corrupt bytes raise
-``ValueError``, matching the malformed-TIFF contract.
+consumers use (in baseline, chroma blocks are entropy-decoded to keep
+the bitstream in sync, then discarded; in progressive, chroma-only
+scans are independent entropy segments and are skipped at byte level —
+mean-intensity, thumbnails and registration all operate on luma).
+Out-of-scope variants raise ``NotImplementedError`` (arithmetic
+coding, 12-bit precision, hierarchical/lossless, >3 components) so the
+multimodal feature path degrades to NOT_DECODABLE rows instead of
+failing the batch; corrupt bytes raise ``ValueError``, matching the
+malformed-TIFF contract.
 
 Spec-conformance verification is offline-bounded the same way the TIFF
 LZW codec documents: no reference JPEG library exists in this
@@ -165,10 +169,11 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
-    """Baseline JPEG -> (h, w, 'uint8', luma plane bytes). See module
-    docstring for the supported envelope. Corrupt bytes raise ValueError
-    (struct/index errors from truncated segments are normalized here);
-    out-of-envelope variants raise NotImplementedError."""
+    """Baseline or progressive JPEG -> (h, w, 'uint8', luma plane
+    bytes). See module docstring for the supported envelope. Corrupt
+    bytes raise ValueError (struct/index errors from truncated segments
+    are normalized here); out-of-envelope variants raise
+    NotImplementedError."""
     try:
         return _decode_markers(content)
     except (struct.error, IndexError) as e:
@@ -182,7 +187,9 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
     qt: dict[int, np.ndarray] = {}      # id -> 64 quant values, scan order
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
-    frame = None                        # (h, w, comps) from SOF0/1
+    frame = None                        # (h, w, comps) from SOF0/1/2
+    progressive = False
+    prog: _ProgState | None = None
     restart_interval = 0
     n = len(content)
 
@@ -221,12 +228,12 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                 if tab.size != 64:
                     raise ValueError("JPEG DQT table truncated")
                 qt[tid] = tab
-        elif marker in (0xC0, 0xC1):    # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, fh, fw, nc = struct.unpack(">BHHB", body[0:6])
             if prec != 8:
                 raise NotImplementedError(
                     f"JPEG {prec}-bit precision not supported offline "
-                    "(baseline 8-bit only; plug Pillow into DECODERS)"
+                    "(8-bit only; plug Pillow into DECODERS)"
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(
@@ -240,11 +247,7 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported offline; baseline "
-                "sequential only (plug Pillow into DECODERS)"
-            )
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
@@ -274,12 +277,25 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
             for si in range(ns):
                 cs, tabs = body[1 + si * 2], body[2 + si * 2]
                 scan.append((cs, tabs >> 4, tabs & 0x0F))
-            return _decode_scan(
-                content, pos + seglen, frame, scan, qt, dc_tabs, ac_tabs,
-                restart_interval,
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                return _decode_scan(
+                    content, pos + seglen, frame, scan, qt, dc_tabs,
+                    ac_tabs, restart_interval,
+                )
+            if prog is None:
+                prog = _ProgState(frame)
+            pos = _decode_prog_scan(
+                content, pos + seglen, prog, scan, ss, se, ah, al,
+                dc_tabs, ac_tabs, restart_interval,
             )
+            continue
         # APPn / COM / everything else: skip
         pos += seglen
+    if progressive and prog is not None and prog.any_scan:
+        return _prog_finish(prog, qt)
     raise ValueError("JPEG: no SOS scan found")
 
 
@@ -356,7 +372,18 @@ def _decode_scan(
                             coeffs[gy * lb_x + gx] = blk
             mcu_count += 1
 
-    # Dequantize (scan order), inverse zigzag, batch IDCT, level shift.
+    return fh, fw, "uint8", _idct_plane(coeffs, lq, lb_x, lb_y, fh, fw)
+
+
+def _idct_plane(
+    coeffs: np.ndarray, lq: np.ndarray, lb_x: int, lb_y: int,
+    fh: int, fw: int,
+) -> bytes:
+    """Dequantize (scan order), inverse zigzag, batch IDCT, level shift,
+    assemble the block grid, crop to frame dims. Shared by the baseline
+    and progressive paths — the accumulated progressive coefficients are
+    exactly the baseline quantized coefficients once every scan has been
+    applied."""
     deq = (coeffs * lq[np.newaxis, :]).astype(np.float64)
     blocks = deq[:, _UNZIGZAG].reshape(-1, 8, 8)
     pix = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT)
@@ -366,7 +393,7 @@ def _decode_scan(
     for i in range(pix.shape[0]):
         gy, gx = divmod(i, lb_x)
         out[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = pix[i]
-    return fh, fw, "uint8", out[:fh, :fw].tobytes()
+    return out[:fh, :fw].tobytes()
 
 
 def _decode_block(
@@ -395,3 +422,273 @@ def _decode_block(
         blk[k] = _extend(reader.receive(s), s)
         k += 1
     return blk
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G, huffman coding only.
+#
+# A progressive file carries the SAME quantized coefficients as a
+# baseline file, delivered across multiple scans: DC first/refine scans
+# (successive approximation, point transform Al) and per-component AC
+# band scans (spectral selection Ss..Se, first/refine). Coefficients
+# accumulate in _ProgState; after EOI one dequantize+IDCT pass (shared
+# _idct_plane) produces the luma plane. Scans containing no luma are
+# skipped at byte level (scans are independent entropy segments), so
+# chroma costs nothing beyond the interleaved-DC scan. The refine-scan
+# algorithms are ports of the published reference implementation of
+# Annex G (libjpeg decode_mcu_DC/AC_refine); the lockstep test encoder
+# (tests/test_jpeg.py) exercises spectral selection, successive
+# approximation, restart intervals, and EOB-run coding.
+# ---------------------------------------------------------------------------
+
+
+class _ProgState:
+    """Per-component coefficient accumulators for a progressive frame."""
+
+    def __init__(self, frame: tuple):
+        fh, fw, comps = frame
+        self.frame = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+            raise ValueError("JPEG invalid sampling factors")
+        if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+            raise NotImplementedError(
+                "JPEG with subsampled first component not supported (luma "
+                "must carry the max sampling factor)"
+            )
+        self.mcux = -(-fw // (8 * hmax))
+        self.mcuy = -(-fh // (8 * vmax))
+        self.bx_pad: list[int] = []
+        self.by_pad: list[int] = []
+        self.bx_true: list[int] = []
+        self.by_true: list[int] = []
+        self.coeffs: list[np.ndarray] = []
+        for c in comps:
+            cw = -(-fw * c["h"] // hmax)     # ceil(fw * h / hmax)
+            ch = -(-fh * c["v"] // vmax)
+            self.bx_pad.append(self.mcux * c["h"])
+            self.by_pad.append(self.mcuy * c["v"])
+            self.bx_true.append(-(-cw // 8))
+            self.by_true.append(-(-ch // 8))
+            self.coeffs.append(
+                np.zeros((self.by_pad[-1] * self.bx_pad[-1], 64),
+                         dtype=np.int32)
+            )
+        self.any_scan = False
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Byte-scan past an entropy-coded segment to the next true marker
+    (skipping stuffed 0xFF00 and restart markers) — used for scans that
+    carry no luma, whose coefficients the single-plane contract never
+    consumes."""
+    n = len(data)
+    i = pos
+    while i + 1 < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    raise ValueError("JPEG: entropy data ran off the end of the file")
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    prog: _ProgState,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into ``prog``; returns the position
+    of the next marker."""
+    fh, fw, comps = prog.frame
+    prog.any_scan = True
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    sel = []                              # (comp_idx, td, ta)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        sel.append((by_id[cs], td, ta))
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if not is_dc and len(sel) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if not (0 <= al <= 13) or (ah and ah != al + 1):
+        raise ValueError("JPEG invalid successive-approximation Ah/Al")
+    if all(ci != 0 for ci, _, _ in sel):
+        return _skip_entropy(data, pos)   # no luma: nothing we keep
+
+    for ci, td, ta in sel:
+        if is_dc and ah == 0 and td not in dc_tabs:
+            raise ValueError("JPEG scan references missing huffman table")
+        if not is_dc and ah == 0 and ta not in ac_tabs:
+            raise ValueError("JPEG scan references missing huffman table")
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(coef: np.ndarray, ci: int, td: int) -> None:
+        s = reader.decode_symbol(dc_tabs[td])
+        if s > 11:
+            raise ValueError(f"JPEG DC magnitude category {s} invalid")
+        preds[ci] += _extend(reader.receive(s), s)
+        coef[0] = preds[ci] << al
+
+    def dc_refine(coef: np.ndarray) -> None:
+        if reader.read_bit():
+            coef[0] |= p1
+
+    def ac_first(coef: np.ndarray, ta: int) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        tab = ac_tabs[ta]
+        while k <= se:
+            rs = reader.decode_symbol(tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:               # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflows band")
+            coef[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def ac_refine(coef: np.ndarray, ta: int) -> None:
+        # the published Annex G reference algorithm (libjpeg
+        # decode_mcu_AC_refine): new coefficients arrive as +-1<<Al;
+        # already-nonzero coefficients take one correction bit each as
+        # they are crossed — including for the rest of the band once an
+        # EOB run starts
+        k = ss
+        tab = ac_tabs[ta]
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(tab)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG AC refine: new coefficient size must be 1"
+                        )
+                    val = p1 if reader.read_bit() else m1
+                else:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break             # EOB path below finishes the block
+                    # r == 15: skip 16 zero-history coefficients
+                while k <= se:
+                    if coef[k] != 0:
+                        if reader.read_bit() and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC refine run overflows band")
+                    coef[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_unit(units_done: int, rst_n: int) -> int:
+        """Restart-interval bookkeeping shared by both geometries."""
+        if (
+            restart_interval
+            and units_done
+            and units_done % restart_interval == 0
+        ):
+            reader.align_restart(rst_n)
+            for i in range(len(preds)):
+                preds[i] = 0
+            state["eobrun"] = 0
+            return (rst_n + 1) % 8
+        return rst_n
+
+    rst_n = 0
+    if len(sel) > 1:
+        # interleaved scan (DC only — AC was forced single-component
+        # above): MCU geometry over padded grids
+        units = 0
+        for my in range(prog.mcuy):
+            for mx in range(prog.mcux):
+                rst_n = do_unit(units, rst_n)
+                for ci, td, _ta in sel:
+                    c = comps[ci]
+                    coefs = prog.coeffs[ci]
+                    bxp = prog.bx_pad[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            gy = my * c["v"] + by
+                            gx = mx * c["h"] + bx
+                            blk = coefs[gy * bxp + gx]
+                            if ah == 0:
+                                dc_first(blk, ci, td)
+                            else:
+                                dc_refine(blk)
+                units += 1
+    else:
+        # non-interleaved: one component, its TRUE block grid (T.81
+        # A.2.2 — no MCU padding), restart counts data units
+        ci, td, ta = sel[0]
+        coefs = prog.coeffs[ci]
+        bxp = prog.bx_pad[ci]
+        units = 0
+        for gy in range(prog.by_true[ci]):
+            for gx in range(prog.bx_true[ci]):
+                rst_n = do_unit(units, rst_n)
+                blk = coefs[gy * bxp + gx]
+                if is_dc:
+                    if ah == 0:
+                        dc_first(blk, ci, td)
+                    else:
+                        dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk, ta)
+                else:
+                    ac_refine(blk, ta)
+                units += 1
+    # land exactly on the next marker (discard pad bits / trailing RST)
+    return _skip_entropy(data, reader.pos)
+
+
+def _prog_finish(prog: _ProgState, qt: dict) -> tuple[int, int, str, bytes]:
+    fh, fw, comps = prog.frame
+    luma = comps[0]
+    if luma["tq"] not in qt:
+        raise ValueError("JPEG luma quant table missing")
+    return fh, fw, "uint8", _idct_plane(
+        prog.coeffs[0], qt[luma["tq"]], prog.bx_pad[0], prog.by_pad[0],
+        fh, fw,
+    )

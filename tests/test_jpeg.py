@@ -403,18 +403,20 @@ def test_byte_stuffing_no_bare_ff_in_scan():
 # Envelope behavior: unsupported variants degrade, corrupt bytes raise
 # ---------------------------------------------------------------------------
 
-# SOI + minimal SOF2 header: the progressive variant we deliberately
+# SOI + minimal SOF9 (arithmetic-coded) header: a variant we genuinely
 # don't decode offline — must raise NotImplementedError (feeds the
-# media_features NOT_DECODABLE degradation path).
-PROGRESSIVE_STUB = (
-    b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+# media_features NOT_DECODABLE degradation path). Progressive (SOF2)
+# decodes for real since round 10, so it no longer serves as the
+# unsupported-variant fixture.
+ARITHMETIC_STUB = (
+    b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
     + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
 )
 
 
-def test_progressive_raises_notimplemented():
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jc.decode_jpeg(PROGRESSIVE_STUB, {})
+def test_arithmetic_raises_notimplemented():
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jc.decode_jpeg(ARITHMETIC_STUB, {})
 
 
 def test_corrupt_bytes_raise_valueerror():
@@ -510,7 +512,7 @@ def test_truncated_segments_raise_valueerror():
 
 
 def test_media_features_mixed_group_degrades_per_row(spark):
-    """One progressive JPEG among baseline ones IN THE SAME pandas
+    """One arithmetic-coded JPEG among baseline ones IN THE SAME pandas
     group must flip only ITS row to NOT_DECODABLE — per-row, not
     per-group, degradation (else output depends on batch boundaries)."""
     import json
@@ -520,7 +522,7 @@ def test_media_features_mixed_group_degrades_per_row(spark):
         [
             (1, "image", "jpeg", json.dumps({}),
              bytearray(encode_jpeg(img, quality=90))),
-            (2, "image", "jpeg", json.dumps({}), bytearray(PROGRESSIVE_STUB)),
+            (2, "image", "jpeg", json.dumps({}), bytearray(ARITHMETIC_STUB)),
             (3, "image", "jpeg", json.dumps({}),
              bytearray(encode_jpeg(img, quality=90))),
         ],
@@ -545,3 +547,380 @@ def test_frame_sample_nonraw_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|video container"):
         bf.media_frame_sample(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) lockstep encoder + round-trips
+# ---------------------------------------------------------------------------
+#
+# Same epistemic contract as the baseline encoder above: derived to stay
+# in lockstep with the decoder's Annex G implementation. Exercises
+# spectral selection (band scans), successive approximation (DC and AC
+# first/refine with point transform), EOB-run coding, interleaved and
+# single-component DC scans, and restart intervals. Because progressive
+# files carry the SAME quantized coefficients as baseline files, the
+# strongest check available offline is EQUALITY of the decoded planes:
+# decode(progressive(img)) must match decode(baseline(img)) bit-for-bit.
+
+# libjpeg's standard scan script shape: DC first at Al=1, AC bands at
+# reduced precision, then refinements down to full precision.
+# Progressive AC tables additionally need the EOBn symbols (r<<4 | 0,
+# r = 1..14 — T.81 G.1.2.2 end-of-band run codes; EOB0 is baseline 0x00).
+AC_PROG_SYMBOLS = AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),        # DC first, Al=1
+    ([0], 1, 5, 0, 2),        # AC band 1-5 first, Al=2
+    ([0], 6, 63, 0, 2),       # AC band 6-63 first, Al=2
+    ([0], 1, 63, 2, 1),       # AC refine Al 2->1
+    ([0], 0, 0, 1, 0),        # DC refine Al 1->0
+    ([0], 1, 63, 1, 0),       # AC refine Al 1->0
+]
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),  # interleaved DC first
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),       # chroma scans (skipped by the decoder)
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),  # interleaved DC refine
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    quality: int = 85,
+    sampling: tuple[int, int] = (2, 2),
+    script: list | None = None,
+    restart_interval: int = 0,
+    ac_bits=AC_PROG_BITS,
+) -> bytes:
+    """Progressive JPEG: scans per ``script`` entries
+    (comp_indices, Ss, Se, Ah, Al)."""
+    h, w_img = y.shape
+    color = cb is not None
+    sh, sv = (sampling if color else (1, 1))
+    ql, qc = _quality_tables(quality)
+    mcux = -(-w_img // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+
+    # quantized coefficient grids, padded block dims (as baseline writes)
+    def grid(plane: np.ndarray, by: int, bx: int, q) -> np.ndarray:
+        g = np.zeros((by, bx, 64), dtype=np.int64)
+        for gy in range(by):
+            for gx in range(bx):
+                g[gy, gx] = _fdct_quant(
+                    plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8], q
+                )
+        return g
+
+    ypad = _pad_to(y, mcuy * 8 * sv, mcux * 8 * sh)
+    grids = [grid(ypad, mcuy * sv, mcux * sh, ql)]
+    samps = [(sh, sv)]
+    if color:
+        for plane in (cb, cr):
+            p = _pad_to(plane, mcuy * 8 * sv, mcux * 8 * sh)
+            ps = p.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
+            grids.append(grid(ps, mcuy, mcux, qc))
+            samps.append((1, 1))
+    # TRUE block dims per component (non-interleaved scan geometry)
+    true_dims = []
+    for chs, cvs in samps:
+        cw = -(-w_img * chs // sh)
+        chh = -(-h * cvs // sv)
+        true_dims.append((-(-chh // 8), -(-cw // 8)))
+
+    if script is None:
+        script = _PROG_SCRIPT_COLOR if color else _PROG_SCRIPT_GRAY
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, ql, False)
+    if color:
+        out += _dqt(1, qc, False)
+    comps_hdr = [(1, (sh << 4) | sv, 0)]
+    if color:
+        comps_hdr += [(2, 0x11, 1), (3, 0x11, 1)]
+    sof = struct.pack(">BHHB", 8, h, w_img, len(comps_hdr))
+    for cid, samp, tq in comps_hdr:
+        sof += bytes([cid, samp, tq])
+    out += _seg(0xC2, sof)
+    out += _dht(0, 0, DC_BITS, DC_VALS)
+    out += _dht(1, 0, ac_bits, AC_PROG_SYMBOLS)
+    if color:
+        out += _dht(0, 1, DC_BITS, DC_VALS)
+        out += _dht(1, 1, ac_bits, AC_PROG_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    dc_tab = _encode_table(DC_BITS, DC_VALS)
+    ac_tab = _encode_table(ac_bits, AC_PROG_SYMBOLS)
+
+    for comp_ids, ss, se, ah, al in script:
+        out += _encode_prog_scan(
+            grids, true_dims, (mcux, mcuy), samps, comp_ids, ss, se, ah,
+            al, dc_tab, ac_tab, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_prog_scan(
+    grids, true_dims, mcu_dims, samps, comp_ids, ss, se, ah, al,
+    dc_tab, ac_tab, restart_interval,
+) -> bytes:
+    mcux, mcuy = mcu_dims
+    sos = bytes([len(comp_ids)])
+    for ci in comp_ids:
+        td = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (td << 4) | td])
+    sos += bytes([ss, se, (ah << 4) | al])
+    seg = bytearray(_seg(0xDA, sos))
+
+    w = _BitWriter()
+    st = {"eobrun": 0, "be": []}       # pending EOB run + its buffered bits
+    preds = [0] * len(grids)
+
+    def flush_eobrun() -> None:
+        if st["eobrun"]:
+            n = st["eobrun"]
+            nb = n.bit_length() - 1
+            code, length = ac_tab[nb << 4]
+            w.put(code, length)
+            if nb:
+                w.put(n - (1 << nb), nb)
+            st["eobrun"] = 0
+        for b in st["be"]:
+            w.put(b, 1)
+        st["be"] = []
+
+    def dc_first(blk, ci) -> None:
+        v = int(blk[0]) >> al          # DC point transform: arithmetic shift
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        code, length = dc_tab[s]
+        w.put(code, length)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine(blk) -> None:
+        w.put((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first(blk) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al           # AC point transform: magnitude shift
+            if t == 0:
+                r += 1
+                continue
+            flush_eobrun()
+            while r > 15:
+                zc, zl = ac_tab[0xF0]
+                w.put(zc, zl)
+                r -= 16
+            s = t.bit_length()
+            code, length = ac_tab[(r << 4) | s]
+            w.put(code, length)
+            tv = t if v > 0 else -t
+            w.put(tv if tv >= 0 else tv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            st["eobrun"] += 1
+            if st["eobrun"] == 0x7FFF:
+                flush_eobrun()
+
+    def ac_refine(blk) -> None:
+        # the published Annex G reference algorithm (libjpeg
+        # encode_mcu_AC_refine): BR buffers correction bits since the
+        # last symbol; EOB-run blocks append theirs to the run buffer
+        t = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, tv in enumerate(t):
+            if tv == 1:
+                eob = i
+        br: list[int] = []
+        r = 0
+        for i, tv in enumerate(t):
+            if tv == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eobrun()
+                zc, zl = ac_tab[0xF0]
+                w.put(zc, zl)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if tv > 1:
+                br.append(tv & 1)
+                continue
+            flush_eobrun()
+            code, length = ac_tab[(r << 4) | 1]
+            w.put(code, length)
+            w.put(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            st["eobrun"] += 1
+            st["be"].extend(br)
+            if st["eobrun"] == 0x7FFF or len(st["be"]) > 900:
+                flush_eobrun()
+
+    def do_block(blk, ci) -> None:
+        if ss == 0:
+            if ah == 0:
+                dc_first(blk, ci)
+            else:
+                dc_refine(blk)
+        elif ah == 0:
+            ac_first(blk)
+        else:
+            ac_refine(blk)
+
+    rst_n = 0
+    units = 0
+
+    def maybe_restart() -> int:
+        nonlocal rst_n, preds
+        if restart_interval and units and units % restart_interval == 0:
+            flush_eobrun()
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            preds = [0] * len(grids)
+        return 0
+
+    if len(comp_ids) > 1:              # interleaved DC scan: MCU geometry
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci in comp_ids:
+                    chs, cvs = samps[ci]
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            do_block(
+                                grids[ci][my * cvs + by, mx * chs + bx], ci
+                            )
+                units += 1
+    else:                              # single component: TRUE block dims
+        ci = comp_ids[0]
+        bty, btx = true_dims[ci]
+        for gy in range(bty):
+            for gx in range(btx):
+                maybe_restart()
+                do_block(grids[ci][gy, gx], ci)
+                units += 1
+    flush_eobrun()
+    w.flush()
+    seg += w.out
+    return bytes(seg)
+
+
+def test_progressive_gray_matches_baseline():
+    """decode(progressive(img)) must equal decode(baseline(img))
+    bit-for-bit: both carry identical quantized coefficients."""
+    img = _smooth(40, 56, seed=21)
+    base = _decode(encode_jpeg(img, quality=85))
+    prog = _decode(encode_jpeg_progressive(img, quality=85))
+    assert prog.shape == (40, 56)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_gray_odd_dimensions():
+    img = _smooth(21, 13, seed=22)
+    base = _decode(encode_jpeg(img, quality=95))
+    prog = _decode(encode_jpeg_progressive(img, quality=95))
+    assert np.array_equal(prog, base)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 1), (2, 2)])
+def test_progressive_color_matches_baseline(sampling):
+    """Interleaved DC scan + skipped chroma AC scans: luma must match
+    the baseline decode exactly at every sampling mode."""
+    y = _smooth(32, 48, seed=23)
+    cb = _smooth(32, 48, seed=24)
+    cr = np.full((32, 48), 90, dtype=np.uint8)
+    base = _decode(encode_jpeg(y, cb, cr, quality=85, sampling=sampling))
+    prog = _decode(
+        encode_jpeg_progressive(y, cb, cr, quality=85, sampling=sampling)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_restart_intervals():
+    img = _smooth(48, 48, seed=25)
+    blob = encode_jpeg_progressive(img, quality=85, restart_interval=3)
+    assert b"\xff\xd0" in blob
+    base = _decode(encode_jpeg(img, quality=85))
+    assert np.array_equal(_decode(blob), base)
+
+
+def test_progressive_spectral_only_script():
+    """Pure spectral selection (no successive approximation): every
+    scan at Al=0, bands split three ways."""
+    img = _smooth(24, 40, seed=26)
+    script = [
+        ([0], 0, 0, 0, 0),
+        ([0], 1, 2, 0, 0),
+        ([0], 3, 20, 0, 0),
+        ([0], 21, 63, 0, 0),
+    ]
+    base = _decode(encode_jpeg(img, quality=85))
+    prog = _decode(encode_jpeg_progressive(img, quality=85, script=script))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_rough_image_heavy_refinement():
+    """High-frequency noise exercises ZRL-in-refine, EOB-run folding,
+    and correction-bit buffering; deep Al chain."""
+    rng = np.random.RandomState(27)
+    img = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    script = [
+        ([0], 0, 0, 0, 2),
+        ([0], 0, 0, 2, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 0, 3),
+        ([0], 1, 63, 3, 2),
+        ([0], 1, 63, 2, 1),
+        ([0], 1, 63, 1, 0),
+    ]
+    base = _decode(encode_jpeg(img, quality=50))
+    prog = _decode(encode_jpeg_progressive(img, quality=50, script=script))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_truncated_scan_raises():
+    img = _smooth(24, 24, seed=28)
+    blob = encode_jpeg_progressive(img, quality=85)
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(blob[: len(blob) * 2 // 3], {})
+
+
+def test_media_features_decodes_progressive_jpeg(spark):
+    """Progressive JPEG through the vectorized Spark feature pass —
+    real features, and equal to the baseline encoding of the same
+    image."""
+    import json
+
+    img = _smooth(24, 24, seed=29)
+    media = spark.createDataFrame(
+        [
+            (1, "image", "jpeg", json.dumps({}),
+             bytearray(encode_jpeg(img, quality=90))),
+            (2, "image", "jpeg", json.dumps({}),
+             bytearray(encode_jpeg_progressive(img, quality=90))),
+        ],
+        bf.MEDIA_SCHEMA,
+    ).coalesce(1)
+    feats = {r.media_id: r for r in bf.media_features(media).collect()}
+    assert feats[2].mean_intensity == feats[1].mean_intensity
+    assert feats[2].mean_intensity not in ("NOT_DECODABLE", "CORRUPT")

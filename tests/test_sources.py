@@ -30,15 +30,15 @@ def test_read_stack_raw_roundtrip(spark, tmp_path):
 
 
 def test_decode_unsupported_variant_raises(spark, tmp_path):
-    """Out-of-envelope variants (progressive JPEG — baseline graduated
-    to a real pure-Python decoder in r9, png/wav in r6) must raise
+    """Out-of-envelope variants (arithmetic-coded JPEG — baseline r9 and
+    progressive r10 decode for real, png/wav in r6) must raise
     NotImplementedError through Spark; corrupt bytes raise ValueError."""
-    from test_jpeg import PROGRESSIVE_STUB
+    from test_jpeg import ARITHMETIC_STUB
 
-    (tmp_path / "img.jpg").write_bytes(PROGRESSIVE_STUB)
+    (tmp_path / "img.jpg").write_bytes(ARITHMETIC_STUB)
     df = bf.read_binary_dir(spark, str(tmp_path), "*.jpg")
     decoded = bf.decode_files(df, "jpeg", {})
-    with pytest.raises(Exception, match="NotImplementedError|progressive"):
+    with pytest.raises(Exception, match="NotImplementedError|arithmetic"):
         decoded.collect()
 
 
@@ -154,9 +154,10 @@ def test_media_resize_preserves_mean(spark):
 
 def test_media_features_mixed_decodability(spark):
     """Decodable raw/png blobs yield features; unsupported format
-    VARIANTS (progressive JPEG — baseline decodes for real since r9)
-    degrade to flagged rows without failing the batch."""
-    from test_jpeg import PROGRESSIVE_STUB
+    VARIANTS (arithmetic-coded JPEG — baseline/progressive decode for
+    real since r9/r10) degrade to flagged rows without failing the
+    batch."""
+    from test_jpeg import ARITHMETIC_STUB
 
     png = _png_encode(
         np.array([[0, 2], [4, 6]], dtype=np.uint8), 8, filters=[0, 2]
@@ -164,7 +165,7 @@ def test_media_features_mixed_decodability(spark):
     rows = [
         (1, "image", "raw", json.dumps({"h": 2, "w": 2, "dtype": "float32"}),
          np.arange(4, dtype=np.float32).tobytes()),
-        (2, "image", "jpeg", json.dumps({}), PROGRESSIVE_STUB),
+        (2, "image", "jpeg", json.dumps({}), ARITHMETIC_STUB),
         (3, "image", "png", json.dumps({}), png),
     ]
     media = spark.createDataFrame(rows, bf.MEDIA_SCHEMA)

@@ -94,29 +94,32 @@ def _box_control(spark) -> dict:
             best = dt if best is None or dt < best else best
         return round(best, 3)
 
-    out: dict[str, float] = {}
-    try:
-        out["jvm_agg_sec"] = best3(
-            lambda: spark.range(30_000_000)
-            .selectExpr("id % 997 AS k", "id AS v")
-            .groupBy("k").sum("v")
-            .write.format("noop").mode("overwrite").save()
-        )
-        out["jvm_hof_sec"] = best3(
-            lambda: spark.range(150_000)
-            .selectExpr(
-                "aggregate(transform(sequence(1, 256), "
-                "x -> x * (id % 97)), 0L, (a, x) -> a + x) AS s"
-            )
-            .write.format("noop").mode("overwrite").save()
-        )
-        t0 = time.perf_counter()
+    def py_loop() -> None:
         acc = 0
         for i in range(8_000_000):
             acc += i
-        out["py_loop_sec"] = round(time.perf_counter() - t0, 3)
-    except Exception:
-        pass  # a failed probe must never break the bench JSON line
+
+    probes = {
+        "jvm_agg_sec": lambda: spark.range(30_000_000)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").sum("v")
+        .write.format("noop").mode("overwrite").save(),
+        "jvm_hof_sec": lambda: spark.range(150_000)
+        .selectExpr(
+            "aggregate(transform(sequence(1, 256), "
+            "x -> x * (id % 97)), 0L, (a, x) -> a + x) AS s"
+        )
+        .write.format("noop").mode("overwrite").save(),
+        "py_loop_sec": py_loop,
+    }
+    out: dict[str, float] = {}
+    for name, fn in probes.items():
+        # per-probe guard: one failed probe must neither break the
+        # bench JSON line nor drop the remaining independent probes
+        try:
+            out[name] = best3(fn)
+        except Exception:
+            pass
     return out
 
 

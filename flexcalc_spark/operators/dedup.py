@@ -1528,14 +1528,21 @@ TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN = 1, 5   # candidate tau = 0.2
         "filter) at candidate tau 0.2, stage 2 re-scores ONLY those "
         "candidates with exact char-5-gram containment at tau 0.8. "
         "Recall is EMPIRICAL, not pigeonhole: a char-gram pair is "
-        "emitted iff its word-shingle containment reaches 0.2, and the "
+        "emitted iff its word-level containment reaches 0.2, and the "
         "measured coupling floor on this fixture is 0.333 at sf0.1 "
         "(SCALE.md round-9) — a 1.65x margin, asserted by the recall-"
         "floor test tests/test_recall.py::test_containment_2stage_"
         "recall_floor against brute-force char-gram containment (the "
         "honest certification for a composition whose hash oracle "
         "would sit on a zero-margin cliff under fixture regen; VERDICT "
-        "r9 what's-missing #3). Scale: the candidate census inherits "
+        "r9 what's-missing #3). STRUCTURAL LIMIT: the candidate unit "
+        "is word-level (bigrams; bare word for single-word docs), so a "
+        "pair whose containment evidence is purely SUB-word — a "
+        "space-free string buried inside another doc's longer token — "
+        "is invisible to this stage at any tau; the char-gram sibling "
+        "q_dedup_containment covers that regime (they are siblings, "
+        "not substitutes — the round-9 lesson, now stated for the "
+        "composition too). Scale: the candidate census inherits "
         "the word-shingle stage's behavior at the WIDER 0.2 prefix "
         "(prefix ~80% of shingles vs ~20% at 0.8) — still an equi "
         "join on a derived key, never all-pairs; the char-gram "
@@ -1557,14 +1564,17 @@ def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(words) - 1),"
         " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
     )
-    items = (
-        d.select("doc_id", F.split("text", " ").alias("words"))
-        .filter(F.size("words") >= 2)
-        .select(
-            "doc_id",
-            F.lit("all").alias("grp"),
-            F.array_distinct(shingles).alias("items"),
-        )
+    # single-word docs have no bigram; fall back to the word itself so
+    # they still participate (a bigram always contains a space, a word
+    # never does — the item namespaces are disjoint). Pairs whose ONLY
+    # containment evidence is sub-word remain outside the word-unit
+    # candidate reach — see scale_notes (r10 review finding).
+    items = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id",
+        F.lit("all").alias("grp"),
+        F.array_distinct(
+            F.when(F.size("words") >= 2, shingles).otherwise(F.col("words"))
+        ).alias("items"),
     )
     cand = _containment_pairs(
         items, TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN

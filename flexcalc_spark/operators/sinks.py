@@ -22,10 +22,12 @@ Spark-native analogue of its per-dataset output directories.
 from __future__ import annotations
 
 import atexit
+import glob
 import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +48,22 @@ def _scratch_dir(tag: str, sf_dir: str, fingerprint: str = "") -> str:
         (os.path.abspath(sf_dir) + "\0" + fingerprint).encode()
     ).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"flexcalc_spark_{tag}_{h}")
+    if fingerprint:
+        # fingerprinted (pid-keyed) names are never reused by a later
+        # process, so sweep stale siblings a SIGKILLed run left behind —
+        # atexit does not fire on SIGKILL (r10 review finding). The 6 h
+        # age floor keeps any concurrent live run's layout safe.
+        now = time.time()
+        for p in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"flexcalc_spark_{tag}_*")
+        ):
+            if p == out or p in _SCRATCH:
+                continue
+            try:
+                if now - os.path.getmtime(p) > 6 * 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     if not _SCRATCH:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]

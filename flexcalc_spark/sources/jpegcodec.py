@@ -532,7 +532,11 @@ def _decode_prog_scan(
     for ci, td, ta in sel:
         if is_dc and ah == 0 and td not in dc_tabs:
             raise ValueError("JPEG scan references missing huffman table")
-        if not is_dc and ah == 0 and ta not in ac_tabs:
+        # AC REFINE scans also huffman-decode (run/size symbols), so the
+        # table check cannot be gated on ah == 0 — a refine scan with a
+        # missing DHT must raise the documented ValueError, not KeyError
+        # (r10 review finding); only DC refine reads raw bits tablelessly
+        if not is_dc and ta not in ac_tabs:
             raise ValueError("JPEG scan references missing huffman table")
 
     reader = _BitReader(data, pos)

@@ -27,9 +27,9 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# applicationIds whose session already had the cached-plan AQE conf set
-# (or had the failure warned about) — set-once per context, not per scan
-_AQE_CACHED_PLAN_SET: set[str] = set()
+# whether the cached-plan AQE conf failure has been warned about (the
+# conf itself is re-set per scan — it is session-scoped and idempotent)
+_AQE_CONF_WARNED = False
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -59,19 +59,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # partition-independent (integer fixed-point; determinism suite).
     # Explicit repartition(n, key) sites keep their user-specified
     # layout — AQE never coalesces a user-numbered repartition.
-    # Set once per SparkContext (applicationId-keyed), and WARN when the
-    # set fails: q_pagerank's explicit repartition-before-cache was
-    # removed on the strength of this conf, so a silent failure would
-    # regress it to the measured 45 s 200-partition cache hazard
-    # (ADVICE r9) — the warning makes that failure diagnosable.
-    app_id = spark.sparkContext.applicationId
-    if app_id not in _AQE_CACHED_PLAN_SET:
-        try:
-            spark.conf.set(
-                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-                "true",
-            )
-        except Exception as exc:  # py4j wraps errors opaquely
+    # Set on every scan: the conf is SESSION-scoped (a newSession() on
+    # the same context gets a fresh SQL conf, so any once-per-context
+    # guard would silently skip it there — r10 review finding), and an
+    # idempotent conf.set is a dict write, far below scan cost. WARN
+    # once per process when it fails: q_pagerank's explicit
+    # repartition-before-cache was removed on the strength of this
+    # conf, so a silent failure would regress it to the measured 45 s
+    # 200-partition cache hazard (ADVICE r9) — the warning makes that
+    # failure diagnosable.
+    global _AQE_CONF_WARNED
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+    except Exception as exc:  # py4j wraps errors opaquely
+        if not _AQE_CONF_WARNED:
+            _AQE_CONF_WARNED = True
             warnings.warn(
                 "could not set canChangeCachedPlanOutputPartitioning "
                 f"({exc!r}): cached-plan layouts will keep the raw "
@@ -80,7 +85,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        _AQE_CACHED_PLAN_SET.add(app_id)
     if name == "events":
         # Session conf; safe to set repeatedly. Needed only when the file
         # stores TIMESTAMP(NANOS,false), which Spark cannot read natively;

@@ -169,6 +169,8 @@ RISKY = [
     "q_snapshot_diff",      # full-outer key diff, integer cent grid
     "q_join_nullsafe",      # null-coalesced equi key, integer sums
     "q_agg_weighted_median",  # tie-invariant weighted crossing, BIGINT
+    # round-10 addition
+    "q_dedup_containment_2stage",  # exact two-stage census, integer ppm
 ]
 
 

@@ -924,3 +924,17 @@ def test_media_features_decodes_progressive_jpeg(spark):
     feats = {r.media_id: r for r in bf.media_features(media).collect()}
     assert feats[2].mean_intensity == feats[1].mean_intensity
     assert feats[2].mean_intensity not in ("NOT_DECODABLE", "CORRUPT")
+
+
+def test_progressive_refine_missing_table_raises_valueerror():
+    """An AC REFINE scan referencing an absent DHT must raise the
+    documented ValueError, not KeyError — refine scans huffman-decode
+    run/size symbols too (r10 review finding)."""
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    ql, _ = _quality_tables(85)
+    blob = (
+        b"\xff\xd8" + _dqt(0, ql, False) + _seg(0xC2, sof)
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))   # Ss=1 Se=63 Ah=1 Al=0
+    )
+    with pytest.raises(ValueError, match="missing huffman"):
+        jc.decode_jpeg(blob, {})

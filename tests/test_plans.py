@@ -973,6 +973,18 @@ def test_dedup_containment_shingle_prefix_equi_join(spark):
     assert re.search(r"least\(", plan), plan
 
 
+def test_dedup_containment_2stage_prefix_equi_join(spark):
+    """The two-stage composition must keep the plan discipline of both
+    parents end-to-end: shingle-prefix equi-join candidates, positional
+    prune, and a hash-join char-gram re-score — no cartesian/nested-loop
+    stage anywhere."""
+    plan = plan_text(Q["q_dedup_containment_2stage"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    assert re.search(r"least\(", plan), plan
+
+
 def test_experiment_moment_keys_single_scan(spark):
     """srm / qte / rolling_corr collapse to integer moments in ONE
     events scan with no join anywhere in the plan."""

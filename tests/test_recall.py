@@ -495,3 +495,56 @@ def test_containment_2stage_recall_floor(spark):
     assert got <= exact, f"precision breach: {sorted(got - exact)[:5]}"
     recall = len(got) / len(exact)
     assert recall >= 0.95, f"2stage recall {recall:.3f} < 0.95"
+
+
+def test_containment_2stage_single_word_docs(spark, tmp_path):
+    """Docs with no space have no word-bigram; the candidate stage falls
+    back to the bare word so identical space-free docs still pair
+    (r10 review finding). A purely SUB-word containment (space-free doc
+    inside a longer token) is the documented structural miss — the
+    char-gram sibling covers it."""
+    import pandas as pd
+
+    rows = [
+        (1, "abcdefghijklmnop", "en", "s", 16),          # space-free
+        (2, "abcdefghijklmnop", "en", "s", 16),          # exact dup of 1
+        (3, "xx abcdefghijklmnop yy", "en", "s", 22),    # 1 as a token
+        (4, "zzabcdefghijklmnopzz", "en", "s", 20),      # 1 sub-word only
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in Q["q_dedup_containment_2stage"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # exact space-free duplicates pair via the unigram fallback
+    assert (1, 2) in got and (2, 1) in got
+    # doc 1 appears as a full token of doc 3: the fallback word matches
+    # nothing on 3's bigram side BUT 3's bigrams ('xx abcdefghijklmnop',
+    # 'abcdefghijklmnop yy') don't contain the bare word either — this
+    # is cross-unit, and (1,3) qualifies only if the word-level
+    # containment reaches 0.2; assert the documented semantics instead
+    # of guessing: whatever the candidate stage yields must be a SUBSET
+    # of true char-containment pairs (precision 1.0)
+    from flexcalc_spark.operators.dedup import (
+        CONTAIN_DEN, CONTAIN_GRAM, CONTAIN_NUM,
+    )
+
+    def grams(t):
+        return {t[i : i + CONTAIN_GRAM]
+                for i in range(len(t) - CONTAIN_GRAM + 1)}
+
+    sets = {r[0]: grams(r[1]) for r in rows}
+    true_pairs = {
+        (a, b)
+        for a in sets for b in sets
+        if a != b and sets[a]
+        and len(sets[a] & sets[b]) * CONTAIN_DEN >= CONTAIN_NUM * len(sets[a])
+    }
+    assert got <= true_pairs
+    # the purely sub-word pair (1, 4) is char-true but word-invisible —
+    # the documented structural miss of the word-unit candidate stage
+    assert (1, 4) in true_pairs and (1, 4) not in got

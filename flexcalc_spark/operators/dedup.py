@@ -1542,16 +1542,20 @@ TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN = 1, 5   # candidate tau = 0.2
         "is invisible to this stage at any tau; the char-gram sibling "
         "q_dedup_containment covers that regime (they are siblings, "
         "not substitutes — the round-9 lesson, now stated for the "
-        "composition too). Scale: the candidate census inherits "
-        "the word-shingle stage's behavior at the WIDER 0.2 prefix "
-        "(prefix ~80% of shingles vs ~20% at 0.8) — still an equi "
-        "join on a derived key, never all-pairs; the char-gram "
-        "re-score touches candidates only, so the quadratic char-gram "
-        "census (flat ~15% of all-pairs, measured round 8) never "
-        "materializes. At 100 TB: tune candidate tau against the "
-        "corpus' measured unit coupling; lower tau buys recall margin "
-        "with candidate density, and the re-score stays exact either "
-        "way"
+        "composition too). Scale, MEASURED (SCALE.md round-10, "
+        "scripts/scale_probe_zipf.py contain_w2_tau02): the 0.2 "
+        "candidate prefix (~80% of shingles vs ~20% at 0.8) censuses "
+        "FLAT ~0.9% of all-pairs under a fixed vocabulary (quadratic, "
+        "small constant — fixture: 1.1% at sf0.1, 274k candidates for "
+        "566 pairs) and ~n^1.6 under Heaps V~sqrt(n) growth (fraction "
+        "falls n^-0.38 at n=2k-32k), vs the graded tau-0.8 stage's ~n "
+        "— the recall margin costs one asymptotic class. Still an "
+        "equi join on a derived key, never all-pairs, and the "
+        "char-gram re-score touches candidates only, so the worse "
+        "char-gram census (flat ~15% of all-pairs, round 8) never "
+        "materializes. At 100 TB the candidate tau is the measured "
+        "recall-margin vs candidate-density dial; the re-score stays "
+        "exact either way"
     ),
 )
 def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,7 +162,8 @@ def jaccard_census(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def containment_census(
-    spark: SparkSession, sf_dir: str, gram: str = "char"
+    spark: SparkSession, sf_dir: str, gram: str = "char",
+    num: int | None = None, den: int | None = None,
 ) -> dict:
     """Candidate count from the containment probe-prefix x full-index
     gram join (the q_dedup_containment candidate stage verbatim:
@@ -180,6 +181,8 @@ def containment_census(
     )
     from flexcalc_spark.tables import table_parallel
 
+    num = CONTAIN_NUM if num is None else num
+    den = CONTAIN_DEN if den is None else den
     d = table_parallel(spark, sf_dir, "documents")
     if gram == "char":
         grams_expr = F.expr(
@@ -207,8 +210,8 @@ def containment_census(
         .cache()
     )
     prefix_len = F.expr(
-        f"size(hitems) - (({CONTAIN_NUM} * size(hitems) + {CONTAIN_DEN - 1})"
-        f" div {CONTAIN_DEN}) + 1"
+        f"size(hitems) - (({num} * size(hitems) + {den - 1})"
+        f" div {den}) + 1"
     )
     probe = ranked.select(
         F.col("doc_id").alias("id_a"),
@@ -223,14 +226,14 @@ def containment_census(
         F.posexplode("hitems").alias("pb0", "it"),
     ).select("id_b", "sz_b", (F.col("pb0") + 1).alias("pb"), "it")
     t_a = F.expr(
-        f"({CONTAIN_NUM} * sz_a + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}"
+        f"({num} * sz_a + {den - 1}) div {den}"
     )
     pos_ok = (
         F.lit(1)
         + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
         >= t_a
     )
-    size_ok = F.col("sz_b") * CONTAIN_DEN >= F.col("sz_a") * CONTAIN_NUM
+    size_ok = F.col("sz_b") * den >= F.col("sz_a") * num
     cand = (
         probe.join(index, "it")
         .filter((F.col("id_a") != F.col("id_b")) & size_ok & pos_ok)
@@ -286,6 +289,16 @@ def main() -> None:
             c = containment_census(spark, out, gram="word2")
             print(
                 f"contain_w2 n={n}: cand={c['cand']} "
+                f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
+            )
+        if "contain_w2_tau02" in modes:
+            # the q_dedup_containment_2stage CANDIDATE stage (round 10):
+            # word-2-gram units at candidate tau 1/5 — probe prefix
+            # ~80% of shingles instead of ~20%. Measures what the
+            # wide-recall prefix costs in candidate density vs n.
+            c = containment_census(spark, out, gram="word2", num=1, den=5)
+            print(
+                f"contain_w2_tau02 n={n}: cand={c['cand']} "
                 f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
             )
     if "jaccard_heaps" in modes:

@@ -240,6 +240,21 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                     f"JPEG with {nc} components not supported (1 gray / "
                     "3 YCbCr)"
                 )
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG zero frame dimension")
+            # Bulk-ingest DoS guard: the luma coefficient grid is
+            # allocated from the SOF dims BEFORE any entropy decode, so
+            # one bit-flipped dimension byte in a corrupt file would
+            # otherwise trigger a multi-GB np.zeros (65535x65535 -> 17
+            # GB) and OOM the executor instead of raising the
+            # documented ValueError. 2^28 px (256 Mpx, ~1 GB of int32
+            # coefficients) is far above any real photographic JPEG;
+            # plug a streaming decoder in for genuine gigapixel scans.
+            if fh * fw > (1 << 28):
+                raise ValueError(
+                    f"JPEG frame {fw}x{fh} exceeds the 2^28-px decode "
+                    "bound (corrupt header, or use a streaming decoder)"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]

@@ -938,3 +938,48 @@ def test_progressive_refine_missing_table_raises_valueerror():
     )
     with pytest.raises(ValueError, match="missing huffman"):
         jc.decode_jpeg(blob, {})
+
+
+def test_oversized_frame_dims_raise_before_allocation():
+    """A bit-flipped SOF dimension must raise ValueError instead of
+    allocating a multi-GB coefficient grid (bulk-ingest DoS guard)."""
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    blob = b"\xff\xd8" + _seg(0xC0, sof)
+    with pytest.raises(ValueError, match="2\\^28"):
+        jc.decode_jpeg(blob, {})
+    zero = struct.pack(">BHHB", 8, 0, 16, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="zero frame"):
+        jc.decode_jpeg(b"\xff\xd8" + _seg(0xC0, zero), {})
+
+
+def test_mutation_fuzz_never_escapes_the_exception_contract():
+    """Deterministic mutation fuzz over valid baseline AND progressive
+    files: flipping any single byte must either still decode or raise
+    ValueError/NotImplementedError — never another exception class,
+    never a hang (the per-row degradation contract catches these two
+    classes; anything else would become a batch-killer in bulk
+    ingest). Also a pure-random-bytes sweep."""
+    img = _smooth(16, 24, seed=31)
+    blobs = [
+        encode_jpeg(img, quality=85),
+        encode_jpeg_progressive(img, quality=85),
+    ]
+    rng = np.random.RandomState(31)
+    for blob in blobs:
+        arr = bytearray(blob)
+        # flip ~120 deterministic positions spread over the file
+        for pos in rng.choice(len(arr), size=min(120, len(arr)),
+                              replace=False):
+            orig = arr[pos]
+            arr[pos] = orig ^ (1 << int(rng.randint(8)))
+            try:
+                jc.decode_jpeg(bytes(arr), {})
+            except (ValueError, NotImplementedError):
+                pass
+            arr[pos] = orig
+    for n in (0, 1, 7, 64, 1024):
+        junk = bytes(rng.randint(0, 256, size=n, dtype=np.uint8))
+        try:
+            jc.decode_jpeg(b"\xff\xd8" + junk, {})
+        except (ValueError, NotImplementedError):
+            pass

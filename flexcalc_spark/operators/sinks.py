@@ -579,3 +579,76 @@ def q_source_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("meta.k")).cast("bigint").alias("sum_k"),
     )
+
+
+@register(
+    "q_source_avro",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    family="sinks",
+    scale_notes=(
+        "Avro round-trip WITHOUT the spark-avro jar (an external Spark "
+        "module, not loadable offline): sources/avrocodec.py is a "
+        "dependency-free pure-Python implementation of the public Avro "
+        "1.12 spec (full type system, container files, deflate codec), "
+        "cross-verified record-exact BOTH directions against the "
+        "official Java implementation on Spark's own classpath "
+        "(avro-1.12.1.jar via py4j, tests/test_avro.py). Write: one "
+        "container per partition from executors (mapInPandas, "
+        "partition-id-keyed names so speculative re-runs stay "
+        "idempotent); read: binaryFile scan + Arrow-batched decode, "
+        "parallelism = file count — the natural Avro unit, since "
+        "producers roll files on time/size. At 100 TB plug fastavro "
+        "(C) into the same mapInPandas seam for ~50x decode, or swap "
+        "spark.read.format('avro') where the jar exists; this plan is "
+        "the dependency-free fallback with identical semantics. The "
+        "aggregate grades id/text/char fidelity per (lang, source) "
+        "through the trip, including unicode through utf-8 and the "
+        "null-union path"
+    ),
+)
+def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as Avro object-container files (pure-Python
+    codec, deflate), read them back distributed, and aggregate per
+    (lang, source) — grades the full round-trip against the parquet
+    oracle."""
+    from flexcalc_spark.sources import avrocodec as av
+
+    out = _scratch_dir("srcavro", sf_dir, fingerprint=str(os.getpid()))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    schema = {
+        "type": "record",
+        "name": "Document",
+        "namespace": "flexcalc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang", "type": "string"},
+            {"name": "source", "type": "string"},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    d = table(spark, sf_dir, "documents")
+    # 4 writer partitions -> 4 container files at test scale; at real
+    # scale pick partitions by target file size (e.g. 128 MB containers)
+    written = av.write_avro(d.repartition(4, "doc_id"), out, schema)
+    written.collect()  # force the executor-side write (rows = #files)
+    r = av.read_avro(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )

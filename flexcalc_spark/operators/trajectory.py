@@ -50,6 +50,110 @@ SEGMENTS = 8
 GRAM = 3
 MAX_HAMMING = 2
 
+# BIGINT "infinity" for the DTW DP boundary: large enough to never win a
+# least(), small enough that INF + 15 path costs cannot overflow
+# (tests/test_fixture_assumptions.py asserts the headroom).
+DTW_INF = 4_000_000_000_000_000
+
+
+def _sax_core(spark: SparkSession, sf_dir: str):
+    """Shared SAX pipeline: events -> (seg, words).
+
+    ``seg`` is the user-bounded PAA table (user_id, s, sg, c) on the
+    exact 1e-6 BIGINT grid; ``words`` the cached 8-symbol word per user.
+    Extracted verbatim from q_trajectory_sim so q_trajectory_dtw shares
+    the identical candidate machinery (values are what the driver
+    hashes, and every step here is grid-exact/deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    e = events_with_time(spark, sf_dir)
+    worder = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcount = Window.partitionBy("user_id")
+    ordered = e.select(
+        "user_id",
+        (F.row_number().over(worder) - 1).alias("i"),
+        F.count(F.lit(1)).over(wcount).alias("n"),
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint").alias("vg"),
+    )
+    seg = (
+        ordered.groupBy(
+            "user_id", F.expr(f"(i * {SEGMENTS}) div n").alias("s")
+        )
+        .agg(
+            F.sum("vg").cast("bigint").alias("sg"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    means = seg.select(
+        "user_id",
+        "s",
+        (F.col("sg").cast("double") / 1_000_000.0 / F.col("c")).alias("m"),
+    )
+    bounds = means.agg(
+        F.expr("percentile(m, 0.25)").alias("b1"),
+        F.expr("percentile(m, 0.50)").alias("b2"),
+        F.expr("percentile(m, 0.75)").alias("b3"),
+    )
+    sym = means.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "s",
+        F.expr(
+            "CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2"
+            " WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    )
+    words = (
+        sym.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "concat(lpad(CAST(s AS STRING), 2, '0'),"
+                " CAST(y AS STRING)))),"
+                " p -> substring(p, 3, 1)), '')"
+            ).alias("w")
+        )
+        # feeds the gram explode AND both verify re-attachments; core-
+        # count layout before cache (groupBy-derived — the cache-layout
+        # rule)
+        .repartition(sym.sparkSession.sparkContext.defaultParallelism)
+        .cache()
+    )
+    return seg, words
+
+
+def _sax_gram_candidates(words: DataFrame) -> DataFrame:
+    """Candidate user pairs sharing a positional word 3-gram."""
+    grams = words.select(
+        "user_id",
+        "w",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SEGMENTS - GRAM}),"
+                f" g -> struct(g AS pos, substring(w, g + 1, {GRAM}) AS gram))"
+            )
+        ).alias("pg"),
+    ).select(
+        "user_id", "w", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.col("a.w").alias("wa"),
+            F.col("b.w").alias("wb"),
+        )
+        .distinct()
+    )
+
 
 @register(
     "q_trajectory_sim",
@@ -144,87 +248,8 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of users whose value trajectories share SAX shape
     (symbol-Hamming <= 2 over 8 quartile symbols), candidates from a
     positional 3-gram equi join."""
-    from pyspark.sql.window import Window
-
-    e = events_with_time(spark, sf_dir)
-    worder = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wcount = Window.partitionBy("user_id")
-    ordered = e.select(
-        "user_id",
-        (F.row_number().over(worder) - 1).alias("i"),
-        F.count(F.lit(1)).over(wcount).alias("n"),
-        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint").alias("vg"),
-    )
-    seg = (
-        ordered.groupBy(
-            "user_id", F.expr(f"(i * {SEGMENTS}) div n").alias("s")
-        )
-        .agg(
-            F.sum("vg").cast("bigint").alias("sg"),
-            F.count(F.lit(1)).cast("bigint").alias("c"),
-        )
-    )
-    means = seg.select(
-        "user_id",
-        "s",
-        (F.col("sg").cast("double") / 1_000_000.0 / F.col("c")).alias("m"),
-    )
-    bounds = means.agg(
-        F.expr("percentile(m, 0.25)").alias("b1"),
-        F.expr("percentile(m, 0.50)").alias("b2"),
-        F.expr("percentile(m, 0.75)").alias("b3"),
-    )
-    sym = means.crossJoin(F.broadcast(bounds)).select(
-        "user_id",
-        "s",
-        F.expr(
-            "CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2"
-            " WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT)"
-        ).alias("y"),
-    )
-    words = (
-        sym.groupBy("user_id")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "concat(lpad(CAST(s AS STRING), 2, '0'),"
-                " CAST(y AS STRING)))),"
-                " p -> substring(p, 3, 1)), '')"
-            ).alias("w")
-        )
-        # feeds the gram explode AND both verify re-attachments; core-
-        # count layout before cache (groupBy-derived — the cache-layout
-        # rule)
-        .repartition(sym.sparkSession.sparkContext.defaultParallelism)
-        .cache()
-    )
-    grams = words.select(
-        "user_id",
-        "w",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SEGMENTS - GRAM}),"
-                f" g -> struct(g AS pos, substring(w, g + 1, {GRAM}) AS gram))"
-            )
-        ).alias("pg"),
-    ).select("user_id", "w", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("ua"),
-            F.col("b.user_id").alias("ub"),
-            F.col("a.w").alias("wa"),
-            F.col("b.w").alias("wb"),
-        )
-        .distinct()
-    )
+    _seg, words = _sax_core(spark, sf_dir)
+    cand = _sax_gram_candidates(words)
     scored = cand.select(
         "ua",
         "ub",
@@ -239,4 +264,210 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ua").alias("user_a"),
         F.col("ub").alias("user_b"),
         "hamming",
+    )
+
+
+@register(
+    "q_trajectory_dtw",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) - 1
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        seg AS MATERIALIZED (
+            SELECT user_id, (i * {SEGMENTS}) // n AS s,
+                   CAST(SUM(vg) AS BIGINT) AS sg,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ordered GROUP BY user_id, (i * {SEGMENTS}) // n
+        ),
+        means AS (
+            SELECT user_id, s,
+                   CAST(sg AS DOUBLE) / 1000000.0 / c AS m
+            FROM seg
+        ),
+        bounds AS (
+            SELECT quantile_cont(m, 0.25) AS b1,
+                   quantile_cont(m, 0.50) AS b2,
+                   quantile_cont(m, 0.75) AS b3
+            FROM means
+        ),
+        sym AS (
+            SELECT user_id, s,
+                   CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2
+                             WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT) AS y
+            FROM means, bounds
+        ),
+        words AS (
+            SELECT user_id,
+                   list_reduce(
+                       list_prepend('',
+                           list_transform(list_sort(list(
+                               lpad(CAST(s AS VARCHAR), 2, '0') ||
+                               CAST(y AS VARCHAR))),
+                               p -> substr(p, 3, 1))),
+                       (acc, ch) -> acc || ch) AS w
+            FROM sym GROUP BY user_id
+        ),
+        grams AS MATERIALIZED (
+            SELECT user_id, g.g AS pos, substr(w, g.g + 1, {GRAM}) AS gram
+            FROM words, (SELECT unnest(range(0, {SEGMENTS - GRAM + 1})) AS g) g
+        ),
+        cand AS (
+            SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+            FROM grams a JOIN grams b
+              ON a.pos = b.pos AND a.gram = b.gram
+             AND a.user_id < b.user_id
+        ),
+        series AS MATERIALIZED (
+            SELECT user_id,
+                   list_transform(list_sort(list([s, sg // c])),
+                                  p -> p[2]) AS m
+            FROM seg GROUP BY user_id
+        ),
+        pairs AS (
+            SELECT c.ua, c.ub, sa.m AS ma, sb.m AS mb
+            FROM cand c
+            JOIN series sa ON sa.user_id = c.ua
+            JOIN series sb ON sb.user_id = c.ub
+        )
+        SELECT ua AS user_a, ub AS user_b,
+               list_reduce(
+                   list_prepend(
+                       list_transform(range(0, len(mb) + 1),
+                           j -> CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+                                     ELSE CAST({DTW_INF} AS BIGINT) END),
+                       list_transform(range(1, len(ma) + 1), i -> [i])),
+                   (prev, it) -> list_reduce(
+                       list_prepend(CAST([{DTW_INF}] AS BIGINT[]),
+                           list_transform(range(1, len(mb) + 1), j -> [j])),
+                       (acc, jt) -> list_append(acc,
+                           abs(ma[CAST(it[1] AS INT)]
+                               - mb[CAST(jt[1] AS INT)])
+                           + least(prev[CAST(jt[1] AS INT)],
+                                   prev[CAST(jt[1] AS INT) + 1],
+                                   acc[-1])))
+               )[len(mb) + 1] AS dtw_grid,
+               list_reduce(
+                   list_prepend(
+                       list_transform(range(0, len(mb) + 1),
+                           j -> CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+                                     ELSE CAST({DTW_INF} AS BIGINT) END),
+                       list_transform(range(1, len(ma) + 1), i -> [i])),
+                   (prev, it) -> list_reduce(
+                       list_prepend(CAST([{DTW_INF}] AS BIGINT[]),
+                           list_transform(range(1, len(mb) + 1), j -> [j])),
+                       (acc, jt) -> list_append(acc,
+                           greatest(
+                               abs(ma[CAST(it[1] AS INT)]
+                                   - mb[CAST(jt[1] AS INT)]),
+                               least(prev[CAST(jt[1] AS INT)],
+                                     prev[CAST(jt[1] AS INT) + 1],
+                                     acc[-1]))))
+               )[len(mb) + 1] AS frechet_grid
+        FROM pairs
+    """,
+    family="trajectory",
+    scale_notes=(
+        "EXACT elastic distances — dynamic time warping AND discrete "
+        "Fréchet (Eiter-Mannila), the measures q_trajectory_sim's "
+        "notes documented as 'do not decompose relationally' — as a "
+        "distributed SCORING operator: every pair of the SAX "
+        "gram-candidate relation gets both full DPs over its "
+        "user-bounded 8-segment PAA profiles (same recurrence; "
+        "Fréchet swaps + for max). The DP is a nested "
+        "JVM-side HOF aggregate (sequence/least — no Python), and "
+        "because inputs are BIGINT 1e-6-grid segment means (truncating "
+        "div == DuckDB // on integers, round-8 lesson) the cost is "
+        "EXACT integer math — so this 'non-SQL-expressible' sequential "
+        "DP carries a FULL HASH ORACLE (DuckDB runs the identical DP "
+        "as nested list_reduce); every emitted value also equals an "
+        "independently-written Python reference DP "
+        "(tests/test_dtw.py). CONTRACT IS SCORING, NOT RETRIEVAL — "
+        "measured on this ambient fixture, SAX gram candidates cover "
+        "only 2/10 (magnitude) and 4/10 (z-normalized) of the top-10 "
+        "true-DTW pairs: a candidate unit (quartile symbols) vs "
+        "scored unit (grid magnitudes) mismatch, the round-9 "
+        "two-stage-coupling class, stated rather than claimed away. "
+        "For thresholded RETRIEVAL (all pairs with DTW <= tau) the "
+        "sound route is LB_Kim grid-bucketing (DTW >= |a1-b1| since "
+        "every warping path aligns first elements — bucket on a1 div "
+        "tau, probe +-1, recall 1.0 by construction) — also measured: "
+        "on THIS fixture it prunes nothing (candidates 99-100% of "
+        "all-pairs at any tau that yields pairs, because unbanded DTW "
+        "distances concentrate on ambient random series); on "
+        "clustered real corpora the same construction prunes to "
+        "~n x cluster width. O(81) integer cells per pair, "
+        "|users|-bounded; INF + 15 path costs << 2^63 "
+        "(headroom canary, tests/test_fixture_assumptions.py)"
+    ),
+)
+def q_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-grid DTW and discrete-Fréchet distances for every
+    SAX gram-candidate user pair — elastic scoring over the
+    q_trajectory_sim candidate machinery (scoring contract; see
+    scale_notes for the measured candidate/metric coupling and the
+    sound thresholded-retrieval recipe)."""
+    seg, words = _sax_core(spark, sf_dir)
+    cand = _sax_gram_candidates(words).select("ua", "ub")
+    series = seg.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(array(s, sg div c))),"
+            " x -> element_at(x, 2))"
+        ).alias("m")
+    )
+    sa = series.select(
+        F.col("user_id").alias("ua"), F.col("m").alias("ma")
+    )
+    sb = series.select(
+        F.col("user_id").alias("ub"), F.col("m").alias("mb")
+    )
+    pairs = cand.join(sa, "ua").join(sb, "ub")
+    return pairs.select(
+        F.col("ua").alias("user_a"),
+        F.col("ub").alias("user_b"),
+        F.expr(elastic_dp_sql("dtw")).cast("bigint").alias("dtw_grid"),
+        F.expr(elastic_dp_sql("frechet")).cast("bigint").alias(
+            "frechet_grid"
+        ),
+    )
+
+
+def elastic_dp_sql(measure: str, a: str = "ma", b: str = "mb") -> str:
+    """SQL text for the elastic DP over two BIGINT array columns.
+
+    ``measure='dtw'`` accumulates path cost (cell = cost + min of the
+    three predecessors); ``measure='frechet'`` is the discrete Fréchet
+    coupling distance — the IDENTICAL recurrence with max in place of
+    plus (cell = max(cost, min of predecessors)), per Eiter & Mannila
+    1994. Shared here so tests can drive the exact expression the key
+    uses on literal arrays.
+    """
+    inf = f"CAST({DTW_INF} AS BIGINT)"
+    cost = f"abs(element_at({a}, i) - element_at({b}, j))"
+    best = (
+        "least(element_at(prev, j), element_at(prev, j + 1),"
+        " element_at(acc, -1))"
+    )
+    cell = (
+        f"{cost} + {best}"
+        if measure == "dtw"
+        else f"greatest({cost}, {best})"
+    )
+    return (
+        "element_at("
+        "  aggregate("
+        f"   sequence(1, size({a})),"
+        f"   transform(sequence(0, size({b})),"
+        f"             j -> IF(j = 0, CAST(0 AS BIGINT), {inf})),"
+        "    (prev, i) -> aggregate("
+        f"       sequence(1, size({b})),"
+        f"       array({inf}),"
+        f"       (acc, j) -> concat(acc, array({cell}))),"
+        "    row -> row),"
+        f"  size({b}) + 1)"
     )

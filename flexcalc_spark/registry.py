@@ -207,8 +207,8 @@ GRADE_ORDER: list[str] = [
     "q_agg_approx_percentile", "q_pivot", "q_unpivot", "q_histogram",
     "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
     "q_agg_stats", "q_agg_percentile",
-    # round-10 addition (tail: never displaces the staleness queue)
-    "q_dedup_containment_2stage",
+    # round-10 additions (tail: never displaces the staleness queue)
+    "q_dedup_containment_2stage", "q_source_avro", "q_trajectory_dtw",
 ]
 
 

@@ -1,0 +1,255 @@
+"""Avro codec: pure-Python spec implementation vs the official Java one.
+
+Verification standard (SURVEY §5.2, raised from the JPEG lockstep
+trick): Spark's classpath ships the real Apache Avro core jar
+(avro-1.12.1), so the cross-implementation tests below round-trip
+record-exact in BOTH directions against ``org.apache.avro`` via py4j —
+files we write are read by ``DataFileReader``/``GenericDatumReader``,
+files ``DataFileWriter`` writes are read by our decoder, under both the
+``null`` and ``deflate`` codecs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from flexcalc_spark.sources import avrocodec as av
+
+DOC_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "namespace": "fx",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "n", "type": "int"},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+
+def _docs(n=200):
+    return [
+        {
+            "doc_id": 2**40 + i,
+            "text": (f"héllo ☃ {i}" if i % 3 else None),
+            "n": -i,
+            "score": i * 0.125,
+        }
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# pure-Python unit tests (no JVM)
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_edge_values():
+    for n in (0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)):
+        b = av.zigzag_encode(n)
+        d, p = av.zigzag_decode(b, 0)
+        assert (d, p) == (n, len(b))
+
+
+def test_zigzag_known_bytes():
+    # worked examples from the Avro spec's encoding table
+    assert av.zigzag_encode(0) == b"\x00"
+    assert av.zigzag_encode(-1) == b"\x01"
+    assert av.zigzag_encode(1) == b"\x02"
+    assert av.zigzag_encode(-2) == b"\x03"
+    assert av.zigzag_encode(-64) == b"\x7f"
+    assert av.zigzag_encode(64) == b"\x80\x01"
+
+
+FULL_SCHEMA = {
+    "type": "record",
+    "name": "Every",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "double"}},
+        {
+            "name": "kind",
+            "type": {"type": "enum", "name": "K", "symbols": ["A", "B", "C"]},
+        },
+        {"name": "blob", "type": "bytes"},
+        {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+        {"name": "f", "type": "float"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "child", "type": ["null", "Every"]},  # recursive reference
+    ],
+}
+
+FULL_RECORDS = [
+    {
+        "l": 2**62,
+        "s": "héllo ☃",
+        "tags": ["a", ""],
+        "props": {"x": 1.5, "": -2.25},
+        "kind": "B",
+        "blob": b"\x00\xff",
+        "fp": b"abcd",
+        "f": 1.25,
+        "flag": True,
+        "child": {
+            "l": -1,
+            "s": None,
+            "tags": [],
+            "props": {},
+            "kind": "A",
+            "blob": b"",
+            "fp": b"zzzz",
+            "f": -2.5,
+            "flag": False,
+            "child": None,
+        },
+    },
+    {
+        "l": 0,
+        "s": None,
+        "tags": [],
+        "props": {},
+        "kind": "C",
+        "blob": b"x",
+        "fp": b"0000",
+        "f": 0.0,
+        "flag": False,
+        "child": None,
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_full_type_system(codec):
+    data = av.write_container(FULL_SCHEMA, FULL_RECORDS * 300, codec=codec,
+                              max_block_records=128)
+    schema, back = av.read_container(data)
+    assert back == FULL_RECORDS * 300
+    assert schema["name"] == "Every"
+
+
+def test_multi_block_and_empty_file():
+    data = av.write_container(DOC_SCHEMA, _docs(10), max_block_records=3)
+    # 10 records at 3/block -> 4 blocks, each sync-framed
+    assert data.count(av._sync_marker(
+        json.dumps(DOC_SCHEMA, separators=(",", ":"), sort_keys=True))) == 5
+    _, back = av.read_container(data)
+    assert back == _docs(10)
+    _, empty = av.read_container(av.write_container(DOC_SCHEMA, []))
+    assert empty == []
+
+
+def test_negative_block_count_read():
+    """The spec's size-prefixed (negative count) array/map block variant
+    must decode — hand-craft one since our writer never emits it."""
+    names: dict = {}
+    inner = bytearray()
+    av._encode("string", "a", inner, names)
+    av._encode("string", "b", inner, names)
+    buf = bytearray()
+    buf += av.zigzag_encode(-2)  # 2 items, size-prefixed
+    buf += av.zigzag_encode(len(inner))
+    buf += inner
+    buf += av.zigzag_encode(0)
+    val, pos = av._decode({"type": "array", "items": "string"}, bytes(buf), 0, names)
+    assert val == ["a", "b"] and pos == len(buf)
+
+
+def test_corrupt_container_raises():
+    good = av.write_container(DOC_SCHEMA, _docs(5))
+    with pytest.raises(ValueError):
+        av.read_container(b"NotAvro" + good)
+    # flip a byte inside the trailing sync marker -> framing mismatch
+    bad = bytearray(good)
+    bad[-8] ^= 0xFF
+    with pytest.raises(ValueError):
+        av.read_container(bytes(bad))
+    with pytest.raises(ValueError):
+        av.read_container(good[: len(good) - 10])
+
+
+def test_unknown_codec_raises_notimplemented():
+    with pytest.raises(NotImplementedError):
+        av.write_container(DOC_SCHEMA, [], codec="snappy")
+
+
+# ---------------------------------------------------------------------------
+# cross-implementation: the official Java Avro on Spark's classpath
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_java_reads_our_files(spark, codec):
+    jvm = spark._jvm
+    data = av.write_container(DOC_SCHEMA, _docs(), codec=codec,
+                              max_block_records=64)
+    path = os.path.join(tempfile.gettempdir(), f"fx_avro_ours_{codec}.avro")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
+    got = []
+    while dfr.hasNext():
+        r = dfr.next()
+        t = r.get("text")
+        got.append(
+            {
+                "doc_id": r.get("doc_id"),
+                "text": None if t is None else str(t),
+                "n": r.get("n"),
+                "score": r.get("score"),
+            }
+        )
+    dfr.close()
+    os.unlink(path)
+    assert got == _docs()
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_our_reader_reads_java_files(spark, codec):
+    jvm = spark._jvm
+    jsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(DOC_SCHEMA))
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jsch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    if codec == "deflate":
+        dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = os.path.join(tempfile.gettempdir(), f"fx_avro_java_{codec}.avro")
+    dfw.create(jsch, jvm.java.io.File(path))
+    GR = jvm.org.apache.avro.generic.GenericData.Record
+    for rec in _docs():
+        jr = GR(jsch)
+        jr.put("doc_id", jvm.java.lang.Long(rec["doc_id"]))
+        jr.put("text", rec["text"])
+        jr.put("n", rec["n"])
+        jr.put("score", rec["score"])
+        dfw.append(jr)
+    dfw.close()
+    with open(path, "rb") as fh:
+        _, back = av.read_container(fh.read())
+    os.unlink(path)
+    assert back == _docs()
+
+
+# ---------------------------------------------------------------------------
+# the graded Spark round-trip key
+# ---------------------------------------------------------------------------
+
+
+def test_q_source_avro_matches_oracle(spark, duck):
+    from flexcalc_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        tuple(r)
+        for r in QUERIES["q_source_avro"](spark, SF_DIR)
+        .orderBy("lang", "source")
+        .collect()
+    }
+    exp = {tuple(r) for r in duck.execute(ORACLES["q_source_avro"]).fetchall()}
+    assert got == exp and len(got) > 0

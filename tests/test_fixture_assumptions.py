@@ -437,3 +437,36 @@ def test_link_predict_census_budget(duck2, sf):
         f"{sf} unblocked pair census at {inst:.0f} — the link-predict "
         "oracle budget needs re-checking before grading"
     )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_round10_dtw_overflow_headroom(duck2, sf):
+    """q_trajectory_dtw's DP adds |grid-mean| differences along a
+    <=15-cell warping path with a 4e15 BIGINT boundary sentinel; a
+    fixture regen that inflates events.value could shrink the overflow
+    margin. Assert the worst-case path cost keeps >=100x headroom under
+    2^63 even when chained onto the sentinel."""
+    from flexcalc_spark.operators.trajectory import DTW_INF, SEGMENTS
+
+    max_abs = duck2.execute(
+        f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) - 1
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM read_parquet('{sf}/events.parquet')),
+        seg AS (SELECT user_id, (i * {SEGMENTS}) // n AS s,
+                       SUM(vg) AS sg, COUNT(*) AS c
+                FROM ordered GROUP BY 1, 2)
+        SELECT MAX(ABS(sg // c)) FROM seg
+        """
+    ).fetchone()[0]
+    path_cells = 2 * SEGMENTS - 1
+    worst = DTW_INF + path_cells * 2 * max_abs
+    assert worst * 100 < 2**63, (
+        f"{sf}: DTW worst-case {worst} leaves <100x BIGINT headroom — "
+        "shrink DTW_INF or rescale the grid before grading"
+    )

@@ -24,9 +24,10 @@ Supported (the full spec surface minus RPC):
   ``fixed``; named-type references; nested/recursive schemas;
 - object container files: header metadata map, 16-byte sync markers,
   multi-block files, NEGATIVE block counts on read (the spec's
-  size-prefixed variant), ``null`` and ``deflate`` codecs (raw
-  RFC 1951 via zlib; ``snappy``/``zstandard`` raise with the plug-in
-  point named — neither lib ships here);
+  size-prefixed variant), ``null``, ``deflate`` (raw RFC 1951 via
+  zlib) and ``snappy`` codecs (snappycodec.py — pure-Python raw
+  snappy + the spec's big-endian CRC32 of the uncompressed block;
+  ``zstandard``/``bzip2``/``xz`` raise with the plug-in point named);
 - logical types decode as their underlying type (spec-sanctioned
   fallback: "a reader SHOULD ignore a logical type it doesn't
   recognize").
@@ -348,10 +349,10 @@ def write_container(
     max_block_records: int = 4096,
 ) -> bytes:
     """Serialize ``records`` to Avro object-container bytes."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(
-            f"avro codec {codec!r} not available offline (plug python-snappy"
-            " / zstandard into write_container/read_container where shipped)"
+            f"avro codec {codec!r} not available offline (zstd/bzip2/xz: "
+            "plug the lib into write_container/read_container where shipped)"
         )
     schema_json = json.dumps(schema, separators=(",", ":"), sort_keys=True)
     names: dict = {}
@@ -374,6 +375,12 @@ def write_container(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            # spec: snappy block + big-endian CRC32 of the UNCOMPRESSED data
+            from flexcalc_spark.sources import snappycodec
+
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            payload = snappycodec.compress(payload) + crc.to_bytes(4, "big")
         out += zigzag_encode(len(chunk))
         out += zigzag_encode(len(payload))
         out += payload
@@ -400,7 +407,7 @@ def read_container(data: bytes) -> tuple[object, list]:
             meta[mk], pos = _decode("bytes", data, pos, names)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(
             f"avro codec {codec!r} not available offline"
         )
@@ -420,6 +427,15 @@ def read_container(data: bytes) -> tuple[object, list]:
         if codec == "deflate":
             do = zlib.decompressobj(-15)
             payload = do.decompress(payload) + do.flush()
+        elif codec == "snappy":
+            from flexcalc_spark.sources import snappycodec
+
+            if len(payload) < 4:
+                raise ValueError("avro: snappy block missing CRC")
+            crc = int.from_bytes(payload[-4:], "big")
+            payload = snappycodec.decompress(payload[:-4])
+            if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                raise ValueError("avro: snappy block CRC mismatch")
         bpos = 0
         for _ in range(cnt):
             rec, bpos = _decode(schema, payload, bpos, names)

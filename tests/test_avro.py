@@ -5,8 +5,9 @@ trick): Spark's classpath ships the real Apache Avro core jar
 (avro-1.12.1), so the cross-implementation tests below round-trip
 record-exact in BOTH directions against ``org.apache.avro`` via py4j —
 files we write are read by ``DataFileReader``/``GenericDatumReader``,
-files ``DataFileWriter`` writes are read by our decoder, under both the
-``null`` and ``deflate`` codecs.
+files ``DataFileWriter`` writes are read by our decoder, under the
+``null``, ``deflate`` and ``snappy`` codecs (the latter exercising
+snappycodec.py inside the container framing).
 """
 
 from __future__ import annotations
@@ -125,7 +126,7 @@ FULL_RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_container_roundtrip_full_type_system(codec):
     data = av.write_container(FULL_SCHEMA, FULL_RECORDS * 300, codec=codec,
                               max_block_records=128)
@@ -176,7 +177,15 @@ def test_corrupt_container_raises():
 
 def test_unknown_codec_raises_notimplemented():
     with pytest.raises(NotImplementedError):
-        av.write_container(DOC_SCHEMA, [], codec="snappy")
+        av.write_container(DOC_SCHEMA, [], codec="zstandard")
+
+
+def test_snappy_crc_mismatch_raises():
+    data = bytearray(av.write_container(DOC_SCHEMA, _docs(5), codec="snappy"))
+    # the 4 bytes before the trailing sync are the block CRC
+    data[-17] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        av.read_container(bytes(data))
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +193,7 @@ def test_unknown_codec_raises_notimplemented():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_java_reads_our_files(spark, codec):
     jvm = spark._jvm
     data = av.write_container(DOC_SCHEMA, _docs(), codec=codec,
@@ -211,7 +220,7 @@ def test_java_reads_our_files(spark, codec):
     assert got == _docs()
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_our_reader_reads_java_files(spark, codec):
     jvm = spark._jvm
     jsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(DOC_SCHEMA))
@@ -219,6 +228,8 @@ def test_our_reader_reads_java_files(spark, codec):
     dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
     if codec == "deflate":
         dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    elif codec == "snappy":
+        dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
     path = os.path.join(tempfile.gettempdir(), f"fx_avro_java_{codec}.avro")
     dfw.create(jsch, jvm.java.io.File(path))
     GR = jvm.org.apache.avro.generic.GenericData.Record

@@ -12,9 +12,10 @@ reshape), grayscale ``tiff`` (pure-Python IFD parse — both byte
 orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
 PackBits with the horizontal predictor), grayscale ``png``, PCM
 ``wav``, and ``jpeg`` (jpegcodec.py — baseline sequential AND
-progressive SOF2, gray or YCbCr, luma plane out) are fully real
+progressive SOF2, 8- or 12-bit precision, gray or YCbCr, luma plane
+out) are fully real
 pure-Python; out-of-envelope variants (RGB/codec TIFF, paletted/
-interlaced PNG, float WAV, arithmetic/12-bit/hierarchical JPEG) raise
+interlaced PNG, float WAV, arithmetic/hierarchical JPEG) raise
 NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —

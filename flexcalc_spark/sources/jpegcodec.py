@@ -3,8 +3,10 @@
 Closes the last stubbed image format in the binary-ingest layer
 (``binaryfiles.DECODERS``): baseline sequential DCT **and progressive
 (SOF2, huffman — spectral selection + successive approximation, the
-variant real scraped corpora actually contain after baseline)**, 8-bit
-precision, 1-component (grayscale) or 3-component (YCbCr, any of
+variant real scraped corpora actually contain after baseline)**, at
+**8- or 12-bit precision** (12-bit is the medical/scientific archive
+variant: level shift 2048, DC categories to 15, uint16 plane out),
+1-component (grayscale) or 3-component (YCbCr, any of
 4:4:4 / 4:2:2 / 4:2:0 sampling), restart markers included. The decoder
 returns the **luma plane at full resolution** under the single-plane
 ``(h, w, dtype, px)`` decoder contract that the CT / preview / feature
@@ -13,7 +15,7 @@ the bitstream in sync, then discarded; in progressive, chroma-only
 scans are independent entropy segments and are skipped at byte level —
 mean-intensity, thumbnails and registration all operate on luma).
 Out-of-scope variants raise ``NotImplementedError`` (arithmetic
-coding, 12-bit precision, hierarchical/lossless, >3 components) so the
+coding, hierarchical/lossless, >3 components) so the
 multimodal feature path degrades to NOT_DECODABLE rows instead of
 failing the batch; corrupt bytes raise ``ValueError``, matching the
 malformed-TIFF contract.
@@ -169,8 +171,9 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
-    """Baseline or progressive JPEG -> (h, w, 'uint8', luma plane
-    bytes). See module docstring for the supported envelope. Corrupt
+    """Baseline or progressive JPEG -> (h, w, 'uint8'|'uint16', luma
+    plane bytes — uint16 for 12-bit precision frames). See module
+    docstring for the supported envelope. Corrupt
     bytes raise ValueError (struct/index errors from truncated segments
     are normalized here); out-of-envelope variants raise
     NotImplementedError."""
@@ -230,10 +233,10 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                 qt[tid] = tab
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, fh, fw, nc = struct.unpack(">BHHB", body[0:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    f"JPEG {prec}-bit precision not supported offline "
-                    "(8-bit only; plug Pillow into DECODERS)"
+                    f"JPEG {prec}-bit precision not supported (T.81 DCT "
+                    "modes are 8- or 12-bit; plug Pillow into DECODERS)"
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(
@@ -261,7 +264,7 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = (fh, fw, comps)
+            frame = (fh, fw, comps, prec)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
@@ -324,7 +327,7 @@ def _decode_scan(
     ac_tabs: dict,
     restart_interval: int,
 ) -> tuple[int, int, str, bytes]:
-    fh, fw, comps = frame
+    fh, fw, comps, prec = frame
     if len(scan) != len(comps):
         raise NotImplementedError(
             "JPEG non-interleaved multi-scan not supported (baseline "
@@ -379,7 +382,8 @@ def _decode_scan(
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk = _decode_block(
-                            reader, dct_tab, act_tab, preds, ci
+                            reader, dct_tab, act_tab, preds, ci,
+                            11 if prec == 8 else 15,
                         )
                         if ci == 0:
                             gx = mx * luma["h"] + bx
@@ -387,12 +391,14 @@ def _decode_scan(
                             coeffs[gy * lb_x + gx] = blk
             mcu_count += 1
 
-    return fh, fw, "uint8", _idct_plane(coeffs, lq, lb_x, lb_y, fh, fw)
+    return fh, fw, ("uint8" if prec == 8 else "uint16"), _idct_plane(
+        coeffs, lq, lb_x, lb_y, fh, fw, prec
+    )
 
 
 def _idct_plane(
     coeffs: np.ndarray, lq: np.ndarray, lb_x: int, lb_y: int,
-    fh: int, fw: int,
+    fh: int, fw: int, prec: int = 8,
 ) -> bytes:
     """Dequantize (scan order), inverse zigzag, batch IDCT, level shift,
     assemble the block grid, crop to frame dims. Shared by the baseline
@@ -402,9 +408,11 @@ def _idct_plane(
     deq = (coeffs * lq[np.newaxis, :]).astype(np.float64)
     blocks = deq[:, _UNZIGZAG].reshape(-1, 8, 8)
     pix = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT)
-    pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+    shift = float(1 << (prec - 1))       # 128 (8-bit) / 2048 (12-bit)
+    dt = np.uint8 if prec == 8 else np.uint16
+    pix = np.clip(np.round(pix) + shift, 0, (1 << prec) - 1).astype(dt)
 
-    out = np.zeros((lb_y * 8, lb_x * 8), dtype=np.uint8)
+    out = np.zeros((lb_y * 8, lb_x * 8), dtype=dt)
     for i in range(pix.shape[0]):
         gy, gx = divmod(i, lb_x)
         out[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = pix[i]
@@ -412,12 +420,15 @@ def _idct_plane(
 
 
 def _decode_block(
-    reader: _BitReader, dc_tab: dict, ac_tab: dict, preds: list, ci: int
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, preds: list, ci: int,
+    dc_max: int = 11,
 ) -> np.ndarray:
-    """One 8x8 block in zigzag/scan order (T.81 F.2.2)."""
+    """One 8x8 block in zigzag/scan order (T.81 F.2.2). ``dc_max`` is
+    the largest legal DC magnitude category (11 at 8-bit, 15 at
+    12-bit precision)."""
     blk = np.zeros(64, dtype=np.int32)
     s = reader.decode_symbol(dc_tab)
-    if s > 11:
+    if s > dc_max:
         raise ValueError(f"JPEG DC magnitude category {s} invalid")
     diff = _extend(reader.receive(s), s)
     preds[ci] += diff
@@ -461,8 +472,9 @@ class _ProgState:
     """Per-component coefficient accumulators for a progressive frame."""
 
     def __init__(self, frame: tuple):
-        fh, fw, comps = frame
+        fh, fw, comps, prec = frame
         self.frame = frame
+        self.prec = prec
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
         if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
@@ -526,7 +538,7 @@ def _decode_prog_scan(
 ) -> int:
     """Decode one progressive scan into ``prog``; returns the position
     of the next marker."""
-    fh, fw, comps = prog.frame
+    fh, fw, comps, prec = prog.frame
     prog.any_scan = True
     by_id = {c["id"]: ci for ci, c in enumerate(comps)}
     sel = []                              # (comp_idx, td, ta)
@@ -559,9 +571,11 @@ def _decode_prog_scan(
     state = {"eobrun": 0}
     p1, m1 = 1 << al, -1 << al
 
+    dc_max = 11 if prec == 8 else 15
+
     def dc_first(coef: np.ndarray, ci: int, td: int) -> None:
         s = reader.decode_symbol(dc_tabs[td])
-        if s > 11:
+        if s > dc_max:
             raise ValueError(f"JPEG DC magnitude category {s} invalid")
         preds[ci] += _extend(reader.receive(s), s)
         coef[0] = preds[ci] << al
@@ -703,11 +717,11 @@ def _decode_prog_scan(
 
 
 def _prog_finish(prog: _ProgState, qt: dict) -> tuple[int, int, str, bytes]:
-    fh, fw, comps = prog.frame
+    fh, fw, comps, prec = prog.frame
     luma = comps[0]
     if luma["tq"] not in qt:
         raise ValueError("JPEG luma quant table missing")
-    return fh, fw, "uint8", _idct_plane(
+    return fh, fw, ("uint8" if prec == 8 else "uint16"), _idct_plane(
         prog.coeffs[0], qt[luma["tq"]], prog.bx_pad[0], prog.by_pad[0],
-        fh, fw,
+        fh, fw, prec,
     )

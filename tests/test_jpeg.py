@@ -112,6 +112,16 @@ AC_SYMBOLS = [0x00, 0xF0] + [
 AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
 AC_MULTI_BITS = [0, 0, 2, 0, 6, 0, 26, 0, 128, 0, 0, 0, 0, 0, 0, 0]
 
+# 12-bit (extended sequential / progressive) tables: DC categories run
+# to 15 and AC sizes to 14 (T.81 F.1.2.1/F.1.2.2 for 12-bit source
+# precision) — 226 AC symbols, still a valid all-8-bit canonical table.
+DC12_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0]
+DC12_VALS = list(range(16))
+AC12_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+AC12_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+
 
 def _encode_table(bits, vals):
     """{symbol: (code, length)} by the same canonical recurrence."""
@@ -154,10 +164,12 @@ class _BitWriter:
             self.put(1, 1)                       # pad with 1-bits
 
 
-def _fdct_quant(block: np.ndarray, q_nat: np.ndarray) -> np.ndarray:
+def _fdct_quant(
+    block: np.ndarray, q_nat: np.ndarray, shift: float = 128.0
+) -> np.ndarray:
     """Level shift, forward DCT, quantize, zigzag-scan one 8x8 block."""
     c = jc.dct_basis()
-    coef = c @ (block.astype(np.float64) - 128.0) @ c.T
+    coef = c @ (block.astype(np.float64) - shift) @ c.T
     qn = np.round(coef / q_nat.reshape(8, 8)).astype(np.int64).ravel()
     return qn[jc.ZIGZAG]                          # natural -> scan order
 
@@ -220,17 +232,26 @@ def encode_jpeg(
     quality: int = 85,
     sampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
-    ac_bits=AC_FLAT_BITS,
+    ac_bits=None,
     wide_dqt: bool = False,
+    precision: int = 8,
 ) -> bytes:
-    """Baseline JFIF-less JPEG: gray (cb/cr None) or interleaved YCbCr
-    with luma sampling ``sampling`` and 1x1 chroma. Planes are uint8
+    """Baseline/extended-sequential JFIF-less JPEG: gray (cb/cr None)
+    or interleaved YCbCr with luma sampling ``sampling`` and 1x1
+    chroma. Planes are uint8 (or uint16 when ``precision=12``)
     full-resolution; chroma is box-averaged down by the sampling
     factors."""
     h, w_img = y.shape
     color = cb is not None
     sh, sv = (sampling if color else (1, 1))
     ql, qc = _quality_tables(quality)
+    shift = float(1 << (precision - 1))
+    if precision == 12:
+        dc_bits, dc_vals, ac_syms = DC12_BITS, DC12_VALS, AC12_SYMBOLS
+        ac_bits = AC12_FLAT_BITS if ac_bits is None else ac_bits
+    else:
+        dc_bits, dc_vals, ac_syms = DC_BITS, DC_VALS, AC_SYMBOLS
+        ac_bits = AC_FLAT_BITS if ac_bits is None else ac_bits
     mcux = -(-w_img // (8 * sh))
     mcuy = -(-h // (8 * sv))
     ypad = _pad_to(y, mcuy * 8 * sv, mcux * 8 * sh)
@@ -248,15 +269,15 @@ def encode_jpeg(
     comps = [(1, (sh << 4) | sv, 0)]
     if color:
         comps += [(2, 0x11, 1), (3, 0x11, 1)]
-    sof = struct.pack(">BHHB", 8, h, w_img, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w_img, len(comps))
     for cid, samp, tq in comps:
         sof += bytes([cid, samp, tq])
     out += _seg(0xC0, sof)
-    out += _dht(0, 0, DC_BITS, DC_VALS)
-    out += _dht(1, 0, ac_bits, AC_SYMBOLS)
+    out += _dht(0, 0, dc_bits, dc_vals)
+    out += _dht(1, 0, ac_bits, ac_syms)
     if color:
-        out += _dht(0, 1, DC_BITS, DC_VALS)
-        out += _dht(1, 1, ac_bits, AC_SYMBOLS)
+        out += _dht(0, 1, dc_bits, dc_vals)
+        out += _dht(1, 1, ac_bits, ac_syms)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
@@ -265,8 +286,8 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    dc_tab = _encode_table(DC_BITS, DC_VALS)
-    ac_tab = _encode_table(ac_bits, AC_SYMBOLS)
+    dc_tab = _encode_table(dc_bits, dc_vals)
+    ac_tab = _encode_table(ac_bits, ac_syms)
     wtr = _BitWriter()
     preds = [0, 0, 0]
     rst_n = 0
@@ -284,14 +305,14 @@ def encode_jpeg(
                     r0 = (my * sv + by) * 8
                     c0 = (mx * sh + bx) * 8
                     blk = _fdct_quant(
-                        ypad[r0 : r0 + 8, c0 : c0 + 8], ql
+                        ypad[r0 : r0 + 8, c0 : c0 + 8], ql, shift
                     )
                     preds[0] = _put_block(wtr, blk, preds[0], dc_tab, ac_tab)
             if color:
                 for ci, plane in ((1, cbs), (2, crs)):
                     r0, c0 = my * 8, mx * 8
                     blk = _fdct_quant(
-                        plane[r0 : r0 + 8, c0 : c0 + 8], qc
+                        plane[r0 : r0 + 8, c0 : c0 + 8], qc, shift
                     )
                     preds[ci] = _put_block(
                         wtr, blk, preds[ci], dc_tab, ac_tab
@@ -430,13 +451,122 @@ def test_corrupt_bytes_raise_valueerror():
         jc.decode_jpeg(blob[: len(blob) // 2], {})  # truncated scan
 
 
-def test_12bit_precision_raises_notimplemented():
+def test_16bit_precision_raises_notimplemented():
+    """12-bit decodes for real now; the precision envelope boundary
+    moves to values T.81's DCT modes don't define (e.g. 16)."""
     stub = (
         b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
-        + struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+        + struct.pack(">BHHB", 16, 8, 8, 1) + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    with pytest.raises(NotImplementedError, match="16-bit"):
         jc.decode_jpeg(stub, {})
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision (extended sequential + progressive)
+# ---------------------------------------------------------------------------
+
+
+def _decode16(blob):
+    h, w, dt, px = jc.decode_jpeg(blob, {})
+    assert dt == "uint16"
+    return np.frombuffer(px, dtype=np.uint16).reshape(h, w)
+
+
+def _smooth12(h, w, seed=0):
+    """12-bit analogue of _smooth: values around mid-scale 2048."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.RandomState(seed)
+    img = 2048.0 + 960 * np.cos(xx / 19.0 + rng.rand()) * np.cos(
+        yy / 23.0 + rng.rand()
+    )
+    return np.clip(np.round(img), 0, 4095).astype(np.uint16)
+
+
+def test_12bit_gray_constant_exact():
+    """Constant 2048 is the level-shift origin (all-zero coefficients,
+    exact at any quality); 3000 is exact where the DC value survives
+    the quant grid (8*(3000-2048) = 7616 = 476 * ql[0]=16)."""
+    img = np.full((16, 24), 2048, dtype=np.uint16)
+    assert np.array_equal(_decode16(encode_jpeg(img, quality=10,
+                                                precision=12)), img)
+    img = np.full((16, 24), 3000, dtype=np.uint16)
+    assert np.array_equal(_decode16(encode_jpeg(img, quality=50,
+                                                precision=12)), img)
+
+
+def test_12bit_smooth_roundtrip():
+    img = _smooth12(40, 56)
+    got = _decode16(encode_jpeg(img, quality=95, precision=12))
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    # 16x the 8-bit tolerances: the quant tables are unchanged, so the
+    # absolute error scales with the 16x wider sample range
+    assert err.max() <= 96 and err.mean() < 24
+
+
+def test_12bit_extended_dc_categories_roundtrip():
+    """Alternating 0/4095 blocks force DC diff categories ABOVE the
+    8-bit limit of 11 — the part of the 12-bit envelope that is not
+    just a wider level shift. Verify the extreme categories are really
+    exercised, then decode against the independent dequant+IDCT of the
+    encoder's own quantized grid."""
+    img = np.zeros((16, 32), dtype=np.uint16)
+    for b in range(4):
+        if b % 2:
+            img[:, b * 8 : b * 8 + 8] = 4095
+    ql, _ = _quality_tables(95)
+    # independent expected plane + category census from the grid
+    max_cat = 0
+    pred = 0
+    expect = np.zeros((16, 32), dtype=np.uint16)
+    c = jc.dct_basis()
+    for gy in range(2):
+        for gx in range(4):
+            blk = _fdct_quant(
+                img[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8].astype(
+                    np.float64
+                ),
+                ql,
+                2048.0,
+            )
+            # dequantize in natural order
+            nat = np.zeros(64)
+            for k in range(64):
+                nat[jc.ZIGZAG[k]] = blk[k] * ql[jc.ZIGZAG[k]]
+            pix = c.T @ nat.reshape(8, 8) @ c
+            expect[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = np.clip(
+                np.round(pix) + 2048.0, 0, 4095
+            ).astype(np.uint16)
+    # raster-order DC categories as the interleaved scan encodes them
+    pred = 0
+    for gy in range(2):
+        for gx in range(4):
+            blk = _fdct_quant(
+                img[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8].astype(
+                    np.float64
+                ),
+                ql,
+                2048.0,
+            )
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            max_cat = max(max_cat, int(abs(diff)).bit_length())
+    assert max_cat > 11, f"test image only reaches DC category {max_cat}"
+    got = _decode16(encode_jpeg(img, quality=95, precision=12))
+    assert np.array_equal(got, expect)
+
+
+def test_12bit_progressive_equals_baseline():
+    """The progressive path at 12-bit must accumulate the SAME
+    quantized coefficients as the extended-sequential encoding —
+    plane equality, the round-10 verification trick."""
+    img = _smooth12(24, 40, seed=9)
+    base = _decode16(encode_jpeg(img, quality=90, precision=12))
+    prog = _decode16(
+        encode_jpeg_progressive(img, quality=90, precision=12)
+    )
+    assert np.array_equal(base, prog)
 
 
 # ---------------------------------------------------------------------------
@@ -568,6 +698,10 @@ def test_frame_sample_nonraw_raises(spark):
 # r = 1..14 — T.81 G.1.2.2 end-of-band run codes; EOB0 is baseline 0x00).
 AC_PROG_SYMBOLS = AC_SYMBOLS + [r << 4 for r in range(1, 15)]
 AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+# 12-bit progressive: the 226 sequential symbols + EOBn -> 240 codes,
+# which no longer fit in 8 bits beside themselves; split across 8/9.
+AC12_PROG_SYMBOLS = AC12_SYMBOLS + [r << 4 for r in range(1, 15)]
+AC12_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 112, 0, 0, 0, 0, 0, 0, 0]
 
 _PROG_SCRIPT_GRAY = [
     ([0], 0, 0, 0, 1),        # DC first, Al=1
@@ -599,7 +733,8 @@ def encode_jpeg_progressive(
     sampling: tuple[int, int] = (2, 2),
     script: list | None = None,
     restart_interval: int = 0,
-    ac_bits=AC_PROG_BITS,
+    ac_bits=None,
+    precision: int = 8,
 ) -> bytes:
     """Progressive JPEG: scans per ``script`` entries
     (comp_indices, Ss, Se, Ah, Al)."""
@@ -607,6 +742,15 @@ def encode_jpeg_progressive(
     color = cb is not None
     sh, sv = (sampling if color else (1, 1))
     ql, qc = _quality_tables(quality)
+    shift = float(1 << (precision - 1))
+    if precision == 12:
+        dc_bits, dc_vals = DC12_BITS, DC12_VALS
+        ac_syms = AC12_PROG_SYMBOLS
+        ac_bits = AC12_PROG_BITS if ac_bits is None else ac_bits
+    else:
+        dc_bits, dc_vals = DC_BITS, DC_VALS
+        ac_syms = AC_PROG_SYMBOLS
+        ac_bits = AC_PROG_BITS if ac_bits is None else ac_bits
     mcux = -(-w_img // (8 * sh))
     mcuy = -(-h // (8 * sv))
 
@@ -616,7 +760,8 @@ def encode_jpeg_progressive(
         for gy in range(by):
             for gx in range(bx):
                 g[gy, gx] = _fdct_quant(
-                    plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8], q
+                    plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8], q,
+                    shift,
                 )
         return g
 
@@ -646,19 +791,19 @@ def encode_jpeg_progressive(
     comps_hdr = [(1, (sh << 4) | sv, 0)]
     if color:
         comps_hdr += [(2, 0x11, 1), (3, 0x11, 1)]
-    sof = struct.pack(">BHHB", 8, h, w_img, len(comps_hdr))
+    sof = struct.pack(">BHHB", precision, h, w_img, len(comps_hdr))
     for cid, samp, tq in comps_hdr:
         sof += bytes([cid, samp, tq])
     out += _seg(0xC2, sof)
-    out += _dht(0, 0, DC_BITS, DC_VALS)
-    out += _dht(1, 0, ac_bits, AC_PROG_SYMBOLS)
+    out += _dht(0, 0, dc_bits, dc_vals)
+    out += _dht(1, 0, ac_bits, ac_syms)
     if color:
-        out += _dht(0, 1, DC_BITS, DC_VALS)
-        out += _dht(1, 1, ac_bits, AC_PROG_SYMBOLS)
+        out += _dht(0, 1, dc_bits, dc_vals)
+        out += _dht(1, 1, ac_bits, ac_syms)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    dc_tab = _encode_table(DC_BITS, DC_VALS)
-    ac_tab = _encode_table(ac_bits, AC_PROG_SYMBOLS)
+    dc_tab = _encode_table(dc_bits, dc_vals)
+    ac_tab = _encode_table(ac_bits, ac_syms)
 
     for comp_ids, ss, se, ah, al in script:
         out += _encode_prog_scan(

@@ -495,3 +495,109 @@ def test_split_dedup_safe_no_pair_straddles(spark):
             assert root == doc_id  # singleton is its own root
         else:
             assert root <= doc_id  # component min
+
+
+# ---------------------------------------------------------------------------
+# codec properties (round-10 continuation: avro + snappy)
+# ---------------------------------------------------------------------------
+
+_avro_value = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-(2**63), 2**63 - 1),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+        st.floats(allow_nan=False, width=64),
+    ),
+    lambda children: st.lists(children, max_size=5)
+    | st.dictionaries(st.text(max_size=8), children, max_size=5),
+    max_leaves=12,
+)
+
+
+def _schema_for(v):
+    """Derive the narrowest single-type Avro schema for a generated
+    Python value (unions only for None-able leaves)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, list):
+        inner = _schema_for(v[0]) if v else "long"
+        return {"type": "array", "items": inner}
+    if isinstance(v, dict):
+        inner = _schema_for(next(iter(v.values()))) if v else "long"
+        return {"type": "map", "values": inner}
+    raise AssertionError(type(v))
+
+
+def _homogenize(v):
+    """Coerce a generated container to one element type (Avro arrays and
+    maps are homogeneous) by keeping the first element's type."""
+    if isinstance(v, list):
+        if not v:
+            return v
+        head = _homogenize(v[0])
+        return [x for x in (_homogenize(y) for y in v)
+                if _schema_for(x) == _schema_for(head)]
+    if isinstance(v, dict):
+        items = [(k, _homogenize(x)) for k, x in v.items()]
+        if not items:
+            return {}
+        head_t = _schema_for(items[0][1])
+        return {k: x for k, x in items if _schema_for(x) == head_t}
+    return v
+
+
+@given(v=_avro_value, codec=st.sampled_from(["null", "deflate", "snappy"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_roundtrip_property(v, codec):
+    """write_container(read_container(x)) == x for any value the type
+    system can carry — schema derived per example, all three codecs."""
+    from flexcalc_spark.sources import avrocodec as av
+
+    v = _homogenize(v)
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [{"name": "v", "type": _schema_for(v)}],
+    }
+    recs = [{"v": v}] * 3
+    _, back = av.read_container(av.write_container(schema, recs, codec=codec))
+    assert back == recs
+
+
+@given(data=st.binary(max_size=300_000))
+@settings(max_examples=40, deadline=None)
+def test_snappy_roundtrip_property(data):
+    from flexcalc_spark.sources import snappycodec as sn
+
+    assert sn.decompress(sn.compress(data)) == data
+
+
+@given(
+    seed=st.integers(0, 10**6),
+    n=st.integers(1, 400),
+    alpha=st.integers(2, 5),
+)
+@settings(max_examples=30, deadline=None)
+def test_snappy_roundtrip_low_entropy_property(seed, n, alpha):
+    """Low-alphabet inputs maximize match/copy density (incl. the
+    overlapping-copy path) — the regime the binary strategy rarely
+    reaches."""
+    import random
+
+    from flexcalc_spark.sources import snappycodec as sn
+
+    rng = random.Random(seed)
+    data = bytes(rng.choices(range(alpha), k=n * 100))
+    assert sn.decompress(sn.compress(data)) == data

@@ -14,8 +14,11 @@ consumers use (in baseline, chroma blocks are entropy-decoded to keep
 the bitstream in sync, then discarded; in progressive, chroma-only
 scans are independent entropy segments and are skipped at byte level —
 mean-intensity, thumbnails and registration all operate on luma).
-Out-of-scope variants raise ``NotImplementedError`` (arithmetic
-coding, hierarchical/lossless, >3 components) so the
+**Lossless (SOF3, T.81 Annex H)** also decodes — the DICOM/medical
+form: huffman-coded predictor differences (all 7 predictors,
+modulo-2^16, point transform), single-component, 2..16-bit, exact by
+construction. Out-of-scope variants raise ``NotImplementedError``
+(arithmetic coding, hierarchical, >3 components) so the
 multimodal feature path degrades to NOT_DECODABLE rows instead of
 failing the batch; corrupt bytes raise ``ValueError``, matching the
 malformed-TIFF contract.
@@ -190,8 +193,9 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
     qt: dict[int, np.ndarray] = {}      # id -> 64 quant values, scan order
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
-    frame = None                        # (h, w, comps) from SOF0/1/2
+    frame = None                # (h, w, comps, prec) from SOF0/1/2/3
     progressive = False
+    lossless = False
     prog: _ProgState | None = None
     restart_interval = 0
     n = len(content)
@@ -231,9 +235,21 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                 if tab.size != 64:
                     raise ValueError("JPEG DQT table truncated")
                 qt[tid] = tab
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, 2 prog,
+            #                                         3 lossless (Annex H)
             prec, fh, fw, nc = struct.unpack(">BHHB", body[0:6])
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"JPEG lossless precision {prec} outside 2..16"
+                    )
+                if nc != 1:
+                    raise NotImplementedError(
+                        "JPEG lossless with >1 component not supported "
+                        "(single-plane grayscale only — the DICOM form)"
+                    )
+            elif prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG {prec}-bit precision not supported (T.81 DCT "
                     "modes are 8- or 12-bit; plug Pillow into DECODERS)"
@@ -266,11 +282,11 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
                 )
             frame = (fh, fw, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} (hierarchical/"
-                "arithmetic/lossless) not supported offline"
+                "arithmetic) not supported offline"
             )
         elif marker == 0xC4:            # DHT
             i = 0
@@ -298,6 +314,11 @@ def _decode_markers(content: bytes) -> tuple[int, int, str, bytes]:
             ss, se = body[1 + ns * 2], body[2 + ns * 2]
             ahal = body[3 + ns * 2]
             ah, al = ahal >> 4, ahal & 0x0F
+            if lossless:
+                return _decode_lossless_scan(
+                    content, pos + seglen, frame, scan, dc_tabs,
+                    restart_interval, predictor=ss, pt=al,
+                )
             if not progressive:
                 return _decode_scan(
                     content, pos + seglen, frame, scan, qt, dc_tabs,
@@ -724,4 +745,106 @@ def _prog_finish(prog: _ProgState, qt: dict) -> tuple[int, int, str, bytes]:
     return fh, fw, ("uint8" if prec == 8 else "uint16"), _idct_plane(
         prog.coeffs[0], qt[luma["tq"]], prog.bx_pad[0], prog.by_pad[0],
         fh, fw, prec,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3) decoding — T.81 Annex H, huffman coding only.
+#
+# The DICOM/medical-archive JPEG: no DCT, no quantization — each sample
+# is a huffman-coded difference from one of seven spatial predictors,
+# with modulo-2^16 arithmetic and an optional point transform Pt.
+# Single-component (grayscale) frames only, which is the form medical
+# archives actually ship; precision 2..16 bits. Restart markers reset
+# prediction to the scan-start default (the next sample predicts
+# 2^(P-Pt-1)); the lockstep encoder shares this convention.
+# Per-sample entropy decode is a Python loop like the DCT modes' MCU
+# loop — the binaryfiles.py throughput note (plug Pillow/libjpeg at
+# bulk scale) applies unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _decode_lossless_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list,
+    dc_tabs: dict,
+    restart_interval: int,
+    predictor: int,
+    pt: int,
+) -> tuple[int, int, str, bytes]:
+    fh, fw, comps, prec = frame
+    if len(scan) != 1:
+        raise NotImplementedError(
+            "JPEG lossless multi-component scan not supported"
+        )
+    cs, td, _ta = scan[0]
+    if cs != comps[0]["id"]:
+        raise ValueError(f"JPEG scan references unknown component {cs}")
+    if td not in dc_tabs:
+        raise ValueError("JPEG scan references missing huffman table")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"JPEG lossless predictor {predictor} invalid")
+    if pt >= prec:
+        raise ValueError("JPEG lossless point transform >= precision")
+    tab = dc_tabs[td]
+    reader = _BitReader(data, pos)
+    default = 1 << (prec - pt - 1)       # scan-start / post-restart guess
+    out = np.zeros((fh, fw), dtype=np.int64)
+    rst_n = 0
+    count = 0                            # samples since last restart
+    fresh = True                         # next sample predicts `default`
+    for y in range(fh):
+        for x in range(fw):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                reader.align_restart(rst_n)
+                rst_n = (rst_n + 1) % 8
+                fresh = True
+                count = 0
+            if fresh:
+                p = default
+                fresh = False
+            elif y == 0:
+                p = int(out[0, x - 1])           # first line: Ra
+            elif x == 0:
+                p = int(out[y - 1, 0])           # first column: Rb
+            else:
+                ra = int(out[y, x - 1])
+                rb = int(out[y - 1, x])
+                rc = int(out[y - 1, x - 1])
+                if predictor == 1:
+                    p = ra
+                elif predictor == 2:
+                    p = rb
+                elif predictor == 3:
+                    p = rc
+                elif predictor == 4:
+                    p = ra + rb - rc
+                elif predictor == 5:
+                    p = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    p = rb + ((ra - rc) >> 1)
+                else:
+                    p = (ra + rb) >> 1
+            s = reader.decode_symbol(tab)
+            if s > 16:
+                raise ValueError(
+                    f"JPEG lossless difference category {s} invalid"
+                )
+            if s == 16:                  # special: diff = 32768, no bits
+                diff = 32768
+            else:
+                diff = _extend(reader.receive(s), s)
+            out[y, x] = (p + diff) & 0xFFFF      # modulo-2^16 arithmetic
+            count += 1
+    if pt:
+        out <<= pt                       # undo the point transform
+    dt = np.uint8 if prec <= 8 else np.uint16
+    return fh, fw, ("uint8" if prec <= 8 else "uint16"), (
+        out.astype(dt).tobytes()
     )

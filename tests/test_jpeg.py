@@ -570,6 +570,139 @@ def test_12bit_progressive_equals_baseline():
 
 
 # ---------------------------------------------------------------------------
+# Lossless (SOF3) — exact round-trips, no tolerance anywhere
+# ---------------------------------------------------------------------------
+
+# Difference categories for lossless run to 16 (the special no-bits
+# 32768 symbol); a valid canonical table over 17 symbols.
+DCL_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+DCL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    precision: int,
+    predictor: int = 1,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless JPEG (SOF3): single-component, huffman-coded predictor
+    differences, modulo-2^16, in lockstep with the decoder (shared
+    restart convention: the sample after RSTn predicts the scan-start
+    default)."""
+    h, w_img = img.shape
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w_img, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _dht(0, 0, DCL_BITS, DCL_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt & 0x0F]))
+
+    tab = _encode_table(DCL_BITS, DCL_VALS)
+    wtr = _BitWriter()
+    vals = (img.astype(np.int64) >> pt)
+    default = 1 << (precision - pt - 1)
+    rst_n = 0
+    count = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w_img):
+            if restart_interval and count and count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                fresh = True
+                count = 0
+            if fresh:
+                p = default
+                fresh = False
+            elif y == 0:
+                p = int(vals[0, x - 1])
+            elif x == 0:
+                p = int(vals[y - 1, 0])
+            else:
+                ra, rb, rc = (int(vals[y, x - 1]), int(vals[y - 1, x]),
+                              int(vals[y - 1, x - 1]))
+                p = [ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                     rb + ((ra - rc) >> 1), (ra + rb) >> 1][predictor - 1]
+            diff = (int(vals[y, x]) - p) & 0xFFFF
+            if diff >= 32768:
+                diff -= 65536            # re-center to -32768..32767
+            if diff == -32768:
+                code, length = tab[16]   # the special no-bits symbol
+                wtr.put(code, length)
+            else:
+                s = int(abs(diff)).bit_length()
+                code, length = tab[s]
+                wtr.put(code, length)
+                if s:
+                    wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            count += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_exact_all_predictors(predictor):
+    """Random 12-bit image, every predictor: decode must return the
+    input EXACTLY (that is the definition of the mode)."""
+    rng = np.random.RandomState(predictor)
+    img = rng.randint(0, 4096, size=(21, 17)).astype(np.uint16)
+    h, w, dt, px = jc.decode_jpeg(
+        encode_jpeg_lossless(img, 12, predictor=predictor), {}
+    )
+    assert (h, w, dt) == (21, 17, "uint16")
+    assert np.array_equal(np.frombuffer(px, np.uint16).reshape(h, w), img)
+
+
+@pytest.mark.parametrize("prec", [2, 8, 16])
+def test_lossless_exact_precision_sweep(prec):
+    rng = np.random.RandomState(prec)
+    img = rng.randint(0, 1 << prec, size=(9, 13)).astype(np.uint16)
+    h, w, dt, px = jc.decode_jpeg(
+        encode_jpeg_lossless(img, prec, predictor=4), {}
+    )
+    expect_dt = "uint8" if prec <= 8 else "uint16"
+    assert dt == expect_dt
+    got = np.frombuffer(px, np.uint8 if prec <= 8 else np.uint16)
+    assert np.array_equal(got.reshape(h, w), img)
+
+
+def test_lossless_restart_and_point_transform():
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 4096, size=(8, 40)).astype(np.uint16)
+    blob = encode_jpeg_lossless(img, 12, predictor=7, restart_interval=64)
+    assert b"\xff\xd0" in blob
+    h, w, dt, px = jc.decode_jpeg(blob, {})
+    assert np.array_equal(np.frombuffer(px, np.uint16).reshape(h, w), img)
+    # point transform drops Pt low bits; output is shifted back up
+    blob = encode_jpeg_lossless(img, 12, predictor=1, pt=2)
+    h, w, dt, px = jc.decode_jpeg(blob, {})
+    got = np.frombuffer(px, np.uint16).reshape(h, w)
+    assert np.array_equal(got, (img >> 2) << 2)
+
+
+def test_lossless_wraparound_difference():
+    """A 0 -> 65535-range jump at 16-bit exercises the modulo-2^16
+    difference arithmetic and the special category-16 symbol."""
+    img = np.array([[0, 32768, 0, 65535]], dtype=np.uint16)
+    h, w, dt, px = jc.decode_jpeg(encode_jpeg_lossless(img, 16), {})
+    assert np.array_equal(np.frombuffer(px, np.uint16).reshape(1, 4), img)
+
+
+def test_lossless_color_raises():
+    sof = struct.pack(">BHHB", 12, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    stub = b"\xff\xd8" + _seg(0xC3, sof)
+    with pytest.raises(NotImplementedError, match="component"):
+        jc.decode_jpeg(stub, {})
+
+
+# ---------------------------------------------------------------------------
 # Through the Spark decode path
 # ---------------------------------------------------------------------------
 

@@ -10,12 +10,14 @@ kernel over ``mapInPandas``.
 Decoding dispatches through ``DECODERS``: ``raw`` (np.frombuffer
 reshape), grayscale ``tiff`` (pure-Python IFD parse — both byte
 orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
-PackBits with the horizontal predictor), grayscale ``png``, PCM
+PackBits with the horizontal predictor), ``png`` (every static color
+type — gray/RGB/palette/alpha, 1-16 bit, Adam7 — collapsed to a
+BT.601 luma plane), PCM
 ``wav``, and ``jpeg`` (jpegcodec.py — baseline sequential AND
-progressive SOF2, 8- or 12-bit precision, gray or YCbCr, luma plane
-out) are fully real
-pure-Python; out-of-envelope variants (RGB/codec TIFF, paletted/
-interlaced PNG, float WAV, arithmetic/hierarchical JPEG) raise
+progressive SOF2 at 8/12-bit, plus lossless SOF3, gray or YCbCr,
+luma plane out) are fully real
+pure-Python; out-of-envelope variants (planar/codec TIFF, animated
+APNG, float WAV, arithmetic/hierarchical JPEG) raise
 NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —
@@ -160,11 +162,12 @@ _TIFF_DECOMPRESSORS: dict[int, Callable[[bytes], bytes]] = {
 
 
 def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
-    """Pure-Python decoder for single-sample (grayscale) TIFF — the
-    format FLEX-ray slice stacks actually use. Parses the first IFD
-    (both byte orders), decompresses strips (Compression = none, LZW,
-    or PackBits; horizontal predictor honored), and normalizes to
-    native byte order. Other codecs or multi-sample files raise
+    """Pure-Python decoder for grayscale OR chunky-RGB TIFF (RGB
+    collapses to a BT.601 integer luma plane under the single-plane
+    contract). Parses the first IFD (both byte orders), decompresses
+    strips (Compression = none, LZW, or PackBits; per-channel
+    horizontal predictor honored), and normalizes to native byte
+    order. Other codecs, planar RGB, or exotic sample layouts raise
     NotImplementedError (plug Pillow/tifffile into DECODERS where
     available)."""
     import struct
@@ -209,8 +212,15 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
             "only none(1)/LZW(5)/PackBits(32773) decode pure-Python "
             "(plug Pillow/tifffile into DECODERS for the rest)"
         )
-    if one(277, 1) != 1:
-        raise NotImplementedError("multi-sample (RGB) TIFF not supported offline")
+    spp = one(277, 1)
+    if spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF SamplesPerPixel={spp} not supported (1 gray / 3 RGB)"
+        )
+    if spp == 3 and one(284, 1) != 1:
+        raise NotImplementedError(
+            "planar-configuration (separate-plane) RGB TIFF not supported"
+        )
     w, h = one(256), one(257)
     bps = one(258, 8)
     sample_fmt = one(339, 1)              # 1 uint, 2 int, 3 float
@@ -220,19 +230,23 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         raise NotImplementedError(
             f"TIFF sample format {sample_fmt}/{bps}bps not supported"
         )
+    if spp == 3 and (kind != "u" or bps not in (8, 16)):
+        raise NotImplementedError(
+            f"RGB TIFF requires uint 8/16 samples, got {sample_fmt}/{bps}"
+        )
     if predictor not in (1, 2) or (predictor == 2 and kind == "f"):
         raise NotImplementedError(f"TIFF Predictor={predictor} not supported")
     offs = tags.get(273)
     if not offs:
         raise ValueError("TIFF missing StripOffsets")
-    cnts = tags.get(279, [h * w * (bps // 8)])
+    cnts = tags.get(279, [h * w * spp * (bps // 8)])
     # strips decompress independently (that's what makes them the
     # parallelism grain in real readers)
     data = b"".join(
         decompress(content[o : o + c]) if o else b""
         for o, c in zip(offs, cnts)
     )
-    expected = h * w * (bps // 8)
+    expected = h * w * spp * (bps // 8)
     if len(data) != expected:
         raise ValueError(f"TIFF strip data {len(data)} != {expected}")
     src = np.dtype(f"{e}{kind}{bps // 8}")
@@ -241,67 +255,49 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     if src != native:
         arr = arr.astype(native)
     if predictor == 2:
-        # horizontal differencing: each sample stores the delta to its
-        # left neighbor; integrate per row in the sample dtype (wrapping)
+        # horizontal differencing: each sample stores the delta to the
+        # SAME CHANNEL of the left pixel; integrate per row in the
+        # sample dtype (wrapping)
         arr = np.add.accumulate(
-            arr.reshape(h, w), axis=1, dtype=native
+            arr.reshape(h, w, spp), axis=1, dtype=native
         ).reshape(-1)
+    if spp == 3:
+        # chunky RGB -> BT.601 integer luma, the repo's single-plane
+        # contract (same collapse as the PNG/JPEG color paths)
+        rgb = arr.reshape(h, w, 3).astype(np.int64)
+        luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
+                + 114 * rgb[..., 2] + 500) // 1000
+        return h, w, native.name, luma.astype(native).tobytes()
     return h, w, native.name, arr.tobytes()
 
 
-def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
-    """Pure-Python decoder for grayscale PNG (stdlib zlib does the
-    INFLATE): parses the chunk stream, reconstructs all five scanline
-    filters (None/Sub/Up/Average/Paeth), and returns native-order
-    pixels. Color type 0 (grayscale) at 8/16 bits, no interlace —
-    the shape CT/preview pipelines emit; color/palette/interlaced
-    files raise NotImplementedError (plug Pillow into DECODERS)."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(content):
-        (length,), ctype = (
-            struct.unpack(">I", content[pos : pos + 4]),
-            content[pos + 4 : pos + 8],
-        )
-        body = content[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + crc
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, bitdepth, colortype, comp, filt, interlace = ihdr
-    if colortype != 0:
-        raise NotImplementedError(
-            f"PNG color type {colortype} not supported offline; only "
-            "grayscale (0) decodes pure-Python (plug Pillow for the rest)"
-        )
-    if bitdepth not in (8, 16) or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG bitdepth={bitdepth}/compression={comp}/filter={filt}"
-            " not supported"
-        )
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    raw = zlib.decompress(bytes(idat))
-    bpp = bitdepth // 8
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG scanline data {len(raw)} != {h * (stride + 1)}")
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(
+    raw: bytes, h: int, stride: int, bpp: int, off: int
+) -> tuple[bytes, int]:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes from the
+    decompressed stream starting at ``off`` (one filter-type byte per
+    row; all five PNG filters), returning (pixel bytes, new offset)."""
     out = bytearray(h * stride)
     prev = bytearray(stride)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if off >= len(raw):
+            raise ValueError("PNG scanline data truncated")
+        ft = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if len(row) != stride:
+            raise ValueError("PNG scanline data truncated")
         if ft == 1:      # Sub
             for i in range(bpp, stride):
                 row[i] = (row[i] + row[i - bpp]) & 0xFF
@@ -317,20 +313,136 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
                 a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pth = a + b - c
+                pa, pb, pc = abs(pth - a), abs(pth - b), abs(pth - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 row[i] = (row[i] + pr) & 0xFF
         elif ft != 0:
             raise ValueError(f"PNG unknown filter type {ft}")
         out[y * stride : (y + 1) * stride] = row
         prev = row
-    src = np.dtype(">u2") if bitdepth == 16 else np.dtype("u1")
-    arr = np.frombuffer(bytes(out), dtype=src)
-    native = src.newbyteorder("=")
-    if src != native:
-        arr = arr.astype(native)
-    return h, w, native.name, arr.tobytes()
+    return bytes(out), off
+
+
+def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
+    """Pure-Python PNG decoder (stdlib zlib does the INFLATE): the full
+    static-image surface — color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16 where the spec
+    allows them; all five scanline filters; Adam7 interlace. Color
+    collapses to a BT.601 integer luma plane and alpha is dropped,
+    under the repo's single-plane (h, w, dtype, px) decoder contract;
+    sub-byte grays scale to 8-bit by the exact 255/(2^d-1) expansion.
+    APNG (acTL animation) is the named remaining boundary."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,), ctype = (
+            struct.unpack(">I", content[pos : pos + 4]),
+            content[pos + 4 : pos + 8],
+        )
+        body = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"acTL":
+            raise NotImplementedError(
+                "animated PNG (APNG) not supported; first-frame decode "
+                "needs fcTL/fdAT handling (plug Pillow into DECODERS)"
+            )
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bitdepth, colortype, comp, filt, interlace = ihdr
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {colortype} invalid")
+    if bitdepth not in _PNG_DEPTHS[colortype]:
+        raise ValueError(
+            f"PNG bitdepth {bitdepth} invalid for color type {colortype}"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"PNG compression={comp}/filter={filt} methods unknown"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} unknown")
+    if colortype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("PNG palette image missing/invalid PLTE")
+    if w == 0 or h == 0:
+        raise ValueError("PNG zero dimension")
+    channels = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(bytes(idat))
+
+    def read_pass(w_p: int, h_p: int, off: int):
+        bits_px = channels * bitdepth
+        stride = (w_p * bits_px + 7) // 8
+        bpp = max(1, bits_px // 8)
+        data, off = _png_unfilter(raw, h_p, stride, bpp, off)
+        if bitdepth == 16:
+            arr = np.frombuffer(data, ">u2").astype(np.int64)
+            arr = arr.reshape(h_p, w_p, channels)
+        elif bitdepth == 8:
+            arr = np.frombuffer(data, "u1").astype(np.int64)
+            arr = arr.reshape(h_p, w_p, channels)
+        else:                            # 1/2/4-bit, MSB-first per row
+            a = np.frombuffer(data, "u1").reshape(h_p, stride)
+            bits = np.unpackbits(a, axis=1)[:, : w_p * bitdepth]
+            weights = 1 << np.arange(bitdepth - 1, -1, -1)
+            arr = (bits.reshape(h_p, w_p, bitdepth) * weights).sum(
+                axis=2, dtype=np.int64
+            )[..., np.newaxis]
+        return arr, off
+
+    if interlace == 0:
+        img, off = read_pass(w, h, 0)
+    else:                                # Adam7: 7 independent sub-images
+        img = np.zeros((h, w, channels), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = read_pass(pw, ph, off)
+            img[y0::dy, x0::dx] = sub
+    if off != len(raw):
+        raise ValueError(
+            f"PNG scanline data {len(raw)} != expected {off}"
+        )
+
+    if colortype == 3:                   # palette -> RGB -> luma
+        pal = np.frombuffer(plte, "u1").reshape(-1, 3).astype(np.int64)
+        idx = img[..., 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+        luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
+                + 114 * rgb[..., 2] + 500) // 1000
+        return h, w, "uint8", luma.astype(np.uint8).tobytes()
+    if colortype in (0, 4):              # gray (+alpha dropped)
+        g = img[..., 0]
+        if bitdepth < 8:                 # exact expansion: 2^d-1 | 255
+            g = g * 255 // ((1 << bitdepth) - 1)
+            return h, w, "uint8", g.astype(np.uint8).tobytes()
+        dt = np.uint8 if bitdepth == 8 else np.uint16
+        return h, w, np.dtype(dt).name, g.astype(dt).tobytes()
+    # 2 (RGB) / 6 (RGBA, alpha dropped): BT.601 integer luma
+    luma = (299 * img[..., 0] + 587 * img[..., 1]
+            + 114 * img[..., 2] + 500) // 1000
+    dt = np.uint8 if bitdepth == 8 else np.uint16
+    return h, w, np.dtype(dt).name, luma.astype(dt).tobytes()
 
 
 def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:

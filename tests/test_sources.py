@@ -293,13 +293,16 @@ def _write_tiff_ex(
     compression: int = 1,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    planar: int = 1,
 ) -> None:
-    """General grayscale TIFF writer: multi-strip, Compression in
-    {1, 5, 32773}, optional horizontal predictor (integer dtypes)."""
+    """General TIFF writer: grayscale (h, w) or chunky RGB (h, w, 3),
+    multi-strip, Compression in {1, 5, 32773}, optional per-channel
+    horizontal predictor (integer dtypes)."""
     import struct
 
     kindmap = {"u": 1, "i": 2, "f": 3}
-    h, w = arr.shape
+    h, w = arr.shape[:2]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
     dt = arr.dtype
     bps = dt.itemsize * 8
     rps = rows_per_strip or h
@@ -313,7 +316,7 @@ def _write_tiff_ex(
         for r in range(0, h, rps)
     ]
     n_strips = len(strips)
-    n_tags = 10
+    n_tags = 10 + (1 if planar != 1 else 0)
     ifd_off = 8
     # value area holds the strip offset/count arrays when n_strips > 1
     val_off = ifd_off + 2 + n_tags * 12 + 4
@@ -340,7 +343,9 @@ def _write_tiff_ex(
         ifd += tag(273, 4, n_strips, val_off)
     else:
         ifd += tag(273, 4, 1, offs[0])
-    ifd += tag(277, 3, 1, 1)
+    ifd += tag(277, 3, 1, spp)
+    if planar != 1:
+        ifd += tag(284, 3, 1, planar)
     ifd += tag(278, 4, 1, rps)
     if n_strips > 1:
         ifd += tag(279, 4, n_strips, val_off + 4 * n_strips)
@@ -417,6 +422,48 @@ def test_packbits_long_runs_roundtrip():
     assert bf._packbits_decode(_packbits_encode(data)) == data
 
 
+def test_tiff_rgb_luma(tmp_path):
+    """Chunky RGB TIFF collapses to the BT.601 integer luma plane —
+    across codecs, the per-channel predictor, byte orders and strip
+    splits."""
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    expect = (
+        (299 * rgb[..., 0].astype(np.int64)
+         + 587 * rgb[..., 1].astype(np.int64)
+         + 114 * rgb[..., 2].astype(np.int64) + 500) // 1000
+    ).astype(np.uint8)
+    for comp, pred, endian, rps in [
+        (1, 1, "<", None), (5, 2, "<", 3), (32773, 1, ">", 2),
+    ]:
+        path = tmp_path / f"rgb_{comp}_{pred}_{rps}.tif"
+        _write_tiff_ex(path, rgb, endian=endian, compression=comp,
+                       predictor=pred, rows_per_strip=rps)
+        h, w, dt, px = bf._decode_tiff(path.read_bytes(), {})
+        assert (h, w, dt) == (7, 5, "uint8")
+        assert np.array_equal(np.frombuffer(px, "u1").reshape(7, 5), expect)
+    # 16-bit RGB keeps uint16 luma
+    rgb16 = rng.integers(0, 65536, size=(3, 4, 3), dtype=np.uint16)
+    path = tmp_path / "rgb16.tif"
+    _write_tiff_ex(path, rgb16, endian=">", compression=5, predictor=2)
+    h, w, dt, px = bf._decode_tiff(path.read_bytes(), {})
+    assert dt == "uint16"
+    expect16 = (
+        (299 * rgb16[..., 0].astype(np.int64)
+         + 587 * rgb16[..., 1].astype(np.int64)
+         + 114 * rgb16[..., 2].astype(np.int64) + 500) // 1000
+    ).astype(np.uint16)
+    assert np.array_equal(np.frombuffer(px, "=u2").reshape(3, 4), expect16)
+
+
+def test_tiff_planar_rgb_raises(tmp_path):
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    path = tmp_path / "planar.tif"
+    _write_tiff_ex(path, rgb, planar=2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        bf._decode_tiff(path.read_bytes(), {})
+
+
 def test_tiff_unsupported_codec_raises():
     """JPEG-in-TIFF (Compression=7) must raise the documented
     NotImplementedError, not garbage-decode."""
@@ -462,25 +509,13 @@ def test_read_stack_lzw_tiff_roundtrip(spark, tmp_path):
 # --- PNG decoder (round-6: pure-Python zlib path) -----------------------
 
 
-def _png_encode(arr, bitdepth=8, filters=None, colortype=0):
-    """Minimal PNG writer for tests: grayscale, per-row filter choice
-    (applies the REAL filter math so decode must invert it)."""
-    import struct
-    import zlib
-
-    h, w = arr.shape
-    bpp = bitdepth // 8
-    if bitdepth == 16:
-        rows = arr.astype(">u2").tobytes()
-    else:
-        rows = arr.astype("u1").tobytes()
-    stride = w * bpp
-    filters = filters or [0] * h
+def _png_filter_rows(pix_rows, stride, bpp, filters):
+    """Apply the REAL per-row filter math so decode must invert it."""
     out = bytearray()
     prev = bytearray(stride)
-    for y in range(h):
-        row = bytearray(rows[y * stride : (y + 1) * stride])
-        ft = filters[y]
+    for y, row_b in enumerate(pix_rows):
+        row = bytearray(row_b)
+        ft = filters[y % len(filters)]
         enc = bytearray(row)
         if ft == 1:
             for i in range(stride - 1, bpp - 1, -1):
@@ -504,22 +539,81 @@ def _png_encode(arr, bitdepth=8, filters=None, colortype=0):
         out.append(ft)
         out.extend(enc)
         prev = row
+    return out
 
-    def chunk(ctype, body):
-        return (
-            struct.pack(">I", len(body))
-            + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+def _png_pack_rows(arr, bitdepth, channels):
+    """(h, w[, channels]) int array -> list of per-row packed bytes."""
+    import numpy as np
+
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, _ = arr.shape
+    rows = []
+    for y in range(h):
+        if bitdepth == 16:
+            rows.append(arr[y].astype(">u2").tobytes())
+        elif bitdepth == 8:
+            rows.append(arr[y].astype("u1").tobytes())
+        else:
+            bits = ((arr[y, :, 0:1].astype(np.uint8)[..., None]
+                     >> np.arange(bitdepth - 1, -1, -1)) & 1)
+            flat = bits.reshape(-1)
+            rows.append(np.packbits(flat).tobytes())
+    return rows
+
+
+def _png_encode(arr, bitdepth=8, filters=None, colortype=0, palette=None,
+                interlace=0, extra_chunks=()):
+    """Minimal PNG writer for tests: any color type, per-row filter
+    choice, optional Adam7 interlacing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w = arr.shape[:2]
+    filters = filters or [0]
+    bits_px = channels * bitdepth
+    bpp = max(1, bits_px // 8)
+
+    def pass_bytes(sub):
+        stride = (sub.shape[1] * bits_px + 7) // 8
+        return _png_filter_rows(
+            _png_pack_rows(sub, bitdepth, channels), stride, bpp, filters
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
-        + chunk(b"IEND", b"")
-    )
+    body = bytearray()
+    if interlace == 0:
+        body += pass_bytes(arr)
+    else:
+        adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        for x0, y0, dx, dy in adam7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                body += pass_bytes(sub)
+
+    def chunk(ctype, cbody):
+        return (
+            struct.pack(">I", len(cbody))
+            + ctype
+            + cbody
+            + struct.pack(">I", zlib.crc32(ctype + cbody) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    for ctype, cbody in extra_chunks:
+        out += chunk(ctype, cbody)
+    if colortype == 3:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b"")
+    return out
 
 
 def test_png_decode_roundtrip_all_filters():
@@ -548,16 +642,128 @@ def test_png_decode_16bit_big_endian():
     assert np.array_equal(np.frombuffer(px, "=u2").reshape(3, 4), arr)
 
 
-def test_png_color_raises():
+def _luma(rgb):
+    import numpy as np
+
+    r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+    return (299 * r + 587 * g + 114 * b + 500) // 1000
+
+
+def test_png_truecolor_luma():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    h, w, dt, px = bf._decode_png(
+        _png_encode(rgb, 8, filters=[0, 1, 2, 3, 4], colortype=2), {}
+    )
+    assert (h, w, dt) == (6, 5, "uint8")
+    assert np.array_equal(
+        np.frombuffer(px, "u1").reshape(6, 5), _luma(rgb).astype(np.uint8)
+    )
+    # 16-bit RGB -> uint16 luma
+    rgb16 = rng.integers(0, 65536, size=(3, 4, 3), dtype=np.uint16)
+    h, w, dt, px = bf._decode_png(_png_encode(rgb16, 16, colortype=2), {})
+    assert dt == "uint16"
+    assert np.array_equal(
+        np.frombuffer(px, "=u2").reshape(3, 4),
+        _luma(rgb16).astype(np.uint16),
+    )
+
+
+def test_png_palette_and_subbyte_gray():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(5)
+    # 4-bit palette image, 7 columns (odd -> padded final byte per row)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    h, w, dt, px = bf._decode_png(
+        _png_encode(idx, 4, colortype=3, palette=pal.tobytes(),
+                    filters=[0, 2]),
+        {},
+    )
+    assert (h, w, dt) == (5, 7, "uint8")
+    expect = _luma(pal[idx]).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(px, "u1").reshape(5, 7), expect)
+    # 1-bit and 2-bit grayscale expand exactly to 0..255
+    for d in (1, 2):
+        g = rng.integers(0, 1 << d, size=(4, 11), dtype=np.uint8)
+        h, w, dt, px = bf._decode_png(_png_encode(g, d, colortype=0), {})
+        assert dt == "uint8"
+        assert np.array_equal(
+            np.frombuffer(px, "u1").reshape(4, 11),
+            (g.astype(np.int64) * 255 // ((1 << d) - 1)).astype(np.uint8),
+        )
+
+
+def test_png_alpha_dropped():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(3)
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    h, w, dt, px = bf._decode_png(
+        _png_encode(ga, 8, colortype=4, filters=[4]), {}
+    )
+    assert np.array_equal(np.frombuffer(px, "u1").reshape(4, 6), ga[..., 0])
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    h, w, dt, px = bf._decode_png(
+        _png_encode(rgba, 8, colortype=6, filters=[3]), {}
+    )
+    assert np.array_equal(
+        np.frombuffer(px, "u1").reshape(4, 6),
+        _luma(rgba[..., :3]).astype(np.uint8),
+    )
+
+
+def test_png_adam7_interlace():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(9)
+    # odd dims exercise the empty/partial pass edges
+    for shape in [(9, 13), (1, 1), (2, 3), (8, 8)]:
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        h, w, dt, px = bf._decode_png(
+            _png_encode(g, 8, colortype=0, interlace=1,
+                        filters=[0, 1, 2, 3, 4]),
+            {},
+        )
+        assert (h, w) == shape
+        assert np.array_equal(np.frombuffer(px, "u1").reshape(shape), g)
+    # interlaced truecolor too
+    rgb = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    h, w, dt, px = bf._decode_png(
+        _png_encode(rgb, 8, colortype=2, interlace=1, filters=[2, 4]), {}
+    )
+    assert np.array_equal(
+        np.frombuffer(px, "u1").reshape(11, 7), _luma(rgb).astype(np.uint8)
+    )
+
+
+def test_png_apng_raises_and_corrupt_palette():
     import numpy as np
     import pytest
 
     from flexcalc_spark.sources import binaryfiles as bf
 
-    arr = np.zeros((2, 2), dtype=np.uint8)
-    content = _png_encode(arr, 8, colortype=2)
-    with pytest.raises(NotImplementedError):
-        bf._decode_png(content, {})
+    g = np.zeros((2, 2), dtype=np.uint8)
+    blob = _png_encode(g, 8, colortype=0,
+                       extra_chunks=((b"acTL", b"\x00" * 8),))
+    with pytest.raises(NotImplementedError, match="APNG"):
+        bf._decode_png(blob, {})
+    # palette index past PLTE end
+    idx = np.full((2, 2), 5, dtype=np.uint8)
+    blob = _png_encode(idx, 8, colortype=3, palette=bytes(9))  # 3 entries
+    with pytest.raises(ValueError, match="palette"):
+        bf._decode_png(blob, {})
 
 
 # --- WAV decoder --------------------------------------------------------

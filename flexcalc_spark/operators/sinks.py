@@ -652,3 +652,63 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
     )
+
+
+@register(
+    "q_source_warc",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(LENGTH(TRIM(REGEXP_REPLACE(text, ' +', ' ', 'g'))))
+                    AS BIGINT) AS total_text_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    family="sinks",
+    scale_notes=(
+        "WARC ingest — the CommonCrawl container, i.e. what a real "
+        "100 TB LLM-pretraining crawl actually arrives as. "
+        "sources/warc.py implements the public ISO 28500 grammar plus "
+        "the per-record-gzip-member CommonCrawl compression convention "
+        "(member walk via zlib unused_data, cross-checked against "
+        "stdlib gzip's member concatenation), HTTP response payload "
+        "split, and deterministic HTML->text extraction (script/style "
+        "subtree drop, tag strip, entity unescape, whitespace "
+        "collapse). The round-trip: every document becomes an "
+        "HTML-wrapped HTTP response record (with a live script tag "
+        "containing a bare '<' so the extraction path is actually "
+        "load-bearing), one .warc.gz per partition from executors, "
+        "binaryFile + Arrow-batched parse back, (lang, source, doc_id) "
+        "recovered from the Target-URI. The oracle recomputes the "
+        "extracted-text census from the source table (whitespace "
+        "normalization mirrored in SQL), so tag-stripping fidelity is "
+        "what the hash grades. File-granular parallelism like every "
+        "container source here; CommonCrawl ships ~1 GB segments so "
+        "file count IS the parallelism at 100 TB"
+    ),
+)
+def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as CommonCrawl-convention .warc.gz (HTML-wrapped
+    HTTP responses), read them back distributed, extract text, and
+    aggregate per (lang, source) — grades the full crawl-ingest path."""
+    from flexcalc_spark.sources import warc as wc
+
+    out = _scratch_dir("srcwarc", sf_dir, fingerprint=str(os.getpid()))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    d = table(spark, sf_dir, "documents")
+    written = wc.write_warc_partitions(d.repartition(4, "doc_id"), out)
+    written.collect()  # force the executor-side write (rows = #files)
+    r = wc.read_warc(spark, out)
+    parts = F.split(F.col("uri"), "/")
+    parsed = r.select(
+        F.element_at(parts, -3).alias("source"),
+        F.element_at(parts, -2).alias("lang"),
+        F.element_at(parts, -1).cast("bigint").alias("doc_id"),
+        F.length("text").alias("text_chars"),
+    )
+    return parsed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("text_chars").cast("bigint").alias("total_text_chars"),
+    )

@@ -89,11 +89,12 @@ def test_graded_queries_avoid_python_udfs(spark):
         # that the pandas stage consumes |entities| x days aggregates,
         # never the raw fact) — timeseries.py
         "q_holt_forecast",
-        # Avro container encode/decode kernel (pure-Python codec over
-        # binary blobs, the binaryfiles.py media pattern): the row data
-        # itself is the container payload, so the codec IS the
+        # Avro/WARC container encode/decode kernels (pure-Python codecs
+        # over binary blobs, the binaryfiles.py media pattern): the row
+        # data itself is the container payload, so the codec IS the
         # operator; aggregation after the trip is JVM-side (sinks.py)
         "q_source_avro",
+        "q_source_warc",
     }
     offenders = []
     for key, fn in Q.items():

@@ -12,12 +12,13 @@ reshape), grayscale ``tiff`` (pure-Python IFD parse — both byte
 orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
 PackBits with the horizontal predictor), ``png`` (every static color
 type — gray/RGB/palette/alpha, 1-16 bit, Adam7 — collapsed to a
-BT.601 luma plane), PCM
-``wav``, and ``jpeg`` (jpegcodec.py — baseline sequential AND
+BT.601 luma plane), ``wav`` (integer 8/16/24/32-bit, IEEE-float
+32/64-bit, and WAVE_FORMAT_EXTENSIBLE PCM), and ``jpeg``
+(jpegcodec.py — baseline sequential AND
 progressive SOF2 at 8/12-bit, plus lossless SOF3, gray or YCbCr,
 luma plane out) are fully real
 pure-Python; out-of-envelope variants (planar/codec TIFF, animated
-APNG, float WAV, arithmetic/hierarchical JPEG) raise
+APNG, compressed ADPCM/mu-law WAV, arithmetic/hierarchical JPEG) raise
 NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —
@@ -447,11 +448,14 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
 
 def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     """Pure-Python RIFF/WAVE PCM decoder (stdlib struct): parses the
-    chunk list, accepts integer PCM (format 1) at 8 or 16 bits, and
-    returns (n_channels, n_samples, dtype, interleaved native-order
-    samples) — the (h, w) slots carry channels x samples so the
-    decoder contract matches the image path. Float/ADPCM/extensible
-    raise NotImplementedError."""
+    chunk list, accepts integer PCM (format 1, 8/16/24/32-bit), IEEE
+    float PCM (format 3, 32/64-bit), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) wrapping either SubFormat, and returns (n_channels,
+    n_samples, dtype, interleaved native-order samples) — the (h, w)
+    slots carry channels x samples so the decoder contract matches the
+    image path. 24-bit integers widen to int32 (<<8, the usual
+    convention). Compressed formats (ADPCM/mu-law/...) raise
+    NotImplementedError."""
     import struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -473,12 +477,38 @@ def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     audio_fmt, n_ch, _rate, _bps, _align, bits = struct.unpack(
         "<HHIIHH", fmt_chunk[:16]
     )
-    if audio_fmt != 1 or bits not in (8, 16):
+    if audio_fmt == 0xFFFE:              # WAVE_FORMAT_EXTENSIBLE
+        # cbSize(2) + validBits(2) + channelMask(4) + SubFormat GUID:
+        # first 2 bytes of the GUID are the wrapped format code
+        if len(fmt_chunk) < 26:
+            raise ValueError("WAV extensible fmt chunk truncated")
+        audio_fmt = struct.unpack("<H", fmt_chunk[24:26])[0]
+    if audio_fmt == 1:
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(
+                f"WAV integer PCM {bits}bit not supported"
+            )
+        if bits == 24:                   # widen to int32 (<<8 convention)
+            n_frames = len(data) // 3
+            b = np.frombuffer(data[: n_frames * 3], dtype="u1")
+            b = b.reshape(-1, 3).astype(np.uint32)
+            vals = (b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)
+            arr = vals.view(np.int32)
+            n_samples = n_frames // n_ch
+            arr = arr[: n_samples * n_ch]
+            return n_ch, n_samples, "int32", arr.tobytes()
+        src = {8: np.dtype("u1"), 16: np.dtype("<i2"),
+               32: np.dtype("<i4")}[bits]
+    elif audio_fmt == 3:                 # IEEE float PCM
+        if bits not in (32, 64):
+            raise NotImplementedError(f"WAV float {bits}bit not supported")
+        src = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+    else:
         raise NotImplementedError(
-            f"WAV format {audio_fmt}/{bits}bit not supported offline; "
-            "only 8/16-bit integer PCM decodes pure-Python"
+            f"WAV format {audio_fmt} not supported offline; integer "
+            "and IEEE-float PCM decode pure-Python (ADPCM/mu-law need "
+            "a codec plug-in)"
         )
-    src = np.dtype("<i2") if bits == 16 else np.dtype("u1")
     n_samples = len(data) // (n_ch * src.itemsize)
     arr = np.frombuffer(
         data[: n_samples * n_ch * src.itemsize], dtype=src

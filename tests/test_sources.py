@@ -792,18 +792,89 @@ def test_wav_decode_roundtrip_stereo16():
     )
 
 
-def test_wav_nonpcm_raises():
+def _wav_bytes(fmt_body, data):
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_float_pcm_roundtrip():
+    import struct
+
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(13)
+    for bits, np_dt in [(32, "<f4"), (64, "<f8")]:
+        samples = rng.standard_normal((50, 2)).astype(np_dt)
+        fmt = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * bits // 4,
+                          bits // 4, bits)
+        n_ch, n_samp, dt, px = bf._decode_wav(
+            _wav_bytes(fmt, samples.tobytes()), {}
+        )
+        assert (n_ch, n_samp) == (2, 50)
+        assert dt == ("float32" if bits == 32 else "float64")
+        assert np.array_equal(
+            np.frombuffer(px, dt).reshape(50, 2), samples
+        )
+
+
+def test_wav_24bit_widens_to_int32_vs_stdlib_wave():
+    """stdlib wave writes 24-bit PCM (sampwidth=3) — an independent
+    producer; our decoder must widen each sample to int32 << 8."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(-(2**23), 2**23, size=60, dtype=np.int32)
+    le = vals.astype("<i4").tobytes()
+    frames = b"".join(le[i * 4 : i * 4 + 3] for i in range(60))  # low 3 bytes
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(8000)
+        wv.writeframes(frames)
+    n_ch, n_samp, dt, px = bf._decode_wav(buf.getvalue(), {})
+    assert (n_ch, n_samp, dt) == (1, 60, "int32")
+    assert np.array_equal(np.frombuffer(px, "=i4"), vals << 8)
+
+
+def test_wav_extensible_wrapper():
+    import struct
+
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    samples = (np.arange(40, dtype=np.int16) - 20).astype("<i2")
+    # WAVE_FORMAT_EXTENSIBLE wrapping integer PCM (GUID starts 0x0001)
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 0x4) + guid
+    n_ch, n_samp, dt, px = bf._decode_wav(
+        _wav_bytes(fmt, samples.tobytes()), {}
+    )
+    assert (n_ch, n_samp, dt) == (1, 40, "int16")
+    assert np.array_equal(np.frombuffer(px, "=i2"), samples)
+
+
+def test_wav_compressed_raises():
     import struct
 
     import pytest
 
     from flexcalc_spark.sources import binaryfiles as bf
 
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float PCM
-    content = (
-        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", 0)
-    )
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)  # MS ADPCM
     with pytest.raises(NotImplementedError):
-        bf._decode_wav(content, {})
+        bf._decode_wav(_wav_bytes(fmt, b""), {})

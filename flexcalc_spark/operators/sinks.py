@@ -659,7 +659,11 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
-               CAST(SUM(LENGTH(TRIM(REGEXP_REPLACE(text, ' +', ' ', 'g'))))
+               CAST(COALESCE(SUM(LENGTH(TRIM(
+                        REGEXP_REPLACE(text, '[\\t\\n\\r\\f\\v ]+', ' ',
+                                       'g'),
+                        ' ' || chr(9) || chr(10) || chr(13) || chr(12)
+                            || chr(11)))), 0)
                     AS BIGINT) AS total_text_chars
         FROM documents
         GROUP BY lang, source

@@ -413,6 +413,12 @@ def q_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_notes for the measured candidate/metric coupling and the
     sound thresholded-retrieval recipe)."""
     seg, words = _sax_core(spark, sf_dir)
+    # seg feeds BOTH the words subtree (via _sax_core's means) and the
+    # series branch below — cache it so the events window+groupBy runs
+    # once (the DuckDB oracle materializes seg for the same reason).
+    # Shuffle-derived cache layout is AQE-sized via the global
+    # canChangeCachedPlanOutputPartitioning conf (tables.py, round 9).
+    seg = seg.cache()
     cand = _sax_gram_candidates(words).select("ua", "ub")
     series = seg.groupBy("user_id").agg(
         F.expr(

@@ -106,28 +106,42 @@ def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-def _register_named(schema: object, names: dict) -> None:
-    """Walk a parsed schema, registering named types by full name."""
+def _register_named(
+    schema: object, names: dict, enclosing_ns: str | None = None
+) -> None:
+    """Walk a parsed schema, registering named types by full name.
+
+    Namespace resolution per the spec: a name containing dots IS a
+    fullname; otherwise the type's own ``namespace`` attribute applies,
+    and absent that the namespace is INHERITED from the innermost
+    enclosing named type — so ``ns.Inner`` is a legal reference to a
+    bare-named Inner nested inside a record with namespace ``ns``
+    (Java Avro and fastavro emit such references)."""
     if isinstance(schema, list):
         for s in schema:
-            _register_named(s, names)
+            _register_named(s, names, enclosing_ns)
         return
     if not isinstance(schema, dict):
         return
     t = schema.get("type")
+    ns = enclosing_ns
     if t in _NAMED_KINDS:
         name = schema["name"]
-        ns = schema.get("namespace")
-        full = f"{ns}.{name}" if ns and "." not in name else name
+        if "." in name:
+            full = name
+            ns = name.rsplit(".", 1)[0]
+        else:
+            ns = schema.get("namespace", enclosing_ns)
+            full = f"{ns}.{name}" if ns else name
         names[full] = schema
         names.setdefault(name, schema)
     if t == "record":
         for f in schema["fields"]:
-            _register_named(f["type"], names)
+            _register_named(f["type"], names, ns)
     elif t == "array":
-        _register_named(schema["items"], names)
+        _register_named(schema["items"], names, ns)
     elif t == "map":
-        _register_named(schema["values"], names)
+        _register_named(schema["values"], names, ns)
 
 
 def _resolve(schema: object, names: dict) -> object:

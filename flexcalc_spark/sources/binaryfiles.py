@@ -162,6 +162,13 @@ _TIFF_DECOMPRESSORS: dict[int, Callable[[bytes], bytes]] = {
 }
 
 
+def _bt601_luma(r, g, b):
+    """Integer BT.601 luma: round(0.299 R + 0.587 G + 0.114 B) as exact
+    integer math — the single-plane collapse shared by the TIFF and PNG
+    color paths (tests pin planes against this formula)."""
+    return (299 * r + 587 * g + 114 * b + 500) // 1000
+
+
 def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     """Pure-Python decoder for grayscale OR chunky-RGB TIFF (RGB
     collapses to a BT.601 integer luma plane under the single-plane
@@ -263,11 +270,10 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
             arr.reshape(h, w, spp), axis=1, dtype=native
         ).reshape(-1)
     if spp == 3:
-        # chunky RGB -> BT.601 integer luma, the repo's single-plane
-        # contract (same collapse as the PNG/JPEG color paths)
+        # chunky RGB -> integer luma, the repo's single-plane contract
+        # (same collapse as the PNG color paths)
         rgb = arr.reshape(h, w, 3).astype(np.int64)
-        luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
-                + 114 * rgb[..., 2] + 500) // 1000
+        luma = _bt601_luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
         return h, w, native.name, luma.astype(native).tobytes()
     return h, w, native.name, arr.tobytes()
 
@@ -429,8 +435,7 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         if int(idx.max()) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
         rgb = pal[idx]
-        luma = (299 * rgb[..., 0] + 587 * rgb[..., 1]
-                + 114 * rgb[..., 2] + 500) // 1000
+        luma = _bt601_luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
         return h, w, "uint8", luma.astype(np.uint8).tobytes()
     if colortype in (0, 4):              # gray (+alpha dropped)
         g = img[..., 0]
@@ -440,8 +445,7 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         dt = np.uint8 if bitdepth == 8 else np.uint16
         return h, w, np.dtype(dt).name, g.astype(dt).tobytes()
     # 2 (RGB) / 6 (RGBA, alpha dropped): BT.601 integer luma
-    luma = (299 * img[..., 0] + 587 * img[..., 1]
-            + 114 * img[..., 2] + 500) // 1000
+    luma = _bt601_luma(img[..., 0], img[..., 1], img[..., 2])
     dt = np.uint8 if bitdepth == 8 else np.uint16
     return h, w, np.dtype(dt).name, luma.astype(dt).tobytes()
 

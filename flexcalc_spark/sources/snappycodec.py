@@ -17,8 +17,8 @@ trailing bytes) and back-references (1/2/4-byte offsets, possibly
 overlapping, copied byte-by-byte per LZ77 semantics).
 
 The compressor mirrors the reference strategy at small scale: input is
-fragmented into 64 KiB blocks, each matched greedily through a 4-byte
-hash table, emitting 2-byte-offset copies (offsets never exceed the
+fragmented into 64 KiB blocks, each matched greedily via an exact dict
+keyed on the 4-byte window, emitting 2-byte-offset copies (offsets never exceed the
 fragment, so 2 bytes always suffice) and literals between matches.
 Compression ratio is within ~10-20% of the reference on text; the
 decompressor accepts EVERYTHING the reference can emit (all three copy
@@ -29,7 +29,6 @@ from __future__ import annotations
 
 _BLOCK = 65536
 _MIN_MATCH = 4
-_HASH_BITS = 14
 
 
 def _varint_encode(n: int) -> bytes:

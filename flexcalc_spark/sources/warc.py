@@ -189,16 +189,21 @@ _SCRIPT_STYLE = re.compile(
     rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
 )
 _TAG = re.compile(rb"<[^>]*>")
-_WS = re.compile(r"\s+")
+# ASCII whitespace ONLY — Python \s on str also matches unicode
+# whitespace (\xa0, ...), which DuckDB RE2's \s does not: the oracle
+# mirrors this normalization in SQL, so both sides must agree on the
+# exact character class (zero-margin hash cliff otherwise)
+_ASCII_WS = " \t\n\r\f\v"
+_WS = re.compile(f"[{_ASCII_WS}]+")
 
 
 def html_to_text(body: bytes) -> str:
     """Deterministic text extraction: drop script/style subtrees, strip
-    tags, unescape entities, collapse whitespace."""
+    tags, unescape entities, collapse ASCII whitespace runs."""
     no_scripts = _SCRIPT_STYLE.sub(b" ", body)
     no_tags = _TAG.sub(b" ", no_scripts)
     text = _html.unescape(no_tags.decode("utf-8", "replace"))
-    return _WS.sub(" ", text).strip()
+    return _WS.sub(" ", text).strip(_ASCII_WS)
 
 
 # ---------------------------------------------------------------------------
@@ -265,11 +270,15 @@ def write_warc_partitions(df, out_dir: str):
             for row in pdf.itertuples(index=False):
                 # head carries no text content (it would leak into the
                 # extraction census); the script tag holds a bare '<'
-                # so the subtree-drop path is load-bearing
+                # so the subtree-drop path is load-bearing. NULL text
+                # writes an empty body: the record still exists (the
+                # oracle's COUNT sees it) and contributes 0 chars (its
+                # SUM skips the NULL) — str(None) would add 4.
+                text = "" if row.text is None else str(row.text)
                 body = (
                     "<html><head><title></title>"
                     "<script>var x = 1 < 2;</script></head><body><p>"
-                    + _html.escape(str(row.text))
+                    + _html.escape(text)
                     + "</p></body></html>"
                 ).encode()
                 uri = (

@@ -264,3 +264,32 @@ def test_q_source_avro_matches_oracle(spark, duck):
     }
     exp = {tuple(r) for r in duck.execute(ORACLES["q_source_avro"]).fetchall()}
     assert got == exp and len(got) > 0
+
+
+def test_namespace_inherited_fullname_reference():
+    """A nested named type without its own namespace INHERITS the
+    enclosing one (spec name-resolution), so a fullname reference like
+    'ns.Inner' must resolve — Java Avro emits such references
+    (round-10 review finding)."""
+    schema = {
+        "type": "record",
+        "name": "Outer",
+        "namespace": "ns",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",
+                    "fields": [{"name": "x", "type": "long"}],
+                },
+            },
+            {"name": "b", "type": ["null", "ns.Inner"]},
+        ],
+    }
+    recs = [
+        {"a": {"x": 1}, "b": {"x": 2}},
+        {"a": {"x": 3}, "b": None},
+    ]
+    _, back = av.read_container(av.write_container(schema, recs))
+    assert back == recs

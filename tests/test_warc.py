@@ -113,3 +113,53 @@ def test_q_source_warc_matches_oracle(spark, duck):
     }
     exp = {tuple(r) for r in duck.execute(ORACLES["q_source_warc"]).fetchall()}
     assert got == exp and len(got) > 0
+
+
+def test_whitespace_normalization_matches_oracle_semantics():
+    """The q_source_warc oracle mirrors html_to_text's normalization in
+    SQL; both must agree on the EXACT whitespace class (ASCII only —
+    Python \\s would also collapse \\xa0, DuckDB RE2's would not), or a
+    fixture regen with exotic whitespace becomes a silent hash cliff
+    (round-10 review finding). Pin the two sides against each other on
+    adversarial strings, through the actual HTML wrap."""
+    import html as _html
+
+    import duckdb
+
+    con = duckdb.connect()
+    sql = (
+        "SELECT LENGTH(TRIM(REGEXP_REPLACE(?, '[\\t\\n\\r\\f\\v ]+', ' ',"
+        " 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+        " || chr(11)))"
+    )
+    cases = [
+        "a\t b", "a\n\nb", " x ", "a\xa0b", "", "a  b\tc\r\nd",
+        "\v\fedge\v", "a & <b>", "\xa0", "tab\tand\xa0nbsp",
+    ]
+    for s in cases:
+        sql_len = con.execute(sql, [s]).fetchone()[0]
+        body = (
+            "<html><head><title></title>"
+            "<script>var x = 1 < 2;</script></head><body><p>"
+            + _html.escape(s)
+            + "</p></body></html>"
+        ).encode()
+        assert len(wc.html_to_text(body)) == sql_len, repr(s)
+
+
+def test_null_text_writes_empty_body(spark, tmp_path):
+    """NULL documents.text must round-trip as an EMPTY record body (the
+    oracle's SUM skips the NULL, so the pipeline must contribute 0
+    chars — str(None) would add 4; round-10 review finding)."""
+    df = spark.createDataFrame(
+        [(1, None, "en", "s1"), (2, "ab", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "nulls")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    wc.write_warc_partitions(df.coalesce(1), out).collect()
+    rows = {r.uri.rsplit("/", 1)[-1]: r.text
+            for r in wc.read_warc(spark, out).collect()}
+    assert rows == {"1": "", "2": "ab"}

@@ -716,3 +716,93 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
         F.sum("text_chars").cast("bigint").alias("total_text_chars"),
     )
+
+
+@register(
+    "q_source_archive",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT)
+                   AS total_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    family="sinks",
+    scale_notes=(
+        "small-file packing, implemented end-to-end instead of stated "
+        "as advice: documents pack into tar archives (one per "
+        "partition, deterministic headers), the read side expands "
+        "members via binaryfiles.expand_archives (stdlib tar/zip over "
+        "in-memory blobs, magic-byte dispatch) — so a corpus of "
+        "millions of tiny files ships as thousands of archives, "
+        "listing cost is per-archive, and members never hit the "
+        "object-store namespace. THIS is the documented fix for the "
+        "binaryFile small-file failure mode at 100 TB (the TIFF/JPEG "
+        "scale notes point here). The aggregate grades member-naming "
+        "and byte fidelity per (lang, source) through the pack/expand "
+        "trip; NULL text packs as an empty member (0 chars, matching "
+        "the oracle's NULL-skipping SUM)"
+    ),
+)
+def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into per-partition tar archives, expand the
+    members back distributed, and aggregate per (lang, source) —
+    grades the small-file packing round-trip."""
+    import io
+    import tarfile
+
+    from flexcalc_spark.sources.binaryfiles import expand_archives
+
+    out = _scratch_dir("srcarch", sf_dir, fingerprint=str(os.getpid()))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    d = table(spark, sf_dir, "documents")
+
+    def writer(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        buf = io.BytesIO()
+        tf = tarfile.open(fileobj=buf, mode="w")
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                text = "" if row.text is None else str(row.text)
+                payload = text.encode("utf-8")
+                info = tarfile.TarInfo(
+                    name=f"{row.source}/{row.lang}/{int(row.doc_id)}.txt"
+                )
+                info.size = len(payload)
+                info.mtime = 0  # deterministic archive bytes
+                tf.addfile(info, io.BytesIO(payload))
+                n += 1
+        tf.close()
+        if not n:
+            return
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out, f"part-{pid:05d}.tar")
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    written = d.repartition(4, "doc_id").mapInPandas(
+        writer, "path string, n_records bigint"
+    )
+    written.collect()  # force the executor-side write (rows = #files)
+    bf = spark.read.format("binaryFile").load(os.path.join(out, "*.tar"))
+    members = expand_archives(bf)
+    parsed = members.select(
+        F.regexp_extract("member", r"^([^/]+)/([^/]+)/(\d+)\.txt$", 1)
+        .alias("source"),
+        F.regexp_extract("member", r"^([^/]+)/([^/]+)/(\d+)\.txt$", 2)
+        .alias("lang"),
+        F.regexp_extract("member", r"^([^/]+)/([^/]+)/(\d+)\.txt$", 3)
+        .cast("bigint").alias("doc_id"),
+        F.length(F.col("content").cast("string")).alias("n_chars"),
+    )
+    return parsed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

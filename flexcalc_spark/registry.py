@@ -209,7 +209,7 @@ GRADE_ORDER: list[str] = [
     "q_agg_stats", "q_agg_percentile",
     # round-10 additions (tail: never displaces the staleness queue)
     "q_dedup_containment_2stage", "q_source_avro", "q_trajectory_dtw",
-    "q_source_warc",
+    "q_source_warc", "q_source_archive",
 ]
 
 

@@ -95,6 +95,7 @@ def test_graded_queries_avoid_python_udfs(spark):
         # operator; aggregation after the trip is JVM-side (sinks.py)
         "q_source_avro",
         "q_source_warc",
+        "q_source_archive",
     }
     offenders = []
     for key, fn in Q.items():

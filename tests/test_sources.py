@@ -878,3 +878,73 @@ def test_wav_compressed_raises():
     fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)  # MS ADPCM
     with pytest.raises(NotImplementedError):
         bf._decode_wav(_wav_bytes(fmt, b""), {})
+
+
+# --- archive member expansion -------------------------------------------
+
+
+def test_expand_archives_tar_zip_mixed(spark, tmp_path):
+    """A directory mixing .tar, .tar.gz and .zip archives expands to
+    one row per member with exact bytes (magic-byte dispatch)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    files = {f"d/{i}.bin": bytes([i]) * (i + 1) for i in range(5)}
+    # plain tar
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in list(files.items())[:2]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    (tmp_path / "a.tar").write_bytes(buf.getvalue())
+    # gzipped tar
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in list(files.items())[2:4]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    (tmp_path / "b.tgz").write_bytes(buf.getvalue())
+    # zip with a directory entry that must be skipped
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("d/", "")
+        for name, data in list(files.items())[4:]:
+            zf.writestr(name, data)
+    (tmp_path / "c.zip").write_bytes(buf.getvalue())
+
+    rows = bf.expand_archives(
+        spark.read.format("binaryFile").load(str(tmp_path))
+    ).collect()
+    got = {r.member: bytes(r.content) for r in rows}
+    assert got == files
+    assert all(r.archive.rsplit("/", 1)[-1] in ("a.tar", "b.tgz", "c.zip")
+               for r in rows)
+
+
+def test_expand_archives_corrupt_raises(spark, tmp_path):
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    (tmp_path / "bad.tar").write_bytes(b"definitely not a tar archive")
+    with pytest.raises(Exception, match="unreadable"):
+        bf.expand_archives(
+            spark.read.format("binaryFile").load(str(tmp_path))
+        ).collect()
+
+
+def test_q_source_archive_matches_oracle(spark, duck):
+    from flexcalc_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        tuple(r)
+        for r in QUERIES["q_source_archive"](spark, SF_DIR).collect()
+    }
+    exp = {
+        tuple(r) for r in duck.execute(ORACLES["q_source_archive"]).fetchall()
+    }
+    assert got == exp and len(got) > 0

@@ -1078,3 +1078,25 @@ def test_join_nullsafe_is_real_equi_join(spark):
     assert re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
     ), plan
+
+
+def test_container_sources_are_binaryfile_plus_arrow(spark):
+    """The container sources (avro/warc/tar) must read as ONE
+    binaryFile scan fanned out through an Arrow mapInPandas decode,
+    with the post-extract aggregate JVM-side — the file-granular
+    scaling model their scale notes claim."""
+    for key in ("q_source_avro", "q_source_warc", "q_source_archive"):
+        plan = plan_text(Q[key](spark, SF_DIR), mode="simple")
+        assert "binaryFile" in plan, (key, plan)
+        assert "MapInPandas" in plan, (key, plan)
+        assert "HashAggregate" in plan, (key, plan)
+        assert "CartesianProduct" not in plan, (key, plan)
+
+
+def test_trajectory_dtw_shares_cached_seg(spark):
+    """q_trajectory_dtw consumes the PAA seg table twice (words subtree
+    + series branch): both reads must hit the cache, and the candidate
+    join stays an equi join."""
+    plan = plan_text(Q["q_trajectory_dtw"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, plan

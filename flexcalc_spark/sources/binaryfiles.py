@@ -17,8 +17,10 @@ BT.601 luma plane), ``wav`` (integer 8/16/24/32-bit, IEEE-float
 (jpegcodec.py — baseline sequential AND
 progressive SOF2 at 8/12-bit, plus lossless SOF3, gray or YCbCr,
 luma plane out) are fully real
-pure-Python; out-of-envelope variants (planar/codec TIFF, animated
-APNG, compressed ADPCM/mu-law WAV, arithmetic/hierarchical JPEG) raise
+pure-Python (APNG decodes as its default image — the spec's still-
+consumer fallback; TIFF RGB covers chunky and planar layouts);
+out-of-envelope variants (exotic-codec TIFF,
+compressed ADPCM/mu-law WAV, arithmetic/hierarchical JPEG) raise
 NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —
@@ -170,14 +172,14 @@ def _bt601_luma(r, g, b):
 
 
 def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
-    """Pure-Python decoder for grayscale OR chunky-RGB TIFF (RGB
-    collapses to a BT.601 integer luma plane under the single-plane
-    contract). Parses the first IFD (both byte orders), decompresses
-    strips (Compression = none, LZW, or PackBits; per-channel
-    horizontal predictor honored), and normalizes to native byte
-    order. Other codecs, planar RGB, or exotic sample layouts raise
-    NotImplementedError (plug Pillow/tifffile into DECODERS where
-    available)."""
+    """Pure-Python decoder for grayscale or RGB TIFF — chunky AND
+    separate-plane (PlanarConfiguration 1/2) layouts; RGB collapses to
+    a BT.601 integer luma plane under the single-plane contract.
+    Parses the first IFD (both byte orders), decompresses strips
+    (Compression = none, LZW, or PackBits; per-channel horizontal
+    predictor honored), and normalizes to native byte order. Other
+    codecs or exotic sample layouts raise NotImplementedError (plug
+    Pillow/tifffile into DECODERS where available)."""
     import struct
 
     if content[:2] == b"II":
@@ -225,10 +227,9 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         raise NotImplementedError(
             f"TIFF SamplesPerPixel={spp} not supported (1 gray / 3 RGB)"
         )
-    if spp == 3 and one(284, 1) != 1:
-        raise NotImplementedError(
-            "planar-configuration (separate-plane) RGB TIFF not supported"
-        )
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF PlanarConfiguration={planar} invalid")
     w, h = one(256), one(257)
     bps = one(258, 8)
     sample_fmt = one(339, 1)              # 1 uint, 2 int, 3 float
@@ -262,6 +263,16 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     native = src.newbyteorder("=")
     if src != native:
         arr = arr.astype(native)
+    if spp == 3 and planar == 2:
+        # separate-plane layout: all strips of channel 0, then 1, then
+        # 2 (the concatenated stream is plane-major); predictor applies
+        # within each plane's rows
+        rgb = arr.reshape(3, h, w)
+        if predictor == 2:
+            rgb = np.add.accumulate(rgb, axis=2, dtype=native)
+        rgb = rgb.astype(np.int64)
+        luma = _bt601_luma(rgb[0], rgb[1], rgb[2])
+        return h, w, native.name, luma.astype(native).tobytes()
     if predictor == 2:
         # horizontal differencing: each sample stores the delta to the
         # SAME CHANNEL of the left pixel; integrate per row in the
@@ -339,7 +350,9 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     collapses to a BT.601 integer luma plane and alpha is dropped,
     under the repo's single-plane (h, w, dtype, px) decoder contract;
     sub-byte grays scale to 8-bit by the exact 255/(2^d-1) expansion.
-    APNG (acTL animation) is the named remaining boundary."""
+    APNG decodes as its DEFAULT image (the spec's designed fallback
+    for still consumers: animation lives in ancillary acTL/fcTL/fdAT
+    chunks that are safely ignored)."""
     import struct
     import zlib
 
@@ -361,11 +374,11 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
             plte = bytes(body)
         elif ctype == b"IDAT":
             idat.extend(body)
-        elif ctype == b"acTL":
-            raise NotImplementedError(
-                "animated PNG (APNG) not supported; first-frame decode "
-                "needs fcTL/fdAT handling (plug Pillow into DECODERS)"
-            )
+        # APNG (acTL/fcTL/fdAT) needs NO special handling for a still
+        # consumer: the spec stores the DEFAULT image in ordinary IDAT
+        # chunks precisely so non-animated decoders fall back to it,
+        # and animation chunks are ancillary (lowercase first letter =
+        # safe to ignore). fdAT frame data is simply never read.
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + crc

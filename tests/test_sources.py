@@ -311,10 +311,18 @@ def _write_tiff_ex(
         work = work.copy()
         work[:, 1:] = (work[:, 1:] - work[:, :-1]).astype(dt)
     enc = {1: lambda b: b, 5: _lzw_encode, 32773: _packbits_encode}[compression]
-    strips = [
-        enc(work[r : r + rps].astype(dt.newbyteorder(endian)).tobytes())
-        for r in range(0, h, rps)
-    ]
+    if planar == 2:
+        # separate-plane layout: one strip per channel (rps = h)
+        rps = h
+        strips = [
+            enc(work[:, :, c].astype(dt.newbyteorder(endian)).tobytes())
+            for c in range(spp)
+        ]
+    else:
+        strips = [
+            enc(work[r : r + rps].astype(dt.newbyteorder(endian)).tobytes())
+            for r in range(0, h, rps)
+        ]
     n_strips = len(strips)
     n_tags = 10 + (1 if planar != 1 else 0)
     ifd_off = 8
@@ -456,12 +464,25 @@ def test_tiff_rgb_luma(tmp_path):
     assert np.array_equal(np.frombuffer(px, "=u2").reshape(3, 4), expect16)
 
 
-def test_tiff_planar_rgb_raises(tmp_path):
-    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
-    path = tmp_path / "planar.tif"
-    _write_tiff_ex(path, rgb, planar=2)
-    with pytest.raises(NotImplementedError, match="planar"):
-        bf._decode_tiff(path.read_bytes(), {})
+def test_tiff_planar_rgb_luma(tmp_path):
+    """Separate-plane (PlanarConfiguration=2) RGB: strips are
+    plane-major; predictor integrates within each plane."""
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    expect = (
+        (299 * rgb[..., 0].astype(np.int64)
+         + 587 * rgb[..., 1].astype(np.int64)
+         + 114 * rgb[..., 2].astype(np.int64) + 500) // 1000
+    ).astype(np.uint8)
+    for comp, pred, endian in [(1, 1, "<"), (5, 2, ">"), (32773, 1, "<")]:
+        path = tmp_path / f"planar_{comp}_{pred}.tif"
+        _write_tiff_ex(path, rgb, endian=endian, compression=comp,
+                       predictor=pred, planar=2)
+        h, w, dt, px = bf._decode_tiff(path.read_bytes(), {})
+        assert (h, w, dt) == (6, 5, "uint8")
+        assert np.array_equal(
+            np.frombuffer(px, "u1").reshape(6, 5), expect
+        ), (comp, pred)
 
 
 def test_tiff_unsupported_codec_raises():
@@ -748,17 +769,35 @@ def test_png_adam7_interlace():
     )
 
 
-def test_png_apng_raises_and_corrupt_palette():
+def test_png_apng_decodes_default_image_and_corrupt_palette():
     import numpy as np
     import pytest
 
     from flexcalc_spark.sources import binaryfiles as bf
 
-    g = np.zeros((2, 2), dtype=np.uint8)
-    blob = _png_encode(g, 8, colortype=0,
-                       extra_chunks=((b"acTL", b"\x00" * 8),))
-    with pytest.raises(NotImplementedError, match="APNG"):
-        bf._decode_png(blob, {})
+    # APNG: the ancillary acTL/fcTL/fdAT chunks must be IGNORED and the
+    # default image (ordinary IDAT) decoded — the spec's designed
+    # fallback for still consumers. fdAT placed after IDAT like real
+    # encoders emit it.
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    blob = _png_encode(
+        g, 8, colortype=0,
+        extra_chunks=((b"acTL", b"\x00" * 8),
+                      (b"fcTL", b"\x00" * 26)),
+    )
+    # splice an fdAT chunk in front of IEND
+    import struct
+    import zlib as _z
+
+    iend = blob.rindex(b"IEND") - 4
+    fdat_body = b"\x00\x00\x00\x01" + b"not-frame-pixels"
+    fdat = (struct.pack(">I", len(fdat_body)) + b"fdAT" + fdat_body
+            + struct.pack(">I", _z.crc32(b"fdAT" + fdat_body)))
+    blob = blob[:iend] + fdat + blob[iend:]
+    h, w, dt, px = bf._decode_png(blob, {})
+    assert (h, w, dt) == (3, 4, "uint8")
+    assert np.array_equal(np.frombuffer(px, "u1").reshape(3, 4), g)
     # palette index past PLTE end
     idx = np.full((2, 2), 5, dtype=np.uint8)
     blob = _png_encode(idx, 8, colortype=3, palette=bytes(9))  # 3 entries

@@ -20,7 +20,7 @@ luma plane out) are fully real
 pure-Python (APNG decodes as its default image — the spec's still-
 consumer fallback; TIFF RGB covers chunky and planar layouts);
 out-of-envelope variants (exotic-codec TIFF,
-compressed ADPCM/mu-law WAV, arithmetic/hierarchical JPEG) raise
+ADPCM WAV, arithmetic/hierarchical JPEG) raise
 NotImplementedError because no image
 library ships in this container (plug Pillow/tifffile in where
 available). The Spark-side plumbing —
@@ -463,6 +463,34 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     return h, w, np.dtype(dt).name, luma.astype(dt).tobytes()
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """G.711 mu-law / A-law -> int16 expansion tables, DERIVED from the
+    published analytic definitions at import (segment exponent +
+    mantissa; mu-law bias 132, A-law XOR 0x55) — no transcribed
+    constants. tests/test_sources.py proves all 512 entries equal the
+    stdlib audioop reference implementation."""
+    ulaw = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + 132) << exp) - 132
+        ulaw[code] = -mag if u & 0x80 else mag
+    alaw = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (
+            exp - 1
+        )
+        alaw[code] = mag if a & 0x80 else -mag
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     """Pure-Python RIFF/WAVE PCM decoder (stdlib struct): parses the
     chunk list, accepts integer PCM (format 1, 8/16/24/32-bit), IEEE
@@ -471,7 +499,9 @@ def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     n_samples, dtype, interleaved native-order samples) — the (h, w)
     slots carry channels x samples so the decoder contract matches the
     image path. 24-bit integers widen to int32 (<<8, the usual
-    convention). Compressed formats (ADPCM/mu-law/...) raise
+    convention); G.711 mu-law/A-law (formats 7/6) expand to int16
+    through tables derived from the analytic definition and verified
+    entry-exact against stdlib audioop. ADPCM raises
     NotImplementedError."""
     import struct
 
@@ -520,11 +550,19 @@ def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         if bits not in (32, 64):
             raise NotImplementedError(f"WAV float {bits}bit not supported")
         src = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+    elif audio_fmt in (6, 7):            # G.711 A-law / mu-law
+        table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
+        codes = np.frombuffer(data, dtype="u1")
+        n_samples = len(codes) // n_ch
+        pcm = table[codes[: n_samples * n_ch]]
+        return n_ch, n_samples, "int16", pcm.tobytes()
     else:
         raise NotImplementedError(
-            f"WAV format {audio_fmt} not supported offline; integer "
-            "and IEEE-float PCM decode pure-Python (ADPCM/mu-law need "
-            "a codec plug-in)"
+            f"WAV format {audio_fmt} not supported offline; integer, "
+            "IEEE-float, and G.711 mu-law/A-law PCM decode pure-Python "
+            "(ADPCM needs a codec plug-in: its step table is an "
+            "empirical published constant this repo cannot "
+            "independently reconstruct offline)"
         )
     n_samples = len(data) // (n_ch * src.itemsize)
     arr = np.frombuffer(

@@ -987,3 +987,40 @@ def test_q_source_archive_matches_oracle(spark, duck):
         tuple(r) for r in duck.execute(ORACLES["q_source_archive"]).fetchall()
     }
     assert got == exp and len(got) > 0
+
+
+def test_g711_tables_match_audioop_exactly():
+    """All 512 expansion-table entries must equal the stdlib audioop
+    reference implementation (an independent implementation of the
+    same G.711 analytic definition)."""
+    import warnings
+
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    codes = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert np.array_equal(bf._ULAW_TABLE, ref_u.astype(np.int16))
+    assert np.array_equal(bf._ALAW_TABLE, ref_a.astype(np.int16))
+
+
+def test_wav_g711_decode():
+    import numpy as np
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 256, size=120, dtype=np.uint8).tobytes()
+    import struct
+
+    for fmtcode, table in ((7, bf._ULAW_TABLE), (6, bf._ALAW_TABLE)):
+        fmt = struct.pack("<HHIIHH", fmtcode, 2, 8000, 16000, 2, 8)
+        n_ch, n_samp, dt, px = bf._decode_wav(_wav_bytes(fmt, codes), {})
+        assert (n_ch, n_samp, dt) == (2, 60, "int16")
+        expect = table[np.frombuffer(codes, "u1")]
+        assert np.array_equal(np.frombuffer(px, "=i2"), expect)

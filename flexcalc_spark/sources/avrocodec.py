@@ -24,10 +24,12 @@ Supported (the full spec surface minus RPC):
   ``fixed``; named-type references; nested/recursive schemas;
 - object container files: header metadata map, 16-byte sync markers,
   multi-block files, NEGATIVE block counts on read (the spec's
-  size-prefixed variant), ``null``, ``deflate`` (raw RFC 1951 via
-  zlib) and ``snappy`` codecs (snappycodec.py — pure-Python raw
-  snappy + the spec's big-endian CRC32 of the uncompressed block;
-  ``zstandard``/``bzip2``/``xz`` raise with the plug-in point named);
+  size-prefixed variant), and FIVE of the spec's six codecs: ``null``,
+  ``deflate`` (raw RFC 1951 via zlib), ``snappy`` (snappycodec.py —
+  pure-Python raw snappy + the spec's big-endian CRC32 of the
+  uncompressed block), ``bzip2`` and ``xz`` (stdlib bz2/lzma);
+  ``zstandard`` raises with the plug-in point named (a pure-Python
+  RFC 8878 decoder is outside the offline-verification budget);
 - logical types decode as their underlying type (spec-sanctioned
   fallback: "a reader SHOULD ignore a logical type it doesn't
   recognize").
@@ -363,10 +365,12 @@ def write_container(
     max_block_records: int = 4096,
 ) -> bytes:
     """Serialize ``records`` to Avro object-container bytes."""
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise NotImplementedError(
-            f"avro codec {codec!r} not available offline (zstd/bzip2/xz: "
-            "plug the lib into write_container/read_container where shipped)"
+            f"avro codec {codec!r} not available offline (zstandard: "
+            "plug the lib into write_container/read_container where "
+            "shipped — a pure-Python RFC 8878 decoder is out of this "
+            "repo's offline-verification budget)"
         )
     schema_json = json.dumps(schema, separators=(",", ":"), sort_keys=True)
     names: dict = {}
@@ -395,6 +399,14 @@ def write_container(
 
             crc = zlib.crc32(payload) & 0xFFFFFFFF
             payload = snappycodec.compress(payload) + crc.to_bytes(4, "big")
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
         out += zigzag_encode(len(chunk))
         out += zigzag_encode(len(payload))
         out += payload
@@ -421,7 +433,7 @@ def read_container(data: bytes) -> tuple[object, list]:
             meta[mk], pos = _decode("bytes", data, pos, names)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise NotImplementedError(
             f"avro codec {codec!r} not available offline"
         )
@@ -450,6 +462,14 @@ def read_container(data: bytes) -> tuple[object, list]:
             payload = snappycodec.decompress(payload[:-4])
             if zlib.crc32(payload) & 0xFFFFFFFF != crc:
                 raise ValueError("avro: snappy block CRC mismatch")
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.decompress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.decompress(payload)
         bpos = 0
         for _ in range(cnt):
             rec, bpos = _decode(schema, payload, bpos, names)

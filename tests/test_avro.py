@@ -126,7 +126,7 @@ FULL_RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_container_roundtrip_full_type_system(codec):
     data = av.write_container(FULL_SCHEMA, FULL_RECORDS * 300, codec=codec,
                               max_block_records=128)
@@ -193,7 +193,7 @@ def test_snappy_crc_mismatch_raises():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_java_reads_our_files(spark, codec):
     jvm = spark._jvm
     data = av.write_container(DOC_SCHEMA, _docs(), codec=codec,
@@ -220,7 +220,7 @@ def test_java_reads_our_files(spark, codec):
     assert got == _docs()
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_our_reader_reads_java_files(spark, codec):
     jvm = spark._jvm
     jsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(DOC_SCHEMA))
@@ -230,6 +230,10 @@ def test_our_reader_reads_java_files(spark, codec):
         dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
     elif codec == "snappy":
         dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    elif codec == "bzip2":
+        dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.bzip2Codec())
+    elif codec == "xz":
+        dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.xzCodec(6))
     path = os.path.join(tempfile.gettempdir(), f"fx_avro_java_{codec}.avro")
     dfw.create(jsch, jvm.java.io.File(path))
     GR = jvm.org.apache.avro.generic.GenericData.Record

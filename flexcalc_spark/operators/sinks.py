@@ -752,7 +752,10 @@ def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     import io
     import tarfile
 
-    from flexcalc_spark.sources.binaryfiles import expand_archives
+    from flexcalc_spark.sources.binaryfiles import (
+        expand_archives,
+        read_binary_dir,
+    )
 
     out = _scratch_dir("srcarch", sf_dir, fingerprint=str(os.getpid()))
     shutil.rmtree(out, ignore_errors=True)
@@ -790,14 +793,13 @@ def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer, "path string, n_records bigint"
     )
     written.collect()  # force the executor-side write (rows = #files)
-    bf = spark.read.format("binaryFile").load(os.path.join(out, "*.tar"))
-    members = expand_archives(bf)
+    members = expand_archives(read_binary_dir(spark, out, "*.tar"))
+    # one split, zero regexes per row (the q_source_warc idiom)
+    parts = F.split(F.col("member"), "/")
     parsed = members.select(
-        F.regexp_extract("member", r"^([^/]+)/([^/]+)/(\d+)\.txt$", 1)
-        .alias("source"),
-        F.regexp_extract("member", r"^([^/]+)/([^/]+)/(\d+)\.txt$", 2)
-        .alias("lang"),
-        F.regexp_extract("member", r"^([^/]+)/([^/]+)/(\d+)\.txt$", 3)
+        F.element_at(parts, 1).alias("source"),
+        F.element_at(parts, 2).alias("lang"),
+        F.split(F.element_at(parts, 3), "\\.").getItem(0)
         .cast("bigint").alias("doc_id"),
         F.length(F.col("content").cast("string")).alias("n_chars"),
     )

@@ -620,12 +620,20 @@ def expand_archives(df: DataFrame) -> DataFrame:
     import io
     import tarfile
     import zipfile
+    import zlib as _zlib
 
     def expander(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
+                rows = []
+                # the except tuple must cover the WHOLE corrupt-input
+                # surface, not just the nominal archive errors: a
+                # truncated .tar.gz raises EOFError from getmembers(),
+                # a corrupted zip deflate payload raises zlib.error
+                # from zf.read(), an encrypted member RuntimeError —
+                # the r10 'KeyError through the ValueError contract'
+                # leak class (second review pass)
                 try:
                     if data[:4] == b"PK\x03\x04":
                         with zipfile.ZipFile(io.BytesIO(data)) as zf:
@@ -643,14 +651,17 @@ def expand_archives(df: DataFrame) -> DataFrame:
                                     continue
                                 fh = tf.extractfile(m)
                                 rows.append((path, m.name, fh.read()))
-                except (tarfile.TarError, zipfile.BadZipFile, OSError) as e:
+                except (tarfile.TarError, zipfile.BadZipFile, OSError,
+                        EOFError, _zlib.error, RuntimeError) as e:
                     raise ValueError(
                         f"archive {path!r} unreadable: {e}"
                     ) from e
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["archive", "member", "content"]
-                )
+                # yield PER ARCHIVE: peak executor memory is one
+                # archive's expansion, not the whole Arrow batch's
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["archive", "member", "content"]
+                    )
 
     return df.select("path", "content").mapInPandas(expander, MEMBER_SCHEMA)
 

@@ -1099,4 +1099,6 @@ def test_trajectory_dtw_shares_cached_seg(spark):
     join stays an equi join."""
     plan = plan_text(Q["q_trajectory_dtw"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    # node-header count, never bare substring count (formatted plans
+    # print each node twice — CLAUDE.md round-5 lesson)
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 2, plan

@@ -966,13 +966,44 @@ def test_expand_archives_tar_zip_mixed(spark, tmp_path):
 
 
 def test_expand_archives_corrupt_raises(spark, tmp_path):
+    """Every corrupt-input exception class must surface as the
+    documented ValueError: plain garbage (ReadError), a TRUNCATED
+    .tar.gz (EOFError — not an OSError!), and a zip whose deflate
+    payload is bit-flipped (zlib.error) — the round-10 'leaks through
+    the ValueError contract' class, second review pass."""
+    import io
+    import os
+    import tarfile
+    import zipfile
+
     from flexcalc_spark.sources import binaryfiles as bf
 
-    (tmp_path / "bad.tar").write_bytes(b"definitely not a tar archive")
-    with pytest.raises(Exception, match="unreadable"):
-        bf.expand_archives(
-            spark.read.format("binaryFile").load(str(tmp_path))
+    def expand_one(name, data):
+        d = tmp_path / name
+        d.mkdir()
+        (d / name).write_bytes(data)
+        return bf.expand_archives(
+            spark.read.format("binaryFile").load(str(d))
         ).collect()
+
+    with pytest.raises(Exception, match="unreadable"):
+        expand_one("bad.tar", b"definitely not a tar archive")
+    # truncated gzip tar -> EOFError inside getmembers
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        info = tarfile.TarInfo(name="x.bin")
+        info.size = 4096
+        tf.addfile(info, io.BytesIO(b"a" * 4096))
+    with pytest.raises(Exception, match="unreadable"):
+        expand_one("trunc.tgz", buf.getvalue()[: len(buf.getvalue()) // 2])
+    # zip with corrupted deflate payload -> zlib.error from zf.read
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("y.bin", os.urandom(4096))
+    blob = bytearray(buf.getvalue())
+    blob[60] ^= 0xFF  # inside the first member's compressed data
+    with pytest.raises(Exception, match="unreadable"):
+        expand_one("corrupt.zip", bytes(blob))
 
 
 def test_q_source_archive_matches_oracle(spark, duck):
@@ -993,15 +1024,15 @@ def test_g711_tables_match_audioop_exactly():
     """All 512 expansion-table entries must equal the stdlib audioop
     reference implementation (an independent implementation of the
     same G.711 analytic definition)."""
-    import warnings
-
     import numpy as np
+    import pytest
 
     from flexcalc_spark.sources import binaryfiles as bf
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+    # audioop is REMOVED in Python 3.13+ (not merely deprecated): keep
+    # the suite green on upgraded interpreters, run the entry-exact
+    # check wherever the reference still ships
+    audioop = pytest.importorskip("audioop")
     codes = bytes(range(256))
     ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
     ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")

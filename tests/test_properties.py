@@ -601,3 +601,63 @@ def test_snappy_roundtrip_low_entropy_property(seed, n, alpha):
     rng = random.Random(seed)
     data = bytes(rng.choices(range(alpha), k=n * 100))
     assert sn.decompress(sn.compress(data)) == data
+
+
+@given(
+    payloads=st.lists(st.binary(max_size=2000), min_size=1, max_size=8),
+    compress=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_property(payloads, compress):
+    """Any byte payloads survive the WARC record framing + gzip-member
+    walk exactly, whatever CRLF-like bytes they contain (the parser
+    must honor Content-Length, never scan payload bytes for
+    terminators)."""
+    from flexcalc_spark.sources import warc as wc
+
+    recs = [
+        wc.build_record("resource", p, uri=f"urn:x:{i}",
+                        content_type="application/octet-stream")
+        for i, p in enumerate(payloads)
+    ]
+    parsed = wc.parse_warc(wc.write_warc(recs, compress=compress))
+    assert [r["payload"] for r in parsed] == payloads
+    assert [r["uri"] for r in parsed] == [
+        f"urn:x:{i}" for i in range(len(payloads))
+    ]
+
+
+@given(
+    members=st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), max_codepoint=127
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.binary(max_size=3000),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_tar_member_roundtrip_property(members):
+    """Arbitrary member names/bytes survive the tar pack the graded
+    archive key writes (deterministic headers) through a local
+    tarfile re-read — the pure-Python half of expand_archives."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    got = {}
+    with tarfile.open(fileobj=io.BytesIO(buf.getvalue())) as tf:
+        for m in tf.getmembers():
+            got[m.name] = tf.extractfile(m).read()
+    assert got == members

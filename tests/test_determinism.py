@@ -169,8 +169,12 @@ RISKY = [
     "q_snapshot_diff",      # full-outer key diff, integer cent grid
     "q_join_nullsafe",      # null-coalesced equi key, integer sums
     "q_agg_weighted_median",  # tie-invariant weighted crossing, BIGINT
-    # round-10 addition
+    # round-10 additions (all probed 2-vs-37 shuffle at add time)
     "q_dedup_containment_2stage",  # exact two-stage census, integer ppm
+    "q_source_avro",        # container round-trip, BIGINT fidelity sums
+    "q_source_warc",        # html->text census, ASCII-ws normalization
+    "q_source_archive",     # tar member round-trip, BIGINT sums
+    "q_trajectory_dtw",     # integer elastic DPs on grid PAA profiles
 ]
 
 

@@ -211,44 +211,67 @@ def html_to_text(body: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
-def read_warc(spark, path: str):
-    """Distributed WARC source: binaryFile scan + Arrow-batched parse.
-    Returns (uri, date, status, content_type, text) for every
-    ``response`` record; non-response records are skipped (that is the
-    CommonCrawl consumer contract)."""
-    import os
+_RESPONSE_SCHEMA = (
+    "uri string, date string, status int, content_type string,"
+    " text string"
+)
 
+
+def _response_parser(batches):
+    """mapInPandas kernel shared by the batch and streaming readers:
+    container blobs -> (uri, date, status, content_type, text) rows for
+    every ``response`` record; non-response records are skipped (the
+    CommonCrawl consumer contract)."""
     import pandas as pd
 
-    def parser(batches):
-        for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                for rec in parse_warc(bytes(blob)):
-                    if rec["type"] != "response":
-                        continue
-                    status, hh, body = parse_http_response(rec["payload"])
-                    rows.append(
-                        (
-                            rec["uri"],
-                            rec["date"],
-                            status,
-                            hh.get("content-type", ""),
-                            html_to_text(body),
-                        )
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for rec in parse_warc(bytes(blob)):
+                if rec["type"] != "response":
+                    continue
+                status, hh, body = parse_http_response(rec["payload"])
+                rows.append(
+                    (
+                        rec["uri"],
+                        rec["date"],
+                        status,
+                        hh.get("content-type", ""),
+                        html_to_text(body),
                     )
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=["uri", "date", "status", "content_type", "text"],
                 )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["uri", "date", "status", "content_type", "text"],
+            )
+
+
+def read_warc(spark, path: str):
+    """Distributed WARC source: binaryFile scan + Arrow-batched parse."""
+    import os
 
     bf = spark.read.format("binaryFile").load(os.path.join(path, "*.warc.gz"))
-    return bf.select("content").mapInPandas(
-        parser,
-        "uri string, date string, status int, content_type string,"
-        " text string",
+    return bf.select("content").mapInPandas(_response_parser, _RESPONSE_SCHEMA)
+
+
+def stream_warc(spark, path: str):
+    """STREAMING crawl ingest: the same parse over
+    ``readStream(binaryFile)`` — a live crawl directory is consumed
+    incrementally (new .warc.gz files become micro-batches), which is
+    how a continuously-arriving CommonCrawl-style feed lands in
+    practice. Stateless parse, so append mode; equality with the batch
+    reader is pinned in tests/test_streaming.py."""
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
     )
+    return bf.select("content").mapInPandas(_response_parser, _RESPONSE_SCHEMA)
 
 
 def write_warc_partitions(df, out_dir: str):

@@ -531,3 +531,31 @@ def test_debounce_anchor_chunk_boundary_carry(spark):
     finally:
         spark.conf.set(key, orig)
     assert tiny == baseline
+
+
+def test_stream_warc_ingest_equals_batch(spark, tmp_path):
+    """Streaming crawl ingest: a directory of .warc.gz files consumed
+    via readStream(binaryFile) must parse to exactly the batch
+    reader's rows (stateless parse, append mode)."""
+    from flexcalc_spark.sources import warc as wc
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for f in range(2):
+        recs = [
+            wc.build_record(
+                "response",
+                wc.http_response(
+                    f"<html><body><p>doc {f}-{i}</p></body></html>".encode()
+                ),
+                uri=f"http://c/{f}/{i}",
+            )
+            for i in range(5)
+        ] + [wc.build_record("request", b"GET / HTTP/1.1\r\n\r\n")]
+        (d / f"part-{f}.warc.gz").write_bytes(wc.write_warc(recs))
+    batch = wc.read_warc(spark, str(d)).toPandas()
+    assert len(batch) == 10
+    sw.run_stream_to_memory(wc.stream_warc(spark, str(d)), "t_warc",
+                            "append")
+    stream = spark.table("t_warc").toPandas()
+    assert _canon(batch) == _canon(stream)

@@ -503,6 +503,9 @@ def write_avro(df, out_dir: str, schema: object, codec: str = "deflate"):
 
     import pandas as pd
 
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(df.sparkSession)
     field_names = [f["name"] for f in schema["fields"]]
 
     def writer(batches):
@@ -536,6 +539,9 @@ def read_avro(spark, path: str, spark_schema: str, columns: list | None = None):
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(spark)
     cols = columns or [f.name for f in StructType.fromDDL(spark_schema).fields]
 
     def decoder(batches):

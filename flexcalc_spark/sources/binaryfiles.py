@@ -617,45 +617,14 @@ def expand_archives(df: DataFrame) -> DataFrame:
     per-archive-task, and members never hit the object-store namespace.
     Corrupt archives raise ValueError per blob (degrade per row in
     callers that need bulk behavior, the media_features pattern)."""
-    import io
-    import tarfile
-    import zipfile
-    import zlib as _zlib
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(df.sparkSession)
 
     def expander(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
-                data = bytes(blob)
-                rows = []
-                # the except tuple must cover the WHOLE corrupt-input
-                # surface, not just the nominal archive errors: a
-                # truncated .tar.gz raises EOFError from getmembers(),
-                # a corrupted zip deflate payload raises zlib.error
-                # from zf.read(), an encrypted member RuntimeError —
-                # the r10 'KeyError through the ValueError contract'
-                # leak class (second review pass)
-                try:
-                    if data[:4] == b"PK\x03\x04":
-                        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-                            for info in zf.infolist():
-                                if info.is_dir():
-                                    continue
-                                rows.append(
-                                    (path, info.filename, zf.read(info))
-                                )
-                    else:
-                        # tarfile sniffs plain/gz/bz2/xz transparently
-                        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
-                            for m in tf.getmembers():
-                                if not m.isfile():
-                                    continue
-                                fh = tf.extractfile(m)
-                                rows.append((path, m.name, fh.read()))
-                except (tarfile.TarError, zipfile.BadZipFile, OSError,
-                        EOFError, _zlib.error, RuntimeError) as e:
-                    raise ValueError(
-                        f"archive {path!r} unreadable: {e}"
-                    ) from e
+                rows = _expand_blob(path, bytes(blob))
                 # yield PER ARCHIVE: peak executor memory is one
                 # archive's expansion, not the whole Arrow batch's
                 if rows:
@@ -664,6 +633,41 @@ def expand_archives(df: DataFrame) -> DataFrame:
                     )
 
     return df.select("path", "content").mapInPandas(expander, MEMBER_SCHEMA)
+
+
+def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
+    """Expand one archive blob into (archive, member, content) tuples
+    — the Spark-free core of expand_archives, directly property-tested.
+    The except tuple must cover the WHOLE corrupt-input surface, not
+    just the nominal archive errors: a truncated .tar.gz raises
+    EOFError from getmembers(), a corrupted zip deflate payload raises
+    zlib.error from zf.read(), an encrypted member RuntimeError — the
+    r10 'KeyError through the ValueError contract' leak class."""
+    import io
+    import tarfile
+    import zipfile
+    import zlib as _zlib
+
+    rows: list[tuple[str, str, bytes]] = []
+    try:
+        if data[:4] == b"PK\x03\x04":
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    rows.append((path, info.filename, zf.read(info)))
+        else:
+            # tarfile sniffs plain/gz/bz2/xz transparently
+            with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    fh = tf.extractfile(m)
+                    rows.append((path, m.name, fh.read()))
+    except (tarfile.TarError, zipfile.BadZipFile, OSError,
+            EOFError, _zlib.error, RuntimeError) as e:
+        raise ValueError(f"archive {path!r} unreadable: {e}") from e
+    return rows
 
 
 def decode_files(df: DataFrame, fmt: str, meta: dict) -> DataFrame:

@@ -221,12 +221,14 @@ def _response_parser(batches):
     """mapInPandas kernel shared by the batch and streaming readers:
     container blobs -> (uri, date, status, content_type, text) rows for
     every ``response`` record; non-response records are skipped (the
-    CommonCrawl consumer contract)."""
+    CommonCrawl consumer contract). Yields PER BLOB so peak executor
+    memory is one segment's extracted text, not the Arrow batch's
+    (the expand_archives precedent)."""
     import pandas as pd
 
     for pdf in batches:
-        rows = []
         for blob in pdf["content"]:
+            rows = []
             for rec in parse_warc(bytes(blob)):
                 if rec["type"] != "response":
                     continue
@@ -240,17 +242,26 @@ def _response_parser(batches):
                         html_to_text(body),
                     )
                 )
-        if rows:
-            yield pd.DataFrame(
-                rows,
-                columns=["uri", "date", "status", "content_type", "text"],
-            )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["uri", "date", "status", "content_type",
+                             "text"],
+                )
 
 
 def read_warc(spark, path: str):
-    """Distributed WARC source: binaryFile scan + Arrow-batched parse."""
+    """Distributed WARC source: binaryFile scan + Arrow-batched parse.
+
+    Public entry point: ships the package to Python workers itself, so
+    a vanilla session outside the repo can call it directly (the
+    mapInPandas kernel is pickled by reference and must be importable
+    worker-side — final review finding)."""
     import os
 
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(spark)
     bf = spark.read.format("binaryFile").load(os.path.join(path, "*.warc.gz"))
     return bf.select("content").mapInPandas(_response_parser, _RESPONSE_SCHEMA)
 
@@ -262,6 +273,9 @@ def stream_warc(spark, path: str):
     how a continuously-arriving CommonCrawl-style feed lands in
     practice. Stateless parse, so append mode; equality with the batch
     reader is pinned in tests/test_streaming.py."""
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(spark)
     bf = (
         spark.readStream.format("binaryFile")
         .schema(
@@ -284,6 +298,10 @@ def write_warc_partitions(df, out_dir: str):
     import os
 
     import pandas as pd
+
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(df.sparkSession)
 
     def writer(batches):
         from pyspark import TaskContext

@@ -644,10 +644,12 @@ def test_warc_roundtrip_property(payloads, compress):
 @settings(max_examples=30, deadline=None)
 def test_tar_member_roundtrip_property(members):
     """Arbitrary member names/bytes survive the tar pack the graded
-    archive key writes (deterministic headers) through a local
-    tarfile re-read — the pure-Python half of expand_archives."""
+    archive key writes (deterministic headers) through the ACTUAL
+    expand_archives core (_expand_blob), not a stdlib self-check."""
     import io
     import tarfile
+
+    from flexcalc_spark.sources.binaryfiles import _expand_blob
 
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w") as tf:
@@ -656,8 +658,7 @@ def test_tar_member_roundtrip_property(members):
             info.size = len(data)
             info.mtime = 0
             tf.addfile(info, io.BytesIO(data))
-    got = {}
-    with tarfile.open(fileobj=io.BytesIO(buf.getvalue())) as tf:
-        for m in tf.getmembers():
-            got[m.name] = tf.extractfile(m).read()
+    rows = _expand_blob("a.tar", buf.getvalue())
+    got = {member: content for _a, member, content in rows}
     assert got == members
+    assert all(a == "a.tar" for a, _m, _c in rows)

@@ -555,7 +555,6 @@ def test_stream_warc_ingest_equals_batch(spark, tmp_path):
         (d / f"part-{f}.warc.gz").write_bytes(wc.write_warc(recs))
     batch = wc.read_warc(spark, str(d)).toPandas()
     assert len(batch) == 10
-    sw.run_stream_to_memory(wc.stream_warc(spark, str(d)), "t_warc",
-                            "append")
+    _drain(wc.stream_warc(spark, str(d)), "t_warc", mode="append")
     stream = spark.table("t_warc").toPandas()
     assert _canon(batch) == _canon(stream)

@@ -123,44 +123,30 @@ def register(
 # round gets every family driver-confirmed across rounds without
 # changing any query; rotation chases STALENESS.
 #
-# Round-10 front (50, per VERDICT r9 items 2/3 — zero new keys in the
-# window, budget spent on evidence):
-#   1. the five keys whose latest evidence is round 4 (the stalest in
-#      the repo): q_agg_weighted_centroid, q_rollup, q_cube,
-#      q_grouping_sets, q_scan_project;
-#   2. q_split_dedup_safe — the round-9 late addition and the ONLY
-#      registered key never driver-graded (locally verified at 3 sf);
-#   3. the first 44 of the 50 keys whose latest evidence is round 5,
-#      in prior relative order (q_pagerank among them — its round-9
-#      structural fix gets a fresh CORRECTNESS row under the driver's
-#      vanilla session, as VERDICT r9 item 3 demanded).
-# Overflow: the six r5 leftovers (q_sql_tpch5, q_sql_recursive,
-# q_source_csv_dirty, q_join_interval_outer, q_multimodal_audio,
-# q_ct_fbp — the r11 front), then stalest-first (r6, r7, r8, r9 blocks
-# in prior relative order). New keys added this round append to the
-# tail so they never displace the staleness queue.
+# Round-11 front (50, per VERDICT r10 item 1 — the written handoff
+# rotation, applied):
+#   1. the FIVE round-10 tail keys with zero driver evidence
+#      (q_dedup_containment_2stage, q_source_avro, q_trajectory_dtw,
+#      q_source_warc, q_source_archive);
+#   2. the six r5 leftovers (q_sql_tpch5, q_sql_recursive,
+#      q_source_csv_dirty, q_join_interval_outer, q_multimodal_audio,
+#      q_ct_fbp);
+#   3. the first 39 of the r6 block, stalest-first in prior relative
+#      order.
+# Overflow: the rest of the r6/r7/r8/r9 staleness queue in prior
+# relative order, then the 50 keys graded in round 10 (freshest, moved
+# to the back). New keys added this round append to the TAIL so they
+# never displace the staleness queue (round-10 policy).
 GRADE_ORDER: list[str] = [
-    "q_agg_weighted_centroid", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_scan_project", "q_split_dedup_safe", "q_sketch_hll",
-    "q_sliding_distinct", "q_bm25", "q_quality_entropy", "q_anomaly_zscore",
-    "q_funnel", "q_retention", "q_rfm", "q_transitions", "q_session_stats",
-    "q_time_rollup", "q_cooccur", "q_concurrency", "q_histogram_equidepth",
-    "q_agg_skew_distinct", "q_join_bloom", "q_grouped_sample",
-    "q_embed_project", "q_cdc_upsert", "q_table_checksum", "q_sql_tpch3",
-    "q_source_json", "q_source_orc", "q_sink_compacted",
-    "q_dedup_embed_lsh", "q_histogram_equidepth_approx", "q_rfm_approx",
-    "q_ngram_lm", "q_data_audit", "q_data_profile", "q_zorder_layout",
-    "q_inverted_index", "q_sql_tpch10", "q_session_paths", "q_skyline",
-    "q_corr_matrix", "q_global_rank", "q_multimodal_frames", "q_incr_mv",
-    "q_ab_test", "q_regression_multi", "q_pagerank", "q_dedup_chunks",
-    "q_anonymize", "q_sql_tpch5", "q_sql_recursive", "q_source_csv_dirty",
-    "q_join_interval_outer", "q_multimodal_audio", "q_ct_fbp", "q_ewma",
-    "q_debounce", "q_seq_pattern", "q_sample_weighted", "q_source_xml",
-    "q_scd2_pit", "q_bpe_tokenize", "q_percentile_select", "q_join_fuzzy",
-    "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
-    "q_logistic_train", "q_interval_coalesce", "q_allocate", "q_locf",
-    "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e",
-    "q_source_evolving", "q_source_nested", "q_sql_tpch18",
+    "q_dedup_containment_2stage", "q_source_avro", "q_trajectory_dtw",
+    "q_source_warc", "q_source_archive", "q_sql_tpch5", "q_sql_recursive",
+    "q_source_csv_dirty", "q_join_interval_outer", "q_multimodal_audio",
+    "q_ct_fbp", "q_ewma", "q_debounce", "q_seq_pattern", "q_sample_weighted",
+    "q_source_xml", "q_scd2_pit", "q_bpe_tokenize", "q_percentile_select",
+    "q_join_fuzzy", "q_triangle_count", "q_anomaly_rolling",
+    "q_feature_hash", "q_logistic_train", "q_interval_coalesce",
+    "q_allocate", "q_locf", "q_mad_outliers", "q_dedup_phash",
+    "q_pipeline_e2e", "q_source_evolving", "q_source_nested", "q_sql_tpch18",
     "q_join_spatial", "q_knn_incremental", "q_scan_count", "q_project_expr",
     "q_filter_pred", "q_filter_in_like", "q_filter_null", "q_case_when",
     "q_join_broadcast", "q_join_inner", "q_join_multiway", "q_join_left",
@@ -190,26 +176,35 @@ GRADE_ORDER: list[str] = [
     "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
     "q_kmeans", "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
     "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
-    "q_join_bucketed", "q_pack_sequences", "q_decontaminate",
-    "q_mix_sample", "q_dedup_incremental", "q_sketch_cms",
-    "q_dedup_containment_shingle", "q_snapshot_diff", "q_join_nullsafe",
-    "q_agg_weighted_median", "q_sql_tpch22", "q_window_session",
-    "q_ct_centre", "q_ct_histogram", "q_ct_bbox", "q_ct_threshold",
-    "q_ct_moments", "q_ct_preprocess", "q_multimodal_features",
-    "q_multimodal_resize", "q_sample_split", "q_sample_stratified",
-    "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-    "q_stream_late", "q_gapfill", "q_udaf_grouped", "q_vector_quantize",
-    "q_agg_regression", "q_window_tumbling", "q_window_sliding",
-    "q_sessionize", "q_stream_dedup", "q_stream_enrich",
+    "q_join_bucketed", "q_pack_sequences", "q_decontaminate", "q_mix_sample",
+    "q_dedup_incremental", "q_sketch_cms", "q_dedup_containment_shingle",
+    "q_snapshot_diff", "q_join_nullsafe", "q_agg_weighted_median",
+    "q_sql_tpch22", "q_window_session", "q_ct_centre", "q_ct_histogram",
+    "q_ct_bbox", "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
+    "q_multimodal_features", "q_multimodal_resize", "q_sample_split",
+    "q_sample_stratified", "q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh",
+    "q_knn_ivf", "q_stream_late", "q_gapfill", "q_udaf_grouped",
+    "q_vector_quantize", "q_agg_regression", "q_window_tumbling",
+    "q_window_sliding", "q_sessionize", "q_stream_dedup", "q_stream_enrich",
     "q_stateful_sessions", "q_win_lag_lead", "q_win_moving",
     "q_win_range_time", "q_win_firstlast", "q_join_range", "q_join_asof",
     "q_join_salted", "q_agg_distinct", "q_agg_approx",
     "q_agg_approx_percentile", "q_pivot", "q_unpivot", "q_histogram",
     "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
-    "q_agg_stats", "q_agg_percentile",
-    # round-10 additions (tail: never displaces the staleness queue)
-    "q_dedup_containment_2stage", "q_source_avro", "q_trajectory_dtw",
-    "q_source_warc", "q_source_archive",
+    "q_agg_stats", "q_agg_percentile", "q_agg_weighted_centroid", "q_rollup",
+    "q_cube", "q_grouping_sets", "q_scan_project", "q_split_dedup_safe",
+    "q_sketch_hll", "q_sliding_distinct", "q_bm25", "q_quality_entropy",
+    "q_anomaly_zscore", "q_funnel", "q_retention", "q_rfm", "q_transitions",
+    "q_session_stats", "q_time_rollup", "q_cooccur", "q_concurrency",
+    "q_histogram_equidepth", "q_agg_skew_distinct", "q_join_bloom",
+    "q_grouped_sample", "q_embed_project", "q_cdc_upsert",
+    "q_table_checksum", "q_sql_tpch3", "q_source_json", "q_source_orc",
+    "q_sink_compacted", "q_dedup_embed_lsh", "q_histogram_equidepth_approx",
+    "q_rfm_approx", "q_ngram_lm", "q_data_audit", "q_data_profile",
+    "q_zorder_layout", "q_inverted_index", "q_sql_tpch10", "q_session_paths",
+    "q_skyline", "q_corr_matrix", "q_global_rank", "q_multimodal_frames",
+    "q_incr_mv", "q_ab_test", "q_regression_multi", "q_pagerank",
+    "q_dedup_chunks", "q_anonymize",
 ]
 
 

@@ -783,10 +783,11 @@ def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.close()
         if not n:
             return
+        from flexcalc_spark.sources.binaryfiles import atomic_write_bytes
+
         pid = TaskContext.get().partitionId()
         path = os.path.join(out, f"part-{pid:05d}.tar")
-        with open(path, "wb") as fh:
-            fh.write(buf.getvalue())
+        atomic_write_bytes(path, buf.getvalue())
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
     written = d.repartition(4, "doc_id").mapInPandas(

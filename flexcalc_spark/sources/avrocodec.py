@@ -197,7 +197,7 @@ def _encode(schema: object, value: object, out: bytearray, names: dict) -> None:
                 fv = value[f["name"]]
             except KeyError:
                 if "default" in f:
-                    fv = f["default"]
+                    fv = _json_default(f["type"], f["default"], names)
                 else:
                     raise ValueError(
                         f"avro: record missing field {f['name']!r}"
@@ -237,8 +237,67 @@ def _encode(schema: object, value: object, out: bytearray, names: dict) -> None:
         raise ValueError(f"avro: unsupported schema kind {k!r}")
 
 
+def _json_default(schema: object, dv: object, names: dict):
+    """Convert a JSON-encoded field ``default`` (Avro spec rules) to the
+    Python datum ``_encode`` expects: bytes/fixed defaults are JSON
+    strings holding one ISO-8859-1 char per byte; a union default is
+    written against the FIRST branch; containers convert recursively.
+    Primitive kinds (null/boolean/int/long/float/double/string/enum)
+    map 1:1. Malformed defaults raise a typed ValueError (never the
+    bytes(str) TypeError)."""
+    sch = _resolve(schema, names)
+    k = _kind(sch)
+    if k == "union":
+        return _json_default(sch[0], dv, names)
+    if k in ("bytes", "fixed"):
+        if not isinstance(dv, str):
+            raise ValueError(f"avro: {k} default must be a JSON string")
+        try:
+            return dv.encode("latin-1")
+        except UnicodeEncodeError:
+            raise ValueError(
+                f"avro: {k} default has codepoints above 255"
+            ) from None
+    if k == "array":
+        if not isinstance(dv, list):
+            raise ValueError("avro: array default must be a JSON array")
+        return [_json_default(sch["items"], x, names) for x in dv]
+    if k == "map":
+        if not isinstance(dv, dict):
+            raise ValueError("avro: map default must be a JSON object")
+        return {
+            mk: _json_default(sch["values"], mv, names)
+            for mk, mv in dv.items()
+        }
+    if k == "record":
+        if not isinstance(dv, dict):
+            raise ValueError("avro: record default must be a JSON object")
+        out = {}
+        for f in sch["fields"]:
+            if f["name"] in dv:
+                out[f["name"]] = _json_default(f["type"], dv[f["name"]], names)
+            elif "default" in f:
+                out[f["name"]] = _json_default(
+                    f["type"], f["default"], names
+                )
+            else:
+                raise ValueError(
+                    f"avro: record default missing field {f['name']!r}"
+                )
+        return out
+    return dv
+
+
 def _union_index(branches: list, value: object, names: dict) -> int:
-    """Pick the first union branch whose kind matches the Python value."""
+    """Pick the first union branch whose kind matches the Python value.
+
+    Strict type match wins in branch order — in particular a str always
+    takes a string branch over an enum branch when both are present
+    (first-match rule; callers wanting the enum must order it first).
+    One spec-sanctioned promotion applies as a fallback: an int (non-
+    bool) datum matches a float/double branch when the union has no
+    int/long branch."""
+    float_fallback = None
     for i, br in enumerate(branches):
         bk = _kind(_resolve(br, names))
         if value is None:
@@ -253,6 +312,12 @@ def _union_index(branches: list, value: object, names: dict) -> int:
         elif bk in ("float", "double"):
             if isinstance(value, float):
                 return i
+            if (
+                float_fallback is None
+                and isinstance(value, int)
+                and not isinstance(value, bool)
+            ):
+                float_fallback = i
         elif bk == "string":
             if isinstance(value, str):
                 return i
@@ -268,6 +333,8 @@ def _union_index(branches: list, value: object, names: dict) -> int:
         elif bk == "enum":
             if isinstance(value, str):
                 return i
+    if float_fallback is not None:
+        return float_fallback  # int -> float/double promotion
     raise ValueError(f"avro: no union branch for {type(value).__name__}")
 
 
@@ -493,8 +560,10 @@ def write_avro(df, out_dir: str, schema: object, codec: str = "deflate"):
     Runs entirely on executors via ``mapInPandas`` (the driver never
     sees row data); returns a lazy (path, n_records) DataFrame — run an
     action on it to force the write. Filenames are keyed by partition
-    id, so a re-executed (speculative) task overwrites its own file
-    idempotently rather than duplicating records. ``out_dir`` must be
+    id and written via attempt-unique temp + atomic rename
+    (``binaryfiles.atomic_write_bytes``), so re-executed AND
+    concurrently-speculated task attempts can never interleave bytes
+    in the final container. ``out_dir`` must be
     on storage every executor can reach (local[\\*] /tmp here; a shared
     or fused filesystem on a real cluster — same contract as every
     POSIX-path sink in this repo).
@@ -518,10 +587,11 @@ def write_avro(df, out_dir: str, schema: object, codec: str = "deflate"):
             recs.extend(clean.to_dict("records"))
         if not recs:
             return
+        from flexcalc_spark.sources.binaryfiles import atomic_write_bytes
+
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.avro")
-        with open(path, "wb") as fh:
-            fh.write(write_container(schema, recs, codec=codec))
+        atomic_write_bytes(path, write_container(schema, recs, codec=codec))
         yield pd.DataFrame({"path": [path], "n_records": [len(recs)]})
 
     return df.mapInPandas(writer, "path string, n_records bigint")

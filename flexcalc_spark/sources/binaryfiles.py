@@ -583,6 +583,24 @@ DECODERS: dict[str, Callable] = {
 }
 
 
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    """Executor-side file write safe under speculative re-execution:
+    write to a task-attempt-unique temp name, then ``os.replace`` into
+    the final name (atomic rename on POSIX). Two attempts of the same
+    task racing on a shared filesystem each write their own temp file
+    and the rename is all-or-nothing — the final path only ever holds
+    one attempt's complete bytes (both attempts produce identical
+    content, so which one wins is immaterial)."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    suffix = f".{tc.taskAttemptId()}.tmp" if tc is not None else ".tmp"
+    tmp = path + suffix
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Directory of binary files -> (path, modificationTime, length, content)."""
     return (

@@ -755,9 +755,12 @@ def _prog_finish(prog: _ProgState, qt: dict) -> tuple[int, int, str, bytes]:
 # is a huffman-coded difference from one of seven spatial predictors,
 # with modulo-2^16 arithmetic and an optional point transform Pt.
 # Single-component (grayscale) frames only, which is the form medical
-# archives actually ship; precision 2..16 bits. Restart markers reset
-# prediction to the scan-start default (the next sample predicts
-# 2^(P-Pt-1)); the lockstep encoder shares this convention.
+# archives actually ship; precision 2..16 bits. Restart markers follow
+# T.81 H.1.2.2/H.1.2.3 (the libjpeg-family convention): the first
+# sample after RSTn predicts 2^(P-Pt-1) and the REMAINDER of that line
+# uses the 1-D (Ra) predictor, exactly like the scan's first line; the
+# selected predictor resumes on the next line. Pinned by a hand-written
+# spec-literal byte stream in tests, not just the lockstep encoder.
 # Per-sample entropy decode is a Python loop like the DCT modes' MCU
 # loop — the binaryfiles.py throughput note (plug Pillow/libjpeg at
 # bulk scale) applies unchanged.
@@ -796,6 +799,7 @@ def _decode_lossless_scan(
     count = 0                            # samples since last restart
     fresh = True                         # next sample predicts `default`
     for y in range(fh):
+        ra_line = y == 0                 # H.1.2.2: first line is 1-D (Ra)
         for x in range(fw):
             if (
                 restart_interval
@@ -805,12 +809,13 @@ def _decode_lossless_scan(
                 reader.align_restart(rst_n)
                 rst_n = (rst_n + 1) % 8
                 fresh = True
+                ra_line = True           # H.1.2.2: restart re-enters 1-D
                 count = 0
             if fresh:
                 p = default
                 fresh = False
-            elif y == 0:
-                p = int(out[0, x - 1])           # first line: Ra
+            elif ra_line:
+                p = int(out[y, x - 1])           # 1-D line portion: Ra
             elif x == 0:
                 p = int(out[y - 1, 0])           # first column: Rb
             else:

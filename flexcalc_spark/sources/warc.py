@@ -108,10 +108,15 @@ def _gunzip_members(data: bytes) -> list[bytes]:
     rest = data
     while rest:
         do = zlib.decompressobj(31)
-        out.append(do.decompress(rest))
-        if not do.eof:
-            raise ValueError("warc: truncated gzip member")
-        out[-1] += do.flush()
+        try:
+            out.append(do.decompress(rest))
+            if not do.eof:
+                raise ValueError("warc: truncated gzip member")
+            out[-1] += do.flush()
+        except zlib.error as exc:
+            # bit-corrupted member: keep the 'corrupt bytes raise
+            # ValueError' contract rather than leaking zlib.error
+            raise ValueError(f"warc: corrupt gzip member ({exc})") from None
         rest = do.unused_data
     return out
 
@@ -331,10 +336,11 @@ def write_warc_partitions(df, out_dir: str):
                 )
         if not recs:
             return
+        from flexcalc_spark.sources.binaryfiles import atomic_write_bytes
+
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-        with open(path, "wb") as fh:
-            fh.write(write_warc(recs, compress=True))
+        atomic_write_bytes(path, write_warc(recs, compress=True))
         yield pd.DataFrame({"path": [path], "n_records": [len(recs)]})
 
     return df.mapInPandas(writer, "path string, n_records bigint")

@@ -297,3 +297,64 @@ def test_namespace_inherited_fullname_reference():
     ]
     _, back = av.read_container(av.write_container(schema, recs))
     assert back == recs
+
+
+def test_field_defaults_convert_json_per_spec():
+    """Record-field defaults are JSON values per the Avro spec: a
+    bytes/fixed default is a JSON string in ISO-8859-1 (one char per
+    byte), and a union default is written against the FIRST branch
+    (ADVICE r10). The writer must convert, not bytes(str)-crash."""
+    schema = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "raw", "type": "bytes", "default": "\u00ff\u0000A"},
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "F2", "size": 2},
+                "default": "\u0001\u0002",
+            },
+            {"name": "opt", "type": ["null", "string"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"},
+             "default": ["x"]},
+        ],
+    }
+    # the record omits every defaulted field
+    _, back = av.read_container(av.write_container(schema, [{"id": 7}]))
+    assert back == [
+        {"id": 7, "raw": b"\xff\x00A", "fx": b"\x01\x02",
+         "opt": None, "tags": ["x"]}
+    ]
+
+
+def test_malformed_default_raises_typed_valueerror():
+    """A bytes default that is not a JSON string must raise ValueError
+    (the module's typed contract), never TypeError from bytes(str)."""
+    schema = {
+        "type": "record",
+        "name": "B",
+        "fields": [{"name": "raw", "type": "bytes", "default": 123}],
+    }
+    with pytest.raises(ValueError, match="default"):
+        av.write_container(schema, [{}])
+
+
+def test_union_int_promotes_to_double_branch():
+    """An int datum against ['null','double'] takes the double branch
+    (spec-sanctioned int->double promotion); with an int/long branch
+    present the strict match still wins."""
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "v", "type": ["null", "double"]},
+            {"name": "w", "type": ["double", "long"]},
+        ],
+    }
+    _, back = av.read_container(
+        av.write_container(schema, [{"v": 3, "w": 4}])
+    )
+    assert back == [{"v": 3.0, "w": 4}]
+    assert isinstance(back[0]["v"], float)
+    assert isinstance(back[0]["w"], int)

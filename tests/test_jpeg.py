@@ -587,9 +587,9 @@ def encode_jpeg_lossless(
     restart_interval: int = 0,
 ) -> bytes:
     """Lossless JPEG (SOF3): single-component, huffman-coded predictor
-    differences, modulo-2^16, in lockstep with the decoder (shared
-    restart convention: the sample after RSTn predicts the scan-start
-    default)."""
+    differences, modulo-2^16, in lockstep with the decoder (T.81
+    H.1.2.2 restart convention: the sample after RSTn predicts the
+    scan-start default and the rest of that line uses Ra)."""
     h, w_img = img.shape
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", precision, h, w_img, 1) + bytes([1, 0x11, 0])
@@ -607,18 +607,20 @@ def encode_jpeg_lossless(
     count = 0
     fresh = True
     for y in range(h):
+        ra_line = y == 0
         for x in range(w_img):
             if restart_interval and count and count % restart_interval == 0:
                 wtr.flush()
                 wtr.out += bytes([0xFF, 0xD0 + rst_n])
                 rst_n = (rst_n + 1) % 8
                 fresh = True
+                ra_line = True
                 count = 0
             if fresh:
                 p = default
                 fresh = False
-            elif y == 0:
-                p = int(vals[0, x - 1])
+            elif ra_line:
+                p = int(vals[y, x - 1])
             elif x == 0:
                 p = int(vals[y - 1, 0])
             else:
@@ -683,6 +685,64 @@ def test_lossless_restart_and_point_transform():
     h, w, dt, px = jc.decode_jpeg(blob, {})
     got = np.frombuffer(px, np.uint16).reshape(h, w)
     assert np.array_equal(got, (img >> 2) << 2)
+
+
+def test_lossless_restart_spec_literal_stream():
+    """T.81 H.1.2.2 pinned by a hand-written byte stream (independent
+    of the lockstep encoder's loop): after RSTn the first sample
+    predicts the scan-start default and the REMAINDER of that line uses
+    the 1-D Ra predictor, even though the scan header selects
+    predictor 4. Predictions below are hand-computed constants."""
+    img = np.array([[10, 20, 30, 40], [50, 60, 200, 70]], dtype=np.uint8)
+    preds = [
+        128,           # (0,0) scan start -> default          (H.1.2.3)
+        10, 20, 30,    # (0,1..3) first line -> Ra            (H.1.2.2)
+        10,            # (1,0) first column -> Rb
+        50 + 20 - 10,  # (1,1) selected predictor 4 (Ra+Rb-Rc)
+        # --- RST0: the 6-sample restart interval ends here ---
+        128,           # (1,2) post-restart -> default        (H.1.2.3)
+        200,           # (1,3) rest of the line -> Ra, NOT predictor 4
+    ]
+    flat = [int(v) for v in img.reshape(-1)]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC3, struct.pack(">BHHB", 8, 2, 4, 1) + bytes([1, 0x11, 0]))
+    out += _dht(0, 0, DCL_BITS, DCL_VALS)
+    out += _seg(0xDD, struct.pack(">H", 6))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 4, 0, 0]))  # predictor 4
+    tab = _encode_table(DCL_BITS, DCL_VALS)
+    wtr = _BitWriter()
+    for i, (v, p) in enumerate(zip(flat, preds)):
+        if i == 6:  # restart marker between samples 5 and 6
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0])
+        diff = v - p
+        s = int(abs(diff)).bit_length()
+        code, length = tab[s]
+        wtr.put(code, length)
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    h, w, dt, px = jc.decode_jpeg(bytes(out), {})
+    assert (h, w, dt) == (2, 4, "uint8")
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(2, 4), img)
+
+
+def test_lossless_restart_midline_all_predictors():
+    """Round-trip with a restart landing MID-LINE for every predictor
+    (interval 10 on a 13-wide image): the post-restart Ra line portion
+    and the next-line predictor resumption must agree between the
+    lockstep pair."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 4096, size=(6, 13)).astype(np.uint16)
+    for predictor in range(1, 8):
+        blob = encode_jpeg_lossless(
+            img, 12, predictor=predictor, restart_interval=10
+        )
+        h, w, dt, px = jc.decode_jpeg(blob, {})
+        assert np.array_equal(
+            np.frombuffer(px, np.uint16).reshape(h, w), img
+        ), predictor
 
 
 def test_lossless_wraparound_difference():

@@ -76,6 +76,13 @@ def test_corrupt_warc_raises():
     )
     with pytest.raises(ValueError):
         wc.parse_warc(good[: len(good) - 6])  # truncated gzip member
+    # bit-corrupted member body: zlib.error must surface as ValueError,
+    # not leak untyped (the round-10 'KeyError through the contract'
+    # leak class)
+    flipped = bytearray(good)
+    flipped[len(flipped) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        wc.parse_warc(bytes(flipped))
     with pytest.raises(ValueError):
         wc.parse_warc(b"NOTWARC/1.0\r\n\r\n")
     # content-length pointing past the end of the stream

@@ -1259,6 +1259,35 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
+    cand = _containment_candidates(ranked, num, den)
+    ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
+    tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
+    isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(isz * den >= num * F.size("items_a"))
+        .select(
+            "id_a",
+            "id_b",
+            # CAST the size to BIGINT BEFORE the 1e6 multiply: size()
+            # is INT and INT*1000000 wraps at isz >= 2148 in non-ANSI
+            # Spark (fixture max is ~350 grams/doc — only 6x headroom;
+            # canary in test_fixture_assumptions.py)
+            F.expr(
+                f"(CAST(size(array_intersect(items_a, items_b)) AS BIGINT)"
+                f" * 1000000) div size(items_a)"
+            ).cast("bigint").alias("cont_ppm"),
+        )
+    )
+
+
+def _containment_candidates(ranked: DataFrame, num: int, den: int) -> DataFrame:
+    """The raw prefix-probe x full-index candidate relation of
+    _containment_pairs, BEFORE the exact re-score — factored out so the
+    census probes (scripts/scale_probe_zipf.py) count the graded
+    machinery's own join rather than a reconstruction of it. ``ranked``
+    is _ranked_token_arrays output."""
     # probe side: A's rarest-first prefix of sz - ceil(tau*sz) + 1 grams,
     # with 1-based global positions (the slice is the array head, so
     # posexplode positions ARE positions in the full ranked array)
@@ -1298,31 +1327,11 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
         F.lit(1) + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
         >= t_a
     )
-    cand = (
+    return (
         probe.join(index, "it")
         .filter((F.col("id_a") != F.col("id_b")) & (F.col("sz_b") >= t_a) & pos_ok)
         .select("id_a", "id_b")
         .distinct()
-    )
-    ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
-    tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
-    isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
-    return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .filter(isz * den >= num * F.size("items_a"))
-        .select(
-            "id_a",
-            "id_b",
-            # CAST the size to BIGINT BEFORE the 1e6 multiply: size()
-            # is INT and INT*1000000 wraps at isz >= 2148 in non-ANSI
-            # Spark (fixture max is ~350 grams/doc — only 6x headroom;
-            # canary in test_fixture_assumptions.py)
-            F.expr(
-                f"(CAST(size(array_intersect(items_a, items_b)) AS BIGINT)"
-                f" * 1000000) div size(items_a)"
-            ).cast("bigint").alias("cont_ppm"),
-        )
     )
 
 
@@ -1516,6 +1525,39 @@ def q_split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN = 1, 5   # candidate tau = 0.2
 
 
+def _twostage_items(d: DataFrame) -> DataFrame:
+    """Per-doc word-2-gram shingle sets for the 2stage candidate stage
+    (shared by the graded plan and the Zipf census probe)."""
+    shingles = F.expr(
+        "transform(sequence(1, size(words) - 1),"
+        " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    )
+    # single-word docs have no bigram; fall back to the word itself so
+    # they still participate (a bigram always contains a space, a word
+    # never does — the item namespaces are disjoint). Pairs whose ONLY
+    # containment evidence is sub-word remain outside the word-unit
+    # candidate reach — see the key's scale_notes (r10 review finding).
+    return d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id",
+        F.lit("all").alias("grp"),
+        F.array_distinct(
+            F.when(F.size("words") >= 2, shingles).otherwise(F.col("words"))
+        ).alias("items"),
+    )
+
+
+def _twostage_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Stage 1 of q_dedup_containment_2stage, verbatim: word-2-gram
+    shingle candidate pairs at the low candidate tau through the shared
+    _containment_pairs machinery (prefix-probe join + exact word-level
+    re-score at tau 0.2). Factored out so the Zipf census probe
+    (scripts/scale_probe_zipf.py mode `twostage`) measures the GRADED
+    plan's candidate stage, not a reconstruction of it."""
+    return _containment_pairs(
+        _twostage_items(d), TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN
+    ).select("id_a", "id_b")
+
+
 @register(
     "q_dedup_containment_2stage",
     oracle=None,
@@ -1542,20 +1584,23 @@ TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN = 1, 5   # candidate tau = 0.2
         "is invisible to this stage at any tau; the char-gram sibling "
         "q_dedup_containment covers that regime (they are siblings, "
         "not substitutes — the round-9 lesson, now stated for the "
-        "composition too). Scale, MEASURED (SCALE.md round-10, "
-        "scripts/scale_probe_zipf.py contain_w2_tau02): the 0.2 "
-        "candidate prefix (~80% of shingles vs ~20% at 0.8) censuses "
-        "FLAT ~0.9% of all-pairs under a fixed vocabulary (quadratic, "
-        "small constant — fixture: 1.1% at sf0.1, 274k candidates for "
-        "566 pairs) and ~n^1.6 under Heaps V~sqrt(n) growth (fraction "
-        "falls n^-0.38 at n=2k-32k), vs the graded tau-0.8 stage's ~n "
-        "— the recall margin costs one asymptotic class. Still an "
-        "equi join on a derived key, never all-pairs, and the "
-        "char-gram re-score touches candidates only, so the worse "
-        "char-gram census (flat ~15% of all-pairs, round 8) never "
-        "materializes. At 100 TB the candidate tau is the measured "
-        "recall-margin vs candidate-density dial; the re-score stays "
-        "exact either way"
+        "composition too). Scale, MEASURED ON THE PLAN ITSELF "
+        "(SCALE.md round-11, scripts/scale_probe_zipf.py `twostage` — "
+        "the probe counts _containment_candidates and "
+        "_twostage_candidate_pairs, the graded plan's own relations): "
+        "the raw tau-0.2 prefix join censuses ~n^2.05 under a FIXED "
+        "vocabulary (flat ~0.9% of all-pairs; the fixture's 1.1% at "
+        "sf0.1 is this regime's extreme), ~n^1.62 under Heaps V~sqrt(n) "
+        "and ~n^1.21 under V~n — the natural-text regime at corpus "
+        "scale — vs the graded tau-0.8 stage's ~n; and the only pair "
+        "relation that MATERIALIZES into stage 2 (the word-level 0.2 "
+        "re-score survivors) is ~n^1.0-1.25 in every regime, so the "
+        "char-gram re-score is linear-class even where the raw join is "
+        "not. Always an equi join on a derived key, never all-pairs; "
+        "the worse char-gram census (flat ~15% of all-pairs, round 8) "
+        "never materializes. At 100 TB the candidate tau is the "
+        "measured recall-margin vs candidate-density dial; the "
+        "re-score stays exact either way"
     ),
 )
 def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,25 +1609,8 @@ def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-score on candidates only — the scale recipe as one plan."""
     d = table_parallel(spark, sf_dir, "documents")
     # stage 1: word-shingle candidate pairs at the low candidate tau
-    shingles = F.expr(
-        "transform(sequence(1, size(words) - 1),"
-        " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
-    )
-    # single-word docs have no bigram; fall back to the word itself so
-    # they still participate (a bigram always contains a space, a word
-    # never does — the item namespaces are disjoint). Pairs whose ONLY
-    # containment evidence is sub-word remain outside the word-unit
-    # candidate reach — see scale_notes (r10 review finding).
-    items = d.select("doc_id", F.split("text", " ").alias("words")).select(
-        "doc_id",
-        F.lit("all").alias("grp"),
-        F.array_distinct(
-            F.when(F.size("words") >= 2, shingles).otherwise(F.col("words"))
-        ).alias("items"),
-    )
-    cand = _containment_pairs(
-        items, TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN
-    ).select("id_a", "id_b")
+    # (_twostage_candidate_pairs — shared with the Zipf census probe)
+    cand = _twostage_candidate_pairs(d)
     # stage 2: exact char-gram containment on candidate ids only.
     # Hashed gram arrays (the _ranked_token_arrays trade: long
     # intersects ~5x faster than string intersects, 64-bit collisions

@@ -250,6 +250,49 @@ def containment_census(
     return {"docs": n_docs, "cand": n_cand, "s": dt}
 
 
+def twostage_census(spark: SparkSession, sf_dir: str) -> dict:
+    """The ACTUAL q_dedup_containment_2stage plan (VERDICT r10 item 3):
+    candidate count from the graded key's own stage 1
+    (dedup._twostage_candidate_pairs, shared code — not a probe
+    reconstruction) plus the full two-stage plan end-to-end (final
+    pair count and wall time including the char-gram re-score)."""
+    from flexcalc_spark.operators.dedup import (
+        TWOSTAGE_CAND_DEN,
+        TWOSTAGE_CAND_NUM,
+        _containment_candidates,
+        _ranked_token_arrays,
+        _twostage_candidate_pairs,
+        _twostage_items,
+        q_dedup_containment_2stage,
+    )
+    from flexcalc_spark.tables import table_parallel
+
+    d = table_parallel(spark, sf_dir, "documents")
+    # raw prefix-probe x full-index join census (the plan's expensive
+    # intermediate, counted from the graded machinery's own join)
+    ranked = (
+        _ranked_token_arrays(_twostage_items(d).cache())
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    t0 = time.perf_counter()
+    n_raw = _containment_candidates(
+        ranked, TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN
+    ).count()
+    raw_s = time.perf_counter() - t0
+    ranked.unpersist()
+    # stage-2 input census: candidates surviving the exact word-level
+    # re-score at tau 0.2 (what the char-gram stage actually touches)
+    t0 = time.perf_counter()
+    n_cand = _twostage_candidate_pairs(d).count()
+    cand_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = q_dedup_containment_2stage(spark, sf_dir).count()
+    full_s = time.perf_counter() - t0
+    return {"raw": n_raw, "raw_s": raw_s, "cand": n_cand, "cand_s": cand_s,
+            "pairs": n_pairs, "full_s": full_s}
+
+
 def main() -> None:
     modes = set(sys.argv[1:]) or {"jaccard", "contain", "contain_w2"}
     # 'jaccard_heaps': the round-9 growing-vocabulary run (VERDICT r8
@@ -301,6 +344,40 @@ def main() -> None:
                 f"contain_w2_tau02 n={n}: cand={c['cand']} "
                 f"frac={c['cand'] / allp:.3e} {c['s']:.1f}s"
             )
+    if "twostage" in modes:
+        # the full graded composition under all three vocabulary-growth
+        # regimes (the round-9 jaccard_heaps protocol): fixed V (worst
+        # case), Heaps V ∝ √n, and V ∝ n (true Heaps-law web text at
+        # corpus scale). Exponent = log-log slope of candidate count.
+        import math
+
+        for regime, vfn in (
+            ("fixedV", lambda n: VOCAB_N),
+            ("heaps_sqrt", lambda n: int(VOCAB_N * (n / SIZES[0]) ** 0.5)),
+            ("heaps_lin", lambda n: int(VOCAB_N * n / SIZES[0])),
+        ):
+            counts = []
+            for n in SIZES:
+                vocab = vfn(n)
+                out = f"{base}/ts_{regime}_n{n}"
+                gen_zipf_corpus(spark, n, out, vocab=vocab)
+                allp = n * (n - 1) // 2
+                r = twostage_census(spark, out)
+                counts.append((n, r["raw"], r["cand"]))
+                print(
+                    f"twostage {regime} n={n} V={vocab}: raw={r['raw']} "
+                    f"rawfrac={r['raw'] / allp:.3e} cand={r['cand']} "
+                    f"candfrac={r['cand'] / allp:.3e} pairs={r['pairs']} "
+                    f"raw_s={r['raw_s']:.1f} cand_s={r['cand_s']:.1f} "
+                    f"full_s={r['full_s']:.1f}"
+                )
+            (n1, r1, c1), (n2, r2, c2) = counts[0], counts[-1]
+            if r1 and r2:
+                exp = math.log(r2 / r1) / math.log(n2 / n1)
+                print(f"twostage {regime} RAW exponent (n{n1}->n{n2}): {exp:.2f}")
+            if c1 and c2:
+                exp = math.log(c2 / c1) / math.log(n2 / n1)
+                print(f"twostage {regime} stage2-input exponent: {exp:.2f}")
     if "jaccard_heaps" in modes:
         for n in SIZES:
             vocab = int(VOCAB_N * (n / SIZES[0]) ** 0.5)

@@ -394,14 +394,14 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scored unit (grid magnitudes) mismatch, the round-9 "
         "two-stage-coupling class, stated rather than claimed away. "
         "For thresholded RETRIEVAL (all pairs with DTW <= tau) the "
-        "sound route is LB_Kim grid-bucketing (DTW >= |a1-b1| since "
-        "every warping path aligns first elements — bucket on a1 div "
-        "tau, probe +-1, recall 1.0 by construction) — also measured: "
-        "on THIS fixture it prunes nothing (candidates 99-100% of "
-        "all-pairs at any tau that yields pairs, because unbanded DTW "
-        "distances concentrate on ambient random series); on "
-        "clustered real corpora the same construction prunes to "
-        "~n x cluster width. O(81) integer cells per pair, "
+        "sound route is now GRADED as the sibling "
+        "q_trajectory_dtw_radius: the 1-component |a1-b1| bound "
+        "measured here prunes nothing on this fixture (distances "
+        "concentrate), but the 4-component LB_Kim max "
+        "(first/last/min/max) prunes 99.6% at tau=range/20 on the "
+        "same fixture and 95-99% on clustered corpora "
+        "(scripts/scale_probe_dtw_cluster.py, round 11) — see that "
+        "key's notes. O(81) integer cells per pair, "
         "|users|-bounded; INF + 15 path costs << 2^63 "
         "(headroom canary, tests/test_fixture_assumptions.py)"
     ),
@@ -420,12 +420,7 @@ def q_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canChangeCachedPlanOutputPartitioning conf (tables.py, round 9).
     seg = seg.cache()
     cand = _sax_gram_candidates(words).select("ua", "ub")
-    series = seg.groupBy("user_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(array(s, sg div c))),"
-            " x -> element_at(x, 2))"
-        ).alias("m")
-    )
+    series = _paa_series(seg)
     sa = series.select(
         F.col("user_id").alias("ua"), F.col("m").alias("ma")
     )
@@ -440,6 +435,173 @@ def q_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(elastic_dp_sql("frechet")).cast("bigint").alias(
             "frechet_grid"
         ),
+    )
+
+
+def _paa_series(seg: DataFrame) -> DataFrame:
+    """(user_id, m): the ordered BIGINT PAA series per user — segment
+    means via truncating div (Spark div == DuckDB // on integers,
+    round-8 lesson). Shared by the DTW scoring and radius keys."""
+    return seg.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(array(s, sg div c))),"
+            " x -> element_at(x, 2))"
+        ).alias("m")
+    )
+
+
+_RADIUS_DIV = 20  # tau = (global grid range) div 20 (probe-calibrated)
+
+_LB_KIM_SQL = (
+    "greatest(abs(fa - fb), abs(la - lb_), abs(mna - mnb),"
+    " abs(mxa - mxb))"
+)
+
+
+@register(
+    "q_trajectory_dtw_radius",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) - 1
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
+            FROM events
+        ),
+        seg AS MATERIALIZED (
+            SELECT user_id, (i * {SEGMENTS}) // n AS s,
+                   CAST(SUM(vg) AS BIGINT) AS sg,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ordered GROUP BY user_id, (i * {SEGMENTS}) // n
+        ),
+        feat AS MATERIALIZED (
+            SELECT user_id, m, m[1] AS f, m[-1] AS l,
+                   list_min(m) AS mn, list_max(m) AS mx
+            FROM (
+                SELECT user_id,
+                       list_transform(list_sort(list([s, sg // c])),
+                                      p -> p[2]) AS m
+                FROM seg GROUP BY user_id
+            )
+        ),
+        tau AS (
+            SELECT greatest((MAX(mx) - MIN(mn)) // {_RADIUS_DIV},
+                            CAST(1 AS BIGINT)) AS tau
+            FROM feat
+        ),
+        pairs AS (
+            SELECT a.user_id AS ua, b.user_id AS ub, a.m AS ma, b.m AS mb,
+                   greatest(abs(a.f - b.f), abs(a.l - b.l),
+                            abs(a.mn - b.mn), abs(a.mx - b.mx)) AS lb
+            FROM feat a JOIN feat b ON a.user_id < b.user_id, tau
+            WHERE greatest(abs(a.f - b.f), abs(a.l - b.l),
+                           abs(a.mn - b.mn), abs(a.mx - b.mx)) <= tau.tau
+        )
+        SELECT ua AS user_a, ub AS user_b,
+               CAST(lb AS BIGINT) AS lb_grid,
+               list_reduce(
+                   list_prepend(
+                       list_transform(range(0, len(mb) + 1),
+                           j -> CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+                                     ELSE CAST({DTW_INF} AS BIGINT) END),
+                       list_transform(range(1, len(ma) + 1), i -> [i])),
+                   (prev, it) -> list_reduce(
+                       list_prepend(CAST([{DTW_INF}] AS BIGINT[]),
+                           list_transform(range(1, len(mb) + 1), j -> [j])),
+                       (acc, jt) -> list_append(acc,
+                           abs(ma[CAST(it[1] AS INT)]
+                               - mb[CAST(jt[1] AS INT)])
+                           + least(prev[CAST(jt[1] AS INT)],
+                                   prev[CAST(jt[1] AS INT) + 1],
+                                   acc[-1])))
+               )[len(mb) + 1] AS dtw_grid
+        FROM pairs
+    """,
+    family="trajectory",
+    scale_notes=(
+        "thresholded DTW RETRIEVAL with a SOUND candidate stage — the "
+        "tier q_trajectory_dtw's scoring contract pointed at (VERDICT "
+        "r10 what's-missing #3). Radius tau = (global grid range) div "
+        "20, data-derived so fixture regens rescale it. Candidates: "
+        "4-component LB_Kim bound for unconstrained |.|-cost DTW — "
+        "max(|a1-b1|, |an-bn|, |min A - min B|, |max A - max B|) — "
+        "every component provably <= DTW (the (1,1)/(na,nb) cells sit "
+        "on every warping path; an extreme of one series aligns to "
+        "SOME element of the other, bounded by that series' extreme), "
+        "so DTW <= tau implies LB <= tau and RECALL IS 1.0 BY "
+        "CONSTRUCTION, asserted vs brute force in tests/test_dtw.py. "
+        "Distributed realization: equi join on floor((a1 - gmin)/tau) "
+        "buckets with +-1 probes (|a1-b1| <= tau forces adjacent "
+        "buckets — the q_join_range shape, never all-pairs), exact LB "
+        "post-filter, exact integer DP re-score on survivors only. "
+        "Pruning MEASURED (scripts/scale_probe_dtw_cluster.py): 99.6% "
+        "of all-pairs on this fixture at tau=range/20, 95-99% on "
+        "K=20/100 clustered corpora (the regime the recipe assumes), "
+        "99.8% ambient-random — the same bound that prunes NOTHING in "
+        "its 1-component |a1-b1| form (round-10 measurement, still "
+        "true). Emits (pair, lb_grid, dtw_grid) for every LB survivor "
+        "— the sound superset of any DTW <= tau' answer for tau' <= "
+        "tau, with exact distances attached; all-integer, full hash "
+        "oracle despite the sequential DP (nested list_reduce twin)"
+    ),
+)
+def q_trajectory_dtw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All user pairs within LB_Kim radius tau = range/20 of each
+    other, with exact integer-grid DTW on the survivors — sound
+    (recall-1.0) thresholded retrieval via a bucketed equi join."""
+    seg, _words = _sax_core(spark, sf_dir)
+    feat = _paa_series(seg).select(
+        "user_id",
+        "m",
+        F.expr("element_at(m, 1)").alias("f"),
+        F.expr("element_at(m, -1)").alias("l"),
+        F.array_min("m").alias("mn"),
+        F.array_max("m").alias("mx"),
+    )
+    scalars = feat.agg(
+        F.expr(
+            f"greatest((max(mx) - min(mn)) div {_RADIUS_DIV},"
+            " CAST(1 AS BIGINT))"
+        ).alias("tau"),
+        F.min("mn").alias("gmin"),
+    )
+    # narrow feature table consumed twice (probe + index) after a
+    # groupBy: cache, AQE sizes the layout (tables.py round-9 conf)
+    fs = feat.crossJoin(F.broadcast(scalars)).withColumn(
+        "bkt", F.expr("(f - gmin) div tau")
+    ).cache()
+    probe = fs.select(
+        F.col("user_id").alias("ua"),
+        F.col("m").alias("ma"),
+        F.col("f").alias("fa"),
+        F.col("l").alias("la"),
+        F.col("mn").alias("mna"),
+        F.col("mx").alias("mxa"),
+        "tau",
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("jb"),
+    )
+    index = fs.select(
+        F.col("user_id").alias("ub"),
+        F.col("m").alias("mb"),
+        F.col("f").alias("fb"),
+        F.col("l").alias("lb_"),
+        F.col("mn").alias("mnb"),
+        F.col("mx").alias("mxb"),
+        F.col("bkt").alias("jb"),
+    )
+    pairs = probe.join(index, "jb").filter(
+        (F.col("ua") < F.col("ub"))
+        & (F.expr(_LB_KIM_SQL) <= F.col("tau"))
+    )
+    return pairs.select(
+        F.col("ua").alias("user_a"),
+        F.col("ub").alias("user_b"),
+        F.expr(_LB_KIM_SQL).cast("bigint").alias("lb_grid"),
+        F.expr(elastic_dp_sql("dtw")).cast("bigint").alias("dtw_grid"),
     )
 
 

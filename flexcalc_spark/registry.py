@@ -205,6 +205,8 @@ GRADE_ORDER: list[str] = [
     "q_skyline", "q_corr_matrix", "q_global_rank", "q_multimodal_frames",
     "q_incr_mv", "q_ab_test", "q_regression_multi", "q_pagerank",
     "q_dedup_chunks", "q_anonymize",
+    # round-11 additions (tail: never displaces the staleness queue)
+    "q_trajectory_dtw_radius",
 ]
 
 

@@ -119,6 +119,106 @@ def test_elastic_scores_exactly_the_candidate_relation(spark):
         assert ua < ub
 
 
+def _ref_lb_kim(a: list[int], b: list[int]) -> int:
+    return max(
+        abs(a[0] - b[0]),
+        abs(a[-1] - b[-1]),
+        abs(min(a) - min(b)),
+        abs(max(a) - max(b)),
+    )
+
+
+def test_radius_lb_set_equality_and_exactness(spark):
+    """q_trajectory_dtw_radius: the emitted pair set EQUALS the
+    brute-force LB_Kim <= tau set (so recall for any DTW <= tau' <= tau
+    query is 1.0 by soundness), and every emitted lb/dtw value equals
+    the independent reference."""
+    out = registry.QUERIES["q_trajectory_dtw_radius"](
+        spark, SF_DIR
+    ).collect()
+    ser = _ref_series()
+    gmin = min(min(m) for m in ser.values())
+    gmax = max(max(m) for m in ser.values())
+    tau = max((gmax - gmin) // 20, 1)
+    n_true = sum(
+        _ref_lb_kim(ser[ua], ser[ub]) <= tau
+        for i, ua in enumerate(sorted(ser))
+        for ub in sorted(ser)[i + 1 :]
+    )
+    # sf0.001's 15 users genuinely have no pair within radius (the
+    # oracle agrees); non-empty output is pinned at sf0.01 (46 pairs)
+    # and by the engineered-corpus test below at any fixture
+    assert len(out) == n_true
+    emitted = {(r.user_a, r.user_b): r for r in out}
+    assert len(emitted) == len(out)  # each pair exactly once
+    uids = sorted(ser)
+    for i, ua in enumerate(uids):
+        for ub in uids[i + 1 :]:
+            should = _ref_lb_kim(ser[ua], ser[ub]) <= tau
+            assert ((ua, ub) in emitted) == should, (ua, ub)
+    for (ua, ub), r in emitted.items():
+        a, b = ser[ua], ser[ub]
+        assert r.lb_grid == _ref_lb_kim(a, b)
+        assert r.dtw_grid == _ref_dp(a, b, "dtw")
+        assert r.lb_grid <= tau
+        assert r.lb_grid <= r.dtw_grid  # LB soundness on emitted pairs
+
+
+def test_radius_engineered_corpus(spark, tmp_path):
+    """Non-empty retrieval pinned on an engineered corpus (the
+    q_dedup_containment_2stage precedent): three user clusters, only
+    the within-cluster pair sits inside the LB radius. Values chosen so
+    tau = (range 100) / 20 = 5 on the value scale: users 0/1 differ by
+    a constant +2 (LB = 2e6 grid <= tau, DTW = 8 segments x 2e6);
+    users 2/3 sit 20 and 50 above (every LB component > tau)."""
+    import pandas as pd
+
+    rows = []
+    base = [10, 30, 20, 40, 15, 35, 25, 45]
+    offsets = {0: 0.0, 1: 2.0, 2: 20.0, 3: 55.0}
+    eid = 0
+    for uid, off in offsets.items():
+        for i, v in enumerate(base):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+                    "user_id": uid,
+                    "event_type": "view",
+                    "value": float(v) + off,
+                    "props": '{"k": 1}',
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    out = registry.QUERIES["q_trajectory_dtw_radius"](
+        spark, str(tmp_path)
+    ).collect()
+    # range = (45+55) - 10 = 90 -> tau = 90e6 div 20 = 4.5e6; the 0/1
+    # shift is 2e6 <= tau; cluster gaps 18e6+ exceed it
+    assert {(r.user_a, r.user_b) for r in out} == {(0, 1)}
+    r = out[0]
+    assert r.lb_grid == 2_000_000
+    assert r.dtw_grid == _ref_dp(
+        [v * 1_000_000 for v in base],
+        [(v + 2) * 1_000_000 for v in base],
+        "dtw",
+    )
+
+
+def test_radius_lb_soundness_property():
+    """LB_Kim <= DTW on random integer series (the recall-1.0
+    argument), including unequal lengths and negatives."""
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        la, lb = rng.integers(1, 9), rng.integers(1, 9)
+        a = [int(v) for v in rng.integers(-(10**9), 10**9, la)]
+        b = [int(v) for v in rng.integers(-(10**9), 10**9, lb)]
+        assert _ref_lb_kim(a, b) <= _ref_dp(a, b, "dtw")
+
+
 def test_elastic_reference_properties():
     """Property sweep of the reference DP on adversarial small arrays:
     symmetry, identity, Fréchet <= DTW, and path-length cost bounds

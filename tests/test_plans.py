@@ -1102,3 +1102,13 @@ def test_trajectory_dtw_shares_cached_seg(spark):
     # node-header count, never bare substring count (formatted plans
     # print each node twice — CLAUDE.md round-5 lesson)
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 2, plan
+
+
+def test_dtw_radius_candidates_are_bucket_equi_join(spark):
+    """q_trajectory_dtw_radius must generate candidates via the bucket
+    EQUI join (+-1 probe explode), never an all-pairs theta join: the
+    only nested-loop join allowed is the single 1-row scalar broadcast
+    (tau/gmin), the standard two-aggregate crossJoin pattern."""
+    plan = plan_text(Q["q_trajectory_dtw_radius"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan

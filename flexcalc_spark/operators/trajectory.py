@@ -552,6 +552,10 @@ def q_trajectory_dtw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     other, with exact integer-grid DTW on the survivors — sound
     (recall-1.0) thresholded retrieval via a bucketed equi join."""
     seg, _words = _sax_core(spark, sf_dir)
+    # cache the small per-user feature table: the scalars aggregate and
+    # the probe/index sides would otherwise each recompute the events
+    # window + double groupBy subtree (the q_trajectory_dtw seg-cache
+    # rationale; AQE sizes the cached layout via the round-9 conf)
     feat = _paa_series(seg).select(
         "user_id",
         "m",
@@ -559,7 +563,7 @@ def q_trajectory_dtw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("element_at(m, -1)").alias("l"),
         F.array_min("m").alias("mn"),
         F.array_max("m").alias("mx"),
-    )
+    ).cache()
     scalars = feat.agg(
         F.expr(
             f"greatest((max(mx) - min(mn)) div {_RADIUS_DIV},"
@@ -567,11 +571,9 @@ def q_trajectory_dtw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tau"),
         F.min("mn").alias("gmin"),
     )
-    # narrow feature table consumed twice (probe + index) after a
-    # groupBy: cache, AQE sizes the layout (tables.py round-9 conf)
     fs = feat.crossJoin(F.broadcast(scalars)).withColumn(
         "bkt", F.expr("(f - gmin) div tau")
-    ).cache()
+    )
     probe = fs.select(
         F.col("user_id").alias("ua"),
         F.col("m").alias("ma"),

@@ -249,6 +249,25 @@ def _json_default(schema: object, dv: object, names: dict):
     k = _kind(sch)
     if k == "union":
         return _json_default(sch[0], dv, names)
+    if k == "null":
+        if dv is not None:
+            raise ValueError("avro: null default must be JSON null")
+        return None
+    if k == "boolean":
+        if not isinstance(dv, bool):
+            raise ValueError("avro: boolean default must be a JSON bool")
+        return dv
+    if k in ("int", "long"):
+        if not isinstance(dv, int) or isinstance(dv, bool):
+            raise ValueError(f"avro: {k} default must be a JSON integer")
+        return dv
+    if k in ("float", "double"):
+        # coerce to float so a union default like ['double','long'] + 0
+        # strict-matches the FIRST branch downstream (the spec rule);
+        # without this the int 0 would take the long branch
+        if not isinstance(dv, (int, float)) or isinstance(dv, bool):
+            raise ValueError(f"avro: {k} default must be a JSON number")
+        return float(dv)
     if k in ("bytes", "fixed"):
         if not isinstance(dv, str):
             raise ValueError(f"avro: {k} default must be a JSON string")

@@ -591,10 +591,19 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
     and the rename is all-or-nothing — the final path only ever holds
     one attempt's complete bytes (both attempts produce identical
     content, so which one wins is immaterial)."""
+    import uuid
+
     from pyspark import TaskContext
 
     tc = TaskContext.get()
-    suffix = f".{tc.taskAttemptId()}.tmp" if tc is not None else ".tmp"
+    # driver-side / non-task callers still get a unique temp name — a
+    # shared ".tmp" would reintroduce the torn-write this helper exists
+    # to prevent
+    suffix = (
+        f".{tc.taskAttemptId()}.tmp"
+        if tc is not None
+        else f".{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    )
     tmp = path + suffix
     with open(tmp, "wb") as fh:
         fh.write(data)

@@ -289,6 +289,10 @@ def twostage_census(spark: SparkSession, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     n_pairs = q_dedup_containment_2stage(spark, sf_dir).count()
     full_s = time.perf_counter() - t0
+    # the plan helpers cache items/ranked internally per call; drop all
+    # of it so 9 corpus iterations don't accumulate cached relations
+    # and distort the later iterations' wall times
+    spark.catalog.clearCache()
     return {"raw": n_raw, "raw_s": raw_s, "cand": n_cand, "cand_s": cand_s,
             "pairs": n_pairs, "full_s": full_s}
 
@@ -310,7 +314,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="zipf_corpus_")
     print(f"corpus root: {base}")
-    for n in SIZES:
+    base_modes = modes & {"jaccard", "contain", "contain_w2",
+                          "contain_w2_tau02"}
+    for n in SIZES if base_modes else []:
         out = f"{base}/n{n}"
         gen_zipf_corpus(spark, n, out)
         allp = n * (n - 1) // 2

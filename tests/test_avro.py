@@ -318,14 +318,19 @@ def test_field_defaults_convert_json_per_spec():
             {"name": "opt", "type": ["null", "string"], "default": None},
             {"name": "tags", "type": {"type": "array", "items": "string"},
              "default": ["x"]},
+            # the first-branch rule with a LATER strict-matching branch:
+            # the JSON integer 0 must encode as double (branch 0), not
+            # long (branch 1) — the round-11 review finding
+            {"name": "v", "type": ["double", "long"], "default": 0},
         ],
     }
     # the record omits every defaulted field
     _, back = av.read_container(av.write_container(schema, [{"id": 7}]))
     assert back == [
         {"id": 7, "raw": b"\xff\x00A", "fx": b"\x01\x02",
-         "opt": None, "tags": ["x"]}
+         "opt": None, "tags": ["x"], "v": 0.0}
     ]
+    assert isinstance(back[0]["v"], float)
 
 
 def test_malformed_default_raises_typed_valueerror():

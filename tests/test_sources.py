@@ -1055,3 +1055,19 @@ def test_wav_g711_decode():
         assert (n_ch, n_samp, dt) == (2, 60, "int16")
         expect = table[np.frombuffer(codes, "u1")]
         assert np.array_equal(np.frombuffer(px, "=i2"), expect)
+
+
+def test_atomic_write_bytes_driver_side(tmp_path):
+    """The designated safe-write primitive outside a TaskContext:
+    publishes the full content under the final name, leaves no temp
+    file behind, and two sequential writers to the same path each end
+    with a complete (never interleaved) payload."""
+    import os
+
+    p = str(tmp_path / "out.bin")
+    bf.atomic_write_bytes(p, b"A" * 4096)
+    assert open(p, "rb").read() == b"A" * 4096
+    bf.atomic_write_bytes(p, b"B" * 1024)
+    assert open(p, "rb").read() == b"B" * 1024  # last writer wins, whole
+    leftovers = [f for f in os.listdir(tmp_path) if f != "out.bin"]
+    assert leftovers == []  # temp names are replaced away, not leaked

@@ -1107,8 +1107,13 @@ def test_trajectory_dtw_shares_cached_seg(spark):
 def test_dtw_radius_candidates_are_bucket_equi_join(spark):
     """q_trajectory_dtw_radius must generate candidates via the bucket
     EQUI join (+-1 probe explode), never an all-pairs theta join: the
-    only nested-loop join allowed is the single 1-row scalar broadcast
-    (tau/gmin), the standard two-aggregate crossJoin pattern."""
+    only nested-loop joins allowed are the 1-row scalar broadcasts
+    (tau/gmin crossJoin) — one per consumer side of the uncached fs
+    projection, so at most 2 — and the PAIR join itself must be a hash
+    or sort-merge equi join."""
     plan = plan_text(Q["q_trajectory_dtw_radius"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2, plan
+    assert re.search(
+        r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    ), plan

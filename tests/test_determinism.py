@@ -175,6 +175,8 @@ RISKY = [
     "q_source_warc",        # html->text census, ASCII-ws normalization
     "q_source_archive",     # tar member round-trip, BIGINT sums
     "q_trajectory_dtw",     # integer elastic DPs on grid PAA profiles
+    # round-11 additions (probed 2-vs-37 shuffle at add time)
+    "q_trajectory_dtw_radius",  # integer LB buckets + exact DP
 ]
 
 

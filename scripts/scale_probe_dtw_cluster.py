@@ -118,7 +118,101 @@ def fixture_series(sf_dir: str) -> np.ndarray:
     )
 
 
+def gen_clustered_events(spark, n_users: int, out_dir: str, k: int = 100):
+    """Deterministic clustered events fixture: n_users x 8 events,
+    value = archetype(user % k) + 1%-of-range noise on the 1e-6 grid
+    (the q_trajectory_dtw_radius unit; xxhash64-derived like the Zipf
+    corpus generator)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(n_users)
+        .withColumnRenamed("id", "user_id")
+        .withColumn("c", F.expr(f"user_id % {k}"))
+        .withColumn("i", F.explode(F.expr("sequence(0, 7)")))
+        .withColumn(
+            "arch", F.expr("pmod(xxhash64('a', c, i), 100000001)")
+        )  # grid 0..1e8 ~ value 0..100
+        .withColumn(
+            "noise",
+            F.expr("pmod(xxhash64('n', user_id, i), 2000001) - 1000000"),
+        )  # +-1e6 grid = +-1% of range
+        .select(
+            F.expr("user_id * 8 + i").alias("event_id"),
+            F.expr(
+                "timestamp_micros(1704067200000000 + i * 3600000000)"
+            ).alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            ((F.col("arch") + F.col("noise")).cast("double") / 1e6).alias(
+                "value"
+            ),
+            F.lit('{"k": 1}').alias("props"),
+        )
+    )
+    df.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+
+def spark_census(sizes: list[int], kfn=None, label: str = "fixedK") -> None:
+    """Run the GRADED q_trajectory_dtw_radius plan on clustered corpora
+    at growing user counts: emitted-pair count (= LB survivors) and
+    wall time, plus the log-log exponent — the Spark-side mirror of the
+    twostage census protocol."""
+    import math
+    import tempfile
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    from flexcalc_spark.registry import QUERIES
+    import flexcalc_spark.operators.trajectory  # noqa: F401 (register)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="dtw_cluster_")
+    counts = []
+    for n in sizes:
+        k = kfn(n) if kfn else 100
+        out = f"{base}/{label}_n{n}"
+        gen_clustered_events(spark, n, out, k=k)
+        allp = n * (n - 1) // 2
+        t0 = time.perf_counter()
+        pairs = QUERIES["q_trajectory_dtw_radius"](spark, out).count()
+        dt = time.perf_counter() - t0
+        counts.append((n, pairs))
+        print(
+            f"spark_census {label} n={n} K={k}: pairs={pairs} "
+            f"frac={pairs / allp:.3e} {dt:.1f}s"
+        )
+        spark.catalog.clearCache()
+    (n1, c1), (n2, c2) = counts[0], counts[-1]
+    if c1 and c2:
+        exp = math.log(c2 / c1) / math.log(n2 / n1)
+        print(
+            f"spark_census {label} survivor exponent "
+            f"(n{n1}->n{n2}): {exp:.2f}"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "spark":
+        # fixed K: the survivor set ~ n^2/K because the ANSWER set is
+        # n^2/K (within-cluster pairs genuinely qualify); growing K
+        # (archetype diversity scaling with the corpus, the Heaps-law
+        # analogue) is the realistic regime
+        spark_census([2_000, 8_000, 20_000], label="fixedK100")
+        spark_census(
+            [2_000, 8_000, 20_000], kfn=lambda n: n // 20, label="K=n/20"
+        )
+        return
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     fx = fixture_series(sf)
     rng_range = int(fx.max() - fx.min())

@@ -541,7 +541,13 @@ _LB_KIM_SQL = (
         "K=20/100 clustered corpora (the regime the recipe assumes), "
         "99.8% ambient-random — the same bound that prunes NOTHING in "
         "its 1-component |a1-b1| form (round-10 measurement, still "
-        "true). Emits (pair, lb_grid, dtw_grid) for every LB survivor "
+        "true). Survivor census of THIS plan on clustered Spark "
+        "fixtures (SCALE.md round-11): ~n^2.02 under fixed K=100 — "
+        "quadratic because the ANSWER set (within-cluster pairs "
+        "~n^2/K) is — and ~n^1.41 falling toward the true-pair floor "
+        "when archetype diversity grows with n (K=n/20); no sound "
+        "filter can emit fewer rows than the answer. "
+        "Emits (pair, lb_grid, dtw_grid) for every LB survivor "
         "— the sound superset of any DTW <= tau' answer for tau' <= "
         "tau, with exact distances attached; all-integer, full hash "
         "oracle despite the sequential DP (nested list_reduce twin)"

@@ -363,3 +363,54 @@ def test_union_int_promotes_to_double_branch():
     assert back == [{"v": 3.0, "w": 4}]
     assert isinstance(back[0]["v"], float)
     assert isinstance(back[0]["w"], int)
+
+
+def test_java_reads_our_default_encodings(spark):
+    """Gold-standard check of the round-11 default-conversion path: a
+    container whose records OMIT every defaulted field must read back
+    through the official Java Avro with the spec-converted values —
+    latin-1 bytes, first-branch union (double, not long), containers."""
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "Dflt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "raw", "type": "bytes", "default": "\u00ff\u0000A"},
+            {"name": "opt", "type": ["null", "string"], "default": None},
+            {"name": "v", "type": ["double", "long"], "default": 0},
+            {"name": "tags", "type": {"type": "array", "items": "string"},
+             "default": ["x", "y"]},
+        ],
+    }
+    data = av.write_container(schema, [{"id": 7}, {"id": 8}])
+    path = os.path.join(tempfile.gettempdir(), "fx_avro_defaults.avro")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), reader
+    )
+    got = []
+    while dfr.hasNext():
+        r = dfr.next()
+        raw = r.get("raw")  # java.nio.ByteBuffer
+        n = raw.remaining()
+        bs = bytes(raw.get(i) % 256 for i in range(n))
+        got.append(
+            {
+                "id": r.get("id"),
+                "raw": bs,
+                "opt": r.get("opt"),
+                "v": r.get("v"),
+                "tags": [str(t) for t in r.get("tags")],
+            }
+        )
+    dfr.close()
+    os.unlink(path)
+    assert got == [
+        {"id": i, "raw": b"\xff\x00A", "opt": None, "v": 0.0,
+         "tags": ["x", "y"]}
+        for i in (7, 8)
+    ]
+    assert all(isinstance(r["v"], float) for r in got)

@@ -10,7 +10,7 @@ kernel over ``mapInPandas``.
 Decoding dispatches through ``DECODERS``: ``raw`` (np.frombuffer
 reshape), grayscale ``tiff`` (pure-Python IFD parse — both byte
 orders, 8/16/32-bit int and 32/64-bit float; Compression none/LZW/
-PackBits with the horizontal predictor), ``png`` (every static color
+Deflate/PackBits with the horizontal predictor), ``png`` (every static color
 type — gray/RGB/palette/alpha, 1-16 bit, Adam7 — collapsed to a
 BT.601 luma plane), ``wav`` (integer 8/16/24/32-bit, IEEE-float
 32/64-bit, and WAVE_FORMAT_EXTENSIBLE PCM), and ``jpeg``
@@ -157,9 +157,23 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_deflate_decode(data: bytes) -> bytes:
+    """TIFF Deflate strips (Compression=8 'Adobe', 32946 legacy): each
+    strip is one zlib stream — stdlib zlib IS the independent reference
+    implementation here (RFC 1950/1951)."""
+    import zlib
+
+    try:
+        return zlib.decompress(data)
+    except zlib.error as exc:
+        raise ValueError(f"TIFF deflate strip corrupt ({exc})") from None
+
+
 _TIFF_DECOMPRESSORS: dict[int, Callable[[bytes], bytes]] = {
     1: lambda b: b,
     5: _lzw_decode,
+    8: _tiff_deflate_decode,
+    32946: _tiff_deflate_decode,
     32773: _packbits_decode,
 }
 
@@ -219,7 +233,8 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     if decompress is None:
         raise NotImplementedError(
             f"TIFF Compression={compression} not supported offline; "
-            "only none(1)/LZW(5)/PackBits(32773) decode pure-Python "
+            "only none(1)/LZW(5)/Deflate(8/32946)/PackBits(32773) "
+            "decode pure-Python "
             "(plug Pillow/tifffile into DECODERS for the rest)"
         )
     spp = one(277, 1)

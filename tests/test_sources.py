@@ -296,7 +296,8 @@ def _write_tiff_ex(
     planar: int = 1,
 ) -> None:
     """General TIFF writer: grayscale (h, w) or chunky RGB (h, w, 3),
-    multi-strip, Compression in {1, 5, 32773}, optional per-channel
+    multi-strip, Compression in {1, 5, 8, 32946, 32773}, optional
+    per-channel
     horizontal predictor (integer dtypes)."""
     import struct
 
@@ -310,7 +311,10 @@ def _write_tiff_ex(
     if predictor == 2:
         work = work.copy()
         work[:, 1:] = (work[:, 1:] - work[:, :-1]).astype(dt)
-    enc = {1: lambda b: b, 5: _lzw_encode, 32773: _packbits_encode}[compression]
+    import zlib
+
+    enc = {1: lambda b: b, 5: _lzw_encode, 8: zlib.compress,
+           32946: zlib.compress, 32773: _packbits_encode}[compression]
     if planar == 2:
         # separate-plane layout: one strip per channel (rps = h)
         rps = h
@@ -389,6 +393,10 @@ def _write_tiff_ex(
         (32773, 1, "uint8", "<", None),
         (32773, 1, "uint16", ">", 2),
         (1, 2, "uint16", "<", None),
+        # Deflate strips: stdlib zlib is the independent reference
+        (8, 1, "uint8", "<", None),
+        (8, 2, "uint16", ">", 3),
+        (32946, 1, "uint16", "<", 4),
     ],
 )
 def test_tiff_compressed_roundtrip(compression, predictor, dtype, endian, rps):
@@ -443,6 +451,7 @@ def test_tiff_rgb_luma(tmp_path):
     ).astype(np.uint8)
     for comp, pred, endian, rps in [
         (1, 1, "<", None), (5, 2, "<", 3), (32773, 1, ">", 2),
+        (8, 2, ">", 3),
     ]:
         path = tmp_path / f"rgb_{comp}_{pred}_{rps}.tif"
         _write_tiff_ex(path, rgb, endian=endian, compression=comp,
@@ -474,7 +483,8 @@ def test_tiff_planar_rgb_luma(tmp_path):
          + 587 * rgb[..., 1].astype(np.int64)
          + 114 * rgb[..., 2].astype(np.int64) + 500) // 1000
     ).astype(np.uint8)
-    for comp, pred, endian in [(1, 1, "<"), (5, 2, ">"), (32773, 1, "<")]:
+    for comp, pred, endian in [(1, 1, "<"), (5, 2, ">"), (32773, 1, "<"),
+                               (8, 1, ">")]:
         path = tmp_path / f"planar_{comp}_{pred}.tif"
         _write_tiff_ex(path, rgb, endian=endian, compression=comp,
                        predictor=pred, planar=2)
@@ -1071,3 +1081,15 @@ def test_atomic_write_bytes_driver_side(tmp_path):
     assert open(p, "rb").read() == b"B" * 1024  # last writer wins, whole
     leftovers = [f for f in os.listdir(tmp_path) if f != "out.bin"]
     assert leftovers == []  # temp names are replaced away, not leaked
+
+
+def test_tiff_corrupt_deflate_strip_raises(tmp_path):
+    """A bit-flipped Deflate strip must surface as ValueError (the
+    typed corrupt-bytes contract), never leak zlib.error."""
+    img = np.cumsum(np.ones((6, 8), dtype=np.uint8), axis=1)
+    path = tmp_path / "d.tif"
+    _write_tiff_ex(path, img, compression=8)
+    blob = bytearray(path.read_bytes())
+    blob[-3] ^= 0xFF  # inside the (trailing) strip data
+    with pytest.raises(ValueError):
+        bf._decode_tiff(bytes(blob), {})

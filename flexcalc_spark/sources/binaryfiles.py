@@ -187,12 +187,13 @@ def _bt601_luma(r, g, b):
 
 def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     """Pure-Python decoder for grayscale or RGB TIFF — chunky AND
-    separate-plane (PlanarConfiguration 1/2) layouts; RGB collapses to
-    a BT.601 integer luma plane under the single-plane contract.
-    Parses the first IFD (both byte orders), decompresses strips
-    (Compression = none, LZW, or PackBits; per-channel horizontal
-    predictor honored), and normalizes to native byte order. Other
-    codecs or exotic sample layouts raise NotImplementedError (plug
+    separate-plane (PlanarConfiguration 1/2) layouts, strip AND tiled
+    (TIFF 6.0 §15) organizations; RGB collapses to a BT.601 integer
+    luma plane under the single-plane contract. Parses the first IFD
+    (both byte orders), decompresses strips/tiles (Compression = none,
+    LZW, Deflate, or PackBits; per-channel horizontal predictor
+    honored), and normalizes to native byte order. Other codecs or
+    exotic sample layouts raise NotImplementedError (plug
     Pillow/tifffile into DECODERS where available)."""
     import struct
 
@@ -260,6 +261,50 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         )
     if predictor not in (1, 2) or (predictor == 2 and kind == "f"):
         raise NotImplementedError(f"TIFF Predictor={predictor} not supported")
+    if 322 in tags:
+        # tiled layout (TIFF 6.0 §15): row-major grid of tw x tl tiles,
+        # edge tiles padded to full size; each tile decompresses
+        # independently (the parallelism grain, like strips)
+        tw, tl = one(322), one(323)
+        if tw <= 0 or tl <= 0:
+            raise ValueError("TIFF tile dimensions invalid")
+        if planar == 2:
+            raise NotImplementedError(
+                "TIFF tiled planar-configuration not supported"
+            )
+        toffs = tags.get(324)
+        if not toffs:
+            raise ValueError("TIFF missing TileOffsets")
+        tcnts = tags.get(325, [tw * tl * spp * (bps // 8)] * len(toffs))
+        ta = -(-w // tw)
+        td = -(-h // tl)
+        if len(toffs) != ta * td:
+            raise ValueError(
+                f"TIFF tile count {len(toffs)} != {ta * td}"
+            )
+        src = np.dtype(f"{e}{kind}{bps // 8}")
+        native = src.newbyteorder("=")
+        plane = np.zeros((td * tl, ta * tw, spp), dtype=native)
+        tile_n = tw * tl * spp
+        for idx, (o, c) in enumerate(zip(toffs, tcnts)):
+            tdata = decompress(content[o : o + c]) if o else b""
+            t = np.frombuffer(tdata, dtype=src)
+            if t.size != tile_n:
+                raise ValueError(
+                    f"TIFF tile {idx} has {t.size} samples != {tile_n}"
+                )
+            t = t.astype(native).reshape(tl, tw, spp)
+            if predictor == 2:
+                # horizontal differencing integrates per TILE row
+                t = np.add.accumulate(t, axis=1, dtype=native)
+            ty, tx = divmod(idx, ta)
+            plane[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = t
+        plane = plane[:h, :w]
+        if spp == 3:
+            rgb = plane.astype(np.int64)
+            luma = _bt601_luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+            return h, w, native.name, luma.astype(native).tobytes()
+        return h, w, native.name, plane[:, :, 0].tobytes()
     offs = tags.get(273)
     if not offs:
         raise ValueError("TIFF missing StripOffsets")

@@ -1093,3 +1093,147 @@ def test_tiff_corrupt_deflate_strip_raises(tmp_path):
     blob[-3] ^= 0xFF  # inside the (trailing) strip data
     with pytest.raises(ValueError):
         bf._decode_tiff(bytes(blob), {})
+
+
+def _write_tiff_tiled(
+    path, arr, endian="<", compression=1, predictor=1, tw=8, tl=4,
+    planar=1,
+):
+    """Tiled TIFF writer (tags 322-325): row-major edge-padded tiles,
+    per-tile horizontal differencing, gray or chunky RGB."""
+    import struct
+    import zlib
+
+    kindmap = {"u": 1, "i": 2, "f": 3}
+    h, w = arr.shape[:2]
+    spp = arr.shape[2] if arr.ndim == 3 else 1
+    a3 = arr.reshape(h, w, spp)
+    dt = arr.dtype
+    bps = dt.itemsize * 8
+    enc = {1: lambda b: b, 5: _lzw_encode, 8: zlib.compress,
+           32773: _packbits_encode}[compression]
+    ta = -(-w // tw)
+    td = -(-h // tl)
+    padded = np.zeros((td * tl, ta * tw, spp), dtype=dt)
+    padded[:h, :w] = a3
+    tiles = []
+    for ty in range(td):
+        for tx in range(ta):
+            t = padded[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw].copy()
+            if predictor == 2:
+                t[:, 1:] = (t[:, 1:] - t[:, :-1]).astype(dt)
+            tiles.append(enc(t.astype(dt.newbyteorder(endian)).tobytes()))
+    n = len(tiles)
+    n_tags = 11 + (1 if planar != 1 else 0)
+    ifd_off = 8
+    val_off = ifd_off + 2 + n_tags * 12 + 4
+    arrays_sz = 2 * 4 * n if n > 1 else 0
+    data_off = val_off + arrays_sz
+    offs = []
+    pos = data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+
+    def tag(tid, typ, cnt, val):
+        code = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(endian + code, val)
+        raw += b"\x00" * (4 - len(raw))
+        return struct.pack(endian + "HHI", tid, typ, cnt) + raw
+
+    ifd = struct.pack(endian + "H", n_tags)
+    ifd += tag(256, 4, 1, w)
+    ifd += tag(257, 4, 1, h)
+    ifd += tag(258, 3, 1, bps)
+    ifd += tag(259, 3, 1, compression)
+    ifd += tag(277, 3, 1, spp)
+    if planar != 1:
+        ifd += tag(284, 3, 1, planar)
+    ifd += tag(317, 3, 1, predictor)
+    ifd += tag(322, 4, 1, tw)
+    ifd += tag(323, 4, 1, tl)
+    if n > 1:
+        ifd += tag(324, 4, n, val_off)
+        ifd += tag(325, 4, n, val_off + 4 * n)
+    else:
+        ifd += tag(324, 4, 1, offs[0])
+        ifd += tag(325, 4, 1, len(tiles[0]))
+    ifd += tag(339, 3, 1, kindmap[dt.kind])
+    ifd += struct.pack(endian + "I", 0)
+    body = b""
+    if n > 1:
+        body += struct.pack(f"{endian}{n}I", *offs)
+        body += struct.pack(f"{endian}{n}I", *(len(t) for t in tiles))
+    bo = b"II" if endian == "<" else b"MM"
+    with open(path, "wb") as fh:
+        fh.write(
+            bo
+            + struct.pack(endian + "H", 42)
+            + struct.pack(endian + "I", ifd_off)
+            + ifd
+            + body
+            + b"".join(tiles)
+        )
+
+
+@pytest.mark.parametrize(
+    "compression,predictor,dtype,endian,tw,tl",
+    [
+        (1, 1, "uint8", "<", 8, 4),    # multi-tile with edge padding
+        (1, 2, "uint16", ">", 4, 4),
+        (5, 2, "uint8", "<", 4, 8),
+        (8, 1, "uint16", "<", 8, 8),
+        (8, 2, "uint8", ">", 4, 4),
+        (32773, 1, "uint16", ">", 16, 16),  # single padded tile
+    ],
+)
+def test_tiff_tiled_roundtrip(tmp_path, compression, predictor, dtype,
+                              endian, tw, tl):
+    """Tiled TIFFs (TIFF 6.0 §15) round-trip bit-exactly: row-major
+    grid, edge tiles padded then cropped, per-tile predictor, every
+    supported codec."""
+    rng = np.random.RandomState(13)
+    img = np.cumsum(rng.randint(0, 3, size=(10, 9)), axis=1).astype(dtype)
+    path = tmp_path / f"t_{compression}_{predictor}_{tw}x{tl}.tif"
+    _write_tiff_tiled(path, img, endian=endian, compression=compression,
+                      predictor=predictor, tw=tw, tl=tl)
+    h, w, dt, px = bf._decode_tiff(path.read_bytes(), {})
+    assert (h, w, dt) == (10, 9, dtype)
+    assert np.array_equal(np.frombuffer(px, dtype).reshape(h, w), img)
+
+
+def test_tiff_tiled_rgb_luma(tmp_path):
+    """Tiled chunky RGB collapses to the BT.601 integer luma plane."""
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    expect = (
+        (299 * rgb[..., 0].astype(np.int64)
+         + 587 * rgb[..., 1].astype(np.int64)
+         + 114 * rgb[..., 2].astype(np.int64) + 500) // 1000
+    ).astype(np.uint8)
+    path = tmp_path / "rgb_tiled.tif"
+    _write_tiff_tiled(path, rgb, endian=">", compression=8, predictor=2,
+                      tw=4, tl=4)
+    h, w, dt, px = bf._decode_tiff(path.read_bytes(), {})
+    assert (h, w, dt) == (9, 7, "uint8")
+    assert np.array_equal(np.frombuffer(px, "u1").reshape(9, 7), expect)
+
+
+def test_tiff_tiled_error_paths(tmp_path):
+    """Tiled planar raises the named NotImplementedError; a tile-count
+    mismatch raises ValueError."""
+    img = np.ones((8, 8), dtype=np.uint8)
+    rgb = np.ones((8, 8, 3), dtype=np.uint8)
+    path = tmp_path / "p.tif"
+    _write_tiff_tiled(path, rgb, tw=4, tl=4, planar=2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        bf._decode_tiff(path.read_bytes(), {})
+    path2 = tmp_path / "m.tif"
+    _write_tiff_tiled(path2, img, tw=4, tl=4)
+    blob = bytearray(path2.read_bytes())
+    # corrupt TileWidth (tag 322 value) to force a grid mismatch
+    import struct
+    i = blob.find(struct.pack("<HHI", 322, 4, 1))
+    struct.pack_into("<I", blob, i + 8, 64)
+    with pytest.raises(ValueError, match="tile"):
+        bf._decode_tiff(bytes(blob), {})

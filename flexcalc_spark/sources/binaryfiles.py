@@ -178,6 +178,30 @@ _TIFF_DECOMPRESSORS: dict[int, Callable[[bytes], bytes]] = {
 }
 
 
+def tiff_page_count(content: bytes) -> int:
+    """Number of IFDs (pages) in a TIFF — the fan-out driver for
+    multi-page slice stacks: binaryFile scan -> one (path, page) row
+    per page -> ``_decode_tiff(content, {"page": n})`` per row."""
+    import struct
+
+    if content[:2] == b"II":
+        e = "<"
+    elif content[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    off = struct.unpack(e + "I", content[4:8])[0]
+    n = 0
+    while off:
+        n += 1
+        if n > 1_000_000:
+            raise ValueError("TIFF IFD chain does not terminate")
+        nt = struct.unpack(e + "H", content[off : off + 2])[0]
+        p = off + 2 + nt * 12
+        off = struct.unpack(e + "I", content[p : p + 4])[0]
+    return n
+
+
 def _bt601_luma(r, g, b):
     """Integer BT.601 luma: round(0.299 R + 0.587 G + 0.114 B) as exact
     integer math — the single-plane collapse shared by the TIFF and PNG
@@ -206,6 +230,17 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     if struct.unpack(e + "H", content[2:4])[0] != 42:
         raise ValueError("not a TIFF: bad magic")
     ifd_off = struct.unpack(e + "I", content[4:8])[0]
+    # multi-page: meta["page"] selects the Nth IFD of the chain
+    # (default 0 — the standard still-consumer behavior); use
+    # tiff_page_count() to fan a stack file out to (file, page) rows
+    page = int(meta.get("page", 0)) if meta else 0
+    for _ in range(page):
+        nt = struct.unpack(e + "H", content[ifd_off : ifd_off + 2])[0]
+        p = ifd_off + 2 + nt * 12
+        nxt = struct.unpack(e + "I", content[p : p + 4])[0]
+        if nxt == 0:
+            raise ValueError(f"TIFF has no page {page}")
+        ifd_off = nxt
     n_tags = struct.unpack(e + "H", content[ifd_off : ifd_off + 2])[0]
     tags: dict[int, list[int]] = {}
     for i in range(n_tags):

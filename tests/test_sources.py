@@ -1237,3 +1237,73 @@ def test_tiff_tiled_error_paths(tmp_path):
     struct.pack_into("<I", blob, i + 8, 64)
     with pytest.raises(ValueError, match="tile"):
         bf._decode_tiff(bytes(blob), {})
+
+
+def _write_tiff_multipage(path, pages, endian="<"):
+    """Chained-IFD multi-page TIFF (uncompressed gray, one strip per
+    page) — the slice-stack container some CT archives ship as one
+    file."""
+    import struct
+
+    bo = b"II" if endian == "<" else b"MM"
+    out = bytearray(
+        bo + struct.pack(endian + "H", 42) + b"\x00\x00\x00\x00"
+    )
+    next_ptr = 4  # header's first-IFD pointer, patched per page
+    for arr in pages:
+        h, w = arr.shape
+        data = arr.astype(arr.dtype.newbyteorder(endian)).tobytes()
+        n_tags = 8
+        ifd_off = len(out)
+        struct.pack_into(endian + "I", out, next_ptr, ifd_off)
+        data_off = ifd_off + 2 + n_tags * 12 + 4
+
+        def tag(tid, typ, cnt, val):
+            code = {3: "H", 4: "I"}[typ]
+            raw = struct.pack(endian + code, val)
+            raw += b"\x00" * (4 - len(raw))
+            return struct.pack(endian + "HHI", tid, typ, cnt) + raw
+
+        ifd = struct.pack(endian + "H", n_tags)
+        ifd += tag(256, 4, 1, w)
+        ifd += tag(257, 4, 1, h)
+        ifd += tag(258, 3, 1, arr.dtype.itemsize * 8)
+        ifd += tag(259, 3, 1, 1)
+        ifd += tag(273, 4, 1, data_off)
+        ifd += tag(277, 3, 1, 1)
+        ifd += tag(279, 4, 1, len(data))
+        ifd += tag(339, 3, 1, 1)
+        next_ptr = ifd_off + 2 + n_tags * 12
+        ifd += b"\x00\x00\x00\x00"  # next-IFD terminator (patched)
+        out += ifd + data
+    path_bytes = bytes(out)
+    with open(path, "wb") as fh:
+        fh.write(path_bytes)
+
+
+def test_tiff_multipage_pages_decode(tmp_path):
+    """Every page of a chained-IFD stack decodes via meta['page'];
+    tiff_page_count drives the fan-out; page 0 stays the default
+    (still-consumer behavior); past-the-end raises."""
+    rng = np.random.RandomState(3)
+    pages = [
+        rng.randint(0, 4096, size=(5 + i, 7)).astype(np.uint16)
+        for i in range(3)
+    ]
+    path = tmp_path / "stack.tif"
+    _write_tiff_multipage(path, pages, endian=">")
+    blob = path.read_bytes()
+    assert bf.tiff_page_count(blob) == 3
+    for i, img in enumerate(pages):
+        h, w, dt, px = bf._decode_tiff(blob, {"page": i})
+        assert (h, w, dt) == (img.shape[0], 7, "uint16")
+        assert np.array_equal(
+            np.frombuffer(px, np.uint16).reshape(h, w), img
+        )
+    # default = first page
+    h, w, _, px = bf._decode_tiff(blob, {})
+    assert np.array_equal(
+        np.frombuffer(px, np.uint16).reshape(h, w), pages[0]
+    )
+    with pytest.raises(ValueError, match="page"):
+        bf._decode_tiff(blob, {"page": 3})

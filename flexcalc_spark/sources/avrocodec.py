@@ -30,8 +30,14 @@ Supported (the full spec surface minus RPC):
   uncompressed block), ``bzip2`` and ``xz`` (stdlib bz2/lzma);
   ``zstandard`` raises with the plug-in point named (a pure-Python
   RFC 8878 decoder is outside the offline-verification budget);
-- logical types decode as their underlying type (spec-sanctioned
-  fallback: "a reader SHOULD ignore a logical type it doesn't
+- logical types (the warehouse-interchange workhorses): ``decimal``
+  (bytes or fixed two's-complement unscaled), ``uuid``, ``date``,
+  ``time-millis/micros``, ``timestamp-millis/micros`` and their
+  ``local-`` variants convert to/from rich Python values
+  (decimal.Decimal, datetime.date/time/datetime — timestamps aware
+  UTC, local-timestamps naive); raw base-typed values still pass
+  through on write, and UNRECOGNIZED logical types fall back to the
+  base type ("a reader SHOULD ignore a logical type it doesn't
   recognize").
 
 Python value mapping: null→None, boolean→bool, int/long→int,
@@ -169,8 +175,122 @@ def _kind(schema: object) -> str:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# logical types (Avro 1.12 spec §"Logical Types"): decimal, uuid, date,
+# time-millis/micros, timestamp-millis/micros, local-timestamp-*.
+# Rich Python values convert to the base encoding on write and back on
+# read; raw base-typed values pass through unchanged (so files written
+# against the raw convention — e.g. the Java-parity tests — still work).
+# Unrecognized logical types fall back to the base type, as the spec
+# directs readers to do.
+# ---------------------------------------------------------------------------
+
+_EPOCH_DATE = None  # initialized lazily (datetime import kept local)
+
+
+def _logical_epochs():
+    import datetime as dt
+
+    return (
+        dt.date(1970, 1, 1),
+        dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc),
+        dt.datetime(1970, 1, 1),
+    )
+
+
+def _logical_to_raw(schema: dict, value):
+    """Convert a rich Python value to the logical type's base encoding;
+    base-typed values pass through."""
+    import datetime as dt
+    import decimal as dec
+    import uuid as uuid_mod
+
+    lt = schema.get("logicalType")
+    if lt == "decimal" and isinstance(value, dec.Decimal):
+        scale = int(schema.get("scale", 0))
+        q = value.scaleb(scale)
+        if q != q.to_integral_value():
+            raise ValueError(
+                f"avro: decimal {value} does not fit scale {scale}"
+            )
+        unscaled = int(q)
+        size = schema.get("size") if schema.get("type") == "fixed" else None
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        if size is not None:
+            if nbytes > size:
+                raise ValueError(
+                    f"avro: decimal {value} overflows fixed size {size}"
+                )
+            nbytes = size
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    if lt == "uuid" and isinstance(value, uuid_mod.UUID):
+        return str(value)
+    if lt == "date" and isinstance(value, dt.date) and not isinstance(
+        value, dt.datetime
+    ):
+        epoch_d, _, _ = _logical_epochs()
+        return (value - epoch_d).days
+    if lt in ("time-millis", "time-micros") and isinstance(value, dt.time):
+        us = (
+            value.hour * 3_600_000_000
+            + value.minute * 60_000_000
+            + value.second * 1_000_000
+            + value.microsecond
+        )
+        return us // 1000 if lt == "time-millis" else us
+    if lt in (
+        "timestamp-millis", "timestamp-micros",
+        "local-timestamp-millis", "local-timestamp-micros",
+    ) and isinstance(value, dt.datetime):
+        _, epoch_utc, epoch_naive = _logical_epochs()
+        if lt.startswith("local-"):
+            v = value.replace(tzinfo=None)
+            delta = v - epoch_naive
+        else:
+            v = value if value.tzinfo is not None else value.replace(
+                tzinfo=dt.timezone.utc
+            )
+            delta = v - epoch_utc
+        us = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+              + delta.microseconds)
+        return us // 1000 if lt.endswith("millis") else us
+    return value
+
+
+def _raw_to_logical(schema: dict, value):
+    """Convert a decoded base value to the rich Python type the logical
+    annotation names; unknown annotations pass through (spec rule)."""
+    import datetime as dt
+    import decimal as dec
+
+    lt = schema.get("logicalType")
+    if lt == "decimal" and isinstance(value, (bytes, bytearray)):
+        scale = int(schema.get("scale", 0))
+        unscaled = int.from_bytes(bytes(value), "big", signed=True)
+        return dec.Decimal(unscaled).scaleb(-scale)
+    if lt == "date" and isinstance(value, int):
+        epoch_d, _, _ = _logical_epochs()
+        return epoch_d + dt.timedelta(days=value)
+    if lt in ("time-millis", "time-micros") and isinstance(value, int):
+        us = value * 1000 if lt == "time-millis" else value
+        return (
+            dt.datetime.min + dt.timedelta(microseconds=us)
+        ).time()
+    if lt in (
+        "timestamp-millis", "timestamp-micros",
+        "local-timestamp-millis", "local-timestamp-micros",
+    ) and isinstance(value, int):
+        us = value * 1000 if lt.endswith("millis") else value
+        _, epoch_utc, epoch_naive = _logical_epochs()
+        base = epoch_naive if lt.startswith("local-") else epoch_utc
+        return base + dt.timedelta(microseconds=us)
+    return value  # uuid stays str; unknown annotations pass through
+
+
 def _encode(schema: object, value: object, out: bytearray, names: dict) -> None:
     schema = _resolve(schema, names)
+    if isinstance(schema, dict) and "logicalType" in schema:
+        value = _logical_to_raw(schema, value)
     k = _kind(schema)
     if k == "null":
         if value is not None:
@@ -315,10 +435,40 @@ def _union_index(branches: list, value: object, names: dict) -> int:
     (first-match rule; callers wanting the enum must order it first).
     One spec-sanctioned promotion applies as a fallback: an int (non-
     bool) datum matches a float/double branch when the union has no
-    int/long branch."""
+    int/long branch. Rich logical-type values (datetime/date/time/
+    Decimal/UUID) match the branch whose logicalType accepts them."""
+    import datetime as _dt
+    import decimal as _dec
+    import uuid as _uuid
+
     float_fallback = None
     for i, br in enumerate(branches):
-        bk = _kind(_resolve(br, names))
+        sch = _resolve(br, names)
+        bk = _kind(sch)
+        lt = sch.get("logicalType") if isinstance(sch, dict) else None
+        if isinstance(value, _dt.datetime):
+            if lt in (
+                "timestamp-millis", "timestamp-micros",
+                "local-timestamp-millis", "local-timestamp-micros",
+            ):
+                return i
+            continue
+        if isinstance(value, _dt.date):
+            if lt == "date":
+                return i
+            continue
+        if isinstance(value, _dt.time):
+            if lt in ("time-millis", "time-micros"):
+                return i
+            continue
+        if isinstance(value, _dec.Decimal):
+            if lt == "decimal":
+                return i
+            continue
+        if isinstance(value, _uuid.UUID):
+            if bk == "string":
+                return i
+            continue
         if value is None:
             if bk == "null":
                 return i
@@ -359,6 +509,13 @@ def _union_index(branches: list, value: object, names: dict) -> int:
 
 def _decode(schema: object, buf: bytes, pos: int, names: dict):
     schema = _resolve(schema, names)
+    val, pos = _decode_base(schema, buf, pos, names)
+    if isinstance(schema, dict) and "logicalType" in schema:
+        val = _raw_to_logical(schema, val)
+    return val, pos
+
+
+def _decode_base(schema: object, buf: bytes, pos: int, names: dict):
     k = _kind(schema)
     if k == "null":
         return None, pos

@@ -414,3 +414,189 @@ def test_java_reads_our_default_encodings(spark):
         for i in (7, 8)
     ]
     assert all(isinstance(r["v"], float) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# logical types (round 11)
+# ---------------------------------------------------------------------------
+
+LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "LT",
+    "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "tsm", "type": {"type": "long",
+                                 "logicalType": "timestamp-millis"}},
+        {"name": "lts", "type": {"type": "long",
+                                 "logicalType": "local-timestamp-micros"}},
+        {"name": "t", "type": {"type": "long",
+                               "logicalType": "time-micros"}},
+        {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 10, "scale": 2}},
+        {"name": "famt", "type": {"type": "fixed", "name": "D8", "size": 8,
+                                  "logicalType": "decimal",
+                                  "precision": 18, "scale": 4}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "opt_ts", "type": ["null", {"type": "long",
+                                   "logicalType": "timestamp-micros"}]},
+        {"name": "mystery", "type": {"type": "int",
+                                     "logicalType": "no-such-type"}},
+    ],
+}
+
+
+def _logical_records():
+    import datetime as dt
+    import decimal as dec
+    import uuid
+
+    utc = dt.timezone.utc
+    return [
+        {
+            "d": dt.date(2024, 2, 29),
+            "ts": dt.datetime(2024, 2, 29, 12, 34, 56, 789012, tzinfo=utc),
+            "tsm": dt.datetime(2024, 2, 29, 12, 34, 56, 789000, tzinfo=utc),
+            "lts": dt.datetime(2024, 2, 29, 12, 34, 56, 789012),
+            "t": dt.time(23, 59, 59, 999999),
+            "amt": dec.Decimal("-12345.67"),
+            "famt": dec.Decimal("99999999999999.9999"),
+            "u": uuid.UUID("12345678-1234-5678-1234-567812345678"),
+            "opt_ts": dt.datetime(1969, 12, 31, 23, 59, 59, tzinfo=utc),
+            "mystery": 7,
+        },
+        {
+            "d": dt.date(1969, 1, 1),  # pre-epoch (negative days)
+            "ts": dt.datetime(1902, 1, 1, tzinfo=utc),
+            "tsm": dt.datetime(2100, 1, 1, tzinfo=utc),
+            "lts": dt.datetime(1970, 1, 1),
+            "t": dt.time(0, 0, 0),
+            "amt": dec.Decimal("0.00"),
+            "famt": dec.Decimal("-0.0001"),
+            "u": uuid.UUID(int=0),
+            "opt_ts": None,
+            "mystery": -7,
+        },
+    ]
+
+
+def test_logical_types_roundtrip():
+    """All recognized logical types round-trip as rich Python values
+    (timestamps aware UTC, local naive, decimal exact incl. negatives
+    and fixed-width); unrecognized annotations pass through as base."""
+    recs = _logical_records()
+    _, back = av.read_container(av.write_container(LOGICAL_SCHEMA, recs))
+    for want, got in zip(recs, back):
+        for k, v in want.items():
+            if k == "u":
+                assert got[k] == str(v), k  # uuid stays str on read
+            else:
+                assert got[k] == v, (k, got[k], v)
+
+
+def test_logical_raw_values_pass_through_on_write():
+    """Raw base-typed values (ints/bytes) still encode under logical
+    schemas — files written against the raw convention keep working."""
+    import datetime as dt
+    import decimal as dec
+
+    raw = {
+        "d": 19782, "ts": 1709210096789012, "tsm": 1709210096789,
+        "lts": 1709210096789012, "t": 86399999999,
+        "amt": (-901575).to_bytes(3, "big", signed=True),  # -> -9015.75
+        "famt": (12345).to_bytes(8, "big", signed=True),
+        "u": "12345678-1234-5678-1234-567812345678",
+        "opt_ts": None, "mystery": 1,
+    }
+    _, back = av.read_container(av.write_container(LOGICAL_SCHEMA, [raw]))
+    utc = dt.timezone.utc
+    assert back[0]["d"] == dt.date(1970, 1, 1) + dt.timedelta(days=19782)
+    assert back[0]["ts"] == dt.datetime.fromtimestamp(
+        1709210096.789012, tz=utc
+    )
+    assert back[0]["amt"] == dec.Decimal("-9015.75")
+    assert back[0]["famt"] == dec.Decimal("1.2345")
+
+
+def test_logical_decimal_scale_overflow_raise():
+    import decimal as dec
+
+    with pytest.raises(ValueError, match="scale"):
+        av.write_container(
+            LOGICAL_SCHEMA,
+            [dict(_logical_records()[0], amt=dec.Decimal("1.234"))],
+        )
+
+
+def test_java_roundtrips_logical_raw_encoding(spark):
+    """Cross-implementation pin: the official Java Avro (no conversions
+    registered) must read our logical-typed container as the expected
+    RAW base values, and a Java-written raw container must decode to
+    the rich values here — proving the wire encoding is the spec's."""
+    import datetime as dt
+    import decimal as dec
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "JL",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+        ],
+    }
+    utc = dt.timezone.utc
+    recs = [{
+        "d": dt.date(2024, 2, 29),
+        "ts": dt.datetime(2024, 2, 29, 12, 0, 0, 500000, tzinfo=utc),
+        "amt": dec.Decimal("-12345.67"),
+    }]
+    data = av.write_container(schema, recs)
+    path = os.path.join(tempfile.gettempdir(), "fx_avro_logical.avro")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), reader
+    )
+    r = dfr.next()
+    assert r.get("d") == (dt.date(2024, 2, 29) - dt.date(1970, 1, 1)).days
+    assert r.get("ts") == int(
+        (dt.datetime(2024, 2, 29, 12, 0, 0, 500000, tzinfo=utc)
+         - dt.datetime(1970, 1, 1, tzinfo=utc)).total_seconds() * 1e6
+    )
+    raw = r.get("amt")
+    n = raw.remaining()
+    amt_bytes = bytes(raw.get(i) % 256 for i in range(n))
+    assert int.from_bytes(amt_bytes, "big", signed=True) == -1234567
+    assert not dfr.hasNext()
+    dfr.close()
+    os.unlink(path)
+    # reverse direction: Java writes raw base values, we decode rich
+    jsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jsch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    path2 = os.path.join(tempfile.gettempdir(), "fx_avro_logical_j.avro")
+    dfw.create(jsch, jvm.java.io.File(path2))
+    GR = jvm.org.apache.avro.generic.GenericData.Record
+    jr = GR(jsch)
+    jr.put("d", jvm.java.lang.Integer(19782))
+    jr.put("ts", jvm.java.lang.Long(1709210096789012))
+    jr.put("amt", jvm.java.nio.ByteBuffer.wrap(
+        bytearray((-1234567).to_bytes(3, "big", signed=True))
+    ))
+    dfw.append(jr)
+    dfw.close()
+    with open(path2, "rb") as fh:
+        _, back = av.read_container(fh.read())
+    os.unlink(path2)
+    assert back[0]["d"] == dt.date(1970, 1, 1) + dt.timedelta(days=19782)
+    assert back[0]["ts"] == dt.datetime.fromtimestamp(
+        1709210096.789012, tz=utc
+    )
+    assert back[0]["amt"] == dec.Decimal("-12345.67")

@@ -38,7 +38,13 @@ Supported (the full spec surface minus RPC):
   UTC, local-timestamps naive); raw base-typed values still pass
   through on write, and UNRECOGNIZED logical types fall back to the
   base type ("a reader SHOULD ignore a logical type it doesn't
-  recognize").
+  recognize");
+- SCHEMA RESOLUTION (``read_container(data, reader_schema=...)``): the
+  spec's evolution rules — field add via reader default, field drop,
+  alias renames, numeric promotions (int→long→float→double),
+  string↔bytes, union re-matching, enum reader-default — verified to
+  produce the same resolved records as Java's
+  ``GenericDatumReader(writer, reader)`` on the same container bytes.
 
 Python value mapping: null→None, boolean→bool, int/long→int,
 float/double→float, bytes/fixed→bytes, string→str, enum→str symbol,
@@ -657,8 +663,133 @@ def write_container(
     return bytes(out)
 
 
-def read_container(data: bytes) -> tuple[object, list]:
-    """Parse Avro object-container bytes → (schema, records)."""
+def _adapt(w: object, r: object, value, names_w: dict, names_r: dict):
+    """Schema-resolution adapter (Avro spec "Schema Resolution"):
+    convert a datum decoded under WRITER schema ``w`` to READER schema
+    ``r``. Runs on the decoded tree (container files decode whole
+    datums, so post-hoc adaptation is equivalent): record field
+    add(default)/drop/aliases, numeric promotions (int→long→float→
+    double), string↔bytes, enum reader-default, union re-matching,
+    recursive containers. Logical-type conversion follows the WRITER's
+    annotations (applied during decode). Mismatches raise ValueError."""
+    w = _resolve(w, names_w)
+    r = _resolve(r, names_r)
+    if _kind(w) == "union":
+        # recover the concrete writer branch by value (the same
+        # matching the encoder uses, incl. rich logical values)
+        w = _resolve(w[_union_index(w, value, names_w)], names_w)
+    kw, kr = _kind(w), _kind(r)
+    if kr == "union":
+        last_err = None
+        for br in r:
+            try:
+                return _adapt(w, br, value, names_w, names_r)
+            except ValueError as exc:
+                last_err = exc
+        raise ValueError(f"avro: no reader union branch accepts datum "
+                         f"({last_err})")
+    if kr == "record":
+        if kw != "record" or not isinstance(value, dict):
+            raise ValueError("avro: reader record vs non-record datum")
+        out = {}
+        for f in r["fields"]:
+            srcs = [f["name"]] + list(f.get("aliases", []))
+            hit = next((s for s in srcs if s in value), None)
+            if hit is not None:
+                wf = next(
+                    (x["type"] for x in w["fields"] if x["name"] == hit),
+                    None,
+                )
+                out[f["name"]] = (
+                    _adapt(wf, f["type"], value[hit], names_w, names_r)
+                    if wf is not None
+                    else value[hit]
+                )
+            elif "default" in f:
+                out[f["name"]] = _json_default(f["type"], f["default"],
+                                               names_r)
+            else:
+                raise ValueError(
+                    f"avro: reader field {f['name']!r} absent and has "
+                    "no default"
+                )
+        return out
+    if kr == "enum":
+        if value in r["symbols"]:
+            return value
+        if "default" in r:
+            return r["default"]
+        raise ValueError(f"avro: enum symbol {value!r} not in reader")
+    if kr == "array":
+        if not isinstance(value, list):
+            raise ValueError("avro: reader array vs non-list datum")
+        wi = w["items"] if kw == "array" else None
+        return [_adapt(wi, r["items"], x, names_w, names_r) for x in value]
+    if kr == "map":
+        if not isinstance(value, dict):
+            raise ValueError("avro: reader map vs non-dict datum")
+        wv = w["values"] if kw == "map" else None
+        return {
+            mk: _adapt(wv, r["values"], mv, names_w, names_r)
+            for mk, mv in value.items()
+        }
+    # primitives/fixed: normalize a writer-annotated rich value back to
+    # its base encoding first, validate/promote at the base level, then
+    # re-apply the READER's annotation (covers annotation add/drop/keep
+    # across evolution)
+    if isinstance(w, dict) and w.get("logicalType"):
+        value = _logical_to_raw(w, value)
+
+    def fin(v):
+        if isinstance(r, dict) and "logicalType" in r:
+            return _raw_to_logical(r, v)
+        return v
+
+    if kr == "null":
+        if value is not None:
+            raise ValueError("avro: reader null vs non-null datum")
+        return None
+    if kr == "boolean":
+        if not isinstance(value, bool):
+            raise ValueError("avro: reader boolean vs non-bool datum")
+        return value
+    if kr in ("int", "long"):
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ValueError(f"avro: reader {kr} vs non-int datum")
+        return fin(value)
+    if kr in ("float", "double"):
+        # promotion chain int -> long -> float -> double
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(f"avro: reader {kr} vs non-numeric datum")
+        return float(value)
+    if kr == "string":
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value).decode("utf-8")  # bytes -> string promo
+        if not isinstance(value, str):
+            raise ValueError("avro: reader string vs non-string datum")
+        return value
+    if kr == "bytes":
+        if isinstance(value, str):
+            return value.encode("utf-8")  # string -> bytes promotion
+        if not isinstance(value, (bytes, bytearray)):
+            raise ValueError("avro: reader bytes vs non-bytes datum")
+        return fin(bytes(value))
+    if kr == "fixed":
+        if not isinstance(value, (bytes, bytearray)) or len(value) != r[
+            "size"
+        ]:
+            raise ValueError("avro: reader fixed size mismatch")
+        return fin(bytes(value))
+    raise ValueError(f"avro: unsupported reader kind {kr!r}")
+
+
+def read_container(
+    data: bytes, reader_schema: object | None = None
+) -> tuple[object, list]:
+    """Parse Avro object-container bytes → (schema, records). With
+    ``reader_schema``, records are RESOLVED to it per the spec's
+    schema-resolution rules (_adapt) and it is returned as the
+    schema."""
     if data[:4] != MAGIC:
         raise ValueError("avro: bad container magic")
     names: dict = {}
@@ -722,6 +853,14 @@ def read_container(data: bytes) -> tuple[object, list]:
         if data[pos : pos + SYNC_SIZE] != sync:
             raise ValueError("avro: sync marker mismatch")
         pos += SYNC_SIZE
+    if reader_schema is not None:
+        names_r: dict = {}
+        _register_named(reader_schema, names_r)
+        records = [
+            _adapt(schema, reader_schema, rec, names, names_r)
+            for rec in records
+        ]
+        return reader_schema, records
     return schema, records
 
 

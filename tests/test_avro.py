@@ -600,3 +600,105 @@ def test_java_roundtrips_logical_raw_encoding(spark):
         1709210096.789012, tz=utc
     )
     assert back[0]["amt"] == dec.Decimal("-12345.67")
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (round 11): reader schema != writer schema
+# ---------------------------------------------------------------------------
+
+
+def test_schema_resolution_rules():
+    """The spec's evolution rules on one writer/reader pair: field add
+    (reader default), field drop, alias rename, int->double promotion,
+    string<->bytes promotion, union widening, enum reader-default."""
+    writer = {
+        "type": "record",
+        "name": "Evt",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "old_name", "type": "string"},
+            {"name": "gone", "type": "long"},
+            {"name": "tag", "type": "string"},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["A", "B", "ZZZ"]}},
+            {"name": "v", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "Evt",
+        "fields": [
+            {"name": "id", "type": "double"},            # int -> double
+            {"name": "name", "type": "string",
+             "aliases": ["old_name"]},                   # rename
+            {"name": "added", "type": "long", "default": 42},
+            {"name": "tag", "type": "bytes"},            # string -> bytes
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["A", "B"],
+                                      "default": "A"}},
+            {"name": "v", "type": ["null", "string"]},   # union widening
+        ],
+    }
+    recs = [
+        {"id": 3, "old_name": "x", "gone": 9, "tag": "t",
+         "kind": "ZZZ", "v": "s"},
+    ]
+    schema, back = av.read_container(
+        av.write_container(writer, recs), reader_schema=reader
+    )
+    assert schema == reader
+    assert back == [{"id": 3.0, "name": "x", "added": 42, "tag": b"t",
+                     "kind": "A", "v": "s"}]
+    assert isinstance(back[0]["id"], float)
+    # missing field without default is a typed error
+    bad_reader = {
+        "type": "record", "name": "Evt",
+        "fields": [{"name": "nope", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="nope"):
+        av.read_container(av.write_container(writer, recs),
+                          reader_schema=bad_reader)
+
+
+def test_schema_resolution_matches_java(spark):
+    """Cross-implementation: Java's GenericDatumReader(writer, reader)
+    must produce the same resolved records our _adapt does on the same
+    container bytes (promotions + added-default + dropped field)."""
+    jvm = spark._jvm
+    writer = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string"},
+            {"name": "gone", "type": "boolean"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "long", "default": -5},
+        ],
+    }
+    recs = [{"a": i, "b": f"s{i}", "gone": bool(i % 2)} for i in range(7)]
+    data = av.write_container(writer, recs)
+    _, ours = av.read_container(data, reader_schema=reader)
+    path = os.path.join(tempfile.gettempdir(), "fx_avro_resolve.avro")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    jw = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(writer))
+    jr = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(reader))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(jw, jr)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), gdr
+    )
+    theirs = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        theirs.append(
+            {"a": rec.get("a"), "b": str(rec.get("b")), "c": rec.get("c")}
+        )
+    dfr.close()
+    os.unlink(path)
+    assert ours == theirs

@@ -912,13 +912,22 @@ def write_avro(df, out_dir: str, schema: object, codec: str = "deflate"):
     return df.mapInPandas(writer, "path string, n_records bigint")
 
 
-def read_avro(spark, path: str, spark_schema: str, columns: list | None = None):
+def read_avro(
+    spark,
+    path: str,
+    spark_schema: str,
+    columns: list | None = None,
+    reader_schema: object | None = None,
+):
     """Distributed Avro source: ``binaryFile`` scan (one container per
     row/task) + Arrow-batched ``mapInPandas`` decode. ``spark_schema``
     is the explicit result schema (DDL string) — explicit like every
     hot-path read in this repo; ``columns`` defaults to its field
-    names. Decode parallelism = file count, the same posture as the
-    TIFF/JPEG binary sources (binaryfiles.py scale note)."""
+    names. ``reader_schema`` applies the spec's schema resolution per
+    file, so a directory of containers written under EVOLVING schemas
+    reads as one relation. Decode parallelism = file count, the same
+    posture as the TIFF/JPEG binary sources (binaryfiles.py scale
+    note)."""
     import os
 
     import pandas as pd
@@ -932,7 +941,9 @@ def read_avro(spark, path: str, spark_schema: str, columns: list | None = None):
     def decoder(batches):
         for pdf in batches:
             for blob in pdf["content"]:
-                _, recs = read_container(bytes(blob))
+                _, recs = read_container(
+                    bytes(blob), reader_schema=reader_schema
+                )
                 if recs:
                     out = pd.DataFrame.from_records(recs)
                     yield out[[c for c in cols]]

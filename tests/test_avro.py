@@ -702,3 +702,66 @@ def test_schema_resolution_matches_java(spark):
     dfr.close()
     os.unlink(path)
     assert ours == theirs
+
+
+def test_spark_avro_logical_timestamp_roundtrip(spark, tmp_path):
+    """End-to-end Spark sink -> source with a timestamp-micros logical
+    field: DataFrame timestamps survive the container round-trip
+    exactly (write converts pandas Timestamps to micros, read converts
+    back to aware-UTC datetimes that Arrow maps onto TimestampType)."""
+    import datetime as dt
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+        ],
+    }
+    rows = [(i, dt.datetime(2024, 1, 1, 12, 0, i % 60, i * 7 % 1000000))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = str(tmp_path / "av")
+    os.makedirs(out, exist_ok=True)
+    av.write_avro(df.repartition(2), out, schema, codec="deflate").collect()
+    back = av.read_avro(spark, out, "event_id bigint, ts timestamp")
+    got = sorted((r.event_id, r.ts) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_spark_avro_evolving_directory(spark, tmp_path):
+    """A directory holding containers written under TWO schema versions
+    reads as one relation under a reader schema (the parquet
+    q_source_evolving story for Avro): the v1 files get the added
+    field's default, the v2 files keep their values."""
+    v1 = {
+        "type": "record", "name": "D",
+        "fields": [{"name": "doc_id", "type": "long"},
+                   {"name": "lang", "type": "string"}],
+    }
+    v2 = {
+        "type": "record", "name": "D",
+        "fields": [{"name": "doc_id", "type": "long"},
+                   {"name": "lang", "type": "string"},
+                   {"name": "stars", "type": "long"}],
+    }
+    reader = {
+        "type": "record", "name": "D",
+        "fields": [{"name": "doc_id", "type": "long"},
+                   {"name": "lang", "type": "string"},
+                   {"name": "stars", "type": "long", "default": -1}],
+    }
+    out = tmp_path / "dir"
+    out.mkdir()
+    (out / "a.avro").write_bytes(av.write_container(
+        v1, [{"doc_id": 1, "lang": "en"}]))
+    (out / "b.avro").write_bytes(av.write_container(
+        v2, [{"doc_id": 2, "lang": "de", "stars": 5}]))
+    back = av.read_avro(
+        spark, str(out), "doc_id bigint, lang string, stars bigint",
+        reader_schema=reader,
+    )
+    got = sorted((r.doc_id, r.lang, r.stars) for r in back.collect())
+    assert got == [(1, "en", -1), (2, "de", 5)]

@@ -24,12 +24,13 @@ Supported (the full spec surface minus RPC):
   ``fixed``; named-type references; nested/recursive schemas;
 - object container files: header metadata map, 16-byte sync markers,
   multi-block files, NEGATIVE block counts on read (the spec's
-  size-prefixed variant), and FIVE of the spec's six codecs: ``null``,
+  size-prefixed variant), and ALL SIX of the spec's codecs: ``null``,
   ``deflate`` (raw RFC 1951 via zlib), ``snappy`` (snappycodec.py —
   pure-Python raw snappy + the spec's big-endian CRC32 of the
-  uncompressed block), ``bzip2`` and ``xz`` (stdlib bz2/lzma);
-  ``zstandard`` raises with the plug-in point named (a pure-Python
-  RFC 8878 decoder is outside the offline-verification budget);
+  uncompressed block), ``bzip2`` and ``xz`` (stdlib bz2/lzma), and
+  ``zstandard`` (zstdcodec.py — pure-Python full RFC 8878 decoder +
+  store-mode encoder, cross-verified both directions against the
+  classpath's zstd-jni; tests/test_zstd.py);
 - logical types (the warehouse-interchange workhorses): ``decimal``
   (bytes or fixed two's-complement unscaled), ``uuid``, ``date``,
   ``time-millis/micros``, ``timestamp-millis/micros`` and their
@@ -614,12 +615,10 @@ def write_container(
     max_block_records: int = 4096,
 ) -> bytes:
     """Serialize ``records`` to Avro object-container bytes."""
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                     "zstandard"):
         raise NotImplementedError(
-            f"avro codec {codec!r} not available offline (zstandard: "
-            "plug the lib into write_container/read_container where "
-            "shipped — a pure-Python RFC 8878 decoder is out of this "
-            "repo's offline-verification budget)"
+            f"avro codec {codec!r} is not in the Avro 1.12 spec"
         )
     schema_json = json.dumps(schema, separators=(",", ":"), sort_keys=True)
     names: dict = {}
@@ -656,6 +655,10 @@ def write_container(
             import lzma
 
             payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            from flexcalc_spark.sources import zstdcodec
+
+            payload = zstdcodec.compress(payload)
         out += zigzag_encode(len(chunk))
         out += zigzag_encode(len(payload))
         out += payload
@@ -807,7 +810,8 @@ def read_container(
             meta[mk], pos = _decode("bytes", data, pos, names)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                     "zstandard"):
         raise NotImplementedError(
             f"avro codec {codec!r} not available offline"
         )
@@ -844,6 +848,10 @@ def read_container(
             import lzma
 
             payload = lzma.decompress(payload)
+        elif codec == "zstandard":
+            from flexcalc_spark.sources import zstdcodec
+
+            payload = zstdcodec.decompress(payload)
         bpos = 0
         for _ in range(cnt):
             rec, bpos = _decode(schema, payload, bpos, names)

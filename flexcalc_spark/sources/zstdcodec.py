@@ -1,0 +1,849 @@
+"""Pure-Python Zstandard (RFC 8878) frame codec for the Avro layer.
+
+Upstream flexcalc has no Avro/zstd surface (reference mount empty all
+rounds; SURVEY §0 fallback) — this exists because the Avro spec names
+``zstandard`` as one of its six object-container codecs and the repo's
+Avro source/sink (avrocodec.py) implements the full spec surface.
+
+Scope and verification posture (the round-10 snappy/avro precedent —
+"check pyspark/jars FIRST"):
+
+- **Decoder: the full RFC 8878 decompression grammar** — frame headers,
+  raw/RLE/compressed blocks, all four literals block types (raw, RLE,
+  Huffman-compressed 1-stream and 4-stream, treeless reuse), FSE table
+  descriptions (predefined / RLE / FSE-compressed / repeat modes for
+  all three sequence alphabets), interleaved-2-state FSE weight
+  decoding for Huffman tree descriptions, sequence execution with the
+  three repeat offsets and the literals-length-0 twist, xxh64 content
+  checksums, multi-frame concatenation, and skippable frames.
+- **Encoder: store mode** — raw/RLE blocks only, which RFC 8878 §3.1.1
+  makes unconditionally valid zstd (every conforming decoder must
+  accept them). Entropy-coded ENCODING is intentionally out of scope:
+  the decoder is what reading external data requires, and a
+  spec-compliant store-mode writer keeps written containers readable
+  by every zstd implementation.
+- **Cross-implementation verification**: Spark's classpath ships the
+  official zstd-jni (zstd-jni-1.5.7-6.jar, used for shuffle/parquet
+  compression), so tests/test_zstd.py round-trips BOTH directions
+  against ``com.github.luben.zstd.Zstd`` via py4j — real level-1/3/
+  9/19 frames (which exercise every literals/sequence mode above) must
+  decode byte-exactly, and our store-mode frames must decompress under
+  the reference implementation, checksums included. This is the same
+  standard avrocodec/snappycodec are held to, and strictly stronger
+  than a lockstep encoder/decoder pair.
+
+Out of scope, each raising a typed error at the raise site:
+dictionaries (``Dictionary_ID != 0`` — content-addressed dict storage
+is an application concern the Avro container never uses) and window
+sizes are not enforced (frames decode into one in-memory buffer; the
+Avro layer bounds block sizes upstream).
+
+Corrupt or truncated input raises ``ValueError`` (the repo-wide codec
+contract — callers degrade PER ROW, never per batch).
+"""
+
+from __future__ import annotations
+
+ZSTD_MAGIC = 0xFD2FB528
+SKIPPABLE_MAGIC_MIN = 0x184D2A50
+SKIPPABLE_MAGIC_MAX = 0x184D2A5F
+
+_BLOCK_MAX = 128 * 1024
+
+# --- RFC 8878 §3.1.1.3.2.1.1: sequence code-to-value tables -----------------
+
+_LL_BASE_BITS: list[tuple[int, int]] = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3), (40, 3),
+    (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10), (2048, 11),
+    (4096, 12), (8192, 13), (16384, 14), (32768, 15), (65536, 16),
+]
+
+_ML_BASE_BITS: list[tuple[int, int]] = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3), (59, 3),
+    (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9), (1027, 10),
+    (2051, 11), (4099, 12), (8195, 13), (16387, 14), (32771, 15),
+    (65539, 16),
+]
+
+# --- RFC 8878 §3.1.1.3.2.2: predefined FSE distributions --------------------
+
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2,
+     2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2] + [1] * 37 + [-1] * 7,
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, -1, -1, -1, -1, -1],
+    5,
+)
+
+for _dist, _al in (_LL_DEFAULT, _ML_DEFAULT, _OF_DEFAULT):
+    assert sum(abs(p) for p in _dist) == 1 << _al
+
+_MAX_ACCURACY = {"ll": 9, "of": 8, "ml": 9, "weights": 6}
+_HUF_MAX_TABLELOG = 11
+
+
+# ---------------------------------------------------------------------------
+# xxh64 (public XXH64 specification; content-checksum field = low 32 bits)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 of ``data`` (64-bit). Spec test vector pinned in tests;
+    every checksummed frame from zstd-jni cross-verifies it again."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _P1 + _P2) & _M64
+        a2 = (seed + _P2) & _M64
+        a3 = seed & _M64
+        a4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            a1 = (_rotl((a1 + int.from_bytes(data[i:i + 8], "little") * _P2)
+                        & _M64, 31) * _P1) & _M64
+            a2 = (_rotl((a2 + int.from_bytes(data[i + 8:i + 16], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            a3 = (_rotl((a3 + int.from_bytes(data[i + 16:i + 24], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            a4 = (_rotl((a4 + int.from_bytes(data[i + 24:i + 32], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)) \
+            & _M64
+        for a in (a1, a2, a3, a4):
+            h = (h ^ (_rotl((a * _P2) & _M64, 31) * _P1) & _M64) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= (_rotl((int.from_bytes(data[i:i + 8], "little") * _P2) & _M64,
+                    31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# bit readers
+# ---------------------------------------------------------------------------
+
+
+class _ForwardBits:
+    """LSB-first forward reader (FSE table descriptions, §4.1.1)."""
+
+    __slots__ = ("data", "pos", "limit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.limit = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.limit:
+            raise ValueError("zstd: truncated FSE table description")
+        p = self.pos
+        v = (int.from_bytes(self.data[p >> 3:(p + n + 7) >> 3], "little")
+             >> (p & 7)) & ((1 << n) - 1)
+        self.pos = p + n
+        return v
+
+    def peek(self, n: int) -> int:
+        """Peek up to ``n`` bits, zero-padding past the end (readNCount
+        peeks a full field before deciding how many bits it used)."""
+        if n == 0:
+            return 0
+        p = self.pos
+        avail = self.limit - p
+        m = min(n, max(avail, 0))
+        if m <= 0:
+            return 0
+        return (int.from_bytes(self.data[p >> 3:(p + m + 7) >> 3], "little")
+                >> (p & 7)) & ((1 << m) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.pos + n > self.limit:
+            raise ValueError("zstd: truncated FSE table description")
+        self.pos += n
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackwardBits:
+    """MSB-anchored backward reader (Huffman/FSE bitstreams, §3.1.1.4):
+    the last byte's highest set bit is the sentinel; reads consume the
+    bits immediately below the cursor. Overreads zero-pad LOW bits
+    (the reference decoder's tail behavior) and flag ``overflowed``."""
+
+    __slots__ = ("data", "bits")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: bitstream missing sentinel bit")
+        self.data = data
+        self.bits = 8 * (len(data) - 1) + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        pos = self.bits - n
+        self.bits = pos
+        if pos >= 0:
+            return (int.from_bytes(
+                self.data[pos >> 3:(pos + n + 7) >> 3], "little")
+                >> (pos & 7)) & ((1 << n) - 1)
+        m = n + pos  # valid high bits that remain
+        if m <= 0:
+            return 0
+        return ((int.from_bytes(self.data[:(m + 7) >> 3], "little")
+                 & ((1 << m) - 1)) << -pos)
+
+    @property
+    def overflowed(self) -> bool:
+        return self.bits < 0
+
+
+# ---------------------------------------------------------------------------
+# FSE (§4.1): table description -> decode table -> interleaved decoding
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_ncount(
+    br: _ForwardBits, max_symbols: int, max_accuracy: int
+) -> tuple[list[int], int]:
+    """Read a normalized-count table description; returns (counts,
+    accuracy_log). Mirrors RFC 8878 §4.1.1's variable-size fields and
+    the 2-bit zero-run repeat flags."""
+    al = br.read(4) + 5
+    if al > max_accuracy:
+        raise ValueError(f"zstd: accuracy log {al} > max {max_accuracy}")
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nbits = al + 1
+    counts: list[int] = []
+    prev_zero = False
+    while remaining > 1:
+        if len(counts) > max_symbols:
+            raise ValueError("zstd: FSE table has too many symbols")
+        if prev_zero:
+            while True:
+                flag = br.read(2)
+                if flag == 3:
+                    counts.extend((0, 0, 0))
+                else:
+                    counts.extend((0,) * flag)
+                    break
+                if len(counts) > max_symbols:
+                    raise ValueError("zstd: FSE zero run overruns alphabet")
+            prev_zero = False
+            continue
+        max_low = (2 * threshold - 1) - remaining
+        low = br.peek(nbits - 1)
+        if low < max_low:
+            br.skip(nbits - 1)
+            value = low
+        else:
+            value = br.peek(nbits)
+            br.skip(nbits)
+            if value >= threshold:
+                value -= max_low
+        count = value - 1  # -1 encodes the "less than 1" probability
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        prev_zero = count == 0
+        while remaining < threshold and remaining > 1:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("zstd: FSE normalized counts do not sum to 1<<AL")
+    if len(counts) > max_symbols:
+        raise ValueError("zstd: FSE table has too many symbols")
+    return counts, al
+
+
+def _fse_build_dtable(
+    counts: list[int], al: int
+) -> list[tuple[int, int, int]]:
+    """Normalized counts -> decode table of (symbol, nb_bits, base_state)
+    per RFC 8878 §4.1.1's spread-and-number construction."""
+    size = 1 << al
+    syms = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            syms[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        for _ in range(c if c > 0 else 0):
+            syms[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE table spread did not close")
+    nxt = [1 if c == -1 else c for c in counts]
+    table: list[tuple[int, int, int]] = []
+    for i in range(size):
+        s = syms[i]
+        state = nxt[s]
+        nxt[s] += 1
+        nb = al - (state.bit_length() - 1)
+        table.append((s, nb, (state << nb) - size))
+    return table
+
+
+def _fse_decode_interleaved(
+    table: list[tuple[int, int, int]], al: int, stream: bytes
+) -> list[int]:
+    """Two-state interleaved FSE decoding of a backward bitstream
+    (§4.2.1.2, Huffman weights). Emits symbols until the stream is
+    exhausted, matching the reference tail loop: once a state update
+    overruns the stream, the OTHER state flushes its symbol and
+    decoding stops."""
+    br = _BackwardBits(stream)
+    s1 = br.read(al)
+    s2 = br.read(al)
+    if br.overflowed:
+        raise ValueError("zstd: FSE weight stream too short for init")
+    out: list[int] = []
+    while True:
+        sym, nb, base = table[s1]
+        out.append(sym)
+        s1 = base + br.read(nb)
+        if br.overflowed:
+            out.append(table[s2][0])
+            break
+        sym, nb, base = table[s2]
+        out.append(sym)
+        s2 = base + br.read(nb)
+        if br.overflowed:
+            out.append(table[s1][0])
+            break
+        if len(out) > 255:
+            raise ValueError("zstd: more than 255 Huffman weights")
+    if len(out) > 255:
+        raise ValueError("zstd: more than 255 Huffman weights")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals (§4.2)
+# ---------------------------------------------------------------------------
+
+
+def _huf_build_dtable(weights: list[int]) -> tuple[list[tuple[int, int]],
+                                                   int]:
+    """Weights (last one implicit, already appended) -> flat decode
+    table of (symbol, nb_bits) indexed by the next ``table_log`` peeked
+    bits. Canonical layout: symbols fill ranges of size 1<<(w-1) in
+    (weight, symbol) ascending order."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: Huffman weights are all zero")
+    table_log = total.bit_length() - 1
+    if (1 << table_log) != total:
+        raise ValueError("zstd: Huffman weights do not sum to a power of 2")
+    if table_log > _HUF_MAX_TABLELOG:
+        raise ValueError("zstd: Huffman table log exceeds 11")
+    size = 1 << table_log
+    table: list[tuple[int, int]] = [(-1, 0)] * size
+    pos = 0
+    for w in range(1, table_log + 2):
+        span = 1 << (w - 1)
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            nb = table_log + 1 - w
+            for _ in range(span):
+                table[pos] = (sym, nb)
+                pos += 1
+    if pos != size:
+        raise ValueError("zstd: Huffman table not fully populated")
+    return table, table_log
+
+
+def _huf_read_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    """Huffman tree description (§4.2.1): headerByte >= 128 -> direct
+    4-bit weights; < 128 -> FSE-compressed weights of that byte size.
+    Returns (weights incl. the deduced last symbol, new pos)."""
+    if pos >= len(data):
+        raise ValueError("zstd: truncated Huffman tree description")
+    hb = data[pos]
+    pos += 1
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) >> 1
+        if pos + nbytes > len(data):
+            raise ValueError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[pos + (i >> 1)]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        pos += nbytes
+    else:
+        if pos + hb > len(data):
+            raise ValueError("zstd: truncated FSE Huffman weights")
+        region = bytes(data[pos:pos + hb])
+        fb = _ForwardBits(region)
+        counts, al = _fse_read_ncount(fb, 255, _MAX_ACCURACY["weights"])
+        table = _fse_build_dtable(counts, al)
+        weights = _fse_decode_interleaved(table, al,
+                                          region[fb.bytes_consumed():])
+        pos += hb
+    # deduce the final symbol's weight (§4.2.1.3)
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: explicit Huffman weights are all zero")
+    nextp = 1 << total.bit_length()
+    rest = nextp - total
+    if rest & (rest - 1):
+        raise ValueError("zstd: Huffman weight remainder not a power of 2")
+    weights.append(rest.bit_length())
+    if any(w > _HUF_MAX_TABLELOG + 1 for w in weights):
+        raise ValueError("zstd: Huffman weight exceeds maximum")
+    return weights, pos
+
+
+def _huf_decode_stream(
+    table: list[tuple[int, int]], table_log: int, stream: bytes, n_out: int
+) -> bytearray:
+    br = _BackwardBits(stream)
+    out = bytearray(n_out)
+    bits = br.bits
+    data = br.data
+    mask = (1 << table_log) - 1
+    for i in range(n_out):
+        pos = bits - table_log
+        if pos >= 0:
+            idx = (int.from_bytes(
+                data[pos >> 3:(pos + table_log + 7) >> 3], "little")
+                >> (pos & 7)) & mask
+        else:
+            m = table_log + pos
+            if m <= 0:
+                raise ValueError("zstd: Huffman stream exhausted early")
+            idx = ((int.from_bytes(data[:(m + 7) >> 3], "little")
+                    & ((1 << m) - 1)) << -pos)
+        sym, nb = table[idx]
+        if sym < 0:
+            raise ValueError("zstd: invalid Huffman code")
+        out[i] = sym
+        bits -= nb
+        if bits < 0 and i != n_out - 1:
+            raise ValueError("zstd: Huffman stream exhausted early")
+    if bits != 0:
+        raise ValueError("zstd: Huffman stream not fully consumed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frame decoding
+# ---------------------------------------------------------------------------
+
+
+def _decode_literals(
+    block: memoryview, pos: int, huf_state: dict
+) -> tuple[bytes, int]:
+    """Literals section (§3.1.1.3.1) -> (regenerated literals, new pos).
+    ``huf_state`` carries the frame's last Huffman table for treeless
+    blocks."""
+    if pos >= len(block):
+        raise ValueError("zstd: missing literals section")
+    b0 = block[pos]
+    lb_type = b0 & 3
+    size_fmt = (b0 >> 2) & 3
+    if lb_type <= 1:  # raw / RLE
+        if size_fmt & 1 == 0:
+            reg, hdr = b0 >> 3, 1
+        elif size_fmt == 1:
+            if pos + 2 > len(block):
+                raise ValueError("zstd: truncated literals header")
+            reg, hdr = (int.from_bytes(block[pos:pos + 2], "little") >> 4, 2)
+        else:
+            if pos + 3 > len(block):
+                raise ValueError("zstd: truncated literals header")
+            reg, hdr = (int.from_bytes(block[pos:pos + 3], "little") >> 4, 3)
+        pos += hdr
+        if lb_type == 0:
+            if pos + reg > len(block):
+                raise ValueError("zstd: truncated raw literals")
+            lits = bytes(block[pos:pos + reg])
+            return lits, pos + reg
+        if pos + 1 > len(block):
+            raise ValueError("zstd: truncated RLE literal byte")
+        return bytes([block[pos]]) * reg, pos + 1
+
+    # compressed (2) / treeless (3)
+    if size_fmt == 0:
+        n_streams, hdr, fbits = 1, 3, 10
+    elif size_fmt == 1:
+        n_streams, hdr, fbits = 4, 3, 10
+    elif size_fmt == 2:
+        n_streams, hdr, fbits = 4, 4, 14
+    else:
+        n_streams, hdr, fbits = 4, 5, 18
+    if pos + hdr > len(block):
+        raise ValueError("zstd: truncated literals header")
+    le = int.from_bytes(block[pos:pos + hdr], "little")
+    reg = (le >> 4) & ((1 << fbits) - 1)
+    comp = (le >> (4 + fbits)) & ((1 << fbits) - 1)
+    pos += hdr
+    if pos + comp > len(block):
+        raise ValueError("zstd: truncated compressed literals")
+    region = memoryview(block[pos:pos + comp])
+    pos += comp
+    rpos = 0
+    if lb_type == 2:
+        weights, rpos = _huf_read_weights(region, 0)
+        huf_state["table"] = _huf_build_dtable(weights)
+    if huf_state.get("table") is None:
+        raise ValueError("zstd: treeless literals with no previous table")
+    table, table_log = huf_state["table"]
+    if n_streams == 1:
+        lits = _huf_decode_stream(table, table_log,
+                                  bytes(region[rpos:]), reg)
+        return bytes(lits), pos
+    if rpos + 6 > len(region):
+        raise ValueError("zstd: truncated 4-stream jump table")
+    s1 = int.from_bytes(region[rpos:rpos + 2], "little")
+    s2 = int.from_bytes(region[rpos + 2:rpos + 4], "little")
+    s3 = int.from_bytes(region[rpos + 4:rpos + 6], "little")
+    rpos += 6
+    share = (reg + 3) >> 2
+    sizes = [s1, s2, s3, len(region) - rpos - s1 - s2 - s3]
+    outs = [share, share, share, reg - 3 * share]
+    if sizes[3] < 0 or outs[3] < 0:
+        raise ValueError("zstd: 4-stream sizes inconsistent")
+    lits = bytearray()
+    for sz, n_out in zip(sizes, outs):
+        lits += _huf_decode_stream(table, table_log,
+                                   bytes(region[rpos:rpos + sz]), n_out)
+        rpos += sz
+    return bytes(lits), pos
+
+
+def _read_seq_table(
+    block: memoryview, pos: int, mode: int, kind: str,
+    default: tuple[list[int], int], state: dict
+) -> tuple[tuple[list[tuple[int, int, int]], int], int]:
+    """One sequence alphabet's table per its 2-bit compression mode.
+    Returns ((dtable, accuracy_log), new_pos)."""
+    max_sym = {"ll": 35, "of": 31, "ml": 52}[kind]
+    if mode == 0:  # predefined
+        counts, al = default
+        key = ("pre", kind)
+        if key not in state:
+            state[key] = (_fse_build_dtable(counts, al), al)
+        table = state[key]
+    elif mode == 1:  # RLE: 1 byte = the only symbol, 0-bit updates
+        if pos >= len(block):
+            raise ValueError("zstd: truncated RLE sequence table")
+        sym = block[pos]
+        pos += 1
+        if sym > max_sym:
+            raise ValueError(f"zstd: RLE {kind} symbol out of range")
+        table = ([(sym, 0, 0)], 0)
+    elif mode == 2:  # FSE-compressed description
+        fb = _ForwardBits(bytes(block[pos:]))
+        counts, al = _fse_read_ncount(fb, max_sym + 1,
+                                      _MAX_ACCURACY[kind])
+        pos += fb.bytes_consumed()
+        table = (_fse_build_dtable(counts, al), al)
+    else:  # repeat
+        table = state.get(("rep", kind))
+        if table is None:
+            raise ValueError(f"zstd: repeat {kind} table with no previous")
+    state[("rep", kind)] = table
+    return table, pos
+
+
+def _decode_block(
+    block: memoryview, out: bytearray, huf_state: dict, seq_state: dict,
+    rep: list[int],
+) -> None:
+    """One compressed block (§3.1.1.3) appended onto the frame output."""
+    lits, pos = _decode_literals(block, pos=0, huf_state=huf_state)
+    if pos >= len(block):
+        raise ValueError("zstd: missing sequences section")
+    b0 = block[pos]
+    pos += 1
+    if b0 < 128:
+        n_seq = b0
+    elif b0 < 255:
+        if pos >= len(block):
+            raise ValueError("zstd: truncated sequence count")
+        n_seq = ((b0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        if pos + 2 > len(block):
+            raise ValueError("zstd: truncated sequence count")
+        n_seq = int.from_bytes(block[pos:pos + 2], "little") + 0x7F00
+        pos += 2
+    if n_seq == 0:
+        if pos != len(block):
+            raise ValueError("zstd: trailing bytes after empty sequences")
+        out += lits
+        return
+    if pos >= len(block):
+        raise ValueError("zstd: missing symbol compression modes")
+    scm = block[pos]
+    pos += 1
+    if scm & 3:
+        raise ValueError("zstd: reserved symbol-compression-mode bits set")
+    (ll_tab, ll_al), pos = _read_seq_table(
+        block, pos, (scm >> 6) & 3, "ll", _LL_DEFAULT, seq_state)
+    (of_tab, of_al), pos = _read_seq_table(
+        block, pos, (scm >> 4) & 3, "of", _OF_DEFAULT, seq_state)
+    (ml_tab, ml_al), pos = _read_seq_table(
+        block, pos, (scm >> 2) & 3, "ml", _ML_DEFAULT, seq_state)
+
+    br = _BackwardBits(bytes(block[pos:]))
+    s_ll = br.read(ll_al)
+    s_of = br.read(of_al)
+    s_ml = br.read(ml_al)
+    if br.overflowed:
+        raise ValueError("zstd: sequence bitstream too short for init")
+    lit_pos = 0
+    for i in range(n_seq):
+        of_code = of_tab[s_of][0]
+        ml_code = ml_tab[s_ml][0]
+        ll_code = ll_tab[s_ll][0]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_value = (1 << of_code) + br.read(of_code)
+        ml_base, ml_bits = _ML_BASE_BITS[ml_code]
+        ml = ml_base + br.read(ml_bits)
+        ll_base, ll_bits = _LL_BASE_BITS[ll_code]
+        ll = ll_base + br.read(ll_bits)
+        if br.overflowed:
+            raise ValueError("zstd: sequence bitstream exhausted early")
+        # repeat-offset resolution (§3.1.1.5), incl. the ll==0 twist
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:
+                offset = rep[0] - 1
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if offset <= 0:
+            raise ValueError("zstd: zero match offset")
+        if lit_pos + ll > len(lits):
+            raise ValueError("zstd: literals overrun")
+        out += lits[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset beyond decoded history "
+                             "(dictionaries unsupported)")
+        if ml:
+            start = len(out) - offset
+            if offset >= ml:
+                out += out[start:start + ml]
+            else:
+                for k in range(ml):  # overlapping copy is byte-sequential
+                    out.append(out[start + k])
+        if i != n_seq - 1:
+            e = ll_tab[s_ll]
+            s_ll = e[2] + br.read(e[1])
+            e = ml_tab[s_ml]
+            s_ml = e[2] + br.read(e[1])
+            e = of_tab[s_of]
+            s_of = e[2] + br.read(e[1])
+            if br.overflowed:
+                raise ValueError("zstd: sequence bitstream exhausted early")
+    if br.bits != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    out += lits[lit_pos:]
+
+
+def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
+    if pos + 6 > len(data):
+        raise ValueError("zstd: truncated frame header")
+    fhd = data[pos + 4]
+    pos += 5
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    if (fhd >> 3) & 1:
+        raise ValueError("zstd: reserved frame-header bit set")
+    checksum_flag = (fhd >> 2) & 1
+    did_flag = fhd & 3
+    if not single_segment:
+        pos += 1  # window descriptor (whole frame decodes in memory)
+    did_size = (0, 1, 2, 4)[did_flag]
+    if did_size:
+        if pos + did_size > len(data):
+            raise ValueError("zstd: truncated dictionary id")
+        if int.from_bytes(data[pos:pos + did_size], "little") != 0:
+            raise ValueError("zstd: dictionaries unsupported")
+        pos += did_size
+    fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    fcs = None
+    if fcs_size:
+        if pos + fcs_size > len(data):
+            raise ValueError("zstd: truncated frame content size")
+        fcs = int.from_bytes(data[pos:pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+
+    out = bytearray()
+    huf_state: dict = {"table": None}
+    seq_state: dict = {}
+    rep = [1, 4, 8]
+    while True:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated block header")
+        bh = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:  # raw
+            if pos + bsize > len(data):
+                raise ValueError("zstd: truncated raw block")
+            out += data[pos:pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE: bsize = regenerated size, 1 content byte
+            if pos + 1 > len(data):
+                raise ValueError("zstd: truncated RLE block")
+            out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            if pos + bsize > len(data):
+                raise ValueError("zstd: truncated compressed block")
+            _decode_block(data[pos:pos + bsize], out, huf_state,
+                          seq_state, rep)
+            pos += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if fcs is not None and len(out) != fcs:
+        raise ValueError("zstd: frame content size mismatch")
+    if checksum_flag:
+        if pos + 4 > len(data):
+            raise ValueError("zstd: truncated content checksum")
+        want = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if xxh64(bytes(out)) & 0xFFFFFFFF != want:
+            raise ValueError("zstd: content checksum mismatch")
+    return out, pos
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a sequence of zstd frames (skippable frames skipped)."""
+    mv = memoryview(data)
+    out = bytearray()
+    pos = 0
+    if not data:
+        raise ValueError("zstd: empty input")
+    while pos < len(mv):
+        if pos + 4 > len(mv):
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(mv[pos:pos + 4], "little")
+        if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+            if pos + 8 > len(mv):
+                raise ValueError("zstd: truncated skippable frame")
+            sz = int.from_bytes(mv[pos + 4:pos + 8], "little")
+            if pos + 8 + sz > len(mv):
+                raise ValueError("zstd: truncated skippable frame body")
+            pos += 8 + sz
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError("zstd: bad frame magic")
+        frame, pos = _decode_frame(mv, pos)
+        out += frame
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# store-mode encoder (raw/RLE blocks — unconditionally valid zstd)
+# ---------------------------------------------------------------------------
+
+
+def compress(data: bytes, checksum: bool = True) -> bytes:
+    """Encode ``data`` as one zstd frame of raw/RLE blocks with the
+    exact content size declared and (by default) an xxh64 content
+    checksum — decodable by every conforming implementation."""
+    n = len(data)
+    if n < 256:
+        fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fcs_flag, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs_bytes = 3, n.to_bytes(8, "little")
+    fhd = (fcs_flag << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
+    out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += fcs_bytes
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, raw, size 0
+    else:
+        pos = 0
+        while pos < n:
+            chunk = data[pos:pos + _BLOCK_MAX]
+            pos += len(chunk)
+            last = 1 if pos >= n else 0
+            if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
+                out += (last | (1 << 1)
+                        | (len(chunk) << 3)).to_bytes(3, "little")
+                out.append(chunk[0])
+            else:
+                out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+                out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -6,8 +6,9 @@ trick): Spark's classpath ships the real Apache Avro core jar
 record-exact in BOTH directions against ``org.apache.avro`` via py4j —
 files we write are read by ``DataFileReader``/``GenericDatumReader``,
 files ``DataFileWriter`` writes are read by our decoder, under the
-``null``, ``deflate`` and ``snappy`` codecs (the latter exercising
-snappycodec.py inside the container framing).
+``null``, ``deflate``, ``snappy`` and ``zstandard`` codecs (the
+latter two exercising snappycodec.py / zstdcodec.py inside the
+container framing).
 """
 
 from __future__ import annotations
@@ -126,7 +127,8 @@ FULL_RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2",
+                                   "xz", "zstandard"])
 def test_container_roundtrip_full_type_system(codec):
     data = av.write_container(FULL_SCHEMA, FULL_RECORDS * 300, codec=codec,
                               max_block_records=128)
@@ -177,7 +179,7 @@ def test_corrupt_container_raises():
 
 def test_unknown_codec_raises_notimplemented():
     with pytest.raises(NotImplementedError):
-        av.write_container(DOC_SCHEMA, [], codec="zstandard")
+        av.write_container(DOC_SCHEMA, [], codec="lz4")
 
 
 def test_snappy_crc_mismatch_raises():
@@ -193,7 +195,8 @@ def test_snappy_crc_mismatch_raises():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2",
+                                   "xz", "zstandard"])
 def test_java_reads_our_files(spark, codec):
     jvm = spark._jvm
     data = av.write_container(DOC_SCHEMA, _docs(), codec=codec,
@@ -220,7 +223,8 @@ def test_java_reads_our_files(spark, codec):
     assert got == _docs()
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2",
+                                   "xz", "zstandard"])
 def test_our_reader_reads_java_files(spark, codec):
     jvm = spark._jvm
     jsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(DOC_SCHEMA))
@@ -234,6 +238,9 @@ def test_our_reader_reads_java_files(spark, codec):
         dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.bzip2Codec())
     elif codec == "xz":
         dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.xzCodec(6))
+    elif codec == "zstandard":
+        dfw.setCodec(
+            jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3))
     path = os.path.join(tempfile.gettempdir(), f"fx_avro_java_{codec}.avro")
     dfw.create(jsch, jvm.java.io.File(path))
     GR = jvm.org.apache.avro.generic.GenericData.Record

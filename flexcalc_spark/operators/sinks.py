@@ -596,7 +596,9 @@ def q_source_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Avro round-trip WITHOUT the spark-avro jar (an external Spark "
         "module, not loadable offline): sources/avrocodec.py is a "
         "dependency-free pure-Python implementation of the public Avro "
-        "1.12 spec (full type system, container files, deflate codec), "
+        "1.12 spec (full type system, container files, all six spec "
+        "codecs incl. snappy/zstandard via snappycodec.py/"
+        "zstdcodec.py), "
         "cross-verified record-exact BOTH directions against the "
         "official Java implementation on Spark's own classpath "
         "(avro-1.12.1.jar via py4j, tests/test_avro.py). Write: one "

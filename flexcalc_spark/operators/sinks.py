@@ -811,3 +811,125 @@ def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_source_jsonl_zst",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    family="sinks",
+    scale_notes=(
+        "zstd-compressed JSONL shards — the layout public LLM corpora "
+        "actually ship as (the Pile / RedPajama / Dolma convention: a "
+        "directory of ~100 MB-1 GB .jsonl.zst files). Vanilla Spark "
+        "cannot read them: the Hadoop ZStandardCodec behind "
+        "spark.read.text('*.zst') requires the NATIVE hadoop+libzstd "
+        "build (absent in JVM-only deployments — this container's "
+        "NativeCodeLoader warning), so this path is binaryFile + the "
+        "pure-Python RFC 8878 decoder (sources/zstdcodec.py, "
+        "cross-verified against zstd-jni) in ONE Arrow-batched "
+        "decompress-and-split pass; the JSON parse then runs JVM-side "
+        "via from_json inside codegen, never in Python. Writes are "
+        "store-mode zstd frames (valid under every decoder) via "
+        "attempt-unique temp + rename; the read side handles real "
+        "entropy-coded frames — a zstd-jni level-3 shard is part of "
+        "the round-trip test. File-granular parallelism like every "
+        "container source here: shard count IS the parallelism, and "
+        "a 100 TB corpus arrives as ~100k shards. Swap the JVM codec "
+        "(zstd-jni via a Hadoop native build) into the same seam "
+        "where available; semantics identical"
+    ),
+)
+def q_source_jsonl_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as .jsonl.zst shards (one per partition), read
+    them back distributed (pure-Python zstd decompress, JVM-side JSON
+    parse), and aggregate per (lang, source) — grades the full
+    compressed-shard round-trip against the parquet oracle."""
+    import json
+
+    out = _scratch_dir("srcjzst", sf_dir, fingerprint=str(os.getpid()))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    d = table(spark, sf_dir, "documents")
+
+    def writer(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from flexcalc_spark.sources import zstdcodec
+        from flexcalc_spark.sources.binaryfiles import atomic_write_bytes
+
+        lines: list[str] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                lines.append(json.dumps(
+                    {
+                        "doc_id": int(row.doc_id),
+                        "text": None if row.text is None else str(row.text),
+                        "lang": str(row.lang),
+                        "source": str(row.source),
+                        "n_chars": int(row.n_chars),
+                    },
+                    ensure_ascii=False, sort_keys=True,
+                    separators=(",", ":"),
+                ))
+        if not lines:
+            return
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out, f"part-{pid:05d}.jsonl.zst")
+        atomic_write_bytes(path, zstdcodec.compress(payload))
+        yield pd.DataFrame({"path": [path], "n_records": [len(lines)]})
+
+    written = d.repartition(4, "doc_id").mapInPandas(
+        writer, "path string, n_records bigint"
+    )
+    written.collect()  # force the executor-side write (rows = #files)
+    r = read_jsonl_zst(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )
+
+
+def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Directory of ``.jsonl.zst`` shards -> DataFrame of ``schema``:
+    binaryFile scan, Arrow-batched pure-Python zstd decompress + line
+    split (the only Python step), then JVM-side from_json — the parse
+    stays inside whole-stage codegen. Accepts any conforming zstd
+    frames (entropy-coded included), not just our store-mode writes."""
+    from flexcalc_spark.registry import _ship_package
+    from flexcalc_spark.sources.binaryfiles import read_binary_dir
+
+    _ship_package(spark)
+
+    def expand(batches):
+        import pandas as pd
+
+        from flexcalc_spark.sources import zstdcodec
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                text = zstdcodec.decompress(bytes(blob)).decode("utf-8")
+                lines = text.splitlines()
+                if lines:
+                    yield pd.DataFrame({"line": lines})
+
+    raw = read_binary_dir(spark, path, "*.jsonl.zst").select("content")
+    lines = raw.mapInPandas(expand, "line string")
+    return lines.select(
+        F.from_json(F.col("line"), schema).alias("j")
+    ).select("j.*")

@@ -177,6 +177,7 @@ RISKY = [
     "q_trajectory_dtw",     # integer elastic DPs on grid PAA profiles
     # round-11 additions (probed 2-vs-37 shuffle at add time)
     "q_trajectory_dtw_radius",  # integer LB buckets + exact DP
+    "q_source_jsonl_zst",   # zstd shard round-trip, BIGINT fidelity sums
 ]
 
 

@@ -1307,3 +1307,67 @@ def test_tiff_multipage_pages_decode(tmp_path):
     )
     with pytest.raises(ValueError, match="page"):
         bf._decode_tiff(blob, {"page": 3})
+
+
+# ---------------------------------------------------------------------------
+# .jsonl.zst shard source (q_source_jsonl_zst)
+# ---------------------------------------------------------------------------
+
+
+def test_q_source_jsonl_zst_matches_oracle(spark, duck):
+    from flexcalc_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        tuple(r)
+        for r in QUERIES["q_source_jsonl_zst"](spark, SF_DIR).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in duck.execute(ORACLES["q_source_jsonl_zst"]).fetchall()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_read_jsonl_zst_entropy_coded_shard(spark, tmp_path):
+    """The read path must accept REAL zstd frames, not just our
+    store-mode writes: one shard is compressed by the official zstd-jni
+    at level 3 (Huffman literals + FSE sequences), one by our store
+    mode, and both must parse to the same relation."""
+    import json
+
+    from flexcalc_spark.operators.sinks import read_jsonl_zst
+    from flexcalc_spark.sources import zstdcodec
+
+    rows = [
+        {"doc_id": i, "text": None if i % 7 == 0 else f"döc {i} " * 20,
+         "lang": ["en", "de", "fr"][i % 3], "source": "web",
+         "n_chars": i * 3}
+        for i in range(500)
+    ]
+    half = len(rows) // 2
+    payload_a = ("\n".join(
+        json.dumps(r, ensure_ascii=False, sort_keys=True,
+                   separators=(",", ":")) for r in rows[:half]
+    ) + "\n").encode("utf-8")
+    payload_b = ("\n".join(
+        json.dumps(r, ensure_ascii=False, sort_keys=True,
+                   separators=(",", ":")) for r in rows[half:]
+    ) + "\n").encode("utf-8")
+    jzc = spark._jvm.com.github.luben.zstd.Zstd
+    (tmp_path / "a.jsonl.zst").write_bytes(
+        bytes(jzc.compress(bytearray(payload_a), 3)))
+    (tmp_path / "b.jsonl.zst").write_bytes(zstdcodec.compress(payload_b))
+    got = read_jsonl_zst(
+        spark, str(tmp_path),
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).collect()
+    got_rows = sorted(
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in got
+    )
+    want_rows = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in rows
+    )
+    assert got_rows == want_rows

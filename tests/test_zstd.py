@@ -1,7 +1,8 @@
 """Zstandard (RFC 8878) codec vs the official zstd-jni implementation.
 
-zstdcodec.py implements the full RFC 8878 decompression grammar plus a
-store-mode encoder in pure Python; Spark's classpath ships zstd-jni
+zstdcodec.py implements the full RFC 8878 decompression grammar plus
+an encoder (greedy LZ77 + predefined-FSE sequences, raw/RLE store
+fallback) in pure Python; Spark's classpath ships zstd-jni
 (used for shuffle/parquet compression), so the cross-implementation
 tests run BOTH directions against ``com.github.luben.zstd.Zstd`` via
 py4j — the same standard snappycodec/avrocodec are held to. Reference
@@ -44,14 +45,27 @@ def test_xxh64_spec_vector():
     assert zc.xxh64(b"", seed=1) != zc.xxh64(b"")
 
 
-def test_store_mode_roundtrip():
+def test_encoder_roundtrip():
     for name, c in _cases().items():
         for checksum in (True, False):
             assert zc.decompress(zc.compress(c, checksum=checksum)) == c, (
                 name, checksum)
+        assert zc.decompress(zc.compress(c, store=True)) == c, name
 
 
-def test_store_mode_multiblock_and_rle():
+def test_encoder_actually_compresses():
+    c = b'{"user": 123, "event": "click", "value": 4.5}\n' * 3000
+    z = zc.compress(c)
+    assert len(z) < len(c) // 2
+    # store mode must NOT entropy-code (raw/RLE blocks only)
+    assert len(zc.compress(c, store=True)) > len(c)
+    # incompressible input falls back to raw blocks (no expansion
+    # beyond the fixed frame overhead)
+    r = _cases()["rand"]
+    assert len(zc.compress(r)) <= len(r) + 64
+
+
+def test_multiblock_and_rle():
     # > 128 KiB forces multiple blocks; a constant chunk takes the RLE
     # block path (4 bytes instead of 128K)
     c = b"\x07" * 300_000
@@ -117,8 +131,14 @@ def test_java_cross_implementation(spark):
     for name, c in cases.items():
         if not c:
             continue
-        got = bytes(Z.decompress(bytearray(zc.compress(c)), len(c)))
-        assert got == c, name
+        for kw in ({}, {"store": True}):
+            got = bytes(Z.decompress(bytearray(zc.compress(c, **kw)),
+                                     len(c)))
+            assert got == c, (name, kw)
+    # long-offset and >64K-match shapes the mixed cases may not hit
+    for c in (bytes(random.Random(3).randbytes(50)) * 4000,
+              b"X" * 70_000 + b"Y" + b"X" * 70_000):
+        assert bytes(Z.decompress(bytearray(zc.compress(c)), len(c))) == c
 
 
 def test_java_checksummed_frames(spark):

@@ -926,7 +926,15 @@ def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
         for pdf in batches:
             for blob in pdf["content"]:
                 text = zstdcodec.decompress(bytes(blob)).decode("utf-8")
-                lines = text.splitlines()
+                # explicit newline framing, NEVER splitlines(): JSON
+                # string values legally contain unescaped U+2028/U+2029/
+                # U+0085 under ensure_ascii=False, and splitlines()
+                # breaks on those too — one record would shatter into
+                # two unparseable fragments (r11 review finding)
+                # (\r is always \-escaped inside JSON strings, so
+                # rstrip only eats \r\n framing, never content)
+                lines = [y for x in text.split("\n")
+                         if (y := x.rstrip("\r"))]
                 if lines:
                     yield pd.DataFrame({"line": lines})
 

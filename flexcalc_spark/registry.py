@@ -207,6 +207,7 @@ GRADE_ORDER: list[str] = [
     "q_dedup_chunks", "q_anonymize",
     # round-11 additions (tail: never displaces the staleness queue)
     "q_trajectory_dtw_radius",
+    "q_source_jsonl_zst",
 ]
 
 

@@ -698,8 +698,11 @@ def _decode_block(
             if offset >= ml:
                 out += out[start:start + ml]
             else:
-                for k in range(ml):  # overlapping copy is byte-sequential
-                    out.append(out[start + k])
+                # overlapping copy: byte-sequential semantics == the
+                # period-offset pattern replicated, O(ml/offset) slice
+                # ops instead of ml Python-level appends
+                seg = bytes(out[start:])
+                out += (seg * (ml // offset + 1))[:ml]
         if i != n_seq - 1:
             e = ll_tab[s_ll]
             s_ll = e[2] + br.read(e[1])
@@ -1012,10 +1015,23 @@ def compress(
         fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
     else:
         fcs_flag, fcs_bytes = 3, n.to_bytes(8, "little")
-    fhd = (fcs_flag << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
     out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
-    out.append(fhd)
-    out += fcs_bytes
+    if n <= 1 << 20:
+        # Single_Segment: window = content size, tiny and universal
+        out.append((fcs_flag << 6) | (1 << 5)
+                   | ((1 if checksum else 0) << 2))
+        out += fcs_bytes
+    else:
+        # big frames declare a 128 KiB window (matches are in-block,
+        # blocks are <= 128 KiB, so that bound is honest) instead of
+        # Single_Segment's window=content — a multi-GB single-segment
+        # frame would exceed default decoder window limits (libzstd
+        # caps at 128 MiB by default; RFC 8878 only requires 8 MiB)
+        if fcs_flag == 0:  # FCS field absent without Single_Segment
+            fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+        out.append((fcs_flag << 6) | ((1 if checksum else 0) << 2))
+        out.append(7 << 3)  # window descriptor: 2^(10+7) = 128 KiB
+        out += fcs_bytes
     if n == 0:
         out += (1).to_bytes(3, "little")  # last=1, raw, size 0
     else:

@@ -1371,3 +1371,39 @@ def test_read_jsonl_zst_entropy_coded_shard(spark, tmp_path):
         for r in rows
     )
     assert got_rows == want_rows
+
+
+def test_read_jsonl_zst_unicode_line_separators(spark, tmp_path):
+    """json.dumps(ensure_ascii=False) legally leaves U+2028/U+2029/
+    U+0085 unescaped inside string values; the reader must split
+    records on newline framing ONLY (splitlines() would shatter such a
+    record into unparseable fragments -- r11 review finding). CRLF
+    framing from external writers is also accepted."""
+    import json
+
+    from flexcalc_spark.operators.sinks import read_jsonl_zst
+    from flexcalc_spark.sources import zstdcodec
+
+    tricky = "line sep \u2028 and \u2029 and nel \u0085 end"
+    rows = [
+        {"doc_id": 1, "text": tricky,
+         "lang": "en", "source": "web", "n_chars": 10},
+        {"doc_id": 2, "text": "plain", "lang": "de", "source": "web",
+         "n_chars": 5},
+    ]
+    body = "\r\n".join(
+        json.dumps(r, ensure_ascii=False, sort_keys=True,
+                   separators=(",", ":")) for r in rows
+    ) + "\r\n"
+    assert "\u2028" in body  # the hazard is actually present unescaped
+    (tmp_path / "u.jsonl.zst").write_bytes(
+        zstdcodec.compress(body.encode("utf-8")))
+    got = sorted(
+        (r.doc_id, r.text)
+        for r in read_jsonl_zst(
+            spark, str(tmp_path),
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).collect()
+    )
+    assert got == [(1, tricky), (2, "plain")]

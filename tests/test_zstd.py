@@ -6,7 +6,7 @@ fallback) in pure Python; Spark's classpath ships zstd-jni
 (used for shuffle/parquet compression), so the cross-implementation
 tests run BOTH directions against ``com.github.luben.zstd.Zstd`` via
 py4j — the same standard snappycodec/avrocodec are held to. Reference
-frames at levels 1-22 exercise every literals mode (raw, RLE, Huffman
+frames at levels 1/3/9/19/22 exercise every literals mode (raw, RLE, Huffman
 1/4-stream, treeless), every sequence-table mode (predefined, RLE,
 FSE-compressed, repeat), repeat offsets, and xxh64 content checksums.
 """
@@ -122,7 +122,7 @@ def test_java_cross_implementation(spark):
     """Both directions vs the official implementation, all levels."""
     Z = spark._jvm.com.github.luben.zstd.Zstd
     cases = _cases()
-    for lvl in (1, 3, 9, 19):
+    for lvl in (1, 3, 9, 19, 22):
         for name, c in cases.items():
             if not c:
                 continue
@@ -154,3 +154,21 @@ def test_java_checksummed_frames(spark):
             continue
         jc = bytes(ctx.compress(bytearray(c)))
         assert zc.decompress(jc) == c, name
+
+
+def test_large_frame_uses_bounded_window(spark):
+    """Frames past 1 MiB must declare a 128 KiB window descriptor, not
+    Single_Segment (whose implied window = content size would exceed
+    default decoder window limits at real shard sizes -- r11 review
+    finding). Pinned structurally AND by the reference decoder."""
+    data = (b"some log line with request id 12345 and a payload\n"
+            * 40_000)  # ~2 MB
+    framed = zc.compress(data)
+    fhd = framed[4]
+    assert (fhd >> 5) & 1 == 0  # Single_Segment off
+    assert framed[5] == 7 << 3  # window descriptor: 2^17 = 128 KiB
+    assert zc.decompress(framed) == data
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    assert bytes(Z.decompress(bytearray(framed), len(data))) == data
+    small = zc.compress(b"tiny")
+    assert (small[4] >> 5) & 1 == 1  # small frames stay Single_Segment

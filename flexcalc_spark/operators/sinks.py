@@ -836,10 +836,11 @@ def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross-verified against zstd-jni) in ONE Arrow-batched "
         "decompress-and-split pass; the JSON parse then runs JVM-side "
         "via from_json inside codegen, never in Python. Writes are "
-        "REAL compressed frames (greedy LZ77 + predefined-FSE "
-        "sequence coding, 0.38 of raw on this corpus = 1.63x the "
-        "reference level-1 bytes; raw-block fallback when compression "
-        "would not win) via attempt-unique temp + rename; the read "
+        "REAL compressed frames (chain-and-lazy LZ77 + Huffman "
+        "literals + predefined-FSE sequence coding, 0.32 of raw on "
+        "this corpus = 1.35x the reference level-1 bytes; raw-block "
+        "fallback when compression would not win) via attempt-unique "
+        "temp + rename; the read "
         "side handles any conforming frame — a zstd-jni level-3 shard "
         "is part of the round-trip test. File-granular parallelism like every "
         "container source here: shard count IS the parallelism, and "

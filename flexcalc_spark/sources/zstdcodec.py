@@ -16,19 +16,23 @@ Scope and verification posture (the round-10 snappy/avro precedent —
   decoding for Huffman tree descriptions, sequence execution with the
   three repeat offsets and the literals-length-0 twist, xxh64 content
   checksums, multi-frame concatenation, and skippable frames.
-- **Encoder: greedy LZ77 + predefined-FSE sequences** — matches are
-  found with a last-occurrence hash (min match 4, in-block offsets),
-  literals ride raw, and the three sequence alphabets are coded with
-  the RFC's predefined FSE distributions via the classic
-  backward-state-assignment encoder (expressed directly against the
-  shared decode tables). Blocks fall back to raw/RLE whenever the
-  compressed form would not win (``store=True`` forces that path), so
-  every output is unconditionally valid zstd. Huffman literal
-  encoding is intentionally out of scope — on the shard/container
-  payloads this layer serves, match coverage dominates (measured on
-  the fixture documents as JSONL: 0.384 of raw vs the reference
-  encoder's 0.235 at level 1 — 1.63x the bytes, with identical
-  decode-side semantics).
+- **Encoder: LZ77 + Huffman literals + predefined-FSE sequences** —
+  bounded hash chains pick the longest candidate with one-step-lazy
+  parsing (``level=1`` drops to a single-slot greedy matcher for ~5x
+  the throughput), repeat-offset codes are emitted when the offset
+  matches the decoder's rep history, literals are canonical-Huffman
+  coded (length-limited to 11 bits, direct 4-bit tree description,
+  4-stream layout) with RLE/raw fallbacks, and the three sequence
+  alphabets use the RFC's predefined FSE distributions via the
+  classic backward-state-assignment encoder (expressed directly
+  against the shared decode tables). Blocks fall back to raw/RLE
+  whenever the compressed form would not win (``store=True`` forces
+  that path), so every output is unconditionally valid zstd.
+  Measured on the fixture documents as JSONL: 0.318 of raw at the
+  default level vs the reference encoder's 0.235 at its level 1 —
+  1.35x the bytes, with identical decode-side semantics. FSE-coded
+  Huffman WEIGHTS (needed only when the highest literal byte exceeds
+  128) are not emitted — such blocks keep raw literals.
 - **Cross-implementation verification**: Spark's classpath ships the
   official zstd-jni (zstd-jni-1.5.7-6.jar, used for shuffle/parquet
   compression), so tests/test_zstd.py round-trips BOTH directions
@@ -876,49 +880,262 @@ def _ml_code(ml: int) -> tuple[int, int, int]:
     raise AssertionError
 
 
-def _find_sequences(chunk: bytes) -> list[tuple[int, int, int]]:
-    """Greedy LZ77 over one block: (literal_run, offset, match_len)
-    triples; a trailing literal run is returned as (run, 0, 0). Min
-    match 4, last-occurrence hash of 4-byte prefixes, in-block offsets
-    only (the format allows cross-block history; staying inside the
-    block keeps the matcher single-pass)."""
+def _pack_backward(fields: list[tuple[int, int]]) -> bytes:
+    """Serialize (value, nb_bits) fields into a backward bitstream:
+    field 0 sits immediately below the sentinel bit, later fields
+    below it — exactly the order a _BackwardBits reader consumes.
+    O(1) byte-ops per field (no big-int shifting)."""
+    total = sum(nb for _, nb in fields)
+    out = bytearray((total + 8) >> 3)
+    out[total >> 3] |= 1 << (total & 7)  # sentinel
+    pos = total
+    for val, nb in fields:
+        if nb == 0:
+            continue
+        pos -= nb
+        v = val << (pos & 7)
+        idx = pos >> 3
+        while v:
+            out[idx] |= v & 0xFF
+            v >>= 8
+            idx += 1
+    return bytes(out)
+
+
+def _huf_assign_weights(freq: dict[int, int]) -> list[int] | None:
+    """Length-limited (<= 11 bit) canonical Huffman weights for the
+    present literal alphabet, positional through the highest present
+    symbol. None when the direct 4-bit tree description cannot express
+    the alphabet (> 129 positions) — callers fall back to raw
+    literals. Lengths come from a standard Huffman heap, clamped to 11
+    with a Kraft-restoring fixup; weights w = table_log + 1 - nbBits."""
+    import heapq
+
+    max_sym = max(freq)
+    if max_sym > 128:  # weights list covers symbols 0..N-2; direct
+        return None    # form carries at most 128 of them
+    if len(freq) < 2:
+        return None    # single-symbol literals take the RLE block path
+    heap = [(f, i, ("leaf", s)) for i, (s, f) in enumerate(freq.items())]
+    heapq.heapify(heap)
+    i = len(heap)
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        heapq.heappush(heap, (fa + fb, i, ("node", a, b)))
+        i += 1
+    depths: dict[int, int] = {}
+    stack = [(heap[0][2], 0)]
+    while stack:
+        node, d = stack.pop()
+        if node[0] == "leaf":
+            depths[node[1]] = max(d, 1)
+        else:
+            stack.append((node[1], d + 1))
+            stack.append((node[2], d + 1))
+    # clamp to 11 and restore Kraft equality (sum 2^-len == 1):
+    # overlong leaves move up to 11, then the deepest short leaves are
+    # demoted one level at a time until the sum is exact again
+    LIMIT = _HUF_MAX_TABLELOG
+    for s in depths:
+        if depths[s] > LIMIT:
+            depths[s] = LIMIT
+    unit = 1 << LIMIT  # work in 2^-LIMIT units
+    kraft = sum(unit >> d for d in depths.values())
+    while kraft > unit:
+        # demote a deepest-but-not-at-limit leaf by one level
+        cand = max(
+            (s for s, d in depths.items() if d < LIMIT),
+            key=lambda s: (depths[s], -freq[s]),
+        )
+        kraft -= unit >> depths[cand]
+        depths[cand] += 1
+        kraft += unit >> depths[cand]
+    while kraft < unit:
+        # promote the shallowest candidate whose promotion still fits
+        cand = min(
+            (s for s, d in depths.items()
+             if kraft - (unit >> d) + (unit >> (d - 1)) <= unit
+             and d > 1),
+            key=lambda s: depths[s],
+            default=None,
+        )
+        if cand is None:
+            return None
+        kraft -= unit >> depths[cand]
+        depths[cand] -= 1
+        kraft += unit >> depths[cand]
+    table_log = max(depths.values())
+    weights = [0] * (max_sym + 1)
+    for s, d in depths.items():
+        weights[s] = table_log + 1 - d
+    return weights
+
+
+def _huf_encode_literals(lits: bytes) -> bytes | None:
+    """Huffman-compressed literals section (4-stream, direct-weight
+    tree description), or None when raw literals are smaller. The
+    produced section is exactly what _decode_literals reads back."""
+    n = len(lits)
+    if n < 64:
+        return None
+    freq: dict[int, int] = {}
+    for b in lits:
+        freq[b] = freq.get(b, 0) + 1
+    weights = _huf_assign_weights(freq)
+    if weights is None:
+        return None
+    table, table_log = _huf_build_dtable(list(weights))
+    # canonical codes straight off the decode-table fill: symbol s
+    # with weight w occupies cells [pos, pos + 2^(w-1)), so its code
+    # is pos >> (w-1)
+    codes: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for w in range(1, table_log + 2):
+        span = 1 << (w - 1)
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            codes[sym] = (pos >> (w - 1), table_log + 1 - w)
+            pos += span
+    est = sum(f * codes[s][1] for s, f in freq.items()) // 8
+    tree_bytes = 1 + (len(weights) >> 1)  # last weight is deduced
+    if est + tree_bytes + 6 + 8 >= n:
+        return None
+    # tree description: direct 4-bit weights for symbols 0..max-1
+    desc = bytearray([127 + len(weights) - 1])
+    nibbles = weights[:-1]
+    for i in range(0, len(nibbles), 2):
+        hi = nibbles[i] << 4
+        lo = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+        desc.append(hi | lo)
+    # 4 streams
+    share = (n + 3) >> 2
+    streams = []
+    for k in range(4):
+        part = lits[k * share:(k + 1) * share] if k < 3 else \
+            lits[3 * share:]
+        if not part:
+            return None  # stream 4 empty only when n < 4 (filtered)
+        streams.append(_pack_backward([codes[b] for b in part]))
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        return None
+    payload = bytes(desc) + jump + b"".join(streams)
+    comp = len(payload)
+    # literals section header: type=2 (compressed); pick the smallest
+    # size format whose field widths hold (reg, comp)
+    if n < 1024 and comp < 1024:
+        hdr = (2 | (0b01 << 2) | (n << 4)
+               | (comp << 14)).to_bytes(3, "little")
+    elif n < 16384 and comp < 16384:
+        hdr = (2 | (0b10 << 2) | (n << 4)
+               | (comp << 18)).to_bytes(4, "little")
+    else:
+        hdr = (2 | (0b11 << 2) | (n << 4)
+               | (comp << 22)).to_bytes(5, "little")
+    section = bytes(hdr) + payload
+    return section if len(section) < n + 3 else None
+
+
+_CHAIN = 8  # candidates kept per 4-byte hash
+
+
+def _extend(chunk: bytes, cand: int, i: int, n: int) -> int:
+    """Match length of chunk[cand:] vs chunk[i:], 16-byte strides."""
+    ml = 4
+    limit = n - i
+    while ml + 16 <= limit and (
+        chunk[cand + ml:cand + ml + 16] == chunk[i + ml:i + ml + 16]
+    ):
+        ml += 16
+    while ml < limit and chunk[cand + ml] == chunk[i + ml]:
+        ml += 1
+    return ml
+
+
+def _best_match(chunk, tab, key, i, n) -> tuple[int, int]:
+    """(match_len, candidate_pos) of the longest candidate on the
+    chain (ties: most recent = smallest offset), or (0, 0)."""
+    best_ml, best_c = 0, 0
+    probe = chunk[i:i + 4]
+    for cand in reversed(tab.get(key, ())):
+        if cand >= i:  # the chain already holds position i itself
+            continue
+        if chunk[cand:cand + 4] != probe:
+            continue
+        ml = _extend(chunk, cand, i, n)
+        if ml > best_ml:
+            best_ml, best_c = ml, cand
+    return best_ml, best_c
+
+
+def _find_sequences(
+    chunk: bytes, level: int = 3
+) -> list[tuple[int, int, int]]:
+    """LZ77 over one block: (literal_run, offset, match_len) triples;
+    a trailing literal run is returned as (run, 0, 0). Min match 4,
+    bounded hash CHAINS of 4-byte prefixes picking the longest
+    candidate, one-step-lazy commit (take the match at i+1 when it
+    beats i's), in-block offsets only (the format allows cross-block
+    history; staying inside the block keeps the matcher single-pass).
+    ``level <= 1`` drops to a single-slot greedy matcher (~5x the
+    throughput for ~20% more bytes — the zstd speed/ratio dial)."""
     n = len(chunk)
+    chain_max = 1 if level <= 1 else _CHAIN
+    lazy = level >= 2
     seqs: list[tuple[int, int, int]] = []
-    last4: dict[int, int] = {}
+    tab: dict[int, list[int]] = {}
+
+    def index(j: int) -> int:
+        key = int.from_bytes(chunk[j:j + 4], "little")
+        chain = tab.setdefault(key, [])
+        chain.append(j)
+        if len(chain) > chain_max:
+            del chain[0]
+        return key
+
     lit_start = 0
     i = 0
     while i + 4 <= n:
-        key = int.from_bytes(chunk[i:i + 4], "little")
-        cand = last4.get(key)
-        last4[key] = i
-        if cand is not None and chunk[cand:cand + 4] == chunk[i:i + 4]:
-            ml = 4
-            limit = n - i
-            while ml < limit and chunk[cand + ml] == chunk[i + ml]:
-                ml += 1
-            seqs.append((i - lit_start, i - cand, ml))
-            # index a couple of positions inside the match so the next
-            # run can still find recent history without a full walk
-            step = 1 if ml <= 32 else ml // 16
-            for j in range(i + 1, i + ml, step):
-                if j + 4 <= n:
-                    last4[int.from_bytes(chunk[j:j + 4], "little")] = j
-            i += ml
-            lit_start = i
-        else:
+        key = index(i)
+        ml, cand = _best_match(chunk, tab, key, i, n)
+        if not ml:
             i += 1
+            continue
+        if lazy and i + 5 <= n:
+            # a longer match starting one later wins
+            key2 = index(i + 1)
+            ml2, cand2 = _best_match(chunk, tab, key2, i + 1, n)
+            if ml2 > ml + 1:
+                i += 1
+                ml, cand = ml2, cand2
+        seqs.append((i - lit_start, i - cand, ml))
+        # index a few positions inside the match so later runs still
+        # see recent history without a full per-byte walk
+        step = 1 if ml <= 32 else ml // 16
+        for j in range(i + 1, i + ml, step):
+            if j + 4 <= n:
+                index(j)
+        i += ml
+        lit_start = i
     if lit_start < n:
         seqs.append((n - lit_start, 0, 0))
     return seqs
 
 
-def _encode_block_lz(chunk: bytes) -> bytes | None:
-    """One compressed block (raw literals + predefined-FSE sequences),
-    or None when the result would not beat the raw block."""
-    triples = _find_sequences(chunk)
+def _encode_block_lz(chunk: bytes, level: int = 3) -> bytes | None:
+    """One compressed block (Huffman/RLE/raw literals + predefined-FSE
+    sequences), or None when the result would not beat the raw block."""
+    triples = _find_sequences(chunk, level)
     seqs = [t for t in triples if t[2] > 0]
     if not seqs:
-        return None
+        # no matches: a Huffman-literals-only block can still win
+        huf = _huf_encode_literals(chunk)
+        if huf is None:
+            return None
+        blk = huf + b"\x00"  # Number_of_Sequences = 0
+        return blk if len(blk) < len(chunk) else None
     # literals = concatenation of the runs, in order
     lits = bytearray()
     pos = 0
@@ -929,18 +1146,36 @@ def _encode_block_lz(chunk: bytes) -> bytes | None:
     # the decoder appends leftover literals after the last one
     ll_codes, of_codes, ml_codes = [], [], []
     extras: list[list[tuple[int, int]]] = []  # per seq: read-order fields
+    rep = [1, 4, 8]  # mirror the decoder's repeat-offset history
     for run, off, ml in seqs:
         lc, lb, lv = _ll_code(run)
-        of_value = off + 3
+        # prefer a repeat-offset code (0-1 extra bits vs ~log2(off)):
+        # simulate the decoder's ov -> offset mapping, ll==0 twist incl.
+        of_value = 0
+        for ov in (1, 2, 3):
+            idx = ov - 1 + (1 if run == 0 else 0)
+            got = (rep[0], rep[1], rep[2], rep[0] - 1)[idx]
+            if got == off and got > 0:
+                of_value = ov
+                if idx == 1:
+                    rep[0], rep[1] = rep[1], rep[0]
+                elif idx == 2:
+                    rep[0], rep[1], rep[2] = rep[2], rep[0], rep[1]
+                elif idx == 3:
+                    rep[0], rep[1], rep[2] = rep[0] - 1, rep[0], rep[1]
+                break
+        if not of_value:
+            of_value = off + 3
+            rep[0], rep[1], rep[2] = off, rep[0], rep[1]
         oc = of_value.bit_length() - 1
-        ov = of_value - (1 << oc)
+        ov_extra = of_value - (1 << oc)
         mc, mb, mv = _ml_code(ml)
         if oc > 28:  # predefined OF alphabet tops out at code 28
             return None
         ll_codes.append(lc)
         of_codes.append(oc)
         ml_codes.append(mc)
-        extras.append([(ov, oc), (mv, mb), (lv, lb)])
+        extras.append([(ov_extra, oc), (mv, mb), (lv, lb)])
     n_seq = len(seqs)
     # FSE state chains, assigned backward (X_i -> X_{i+1} windows)
     def chain(codes: list[int], etab) -> tuple[int, list[tuple[int, int]]]:
@@ -974,15 +1209,28 @@ def _encode_block_lz(chunk: bytes) -> bytes | None:
     stream = v.to_bytes((total_bits + 8) >> 3, "little")
 
     out = bytearray()
-    # raw literals section header
     nl = len(lits)
-    if nl < 32:
-        out.append(nl << 3)
-    elif nl < 4096:
-        out += ((nl << 4) | 0b0100).to_bytes(2, "little")
+    huf = _huf_encode_literals(bytes(lits))
+    if huf is not None:
+        out += huf
+    elif nl >= 2 and lits.count(lits[0]) == nl:
+        # RLE literals: one byte regenerated nl times
+        if nl < 32:
+            out.append(1 | (nl << 3))
+        elif nl < 4096:
+            out += ((nl << 4) | 0b0101).to_bytes(2, "little")
+        else:
+            out += ((nl << 4) | 0b1101).to_bytes(3, "little")
+        out.append(lits[0])
     else:
-        out += ((nl << 4) | 0b1100).to_bytes(3, "little")
-    out += lits
+        # raw literals section header
+        if nl < 32:
+            out.append(nl << 3)
+        elif nl < 4096:
+            out += ((nl << 4) | 0b0100).to_bytes(2, "little")
+        else:
+            out += ((nl << 4) | 0b1100).to_bytes(3, "little")
+        out += lits
     if n_seq < 128:
         out.append(n_seq)
     elif n_seq < 0x7F00:
@@ -999,13 +1247,16 @@ def _encode_block_lz(chunk: bytes) -> bytes | None:
 
 
 def compress(
-    data: bytes, checksum: bool = True, store: bool = False
+    data: bytes, checksum: bool = True, store: bool = False,
+    level: int = 3,
 ) -> bytes:
-    """Encode ``data`` as one zstd frame: greedy LZ77 + predefined-FSE
-    compressed blocks where they win, raw/RLE blocks otherwise (always
-    with ``store=True``), exact content size declared, xxh64 content
-    checksum by default — decodable by every conforming
-    implementation (round-tripped against zstd-jni in tests)."""
+    """Encode ``data`` as one zstd frame: LZ77 + Huffman literals +
+    predefined-FSE compressed blocks where they win, raw/RLE blocks
+    otherwise (always with ``store=True``), exact content size
+    declared, xxh64 content checksum by default — decodable by every
+    conforming implementation (round-tripped against zstd-jni in
+    tests). ``level`` is the speed/ratio dial: 1 = single-slot greedy
+    matcher, >= 2 adds hash chains + lazy parsing."""
     n = len(data)
     if n < 256:
         fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
@@ -1045,7 +1296,7 @@ def compress(
                         | (len(chunk) << 3)).to_bytes(3, "little")
                 out.append(chunk[0])
                 continue
-            lz = None if store else _encode_block_lz(chunk)
+            lz = None if store else _encode_block_lz(chunk, level)
             if lz is not None:
                 out += (last | (2 << 1)
                         | (len(lz) << 3)).to_bytes(3, "little")

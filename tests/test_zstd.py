@@ -35,6 +35,11 @@ def _cases() -> dict[str, bytes]:
         "one": b"x",
         "empty": b"",
         "utf": "héllo wörld ünïcode ".encode() * 6000,
+        # few-match ASCII: exercises the encoder's Huffman-literals
+        # path (and the decoder's 4-stream read of our own frames)
+        "ascii_nomatch": bytes(rng.choices(b"abcdefgh", k=80_000)),
+        "skewed": bytes(rng.choices(
+            b"aaaaaaaaaaaaaaaabcdefghijklmnopqrstuvwxyz0123", k=90_000)),
     }
 
 
@@ -131,7 +136,7 @@ def test_java_cross_implementation(spark):
     for name, c in cases.items():
         if not c:
             continue
-        for kw in ({}, {"store": True}):
+        for kw in ({}, {"store": True}, {"level": 1}):
             got = bytes(Z.decompress(bytearray(zc.compress(c, **kw)),
                                      len(c)))
             assert got == c, (name, kw)

@@ -30,9 +30,11 @@ Scope and verification posture (the round-10 snappy/avro precedent —
   that path), so every output is unconditionally valid zstd.
   Measured on the fixture documents as JSONL: 0.318 of raw at the
   default level vs the reference encoder's 0.235 at its level 1 —
-  1.35x the bytes, with identical decode-side semantics. FSE-coded
-  Huffman WEIGHTS (needed only when the highest literal byte exceeds
-  128) are not emitted — such blocks keep raw literals.
+  1.35x the bytes, with identical decode-side semantics. Tree
+  descriptions use direct 4-bit weights up to the headerByte's
+  128-weight cap and FSE-compressed weights past it (the UTF-8 /
+  high-byte alphabet case), each self-checked through the shared
+  decoder before emission.
 - **Cross-implementation verification**: Spark's classpath ships the
   official zstd-jni (zstd-jni-1.5.7-6.jar, used for shuffle/parquet
   compression), so tests/test_zstd.py round-trips BOTH directions
@@ -911,11 +913,9 @@ def _huf_assign_weights(freq: dict[int, int]) -> list[int] | None:
     with a Kraft-restoring fixup; weights w = table_log + 1 - nbBits."""
     import heapq
 
-    max_sym = max(freq)
-    if max_sym > 128:  # weights list covers symbols 0..N-2; direct
-        return None    # form carries at most 128 of them
     if len(freq) < 2:
         return None    # single-symbol literals take the RLE block path
+    max_sym = max(freq)
     heap = [(f, i, ("leaf", s)) for i, (s, f) in enumerate(freq.items())]
     heapq.heapify(heap)
     i = len(heap)
@@ -972,6 +972,150 @@ def _huf_assign_weights(freq: dict[int, int]) -> list[int] | None:
     return weights
 
 
+class _ForwardBitWriter:
+    """LSB-first forward writer — the inverse of _ForwardBits."""
+
+    __slots__ = ("acc", "bits", "out")
+
+    def __init__(self):
+        self.acc = 0
+        self.bits = 0
+        self.out = bytearray()
+
+    def write(self, value: int, nb: int) -> None:
+        self.acc |= value << self.bits
+        self.bits += nb
+        while self.bits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.bits -= 8
+
+    def finish(self) -> bytes:
+        if self.bits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _fse_write_ncount(counts: list[int], al: int) -> bytes:
+    """Serialize normalized counts as an FSE table description — the
+    exact inverse of _fse_read_ncount's variable-width state machine
+    (short field when value < max_low, +max_low bias past threshold,
+    2-bit zero-run flags)."""
+    w = _ForwardBitWriter()
+    w.write(al - 5, 4)
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nbits = al + 1
+    i = 0
+    while remaining > 1:
+        c = counts[i] if i < len(counts) else 0
+        i += 1
+        value = c + 1
+        max_low = (2 * threshold - 1) - remaining
+        if value < max_low:
+            w.write(value, nbits - 1)
+        elif value < threshold:
+            w.write(value, nbits)
+        else:
+            w.write(value + max_low, nbits)
+        remaining -= -c if c < 0 else c
+        if remaining <= 1:
+            break
+        if c == 0:
+            # count the zero run that follows and emit 2-bit flags
+            run = 0
+            while i + run < len(counts) and counts[i + run] == 0:
+                run += 1
+            r = run
+            while r >= 3:
+                w.write(3, 2)
+                r -= 3
+            w.write(r, 2)
+            i += run
+        while remaining < threshold and remaining > 1:
+            nbits -= 1
+            threshold >>= 1
+    return w.finish()
+
+
+def _huf_fse_weights(weights_series: list[int]) -> bytes | None:
+    """FSE-compressed Huffman tree description (headerByte < 128):
+    normalized weight distribution + interleaved-2-state backward
+    stream, laid out so _fse_decode_interleaved's termination emits
+    exactly this series. None when the series can't take this form
+    (fewer than 2 items or a single distinct weight value)."""
+    n = len(weights_series)
+    if n < 2 or len(set(weights_series)) < 2:
+        return None
+    al = 6
+    size = 1 << al
+    max_w = max(weights_series)
+    freq = [0] * (max_w + 1)
+    for v in weights_series:
+        freq[v] += 1
+    # largest-remainder normalization to 2^al, every present value >= 1
+    counts = [0] * (max_w + 1)
+    shares = [(f * size / n, v) for v, f in enumerate(freq) if f]
+    for share, v in shares:
+        counts[v] = max(1, int(share))
+    diff = size - sum(counts)
+    order = sorted(shares, key=lambda t: t[0] - int(t[0]), reverse=True)
+    k = 0
+    while diff != 0:
+        _, v = order[k % len(order)]
+        if diff > 0:
+            counts[v] += 1
+            diff -= 1
+        elif counts[v] > 1:
+            counts[v] -= 1
+            diff += 1
+        k += 1
+        if k > 10 * size:
+            return None
+    desc = _fse_write_ncount(counts, al)
+    etab = _fse_build_etable(counts, al)
+    # split emissions into the two alternating chains: e_k even -> s1
+    chain1 = weights_series[0::2]
+    chain2 = weights_series[1::2]
+
+    def assign(chain: list[int], tail_needs_bits: bool):
+        states = [0] * len(chain)
+        trans: list[tuple[int, int]] = [(0, 0)] * (len(chain) - 1)
+        cand = etab[chain[-1]]
+        if tail_needs_bits:
+            cand = [e for e in cand if e[1] >= 1] or cand
+        states[-1] = cand[0][0]
+        for j in range(len(chain) - 2, -1, -1):
+            st, nb, delta = _fse_pick_state(etab, chain[j], states[j + 1])
+            states[j] = st
+            trans[j] = (delta, nb)
+        return states[0], trans
+
+    # e_{n-2}'s update read must OVERFLOW (nb >= 1) so the decoder
+    # stops after exactly n emissions; e_{n-2} is the tail of its chain
+    tail2_in_chain1 = (n - 2) % 2 == 0
+    s1_0, t1 = assign(chain1, tail_needs_bits=tail2_in_chain1)
+    s2_0, t2 = assign(chain2, tail_needs_bits=not tail2_in_chain1)
+    # genuine reads in stream order: init1, init2, r_0 .. r_{n-3};
+    # r_k updates e_k's chain (k even -> chain1 transition k//2)
+    fields: list[tuple[int, int]] = [(s1_0, al), (s2_0, al)]
+    for k2 in range(n - 2):
+        if k2 % 2 == 0:
+            fields.append(t1[k2 // 2])
+        else:
+            fields.append(t2[k2 // 2])
+    stream = _pack_backward(fields)
+    blob = desc + stream
+    if len(blob) >= 128:  # headerByte must stay < 128
+        return None
+    # self-check: the decoder must reproduce the series exactly (cheap
+    # — the tree description is < 128 bytes)
+    dt = _fse_build_dtable(counts, al)
+    if _fse_decode_interleaved(dt, al, stream) != weights_series:
+        return None
+    return bytes([len(blob)]) + blob
+
+
 def _huf_encode_literals(lits: bytes) -> bytes | None:
     """Huffman-compressed literals section (4-stream, direct-weight
     tree description), or None when raw literals are smaller. The
@@ -998,17 +1142,24 @@ def _huf_encode_literals(lits: bytes) -> bytes | None:
                 continue
             codes[sym] = (pos >> (w - 1), table_log + 1 - w)
             pos += span
+    # tree description: direct 4-bit weights when the series fits the
+    # headerByte's 128-weight cap, FSE-compressed weights otherwise
+    # (the UTF-8/high-byte alphabet case)
+    series = weights[:-1]  # last weight is deduced by the reader
+    if len(series) <= 128:
+        desc = bytearray([127 + len(series)])
+        for i in range(0, len(series), 2):
+            hi = series[i] << 4
+            lo = series[i + 1] if i + 1 < len(series) else 0
+            desc.append(hi | lo)
+        desc = bytes(desc)
+    else:
+        desc = _huf_fse_weights(series)
+        if desc is None:
+            return None
     est = sum(f * codes[s][1] for s, f in freq.items()) // 8
-    tree_bytes = 1 + (len(weights) >> 1)  # last weight is deduced
-    if est + tree_bytes + 6 + 8 >= n:
+    if est + len(desc) + 6 + 8 >= n:
         return None
-    # tree description: direct 4-bit weights for symbols 0..max-1
-    desc = bytearray([127 + len(weights) - 1])
-    nibbles = weights[:-1]
-    for i in range(0, len(nibbles), 2):
-        hi = nibbles[i] << 4
-        lo = nibbles[i + 1] if i + 1 < len(nibbles) else 0
-        desc.append(hi | lo)
     # 4 streams
     share = (n + 3) >> 2
     streams = []

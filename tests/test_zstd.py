@@ -40,7 +40,21 @@ def _cases() -> dict[str, bytes]:
         "ascii_nomatch": bytes(rng.choices(b"abcdefgh", k=80_000)),
         "skewed": bytes(rng.choices(
             b"aaaaaaaaaaaaaaaabcdefghijklmnopqrstuvwxyz0123", k=90_000)),
+        # high-byte alphabets (highest literal > 128): the encoder must
+        # emit FSE-COMPRESSED Huffman weights (direct 4-bit form caps
+        # at 128 weight positions) — the UTF-8 corpus shape
+        "cyrillic": _cyrillic_text(),
+        "high_bytes": bytes(random.Random(13).choices(
+            bytes(range(120, 250)), k=80_000)),
     }
+
+
+def _cyrillic_text() -> bytes:
+    r = random.Random(9)
+    return "".join(
+        chr(0x430 + r.randrange(32)) if i % 7 else " "
+        for i in range(40_000)
+    ).encode("utf-8")
 
 
 def test_xxh64_spec_vector():

@@ -913,7 +913,8 @@ def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
     binaryFile scan, Arrow-batched pure-Python zstd decompress + line
     split (the only Python step), then JVM-side from_json — the parse
     stays inside whole-stage codegen. Accepts any conforming zstd
-    frames (entropy-coded included), not just our store-mode writes."""
+    frames — shards from external tools, not just our own writes
+    (a zstd-jni level-3 shard is part of the round-trip tests)."""
     from flexcalc_spark.registry import _ship_package
     from flexcalc_spark.sources.binaryfiles import read_binary_dir
 

@@ -1108,12 +1108,18 @@ def _huf_fse_weights(weights_series: list[int]) -> bytes | None:
     blob = desc + stream
     if len(blob) >= 128:  # headerByte must stay < 128
         return None
-    # self-check: the decoder must reproduce the series exactly (cheap
-    # — the tree description is < 128 bytes)
-    dt = _fse_build_dtable(counts, al)
-    if _fse_decode_interleaved(dt, al, stream) != weights_series:
+    # self-check THE FULL BLOB through the shared reader (ncount
+    # description AND interleaved stream — checking only the stream
+    # would let an ncount-writer bug ship; r11 review finding). Cheap:
+    # the tree description is < 128 bytes.
+    full = bytes([len(blob)]) + blob
+    try:
+        decoded, _ = _huf_read_weights(full, 0)
+    except ValueError:
         return None
-    return bytes([len(blob)]) + blob
+    if decoded[:-1] != weights_series:
+        return None
+    return full
 
 
 def _huf_encode_literals(lits: bytes) -> bytes | None:
@@ -1209,12 +1215,11 @@ def _best_match(chunk, tab, key, i, n) -> tuple[int, int]:
     """(match_len, candidate_pos) of the longest candidate on the
     chain (ties: most recent = smallest offset), or (0, 0)."""
     best_ml, best_c = 0, 0
-    probe = chunk[i:i + 4]
     for cand in reversed(tab.get(key, ())):
         if cand >= i:  # the chain already holds position i itself
             continue
-        if chunk[cand:cand + 4] != probe:
-            continue
+        # no probe re-check needed: chains are keyed by the exact
+        # 4-byte value, so every candidate matches by construction
         ml = _extend(chunk, cand, i, n)
         if ml > best_ml:
             best_ml, best_c = ml, cand
@@ -1275,9 +1280,14 @@ def _find_sequences(
     return seqs
 
 
-def _encode_block_lz(chunk: bytes, level: int = 3) -> bytes | None:
+def _encode_block_lz(
+    chunk: bytes, level: int = 3, frame_rep: list[int] | None = None
+) -> bytes | None:
     """One compressed block (Huffman/RLE/raw literals + predefined-FSE
-    sequences), or None when the result would not beat the raw block."""
+    sequences), or None when the result would not beat the raw block.
+    ``frame_rep`` is the FRAME's repeat-offset history (RFC 8878
+    carries it across blocks, not per block — r11 review finding);
+    it is mutated only when a block is actually emitted."""
     triples = _find_sequences(chunk, level)
     seqs = [t for t in triples if t[2] > 0]
     if not seqs:
@@ -1297,7 +1307,10 @@ def _encode_block_lz(chunk: bytes, level: int = 3) -> bytes | None:
     # the decoder appends leftover literals after the last one
     ll_codes, of_codes, ml_codes = [], [], []
     extras: list[list[tuple[int, int]]] = []  # per seq: read-order fields
-    rep = [1, 4, 8]  # mirror the decoder's repeat-offset history
+    # work on a COPY of the frame history: a raw-block fallback after
+    # this point must leave the caller's rep state untouched (the
+    # decoder's rep only advances inside EMITTED compressed blocks)
+    rep = list(frame_rep) if frame_rep is not None else [1, 4, 8]
     for run, off, ml in seqs:
         lc, lb, lv = _ll_code(run)
         # prefer a repeat-offset code (0-1 extra bits vs ~log2(off)):
@@ -1352,12 +1365,7 @@ def _encode_block_lz(chunk: bytes, level: int = 3) -> bytes | None:
             fields.append(ll_bits[i])
             fields.append(ml_bits[i])
             fields.append(of_bits[i])
-    total_bits = sum(nb for _, nb in fields)
-    v = 0
-    for val, nb in fields:
-        v = (v << nb) | val
-    v |= 1 << total_bits  # sentinel
-    stream = v.to_bytes((total_bits + 8) >> 3, "little")
+    stream = _pack_backward(fields)
 
     out = bytearray()
     nl = len(lits)
@@ -1394,6 +1402,8 @@ def _encode_block_lz(chunk: bytes, level: int = 3) -> bytes | None:
     out += stream
     if len(out) >= len(chunk):
         return None
+    if frame_rep is not None:  # block accepted: commit the history
+        frame_rep[:] = rep
     return bytes(out)
 
 
@@ -1429,8 +1439,7 @@ def compress(
         # Single_Segment's window=content — a multi-GB single-segment
         # frame would exceed default decoder window limits (libzstd
         # caps at 128 MiB by default; RFC 8878 only requires 8 MiB)
-        if fcs_flag == 0:  # FCS field absent without Single_Segment
-            fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+        assert fcs_flag >= 1  # n > 1 MiB, so the FCS field exists
         out.append((fcs_flag << 6) | ((1 if checksum else 0) << 2))
         out.append(7 << 3)  # window descriptor: 2^(10+7) = 128 KiB
         out += fcs_bytes
@@ -1438,6 +1447,7 @@ def compress(
         out += (1).to_bytes(3, "little")  # last=1, raw, size 0
     else:
         pos = 0
+        frame_rep = [1, 4, 8]  # rep history is per FRAME (RFC 8878)
         while pos < n:
             chunk = data[pos:pos + _BLOCK_MAX]
             pos += len(chunk)
@@ -1447,7 +1457,8 @@ def compress(
                         | (len(chunk) << 3)).to_bytes(3, "little")
                 out.append(chunk[0])
                 continue
-            lz = None if store else _encode_block_lz(chunk, level)
+            lz = None if store else _encode_block_lz(chunk, level,
+                                                     frame_rep)
             if lz is not None:
                 out += (last | (2 << 1)
                         | (len(lz) << 3)).to_bytes(3, "little")

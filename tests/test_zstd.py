@@ -191,3 +191,30 @@ def test_large_frame_uses_bounded_window(spark):
     assert bytes(Z.decompress(bytearray(framed), len(data))) == data
     small = zc.compress(b"tiny")
     assert (small[4] >> 5) & 1 == 1  # small frames stay Single_Segment
+
+
+def test_multiblock_rep_history_carries_across_blocks():
+    """The repeat-offset history is per FRAME, not per block (RFC 8878
+    §3.1.1.5): an encoder that reset it per block emitted rep codes
+    that decode to wrong offsets in block 2+ of varied multi-block
+    input (r11 review finding; silent corruption with checksum=False).
+    This corpus reproduces the failure shape: ~540 KB / 5 blocks of
+    varied JSONL."""
+    import json
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "request", "response",
+             "click", "view", "purchase"]
+    rows = [json.dumps({
+        "id": i, "user": rng.randrange(10_000),
+        "event": rng.choice(words),
+        "msg": " ".join(rng.choices(words, k=rng.randrange(3, 18))),
+        "value": rng.randrange(10**6) / 100,
+    }, sort_keys=True) for i in range(4000)]
+    payload = ("\n".join(rows) + "\n").encode()
+    assert len(payload) > 4 * 128 * 1024  # genuinely multi-block
+    for lvl in (1, 3):
+        for checksum in (True, False):
+            z = zc.compress(payload, checksum=checksum, level=lvl)
+            assert zc.decompress(z) == payload, (lvl, checksum)

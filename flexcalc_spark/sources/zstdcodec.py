@@ -1238,8 +1238,35 @@ def _find_sequences(
     ``level <= 1`` drops to a single-slot greedy matcher (~5x the
     throughput for ~20% more bytes — the zstd speed/ratio dial)."""
     n = len(chunk)
-    chain_max = 1 if level <= 1 else _CHAIN
-    lazy = level >= 2
+    if level <= 1:
+        # single-slot greedy fast path: inline dict ops, no helper
+        # calls (the chain machinery's per-position overhead costs
+        # ~9x at this level — measured r11)
+        seqs1: list[tuple[int, int, int]] = []
+        last4: dict[int, int] = {}
+        lit_start = 0
+        i = 0
+        fb = int.from_bytes
+        while i + 4 <= n:
+            key = fb(chunk[i:i + 4], "little")
+            cand = last4.get(key)
+            last4[key] = i
+            if cand is not None:
+                ml = _extend(chunk, cand, i, n)
+                seqs1.append((i - lit_start, i - cand, ml))
+                step = 1 if ml <= 32 else ml // 16
+                for j in range(i + 1, i + ml, step):
+                    if j + 4 <= n:
+                        last4[fb(chunk[j:j + 4], "little")] = j
+                i += ml
+                lit_start = i
+            else:
+                i += 1
+        if lit_start < n:
+            seqs1.append((n - lit_start, 0, 0))
+        return seqs1
+    chain_max = _CHAIN
+    lazy = True
     seqs: list[tuple[int, int, int]] = []
     tab: dict[int, list[int]] = {}
 

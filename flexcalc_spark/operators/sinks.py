@@ -908,6 +908,26 @@ def q_source_jsonl_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _expand_zst_lines(batches):
+    """Arrow-batched shard expander: decompress each blob, split on
+    explicit newline framing — NEVER splitlines(): JSON string values
+    legally contain unescaped U+2028/U+2029/U+0085 under
+    ensure_ascii=False, and splitlines() breaks on those too, so one
+    record would shatter into two unparseable fragments (r11 review
+    finding). \r is always \\-escaped inside JSON strings, so rstrip
+    only eats \r\n framing, never content."""
+    import pandas as pd
+
+    from flexcalc_spark.sources import zstdcodec
+
+    for pdf in batches:
+        for blob in pdf["content"]:
+            text = zstdcodec.decompress(bytes(blob)).decode("utf-8")
+            lines = [y for x in text.split("\n") if (y := x.rstrip("\r"))]
+            if lines:
+                yield pd.DataFrame({"line": lines})
+
+
 def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Directory of ``.jsonl.zst`` shards -> DataFrame of ``schema``:
     binaryFile scan, Arrow-batched pure-Python zstd decompress + line
@@ -920,28 +940,36 @@ def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
     _ship_package(spark)
 
-    def expand(batches):
-        import pandas as pd
-
-        from flexcalc_spark.sources import zstdcodec
-
-        for pdf in batches:
-            for blob in pdf["content"]:
-                text = zstdcodec.decompress(bytes(blob)).decode("utf-8")
-                # explicit newline framing, NEVER splitlines(): JSON
-                # string values legally contain unescaped U+2028/U+2029/
-                # U+0085 under ensure_ascii=False, and splitlines()
-                # breaks on those too — one record would shatter into
-                # two unparseable fragments (r11 review finding)
-                # (\r is always \-escaped inside JSON strings, so
-                # rstrip only eats \r\n framing, never content)
-                lines = [y for x in text.split("\n")
-                         if (y := x.rstrip("\r"))]
-                if lines:
-                    yield pd.DataFrame({"line": lines})
-
     raw = read_binary_dir(spark, path, "*.jsonl.zst").select("content")
-    lines = raw.mapInPandas(expand, "line string")
+    lines = raw.mapInPandas(_expand_zst_lines, "line string")
+    return lines.select(
+        F.from_json(F.col("line"), schema).alias("j")
+    ).select("j.*")
+
+
+def stream_jsonl_zst(spark: SparkSession, path: str, schema: str):
+    """STREAMING shard ingest: the same decompress-split-parse over
+    ``readStream(binaryFile)`` — a live corpus directory is consumed
+    incrementally (each newly-landed .jsonl.zst shard becomes a
+    micro-batch), which is how a continuously-written pretraining
+    corpus arrives in practice. Stateless parse, so append mode;
+    equality with the batch reader is pinned in
+    tests/test_streaming.py (the stream_warc precedent)."""
+    from flexcalc_spark.registry import _ship_package
+
+    _ship_package(spark)
+
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("pathGlobFilter", "*.jsonl.zst")
+        .load(path)
+    )
+    lines = bf.select("content").mapInPandas(
+        _expand_zst_lines, "line string")
     return lines.select(
         F.from_json(F.col("line"), schema).alias("j")
     ).select("j.*")

@@ -558,3 +558,35 @@ def test_stream_warc_ingest_equals_batch(spark, tmp_path):
     _drain(wc.stream_warc(spark, str(d)), "t_warc", mode="append")
     stream = spark.table("t_warc").toPandas()
     assert _canon(batch) == _canon(stream)
+
+
+def test_stream_jsonl_zst_equals_batch(spark, tmp_path):
+    """Streaming shard ingest: a directory of .jsonl.zst files consumed
+    via readStream(binaryFile) must parse to exactly the batch
+    reader's rows (stateless decompress-split-parse, append mode)."""
+    import json
+
+    from flexcalc_spark.operators.sinks import (
+        read_jsonl_zst,
+        stream_jsonl_zst,
+    )
+    from flexcalc_spark.sources import zstdcodec
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    schema = ("doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint")
+    for f in range(2):
+        body = ("\n".join(
+            json.dumps({"doc_id": f * 100 + i, "text": f"döc {f}-{i}",
+                        "lang": "en", "source": "web", "n_chars": i},
+                       ensure_ascii=False, sort_keys=True)
+            for i in range(5)
+        ) + "\n").encode("utf-8")
+        (d / f"part-{f}.jsonl.zst").write_bytes(zstdcodec.compress(body))
+    batch = read_jsonl_zst(spark, str(d), schema).toPandas()
+    assert len(batch) == 10
+    _drain(stream_jsonl_zst(spark, str(d), schema), "t_jzst",
+           mode="append")
+    stream = spark.table("t_jzst").toPandas()
+    assert _canon(batch) == _canon(stream)

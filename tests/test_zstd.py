@@ -218,3 +218,23 @@ def test_multiblock_rep_history_carries_across_blocks():
         for checksum in (True, False):
             z = zc.compress(payload, checksum=checksum, level=lvl)
             assert zc.decompress(z) == payload, (lvl, checksum)
+
+
+def test_roundtrip_property_fuzz():
+    """Hypothesis-style structured fuzz without the JVM: random
+    payloads across the encoder's structural breakpoints (empty /
+    sub-min-match / single-block / exactly-one-block / multi-block /
+    RLE runs / high-byte alphabets), both levels, both checksum
+    settings — every frame must round-trip through our decoder."""
+    rng = random.Random(0xC0DEC)
+    sizes = [0, 1, 3, 4, 5, 63, 64, 1023, 1024,
+             128 * 1024 - 1, 128 * 1024, 128 * 1024 + 1, 300_001]
+    alphabets = [bytes([7]), b"ab", b"abcdefgh",
+                 bytes(range(256)), bytes(range(128, 256))]
+    for size in sizes:
+        for alpha in alphabets:
+            payload = bytes(rng.choices(alpha, k=size))
+            for lvl in (1, 3):
+                z = zc.compress(payload, level=lvl,
+                                checksum=bool(size % 2))
+                assert zc.decompress(z) == payload, (size, alpha[:4], lvl)

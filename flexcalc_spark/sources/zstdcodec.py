@@ -652,6 +652,13 @@ def _decode_block(
     s_ml = br.read(ml_al)
     if br.overflowed:
         raise ValueError("zstd: sequence bitstream too short for init")
+    # hot loop: bit reads are inlined on local state (method-call
+    # overhead measured ~2x of decode wall at shard scale); each
+    # multi-field group is extracted in ONE int.from_bytes window —
+    # earlier-read fields sit in the higher bits of a backward stream
+    data = br.data
+    bits = br.bits
+    fb = int.from_bytes
     lit_pos = 0
     for i in range(n_seq):
         of_code = of_tab[s_of][0]
@@ -659,13 +666,21 @@ def _decode_block(
         ll_code = ll_tab[s_ll][0]
         if of_code > 31:
             raise ValueError("zstd: offset code out of range")
-        of_value = (1 << of_code) + br.read(of_code)
         ml_base, ml_bits = _ML_BASE_BITS[ml_code]
-        ml = ml_base + br.read(ml_bits)
         ll_base, ll_bits = _LL_BASE_BITS[ll_code]
-        ll = ll_base + br.read(ll_bits)
-        if br.overflowed:
+        n = of_code + ml_bits + ll_bits
+        bits -= n
+        if bits < 0:
             raise ValueError("zstd: sequence bitstream exhausted early")
+        if n:
+            grp = (fb(data[bits >> 3:(bits + n + 7) >> 3], "little")
+                   >> (bits & 7)) & ((1 << n) - 1)
+            ll = ll_base + (grp & ((1 << ll_bits) - 1))
+            grp >>= ll_bits
+            ml = ml_base + (grp & ((1 << ml_bits) - 1))
+            of_value = (1 << of_code) + (grp >> ml_bits)
+        else:
+            ll, ml, of_value = ll_base, ml_base, 1 << of_code
         # repeat-offset resolution (§3.1.1.5), incl. the ll==0 twist
         if of_value > 3:
             offset = of_value - 3
@@ -710,15 +725,24 @@ def _decode_block(
                 seg = bytes(out[start:])
                 out += (seg * (ml // offset + 1))[:ml]
         if i != n_seq - 1:
-            e = ll_tab[s_ll]
-            s_ll = e[2] + br.read(e[1])
-            e = ml_tab[s_ml]
-            s_ml = e[2] + br.read(e[1])
-            e = of_tab[s_of]
-            s_of = e[2] + br.read(e[1])
-            if br.overflowed:
-                raise ValueError("zstd: sequence bitstream exhausted early")
-    if br.bits != 0:
+            e1 = ll_tab[s_ll]
+            e2 = ml_tab[s_ml]
+            e3 = of_tab[s_of]
+            n = e1[1] + e2[1] + e3[1]
+            bits -= n
+            if bits < 0:
+                raise ValueError("zstd: sequence bitstream exhausted "
+                                 "early")
+            if n:
+                grp = (fb(data[bits >> 3:(bits + n + 7) >> 3], "little")
+                       >> (bits & 7)) & ((1 << n) - 1)
+                s_of = e3[2] + (grp & ((1 << e3[1]) - 1))
+                grp >>= e3[1]
+                s_ml = e2[2] + (grp & ((1 << e2[1]) - 1))
+                s_ll = e1[2] + (grp >> e2[1])
+            else:
+                s_ll, s_ml, s_of = e1[2], e2[2], e3[2]
+    if bits != 0:
         raise ValueError("zstd: sequence bitstream not fully consumed")
     out += lits[lit_pos:]
 

@@ -928,6 +928,18 @@ def _expand_zst_lines(batches):
                 yield pd.DataFrame({"line": lines})
 
 
+def _parse_zst_content(content_df: DataFrame, schema: str) -> DataFrame:
+    """Shared decompress-split-parse tail for the batch AND streaming
+    shard readers (one definition so a schema/parse change can never
+    diverge the batch/stream equivalence the tests pin): Arrow-batched
+    zstd decompress + line split, then JVM-side from_json."""
+    lines = content_df.select("content").mapInPandas(
+        _expand_zst_lines, "line string")
+    return lines.select(
+        F.from_json(F.col("line"), schema).alias("j")
+    ).select("j.*")
+
+
 def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Directory of ``.jsonl.zst`` shards -> DataFrame of ``schema``:
     binaryFile scan, Arrow-batched pure-Python zstd decompress + line
@@ -940,11 +952,8 @@ def read_jsonl_zst(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
     _ship_package(spark)
 
-    raw = read_binary_dir(spark, path, "*.jsonl.zst").select("content")
-    lines = raw.mapInPandas(_expand_zst_lines, "line string")
-    return lines.select(
-        F.from_json(F.col("line"), schema).alias("j")
-    ).select("j.*")
+    return _parse_zst_content(
+        read_binary_dir(spark, path, "*.jsonl.zst"), schema)
 
 
 def stream_jsonl_zst(spark: SparkSession, path: str, schema: str):
@@ -968,8 +977,4 @@ def stream_jsonl_zst(spark: SparkSession, path: str, schema: str):
         .option("pathGlobFilter", "*.jsonl.zst")
         .load(path)
     )
-    lines = bf.select("content").mapInPandas(
-        _expand_zst_lines, "line string")
-    return lines.select(
-        F.from_json(F.col("line"), schema).alias("j")
-    ).select("j.*")
+    return _parse_zst_content(bf, schema)

@@ -931,10 +931,12 @@ def _pack_backward(fields: list[tuple[int, int]]) -> bytes:
 def _huf_assign_weights(freq: dict[int, int]) -> list[int] | None:
     """Length-limited (<= 11 bit) canonical Huffman weights for the
     present literal alphabet, positional through the highest present
-    symbol. None when the direct 4-bit tree description cannot express
-    the alphabet (> 129 positions) — callers fall back to raw
-    literals. Lengths come from a standard Huffman heap, clamped to 11
-    with a Kraft-restoring fixup; weights w = table_log + 1 - nbBits."""
+    symbol. None only for degenerate inputs (< 2 distinct symbols —
+    the RLE literals path — or an unsatisfiable Kraft promotion); the
+    caller picks the tree-description FORM (direct 4-bit weights vs
+    FSE-compressed) by alphabet reach. Lengths come from a standard
+    Huffman heap, clamped to 11 with a Kraft-restoring fixup; weights
+    w = table_log + 1 - nbBits."""
     import heapq
 
     if len(freq) < 2:
@@ -1025,6 +1027,8 @@ def _fse_write_ncount(counts: list[int], al: int) -> bytes:
     exact inverse of _fse_read_ncount's variable-width state machine
     (short field when value < max_low, +max_low bias past threshold,
     2-bit zero-run flags)."""
+    assert sum(abs(c) for c in counts) == 1 << al, \
+        "ncount writer needs normalized counts"  # else: infinite loop
     w = _ForwardBitWriter()
     w.write(al - 5, 4)
     remaining = (1 << al) + 1
@@ -1199,9 +1203,9 @@ def _huf_encode_literals(lits: bytes) -> bytes | None:
         if not part:
             return None  # stream 4 empty only when n < 4 (filtered)
         streams.append(_pack_backward([codes[b] for b in part]))
-    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
     if max(len(s) for s in streams[:3]) > 0xFFFF:
-        return None
+        return None  # jump-table fields are uint16
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
     payload = bytes(desc) + jump + b"".join(streams)
     comp = len(payload)
     # literals section header: type=2 (compressed); pick the smallest
@@ -1310,19 +1314,24 @@ def _find_sequences(
         if not ml:
             i += 1
             continue
+        probed_next = False
         if lazy and i + 5 <= n:
             # a longer match starting one later wins
             key2 = index(i + 1)
+            probed_next = True
             ml2, cand2 = _best_match(chunk, tab, key2, i + 1, n)
             if ml2 > ml + 1:
                 i += 1
                 ml, cand = ml2, cand2
+                probed_next = False  # new i+1 is unindexed
         seqs.append((i - lit_start, i - cand, ml))
         # index a few positions inside the match so later runs still
-        # see recent history without a full per-byte walk
+        # see recent history without a full per-byte walk (skipping a
+        # position the declined lazy probe already indexed — a
+        # duplicate would evict a genuine older chain candidate)
         step = 1 if ml <= 32 else ml // 16
         for j in range(i + 1, i + ml, step):
-            if j + 4 <= n:
+            if j + 4 <= n and not (probed_next and j == i + 1):
                 index(j)
         i += ml
         lit_start = i

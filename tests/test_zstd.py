@@ -235,6 +235,8 @@ def test_roundtrip_property_fuzz():
         for alpha in alphabets:
             payload = bytes(rng.choices(alpha, k=size))
             for lvl in (1, 3):
-                z = zc.compress(payload, level=lvl,
-                                checksum=bool(size % 2))
-                assert zc.decompress(z) == payload, (size, alpha[:4], lvl)
+                for checksum in (True, False):
+                    z = zc.compress(payload, level=lvl,
+                                    checksum=checksum)
+                    assert zc.decompress(z) == payload, (
+                        size, alpha[:4], lvl, checksum)

@@ -1247,7 +1247,15 @@ def _best_match(chunk, tab, key, i, n) -> tuple[int, int]:
         if cand >= i:  # the chain already holds position i itself
             continue
         # no probe re-check needed: chains are keyed by the exact
-        # 4-byte value, so every candidate matches by construction
+        # 4-byte value, so every candidate matches by construction.
+        # Gallop check: a candidate can only beat the current best if
+        # it also matches at offset best_ml — one byte compare prunes
+        # the full extension for most losers
+        if best_ml:
+            if i + best_ml >= n:
+                break  # nothing can extend past the block end
+            if chunk[cand + best_ml] != chunk[i + best_ml]:
+                continue
         ml = _extend(chunk, cand, i, n)
         if ml > best_ml:
             best_ml, best_c = ml, cand

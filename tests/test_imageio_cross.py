@@ -209,3 +209,23 @@ def test_our_jpeg_encoder_read_by_java(spark, tmp_path):
     ours = np.frombuffer(px, dtype=dt).reshape(h, w).astype(np.int64)
     assert theirs.shape == (h, w)
     assert np.abs(ours - theirs).max() <= 1
+
+
+def test_our_rgb_tiff_read_by_java(spark, tmp_path):
+    """Chunky-RGB LZW TIFF from our writer (with the per-channel
+    horizontal predictor) must read back channel-exact under ImageIO."""
+    jvm = spark._jvm
+    rgb = _rng().randint(0, 256, size=(17, 29, 3), dtype=np.uint8)
+    for pred in (1, 2):
+        path = str(tmp_path / f"rgb_lzw_p{pred}.tif")
+        _write_tiff_ex(path, rgb, compression=5, predictor=pred)
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        w, h = bi.getWidth(), bi.getHeight()
+        assert (h, w) == rgb.shape[:2]
+        got = np.empty_like(rgb)
+        for y in range(h):
+            for x in range(w):
+                argb = bi.getRGB(x, y)
+                got[y, x] = ((argb >> 16) & 255, (argb >> 8) & 255,
+                             argb & 255)
+        assert np.array_equal(got, rgb), pred

@@ -240,3 +240,45 @@ def test_roundtrip_property_fuzz():
                                     checksum=checksum)
                     assert zc.decompress(z) == payload, (
                         size, alpha[:4], lvl, checksum)
+
+
+def test_corruption_fuzz_raises_only_valueerror():
+    """The repo-wide codec contract: corrupt bytes raise ValueError so
+    upstream readers can degrade PER ROW — an IndexError/KeyError
+    leaking from any decode path breaks that silently (the r10 'leak
+    through the ValueError contract' class). Deterministic sweep:
+    truncations, bit flips, and byte edits over frames that exercise
+    every block/literals/sequence shape; each mutation must either
+    decode (a mutation may land in an ignored field) or raise
+    ValueError specifically."""
+    rng = random.Random(0xFADE)
+    bases = [
+        zc.compress(b'{"user": 123, "event": "click"}\n' * 2000),  # LZ
+        zc.compress(bytes(rng.choices(b"abcdefgh", k=40_000))),  # Huffman
+        zc.compress(bytes(rng.choices(bytes(range(128, 250)),
+                                      k=40_000))),  # FSE weights
+        zc.compress(random.Random(1).randbytes(10_000)),  # raw blocks
+        zc.compress(b"\x07" * 50_000),  # RLE block
+        # pinned reference frame (predefined sequence tables)
+        bytes.fromhex("28b52ffd60e8024d00001000000100e32b8005"),
+    ]
+    checked = 0
+    for base in bases:
+        for _ in range(120):
+            mutated = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0 and len(mutated) > 8:  # truncate
+                del mutated[rng.randrange(4, len(mutated)):]
+            elif op == 1:  # bit flip
+                mutated[rng.randrange(len(mutated))] ^= 1 << rng.randrange(8)
+            else:  # byte overwrite
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                zc.decompress(bytes(mutated))
+            except ValueError:
+                pass  # the contract
+            except AssertionError:
+                raise
+            # any OTHER exception type propagates and fails the test
+            checked += 1
+    assert checked == len(bases) * 120

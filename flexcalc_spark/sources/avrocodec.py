@@ -786,13 +786,64 @@ def _adapt(w: object, r: object, value, names_w: dict, names_r: dict):
     raise ValueError(f"avro: unsupported reader kind {kr!r}")
 
 
+def _decompress_block(codec: str, payload: bytes) -> bytes:
+    """One container block's payload -> uncompressed bytes. The stdlib
+    codecs raise their own exception types (zlib.error, OSError from
+    bz2, LZMAError from lzma — LZMAError subclasses OSError's sibling
+    Exception, EOFError covers truncated members); read_container
+    wraps them all as ValueError at the boundary."""
+    if codec == "deflate":
+        do = zlib.decompressobj(-15)
+        return do.decompress(payload) + do.flush()
+    if codec == "snappy":
+        from flexcalc_spark.sources import snappycodec
+
+        if len(payload) < 4:
+            raise ValueError("avro: snappy block missing CRC")
+        crc = int.from_bytes(payload[-4:], "big")
+        out = snappycodec.decompress(payload[:-4])
+        if zlib.crc32(out) & 0xFFFFFFFF != crc:
+            raise ValueError("avro: snappy block CRC mismatch")
+        return out
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        try:
+            return lzma.decompress(payload)
+        except lzma.LZMAError as exc:
+            raise ValueError(f"avro: corrupt xz block ({exc})") from exc
+    if codec == "zstandard":
+        from flexcalc_spark.sources import zstdcodec
+
+        return zstdcodec.decompress(payload)
+    return payload  # codec "null"
+
+
 def read_container(
     data: bytes, reader_schema: object | None = None
 ) -> tuple[object, list]:
     """Parse Avro object-container bytes → (schema, records). With
     ``reader_schema``, records are RESOLVED to it per the spec's
     schema-resolution rules (_adapt) and it is returned as the
-    schema."""
+    schema. Corrupt input raises ValueError (the repo-wide codec
+    contract): schema-shape KeyError/IndexError and the stdlib
+    decompressors' own error types (zlib.error, bz2's OSError,
+    LZMAError) are wrapped at this boundary — a mutation sweep
+    (tests/test_avro.py) pins that nothing else escapes."""
+    try:
+        return _read_container_inner(data, reader_schema)
+    except (KeyError, IndexError) as exc:
+        # untrusted bytes produced a malformed schema/structure walk
+        raise ValueError(f"avro: malformed container ({exc!r})") from exc
+
+
+def _read_container_inner(
+    data: bytes, reader_schema: object | None = None
+) -> tuple[object, list]:
     if data[:4] != MAGIC:
         raise ValueError("avro: bad container magic")
     names: dict = {}
@@ -828,30 +879,12 @@ def read_container(
             raise ValueError("avro: truncated block")
         payload = data[pos : pos + size]
         pos += size
-        if codec == "deflate":
-            do = zlib.decompressobj(-15)
-            payload = do.decompress(payload) + do.flush()
-        elif codec == "snappy":
-            from flexcalc_spark.sources import snappycodec
-
-            if len(payload) < 4:
-                raise ValueError("avro: snappy block missing CRC")
-            crc = int.from_bytes(payload[-4:], "big")
-            payload = snappycodec.decompress(payload[:-4])
-            if zlib.crc32(payload) & 0xFFFFFFFF != crc:
-                raise ValueError("avro: snappy block CRC mismatch")
-        elif codec == "bzip2":
-            import bz2
-
-            payload = bz2.decompress(payload)
-        elif codec == "xz":
-            import lzma
-
-            payload = lzma.decompress(payload)
-        elif codec == "zstandard":
-            from flexcalc_spark.sources import zstdcodec
-
-            payload = zstdcodec.decompress(payload)
+        try:
+            payload = _decompress_block(codec, payload)
+        except (zlib.error, OSError, EOFError) as exc:
+            raise ValueError(
+                f"avro: corrupt {codec} block ({exc})"
+            ) from exc
         bpos = 0
         for _ in range(cnt):
             rec, bpos = _decode(schema, payload, bpos, names)

@@ -772,3 +772,43 @@ def test_spark_avro_evolving_directory(spark, tmp_path):
     )
     got = sorted((r.doc_id, r.lang, r.stars) for r in back.collect())
     assert got == [(1, "en", -1), (2, "de", 5)]
+
+
+def test_corruption_fuzz_raises_only_valueerror():
+    """The repo-wide codec contract at the container boundary: corrupt
+    bytes raise ValueError (or NotImplementedError for a mutated codec
+    NAME — the intentional typed boundary), never the stdlib
+    decompressors' own types (zlib.error, bz2's OSError, LZMAError)
+    or schema-walk KeyError/IndexError — the r10 'leak through the
+    ValueError contract' class, found live by this sweep and wrapped
+    in read_container (r11)."""
+    import random
+
+    schema = {"type": "record", "name": "D", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "meta", "type": {"type": "map", "values": "double"}},
+    ]}
+    recs = [{"id": i, "text": None if i % 5 == 0 else f"döc {i}",
+             "tags": [f"t{i % 3}", "x"], "meta": {"a": i * 0.5}}
+            for i in range(300)]
+    rng = random.Random(0xAB)
+    for codec in ("null", "deflate", "snappy", "bzip2", "xz",
+                  "zstandard"):
+        base = av.write_container(schema, recs, codec=codec)
+        assert av.read_container(base)[1] == recs, codec
+        for _ in range(120):
+            m = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0 and len(m) > 8:
+                del m[rng.randrange(4, len(m)):]
+            elif op == 1:
+                m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+            else:
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                av.read_container(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+            # any OTHER exception type propagates and fails the test

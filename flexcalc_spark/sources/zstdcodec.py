@@ -38,12 +38,13 @@ Scope and verification posture (the round-10 snappy/avro precedent —
 - **Cross-implementation verification**: Spark's classpath ships the
   official zstd-jni (zstd-jni-1.5.7-6.jar, used for shuffle/parquet
   compression), so tests/test_zstd.py round-trips BOTH directions
-  against ``com.github.luben.zstd.Zstd`` via py4j — real level-1/3/
-  9/19 frames (which exercise every literals/sequence mode above) must
-  decode byte-exactly, and our store-mode frames must decompress under
-  the reference implementation, checksums included. This is the same
-  standard avrocodec/snappycodec are held to, and strictly stronger
-  than a lockstep encoder/decoder pair.
+  against ``com.github.luben.zstd.Zstd`` via py4j — real frames at
+  levels 1/3/9/19/22 (which exercise every literals/sequence mode
+  above) must decode byte-exactly, and our frames (LZ-compressed,
+  level-1, and store-mode) must decompress under the reference
+  implementation, checksums included. This is the same standard
+  avrocodec/snappycodec are held to, and strictly stronger than a
+  lockstep encoder/decoder pair.
 
 Out of scope, each raising a typed error at the raise site:
 dictionaries (``Dictionary_ID != 0`` — content-addressed dict storage

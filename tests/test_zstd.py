@@ -1,8 +1,9 @@
 """Zstandard (RFC 8878) codec vs the official zstd-jni implementation.
 
 zstdcodec.py implements the full RFC 8878 decompression grammar plus
-an encoder (greedy LZ77 + predefined-FSE sequences, raw/RLE store
-fallback) in pure Python; Spark's classpath ships zstd-jni
+an encoder (chain-and-lazy LZ77, Huffman literals with direct or
+FSE-coded weights, predefined-FSE sequences, raw/RLE store fallback)
+in pure Python; Spark's classpath ships zstd-jni
 (used for shuffle/parquet compression), so the cross-implementation
 tests run BOTH directions against ``com.github.luben.zstd.Zstd`` via
 py4j — the same standard snappycodec/avrocodec are held to. Reference

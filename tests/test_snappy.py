@@ -78,3 +78,25 @@ def test_java_cross_implementation(spark):
             continue  # snappy-java rejects empty input arrays
         assert bytes(S.uncompress(bytearray(sn.compress(c)))) == c, i
         assert sn.decompress(bytes(S.compress(bytearray(c)))) == c, i
+
+
+def test_corruption_fuzz_raises_only_valueerror():
+    """Parity with the zstd/avro/warc mutation sweeps: every
+    truncation, bit flip, or byte edit must either decode or raise
+    ValueError — never an untyped slice/index error."""
+    rng = random.Random(0xEE)
+    base = sn.compress(b"the quick brown fox " * 3000)
+    for _ in range(300):
+        m = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0 and len(m) > 4:
+            del m[rng.randrange(2, len(m)):]
+        elif op == 1:
+            m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+        else:
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            sn.decompress(bytes(m))
+        except ValueError:
+            pass  # the contract
+        # any OTHER exception type propagates and fails the test

@@ -871,13 +871,26 @@ def q_source_jsonl_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines: list[str] = []
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                # EVERY field null-guards via pd.isna, not just text:
+                # str(None) would write the 4-char string "None" where
+                # the oracle sees SQL NULL, and a null BIGINT arrives
+                # as float NaN in pandas (int(NaN) raises) — a fixture
+                # regen that nulls any column must round-trip as JSON
+                # null (r10 str(None) lesson, applied across the row
+                # by the r11 review; pinned by the engineered
+                # null-fields micro-corpus test)
                 lines.append(json.dumps(
                     {
-                        "doc_id": int(row.doc_id),
-                        "text": None if row.text is None else str(row.text),
-                        "lang": str(row.lang),
-                        "source": str(row.source),
-                        "n_chars": int(row.n_chars),
+                        "doc_id": None if pd.isna(row.doc_id)
+                        else int(row.doc_id),
+                        "text": None if pd.isna(row.text)
+                        else str(row.text),
+                        "lang": None if pd.isna(row.lang)
+                        else str(row.lang),
+                        "source": None if pd.isna(row.source)
+                        else str(row.source),
+                        "n_chars": None if pd.isna(row.n_chars)
+                        else int(row.n_chars),
                     },
                     ensure_ascii=False, sort_keys=True,
                     separators=(",", ":"),

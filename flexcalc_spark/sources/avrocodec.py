@@ -71,6 +71,11 @@ import zlib
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 
+# the spec's six container codecs — ONE definition shared by the write
+# gate, the read gate, and _decompress_block's dispatch (three
+# synchronized copies drifted apart is how an asymmetric surface ships)
+CODECS = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
+
 _PRIMITIVES = frozenset(
     ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
 )
@@ -567,6 +572,13 @@ def _decode_base(schema: object, buf: bytes, pos: int, names: dict):
                 # size-prefixed block variant: skip the byte-size long
                 cnt = -cnt
                 _, pos = zigzag_decode(buf, pos)
+            if cnt > 1 << 26:
+                # zero-width item types (null, empty records) consume
+                # no payload bytes, so a corrupted count varint would
+                # otherwise allocate unbounded memory instead of
+                # raising — every other decode path is byte-bounded
+                # (r11 review finding)
+                raise ValueError("avro: implausible array block count")
             for _ in range(cnt):
                 it, pos = _decode(schema["items"], buf, pos, names)
                 items.append(it)
@@ -579,6 +591,8 @@ def _decode_base(schema: object, buf: bytes, pos: int, names: dict):
             if cnt < 0:
                 cnt = -cnt
                 _, pos = zigzag_decode(buf, pos)
+            if cnt > 1 << 26:
+                raise ValueError("avro: implausible map block count")
             for _ in range(cnt):
                 mk, pos = _decode("string", buf, pos, names)
                 m[mk], pos = _decode(schema["values"], buf, pos, names)
@@ -615,8 +629,7 @@ def write_container(
     max_block_records: int = 4096,
 ) -> bytes:
     """Serialize ``records`` to Avro object-container bytes."""
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
-                     "zstandard"):
+    if codec not in CODECS:
         raise NotImplementedError(
             f"avro codec {codec!r} is not in the Avro 1.12 spec"
         )
@@ -861,8 +874,7 @@ def _read_container_inner(
             meta[mk], pos = _decode("bytes", data, pos, names)
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
-                     "zstandard"):
+    if codec not in CODECS:
         raise NotImplementedError(
             f"avro codec {codec!r} not available offline"
         )

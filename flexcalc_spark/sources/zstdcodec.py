@@ -479,7 +479,9 @@ def _huf_decode_stream(
             raise ValueError("zstd: invalid Huffman code")
         out[i] = sym
         bits -= nb
-        if bits < 0 and i != n_out - 1:
+        if bits < 0:
+            # a valid stream lands on EXACTLY zero after the final
+            # symbol, so going negative is corruption at any position
             raise ValueError("zstd: Huffman stream exhausted early")
     if bits != 0:
         raise ValueError("zstd: Huffman stream not fully consumed")
@@ -1158,9 +1160,9 @@ def _huf_encode_literals(lits: bytes) -> bytes | None:
     n = len(lits)
     if n < 64:
         return None
-    freq: dict[int, int] = {}
-    for b in lits:
-        freq[b] = freq.get(b, 0) + 1
+    from collections import Counter
+
+    freq: dict[int, int] = dict(Counter(lits))  # C-speed byte census
     weights = _huf_assign_weights(freq)
     if weights is None:
         return None

@@ -1407,3 +1407,50 @@ def test_read_jsonl_zst_unicode_line_separators(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, tricky), (2, "plain")]
+
+
+def test_q_source_jsonl_zst_null_fields_round_trip(spark, duck, tmp_path):
+    """Engineered micro-corpus with NULLs in every nullable column
+    (lang/source/text/n_chars): str(None) would write the string
+    "None" where the oracle groups under SQL NULL, and int(None)
+    would crash the writer — every field must round-trip as JSON null
+    (r11 review finding; the fixture currently has non-null lang and
+    source, so only a regen would expose this without the pin)."""
+    import duckdb as _duck
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flexcalc_spark.registry import ORACLES, QUERIES
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["alpha", None, "gamma", "delta", None],
+        "lang": ["en", None, "en", None, "de"],
+        "source": ["web", "web", None, None, "news"],
+        "n_chars": [5, None, 5, 5, None],
+    }
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "text": pa.array(rows["text"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        tuple(r)
+        for r in QUERIES["q_source_jsonl_zst"](spark,
+                                               str(tmp_path)).collect()
+    }
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = {
+        tuple(r)
+        for r in con.execute(ORACLES["q_source_jsonl_zst"]).fetchall()
+    }
+    assert got == exp and len(got) == 5  # every (lang, source) combo

@@ -123,46 +123,33 @@ def register(
 # round gets every family driver-confirmed across rounds without
 # changing any query; rotation chases STALENESS.
 #
-# Round-11 front (50, per VERDICT r10 item 1 — the written handoff
+# Round-12 front (50, per VERDICT r11 item 1 — the written handoff
 # rotation, applied):
-#   1. the FIVE round-10 tail keys with zero driver evidence
-#      (q_dedup_containment_2stage, q_source_avro, q_trajectory_dtw,
-#      q_source_warc, q_source_archive);
-#   2. the six r5 leftovers (q_sql_tpch5, q_sql_recursive,
-#      q_source_csv_dirty, q_join_interval_outer, q_multimodal_audio,
-#      q_ct_fbp);
-#   3. the first 39 of the r6 block, stalest-first in prior relative
-#      order.
-# Overflow: the rest of the r6/r7/r8/r9 staleness queue in prior
-# relative order, then the 50 keys graded in round 10 (freshest, moved
-# to the back). New keys added this round append to the TAIL so they
+#   1. the TWO round-11 tail keys with zero driver evidence
+#      (q_trajectory_dtw_radius, q_source_jsonl_zst);
+#   2. the ten r6-stale keys (q_win_topk_group, q_win_running,
+#      q_win_ntile, q_sort_multi, q_topk, q_limit_offset, q_set_union,
+#      q_set_intersect, q_set_except, q_distinct);
+#   3. the first 38 of the 44-key r7 block, stalest-first in prior
+#      relative order (ends q_bfs_hops).
+# Overflow: the remaining 6 r7 keys (q_sssp_cost .. q_diff_in_diff),
+# then the r8/r9/r10/r11 evidence tiers in prior relative order
+# (freshest last). New keys added this round append to the TAIL so they
 # never displace the staleness queue (round-10 policy).
 GRADE_ORDER: list[str] = [
-    "q_dedup_containment_2stage", "q_source_avro", "q_trajectory_dtw",
-    "q_source_warc", "q_source_archive", "q_sql_tpch5", "q_sql_recursive",
-    "q_source_csv_dirty", "q_join_interval_outer", "q_multimodal_audio",
-    "q_ct_fbp", "q_ewma", "q_debounce", "q_seq_pattern", "q_sample_weighted",
-    "q_source_xml", "q_scd2_pit", "q_bpe_tokenize", "q_percentile_select",
-    "q_join_fuzzy", "q_triangle_count", "q_anomaly_rolling",
-    "q_feature_hash", "q_logistic_train", "q_interval_coalesce",
-    "q_allocate", "q_locf", "q_mad_outliers", "q_dedup_phash",
-    "q_pipeline_e2e", "q_source_evolving", "q_source_nested", "q_sql_tpch18",
-    "q_join_spatial", "q_knn_incremental", "q_scan_count", "q_project_expr",
-    "q_filter_pred", "q_filter_in_like", "q_filter_null", "q_case_when",
-    "q_join_broadcast", "q_join_inner", "q_join_multiway", "q_join_left",
-    "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
-    "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_ntile",
-    "q_sort_multi", "q_topk", "q_limit_offset", "q_set_union",
-    "q_set_intersect", "q_set_except", "q_distinct", "q_text_stats",
-    "q_mad_outliers_approx", "q_dedup_substring", "q_pii_redact",
-    "q_topic_terms", "q_sql_tpch7", "q_sql_tpch14", "q_sql_tpch19",
-    "q_win_distribution", "q_autocorr", "q_changepoint", "q_benford",
-    "q_degree_dist", "q_kcore", "q_stream_upsert", "q_naive_bayes",
-    "q_seasonal_decompose", "q_label_prop", "q_sql_tpch8", "q_sql_tpch4",
-    "q_stream_join", "q_pca_embed", "q_market_basket", "q_survival",
-    "q_sql_tpch13", "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1",
-    "q_sql_tpch6", "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12",
-    "q_sql_tpch16", "q_attribution", "q_period_over_period", "q_str_funcs",
+    "q_trajectory_dtw_radius", "q_source_jsonl_zst", "q_win_topk_group",
+    "q_win_running", "q_win_ntile", "q_sort_multi", "q_topk",
+    "q_limit_offset", "q_set_union", "q_set_intersect", "q_set_except",
+    "q_distinct", "q_text_stats", "q_mad_outliers_approx",
+    "q_dedup_substring", "q_pii_redact", "q_topic_terms", "q_sql_tpch7",
+    "q_sql_tpch14", "q_sql_tpch19", "q_win_distribution", "q_autocorr",
+    "q_changepoint", "q_benford", "q_degree_dist", "q_kcore",
+    "q_stream_upsert", "q_naive_bayes", "q_seasonal_decompose",
+    "q_label_prop", "q_sql_tpch8", "q_sql_tpch4", "q_stream_join",
+    "q_pca_embed", "q_market_basket", "q_survival", "q_sql_tpch13",
+    "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1", "q_sql_tpch6",
+    "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16",
+    "q_attribution", "q_period_over_period", "q_str_funcs",
     "q_dedup_containment", "q_bfs_hops", "q_sssp_cost", "q_cuped",
     "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
     "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
@@ -204,10 +191,20 @@ GRADE_ORDER: list[str] = [
     "q_zorder_layout", "q_inverted_index", "q_sql_tpch10", "q_session_paths",
     "q_skyline", "q_corr_matrix", "q_global_rank", "q_multimodal_frames",
     "q_incr_mv", "q_ab_test", "q_regression_multi", "q_pagerank",
-    "q_dedup_chunks", "q_anonymize",
-    # round-11 additions (tail: never displaces the staleness queue)
-    "q_trajectory_dtw_radius",
-    "q_source_jsonl_zst",
+    "q_dedup_chunks", "q_anonymize", "q_dedup_containment_2stage",
+    "q_source_avro", "q_trajectory_dtw", "q_source_warc", "q_source_archive",
+    "q_sql_tpch5", "q_sql_recursive", "q_source_csv_dirty",
+    "q_join_interval_outer", "q_multimodal_audio", "q_ct_fbp", "q_ewma",
+    "q_debounce", "q_seq_pattern", "q_sample_weighted", "q_source_xml",
+    "q_scd2_pit", "q_bpe_tokenize", "q_percentile_select", "q_join_fuzzy",
+    "q_triangle_count", "q_anomaly_rolling", "q_feature_hash",
+    "q_logistic_train", "q_interval_coalesce", "q_allocate", "q_locf",
+    "q_mad_outliers", "q_dedup_phash", "q_pipeline_e2e", "q_source_evolving",
+    "q_source_nested", "q_sql_tpch18", "q_join_spatial", "q_knn_incremental",
+    "q_scan_count", "q_project_expr", "q_filter_pred", "q_filter_in_like",
+    "q_filter_null", "q_case_when", "q_join_broadcast", "q_join_inner",
+    "q_join_multiway", "q_join_left", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_cross", "q_win_rank"
 ]
 
 

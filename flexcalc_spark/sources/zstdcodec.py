@@ -761,8 +761,12 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
         raise ValueError("zstd: reserved frame-header bit set")
     checksum_flag = (fhd >> 2) & 1
     did_flag = fhd & 3
+    window_size = None
     if not single_segment:
-        pos += 1  # window descriptor (whole frame decodes in memory)
+        wd = data[pos]  # window descriptor (whole frame decodes in memory)
+        pos += 1
+        wbase = 1 << (10 + (wd >> 3))
+        window_size = wbase + (wbase >> 3) * (wd & 7)
     did_size = (0, 1, 2, 4)[did_flag]
     if did_size:
         if pos + did_size > len(data):
@@ -779,6 +783,14 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
         if fcs_size == 2:
             fcs += 256
         pos += fcs_size
+    if single_segment:
+        window_size = fcs  # RFC 8878 3.1.1.1.2: Window_Size = FCS
+    # RFC 8878 3.1.1.2.3-4: no block regenerates more than
+    # min(Window_Size, 128 KiB). Enforcing it per block (and capping at
+    # the declared FCS as soon as it is exceeded, not at frame end)
+    # bounds output growth on crafted/corrupt frames — e.g. chained RLE
+    # blocks otherwise expand ~32768:1 before any check fires.
+    block_max = min(window_size, 131072)  # single-segment always has FCS
 
     out = bytearray()
     huf_state: dict = {"table": None}
@@ -792,6 +804,9 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
         last = bh & 1
         btype = (bh >> 1) & 3
         bsize = bh >> 3
+        if btype != 3 and bsize > block_max:
+            raise ValueError("zstd: block exceeds Block_Maximum_Size")
+        before = len(out)
         if btype == 0:  # raw
             if pos + bsize > len(data):
                 raise ValueError("zstd: truncated raw block")
@@ -810,6 +825,12 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
             pos += bsize
         else:
             raise ValueError("zstd: reserved block type")
+        if len(out) - before > block_max:
+            raise ValueError("zstd: block regenerates past "
+                             "Block_Maximum_Size")
+        if fcs is not None and len(out) > fcs:
+            raise ValueError("zstd: output exceeds declared frame "
+                             "content size")
         if last:
             break
     if fcs is not None and len(out) != fcs:
@@ -1030,8 +1051,11 @@ def _fse_write_ncount(counts: list[int], al: int) -> bytes:
     exact inverse of _fse_read_ncount's variable-width state machine
     (short field when value < max_low, +max_low bias past threshold,
     2-bit zero-run flags)."""
-    assert sum(abs(c) for c in counts) == 1 << al, \
-        "ncount writer needs normalized counts"  # else: infinite loop
+    if sum(abs(c) for c in counts) != 1 << al:
+        # A mis-normalized table would make the loop below never reach
+        # remaining <= 1; must survive python -O, so not an assert.
+        raise ValueError("zstd: ncount writer needs normalized counts "
+                         f"summing to {1 << al}")
     w = _ForwardBitWriter()
     w.write(al - 5, 4)
     remaining = (1 << al) + 1

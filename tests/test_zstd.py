@@ -283,3 +283,56 @@ def test_corruption_fuzz_raises_only_valueerror():
             # any OTHER exception type propagates and fails the test
             checked += 1
     assert checked == len(bases) * 120
+
+
+def _frame_header(fcs_flag: int, window_desc: int | None,
+                  fcs_bytes: bytes) -> bytearray:
+    """Hand-build a non-single-segment frame header (no checksum)."""
+    out = bytearray(zc.ZSTD_MAGIC.to_bytes(4, "little"))
+    out.append(fcs_flag << 6)
+    if window_desc is not None:
+        out.append(window_desc)
+    out += fcs_bytes
+    return out
+
+
+def _rle_block(size: int, byte: int, last: bool) -> bytes:
+    return ((size << 3) | (1 << 1) | (1 if last else 0)).to_bytes(
+        3, "little") + bytes([byte])
+
+
+def test_output_bound_enforced_during_decode():
+    """ADVICE r11: decompress() must cap output DURING block decode —
+    a crafted frame of chained RLE blocks otherwise expands ~32768:1
+    before any frame-end check fires (measured 806 B -> 25 MiB)."""
+    # (a) declared window 1 KiB (wd=0) but an RLE block regenerating
+    # 128 KiB violates Block_Maximum_Size = min(window, 128 KiB)
+    attack = _frame_header(0, 0x00, b"")
+    for i in range(200):
+        attack += _rle_block(131072, 0x41, last=(i == 199))
+    with pytest.raises(ValueError, match="Block_Maximum_Size"):
+        zc.decompress(bytes(attack))
+    # (b) max window: a raw block claiming > 128 KiB is still corrupt
+    big_raw = _frame_header(0, 0xFF, b"")
+    big_raw += ((131073 << 3) | 1).to_bytes(3, "little") + b"\x00" * 131073
+    with pytest.raises(ValueError, match="Block_Maximum_Size"):
+        zc.decompress(bytes(big_raw))
+    # (c) output passing the declared FCS raises at the offending
+    # block, not at frame end: fcs_flag=1 declares 256 bytes but the
+    # chained RLE blocks regenerate 128 KiB each
+    lying = _frame_header(1, 0xFF, (0).to_bytes(2, "little"))  # fcs=256
+    for i in range(50):
+        lying += _rle_block(131072, 0x42, last=(i == 49))
+    with pytest.raises(ValueError, match="declared frame content size"):
+        zc.decompress(bytes(lying))
+    # legitimate highly-compressible frames still decode (multi-block
+    # RLE path, 300 KiB from < 64 bytes)
+    c = b"\x07" * 300_000
+    assert zc.decompress(zc.compress(c)) == c
+
+
+def test_ncount_writer_rejects_unnormalized_counts():
+    """ADVICE r11: the normalized-counts precondition (violation =
+    infinite loop) must survive python -O — ValueError, not assert."""
+    with pytest.raises(ValueError, match="normalized"):
+        zc._fse_write_ncount([3, 2, 1], 5)  # sums to 6, not 32

@@ -89,11 +89,13 @@ _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
                     9: 4, 10: 8, 11: 4, 12: 8}
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, max_size: int | None = None) -> bytes:
     """Apple PackBits RLE (TIFF Compression=32773), pure Python.
 
     Control byte n: 0..127 -> copy n+1 literals; 129..255 -> repeat the
-    next byte 257-n times; 128 -> no-op."""
+    next byte 257-n times; 128 -> no-op. ``max_size`` caps the output
+    DURING decode (zstd-decoder posture: crafted input fails at the
+    offending op, not after full expansion)."""
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -105,14 +107,19 @@ def _packbits_decode(data: bytes) -> bytes:
         elif b > 128:
             out += bytes([data[i]]) * (257 - b)
             i += 1
+        if max_size is not None and len(out) > max_size:
+            raise ValueError("TIFF PackBits output exceeds expected size")
     return bytes(out)
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, max_size: int | None = None) -> bytes:
     """TIFF-variant LZW (Compression=5), pure Python: MSB-first bit
     packing, 9->12-bit codes with EARLY CHANGE (width bumps when the
     table reaches 2^w - 1, one entry before a power of two — the TIFF 6.0
-    quirk), ClearCode=256, EOI=257."""
+    quirk), ClearCode=256, EOI=257. ``max_size`` caps the output DURING
+    decode: LZW entry length grows with every code, so a crafted stream
+    otherwise expands QUADRATICALLY (~1 MB in -> ~10 GB out) before any
+    caller-side length check runs."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     bitpos, nbits = 0, 9
@@ -151,26 +158,36 @@ def _lzw_decode(data: bytes) -> bytes:
                 raise ValueError(f"LZW: code {code} beyond table")
             table.append(prev + entry[:1])
         out += entry
+        if max_size is not None and len(out) > max_size:
+            raise ValueError("TIFF LZW output exceeds expected size")
         prev = entry
         if len(table) >= (1 << nbits) - 1 and nbits < 12:
             nbits += 1
     return bytes(out)
 
 
-def _tiff_deflate_decode(data: bytes) -> bytes:
+def _tiff_deflate_decode(data: bytes, max_size: int | None = None) -> bytes:
     """TIFF Deflate strips (Compression=8 'Adobe', 32946 legacy): each
     strip is one zlib stream — stdlib zlib IS the independent reference
-    implementation here (RFC 1950/1951)."""
+    implementation here (RFC 1950/1951). ``max_size`` bounds the
+    inflate via zlib's own incremental API (a deflate bomb expands
+    ~1000:1) instead of materializing first."""
     import zlib
 
     try:
-        return zlib.decompress(data)
+        if max_size is None:
+            return zlib.decompress(data)
+        d = zlib.decompressobj()
+        out = d.decompress(data, max_size + 1)
+        if len(out) > max_size:
+            raise ValueError("TIFF deflate output exceeds expected size")
+        return out
     except zlib.error as exc:
         raise ValueError(f"TIFF deflate strip corrupt ({exc})") from None
 
 
-_TIFF_DECOMPRESSORS: dict[int, Callable[[bytes], bytes]] = {
-    1: lambda b: b,
+_TIFF_DECOMPRESSORS: dict[int, Callable[..., bytes]] = {
+    1: lambda b, max_size=None: b,
     5: _lzw_decode,
     8: _tiff_deflate_decode,
     32946: _tiff_deflate_decode,
@@ -319,10 +336,22 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
             )
         src = np.dtype(f"{e}{kind}{bps // 8}")
         native = src.newbyteorder("=")
+        if td * tl * ta * tw * spp > (1 << 28):
+            # same bound as the JPEG SOF guard: the padded plane is
+            # allocated from header fields before any tile data is
+            # validated, so crafted tile dims must raise ValueError
+            # here, not MemoryError below
+            raise ValueError(
+                f"TIFF tiled plane {ta * tw}x{td * tl} exceeds the "
+                "2^28-sample decode bound (corrupt header, or plug a "
+                "streaming reader in)"
+            )
         plane = np.zeros((td * tl, ta * tw, spp), dtype=native)
         tile_n = tw * tl * spp
         for idx, (o, c) in enumerate(zip(toffs, tcnts)):
-            tdata = decompress(content[o : o + c]) if o else b""
+            tdata = (decompress(content[o : o + c],
+                                max_size=tile_n * (bps // 8))
+                     if o else b"")
             t = np.frombuffer(tdata, dtype=src)
             if t.size != tile_n:
                 raise ValueError(
@@ -345,12 +374,18 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
         raise ValueError("TIFF missing StripOffsets")
     cnts = tags.get(279, [h * w * spp * (bps // 8)])
     # strips decompress independently (that's what makes them the
-    # parallelism grain in real readers)
-    data = b"".join(
-        decompress(content[o : o + c]) if o else b""
-        for o, c in zip(offs, cnts)
-    )
+    # parallelism grain in real readers); each strip's inflate is
+    # bounded by the plane bytes still unaccounted for, so a crafted
+    # strip fails DURING decode instead of after expansion
     expected = h * w * spp * (bps // 8)
+    parts: list[bytes] = []
+    total = 0
+    for o, c in zip(offs, cnts):
+        d = (decompress(content[o : o + c], max_size=expected - total)
+             if o else b"")
+        total += len(d)
+        parts.append(d)
+    data = b"".join(parts)
     if len(data) != expected:
         raise ValueError(f"TIFF strip data {len(data)} != {expected}")
     src = np.dtype(f"{e}{kind}{bps // 8}")
@@ -498,7 +533,36 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     if w == 0 or h == 0:
         raise ValueError("PNG zero dimension")
     channels = _PNG_CHANNELS[colortype]
-    raw = zlib.decompress(bytes(idat))
+
+    # Exact stream-length check BEFORE the inflate and any dimension-
+    # driven allocation: the filtered stream length is a closed form of
+    # the header, so a crafted IHDR (e.g. w=h=2^31) fails here instead
+    # of hitting bytearray/np.zeros sized from the header (MemoryError,
+    # not the codec contract's ValueError) — and the inflate itself is
+    # capped at that size, so an IDAT deflate bomb can't expand past
+    # the declared geometry either.
+    def _pass_bytes(w_p: int, h_p: int) -> int:
+        if w_p <= 0 or h_p <= 0:
+            return 0
+        return h_p * (1 + (w_p * channels * bitdepth + 7) // 8)
+
+    if interlace == 0:
+        expected_raw = _pass_bytes(w, h)
+    else:
+        expected_raw = sum(
+            _pass_bytes((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        )
+    if expected_raw > (1 << 31):
+        raise ValueError(
+            f"PNG {w}x{h} exceeds the 2 GiB scanline-stream decode "
+            "bound (corrupt header, or plug a streaming decoder in)"
+        )
+    raw = zlib.decompressobj().decompress(bytes(idat), expected_raw + 1)
+    if len(raw) != expected_raw:
+        raise ValueError(
+            f"PNG scanline data {len(raw)} != expected {expected_raw}"
+        )
 
     def read_pass(w_p: int, h_p: int, off: int):
         bits_px = channels * bitdepth

@@ -65,6 +65,11 @@ def decompress(data: bytes) -> bytes:
     out = bytearray()
     n = len(data)
     while pos < n:
+        if len(out) > expected:
+            # Same posture as the zstd decoder: corrupt/crafted input
+            # must fail at the offending op, not after full expansion.
+            raise ValueError(
+                "snappy: output exceeds declared length preamble")
         tag = data[pos]
         pos += 1
         kind = tag & 3

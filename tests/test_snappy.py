@@ -100,3 +100,17 @@ def test_corruption_fuzz_raises_only_valueerror():
         except ValueError:
             pass  # the contract
         # any OTHER exception type propagates and fails the test
+
+
+def test_output_capped_at_declared_length_mid_decode():
+    """Same posture as the zstd decoder (ADVICE r11 class): output past
+    the length preamble must fail at the offending op, not after the
+    whole stream expands."""
+    # preamble says 4 bytes, first literal already emits 10, and a
+    # second op follows so the mid-decode check (not the frame-end
+    # equality check) is what fires
+    crafted = sn._varint_encode(4)
+    crafted += bytes([(10 - 1) << 2]) + b"ABCDEFGHIJ"   # literal(10)
+    crafted += bytes([0 << 2]) + b"Z"                    # literal(1)
+    with pytest.raises(ValueError, match="exceeds declared length"):
+        sn.decompress(crafted)

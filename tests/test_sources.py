@@ -1454,3 +1454,70 @@ def test_q_source_jsonl_zst_null_fields_round_trip(spark, duck, tmp_path):
         for r in con.execute(ORACLES["q_source_jsonl_zst"]).fetchall()
     }
     assert got == exp and len(got) == 5  # every (lang, source) combo
+
+
+def test_png_huge_header_dims_raise_valueerror():
+    """A crafted IHDR (w=h=2^24) with a tiny IDAT must fail the codec
+    contract's ValueError BEFORE any dimension-driven allocation —
+    previously bytearray(h*stride)/np.zeros sized from the header could
+    raise MemoryError first (ADVICE r11 untrusted-bytes posture)."""
+    import struct
+    import zlib
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    for interlace in (0, 1):
+        ihdr = struct.pack(">IIBBBBB", 1 << 24, 1 << 24, 8, 0, 0, 0,
+                           interlace)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="scanline"):
+            bf._decode_png(png, {})
+
+
+def test_tiff_decompressors_capped_during_decode():
+    """ADVICE r11 posture class: every TIFF codec bounds output DURING
+    decode when the caller knows the expected size — LZW is otherwise a
+    QUADRATIC bomb (entry length grows per code), deflate ~1000:1, and
+    PackBits ~64:1, all before the caller-side length check runs."""
+    import zlib
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    with pytest.raises(ValueError, match="LZW output exceeds"):
+        bf._lzw_decode(_lzw_encode(b"A" * 100_000), max_size=1000)
+    with pytest.raises(ValueError, match="PackBits output exceeds"):
+        bf._packbits_decode(b"\x81A", max_size=10)   # 128-byte run
+    with pytest.raises(ValueError, match="deflate output exceeds"):
+        bf._tiff_deflate_decode(zlib.compress(b"\x00" * 100_000),
+                                max_size=100)
+    # valid data under the cap still round-trips through each codec
+    blob = bytes(range(256)) * 4
+    assert bf._lzw_decode(_lzw_encode(blob), max_size=len(blob)) == blob
+    assert bf._packbits_decode(_packbits_encode(blob),
+                               max_size=len(blob)) == blob
+    assert bf._tiff_deflate_decode(zlib.compress(blob),
+                                   max_size=len(blob)) == blob
+
+
+def test_tiff_huge_tile_dims_raise_valueerror():
+    """Crafted TileWidth/TileLength (65535x65535 with one declared
+    tile) must fail the ValueError contract BEFORE the padded plane is
+    allocated from header fields (JPEG's SOF guard precedent)."""
+    import struct
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    entries = [(256, 8), (257, 4), (322, 65535), (323, 65535), (324, 200)]
+    ifd = struct.pack("<H", len(entries))
+    for tag, val in entries:
+        ifd += struct.pack("<HHII", tag, 4, 1, val)
+    ifd += struct.pack("<I", 0)
+    tif = b"II" + struct.pack("<HI", 42, 8) + ifd + b"\x00" * 64
+    with pytest.raises(ValueError, match="decode bound"):
+        bf._decode_tiff(tif, {})

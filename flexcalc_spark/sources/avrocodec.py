@@ -832,7 +832,10 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
     if codec == "zstandard":
         from flexcalc_spark.sources import zstdcodec
 
-        return zstdcodec.decompress(payload)
+        # Same untrusted-bytes ceiling as the jsonl.zst reader: a
+        # no-FCS frame is only format-bounded at ~32768x input.
+        return zstdcodec.decompress(
+            payload, max_output=max(1 << 30, 512 * len(payload)))
     return payload  # codec "null"
 
 

@@ -102,9 +102,13 @@ def _packbits_decode(data: bytes, max_size: int | None = None) -> bytes:
         b = data[i]
         i += 1
         if b < 128:
+            if i + b + 1 > n:
+                raise ValueError("TIFF PackBits truncated literal run")
             out += data[i : i + b + 1]
             i += b + 1
         elif b > 128:
+            if i >= n:
+                raise ValueError("TIFF PackBits truncated repeat run")
             out += bytes([data[i]]) * (257 - b)
             i += 1
         if max_size is not None and len(out) > max_size:
@@ -553,10 +557,14 @@ def _decode_png(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
             _pass_bytes((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
             for x0, y0, dx, dy in _ADAM7
         )
-    if expected_raw > (1 << 31):
+    if w * h * channels > (1 << 28):
+        # same SAMPLE bound as the JPEG SOF and TIFF tile guards: the
+        # decode path widens samples to int64 (8x), so bounding the
+        # filtered-byte stream alone would still admit multi-GiB
+        # allocations from a plausible-looking header
         raise ValueError(
-            f"PNG {w}x{h} exceeds the 2 GiB scanline-stream decode "
-            "bound (corrupt header, or plug a streaming decoder in)"
+            f"PNG {w}x{h} exceeds the 2^28-sample decode bound "
+            "(corrupt header, or plug a streaming decoder in)"
         )
     raw = zlib.decompressobj().decompress(bytes(idat), expected_raw + 1)
     if len(raw) != expected_raw:

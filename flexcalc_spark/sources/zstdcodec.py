@@ -750,7 +750,9 @@ def _decode_block(
     out += lits[lit_pos:]
 
 
-def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
+def _decode_frame(
+    data: memoryview, pos: int, max_output: int | None = None
+) -> tuple[bytearray, int]:
     if pos + 6 > len(data):
         raise ValueError("zstd: truncated frame header")
     fhd = data[pos + 4]
@@ -788,9 +790,15 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
     # RFC 8878 3.1.1.2.3-4: no block regenerates more than
     # min(Window_Size, 128 KiB). Enforcing it per block (and capping at
     # the declared FCS as soon as it is exceeded, not at frame end)
-    # bounds output growth on crafted/corrupt frames — e.g. chained RLE
-    # blocks otherwise expand ~32768:1 before any check fires.
+    # fails crafted/corrupt FCS-bearing frames at the offending block.
+    # A no-FCS frame (legal streaming output) is only LINEARLY bounded
+    # by these per-block caps (<= 32768x input: >= 4 bytes in per
+    # <= 128 KiB block out), so callers decoding untrusted bytes pass
+    # max_output for a hard ceiling — the format itself permits a 1 MiB
+    # stream that regenerates 32 GiB.
     block_max = min(window_size, 131072)  # single-segment always has FCS
+    hard_cap = fcs if max_output is None else (
+        max_output if fcs is None else min(fcs, max_output))
 
     out = bytearray()
     huf_state: dict = {"table": None}
@@ -828,9 +836,12 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
         if len(out) - before > block_max:
             raise ValueError("zstd: block regenerates past "
                              "Block_Maximum_Size")
-        if fcs is not None and len(out) > fcs:
-            raise ValueError("zstd: output exceeds declared frame "
-                             "content size")
+        if hard_cap is not None and len(out) > hard_cap:
+            if fcs is not None and len(out) > fcs:
+                raise ValueError("zstd: output exceeds declared frame "
+                                 "content size")
+            raise ValueError("zstd: output exceeds caller max_output "
+                             "bound")
         if last:
             break
     if fcs is not None and len(out) != fcs:
@@ -845,8 +856,14 @@ def _decode_frame(data: memoryview, pos: int) -> tuple[bytearray, int]:
     return out, pos
 
 
-def decompress(data: bytes) -> bytes:
-    """Decode a sequence of zstd frames (skippable frames skipped)."""
+def decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Decode a sequence of zstd frames (skippable frames skipped).
+
+    ``max_output`` caps the CUMULATIVE regenerated size mid-decode
+    (ValueError past it). FCS-bearing frames are always capped at their
+    declared size; pass ``max_output`` when decoding untrusted bytes
+    because a no-FCS streaming frame is otherwise only bounded by the
+    format's ~32768x-per-input-byte legal expansion."""
     mv = memoryview(data)
     out = bytearray()
     pos = 0
@@ -866,7 +883,8 @@ def decompress(data: bytes) -> bytes:
             continue
         if magic != ZSTD_MAGIC:
             raise ValueError("zstd: bad frame magic")
-        frame, pos = _decode_frame(mv, pos)
+        remaining = None if max_output is None else max_output - len(out)
+        frame, pos = _decode_frame(mv, pos, remaining)
         out += frame
     return bytes(out)
 

@@ -1476,8 +1476,16 @@ def test_png_huge_header_dims_raise_valueerror():
         png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
                + chunk(b"IEND", b""))
-        with pytest.raises(ValueError, match="scanline"):
+        with pytest.raises(ValueError, match="decode bound"):
             bf._decode_png(png, {})
+    # moderate dims that pass a byte-stream bound but widen to multi-GiB
+    # int64 (the review bypass: 15000x15000 RGBA) must also refuse
+    ihdr = struct.pack(">IIBBBBB", 15000, 15000, 8, 6, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode bound"):
+        bf._decode_png(png, {})
 
 
 def test_tiff_decompressors_capped_during_decode():
@@ -1521,3 +1529,15 @@ def test_tiff_huge_tile_dims_raise_valueerror():
     tif = b"II" + struct.pack("<HI", 42, 8) + ifd + b"\x00" * 64
     with pytest.raises(ValueError, match="decode bound"):
         bf._decode_tiff(tif, {})
+
+
+def test_packbits_truncated_runs_raise_valueerror():
+    """A control byte whose run extends past the stream must raise the
+    codec contract's ValueError, not IndexError (repeat) or silently
+    truncate (literal)."""
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    with pytest.raises(ValueError, match="truncated repeat"):
+        bf._packbits_decode(b"\x81")          # repeat, no byte follows
+    with pytest.raises(ValueError, match="truncated literal"):
+        bf._packbits_decode(b"\x05AB")        # claims 6 literals, has 2

@@ -336,3 +336,21 @@ def test_ncount_writer_rejects_unnormalized_counts():
     infinite loop) must survive python -O — ValueError, not assert."""
     with pytest.raises(ValueError, match="normalized"):
         zc._fse_write_ncount([3, 2, 1], 5)  # sums to 6, not 32
+
+
+def test_no_fcs_frame_bounded_by_caller_max_output():
+    """A no-FCS streaming frame is format-legal at ~32768x expansion —
+    untrusted-bytes callers pass max_output for a hard mid-decode
+    ceiling (the jsonl.zst and Avro readers do)."""
+    frame = _frame_header(0, 0xFF, b"")      # fcs_flag=0: no FCS field
+    for i in range(1000):
+        frame += _rle_block(100, 0x58, last=(i == 999))
+    # uncapped: legal, decodes to 100 KB
+    assert zc.decompress(bytes(frame)) == b"\x58" * 100_000
+    # capped: fails at the offending block, not after full expansion
+    with pytest.raises(ValueError, match="max_output"):
+        zc.decompress(bytes(frame), max_output=50_000)
+    # FCS-bearing frames are capped by their declaration even when the
+    # caller bound is looser
+    assert zc.decompress(zc.compress(b"ok" * 50), max_output=1 << 20) \
+        == b"ok" * 50

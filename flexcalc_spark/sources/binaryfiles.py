@@ -741,12 +741,38 @@ def _decode_wav(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     return n_ch, n_samples, native.name, arr.tobytes()
 
 
+def _typed(fn: Callable) -> Callable:
+    """Normalize the low-level exception types truncated/corrupt bytes
+    can surface (struct/index/key/zero-div/zlib) to the codec
+    contract's ValueError at the dispatch boundary — the JPEG entry's
+    struct/index normalization applied uniformly, so consumers can
+    treat DECODERS[*] as raising exactly ValueError (corrupt row) or
+    NotImplementedError (out-of-envelope variant), which both pass
+    through untouched. Pinned by the decoder mutation sweep in
+    tests/test_sources.py."""
+    import functools
+    import struct
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
+        try:
+            return fn(content, meta)
+        except (struct.error, IndexError, KeyError, OverflowError,
+                EOFError, ZeroDivisionError, zlib.error) as e:
+            raise ValueError(
+                f"{fn.__name__}: truncated/corrupt bytes ({e})"
+            ) from e
+
+    return wrapped
+
+
 DECODERS: dict[str, Callable] = {
-    "raw": _decode_raw,
-    "tiff": _decode_tiff,
-    "png": _decode_png,
-    "jpeg": _decode_jpeg,
-    "wav": _decode_wav,
+    "raw": _typed(_decode_raw),
+    "tiff": _typed(_decode_tiff),
+    "png": _typed(_decode_png),
+    "jpeg": _typed(_decode_jpeg),
+    "wav": _typed(_decode_wav),
 }
 
 
@@ -1004,10 +1030,11 @@ def _media_raw_groups(pdf: pd.DataFrame, corrupt_out: list | None = None):
             except NotImplementedError:
                 continue                   # this row -> NOT_DECODABLE
             except Exception:
-                # truncated/bit-flipped file: the pure-Python decoders
-                # surface these as ValueError/struct.error/IndexError —
-                # any non-"unsupported variant" failure is row-level
-                # corruption, not a reason to kill a bulk batch
+                # truncated/bit-flipped file: the _typed dispatch
+                # boundary normalizes these to ValueError (mutation-
+                # sweep-pinned); catching Exception stays as defense in
+                # depth — any non-"unsupported variant" failure is
+                # row-level corruption, not a reason to kill a batch
                 if corrupt_out is not None:
                     corrupt_out.append(p)
                     continue

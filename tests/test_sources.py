@@ -1541,3 +1541,58 @@ def test_packbits_truncated_runs_raise_valueerror():
         bf._packbits_decode(b"\x81")          # repeat, no byte follows
     with pytest.raises(ValueError, match="truncated literal"):
         bf._packbits_decode(b"\x05AB")        # claims 6 literals, has 2
+
+
+def test_image_audio_decoder_mutation_sweep(tmp_path):
+    """The repo-wide typed-error contract, extended to the image/audio
+    dispatch boundary (the zstd/snappy/WARC mutation-sweep precedent):
+    every DECODERS entry must either decode a mutated file or raise
+    exactly ValueError / NotImplementedError — struct.error, KeyError,
+    ZeroDivisionError, zlib.error etc. from truncated or bit-flipped
+    bytes are normalized by the _typed wrapper. Deterministic sweep:
+    truncations, bit flips, byte overwrites over bases that exercise
+    the PNG (plain + interlaced), TIFF (LZW + PackBits strips), and
+    WAV (PCM16) paths."""
+    import random
+    import struct
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    p5 = tmp_path / "lzw.tif"
+    p32773 = tmp_path / "pb.tif"
+    _write_tiff_ex(p5, gray, compression=5, rows_per_strip=4)
+    _write_tiff_ex(p32773, gray, compression=32773, rows_per_strip=4)
+    pcm = (np.arange(400, dtype=np.int16) * 37 % 20000).tobytes()
+    bases = [
+        ("png", _png_encode(gray, 8, colortype=0)),
+        ("png", _png_encode(rgb, 8, colortype=2, interlace=1,
+                            filters=[2, 4])),
+        ("tiff", p5.read_bytes()),
+        ("tiff", p32773.read_bytes()),
+        ("wav", _wav_bytes(struct.pack("<HHIIHH", 1, 2, 8000, 32000,
+                                       4, 16), pcm)),
+    ]
+    mrng = random.Random(0xC0DEC)
+    checked = 0
+    for fmt, base in bases:
+        dec = bf.DECODERS[fmt]
+        for _ in range(150):
+            mutated = bytearray(base)
+            op = mrng.randrange(3)
+            if op == 0 and len(mutated) > 8:      # truncate
+                del mutated[mrng.randrange(4, len(mutated)):]
+            elif op == 1:                          # bit flip
+                mutated[mrng.randrange(len(mutated))] ^= \
+                    1 << mrng.randrange(8)
+            else:                                  # byte overwrite
+                mutated[mrng.randrange(len(mutated))] = mrng.randrange(256)
+            try:
+                dec(bytes(mutated), {})
+            except (ValueError, NotImplementedError):
+                pass                               # the contract
+            # any OTHER exception type propagates and fails the test
+            checked += 1
+    assert checked == len(bases) * 150

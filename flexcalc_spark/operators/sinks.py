@@ -938,11 +938,9 @@ def _expand_zst_lines(batches):
             raw = bytes(blob)
             # Hard output ceiling for untrusted shards: a no-FCS
             # streaming frame is otherwise only format-bounded at
-            # ~32768x input. 512x covers any real JSONL ratio (text
-            # lands ~3-10x); the 1 GiB floor keeps tiny-but-dense
-            # shards decodable.
+            # ~32768x input (policy: zstdcodec.untrusted_max_output).
             text = zstdcodec.decompress(
-                raw, max_output=max(1 << 30, 512 * len(raw))
+                raw, max_output=zstdcodec.untrusted_max_output(len(raw))
             ).decode("utf-8")
             lines = [y for x in text.split("\n") if (y := x.rstrip("\r"))]
             if lines:

@@ -805,9 +805,15 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
     bz2, LZMAError from lzma — LZMAError subclasses OSError's sibling
     Exception, EOFError covers truncated members); read_container
     wraps them all as ValueError at the boundary."""
+    from flexcalc_spark.sources.zstdcodec import untrusted_max_output
+
+    cap = untrusted_max_output(len(payload))
     if codec == "deflate":
         do = zlib.decompressobj(-15)
-        return do.decompress(payload) + do.flush()
+        out = do.decompress(payload, cap + 1)
+        if len(out) > cap:
+            raise ValueError("avro: deflate block exceeds output bound")
+        return out + do.flush()
     if codec == "snappy":
         from flexcalc_spark.sources import snappycodec
 
@@ -821,21 +827,31 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
     if codec == "bzip2":
         import bz2
 
-        return bz2.decompress(payload)
+        d = bz2.BZ2Decompressor()
+        out = d.decompress(payload, cap + 1)
+        if len(out) > cap:
+            raise ValueError("avro: bzip2 block exceeds output bound")
+        if d.eof and d.unused_data:
+            raise ValueError("avro: bzip2 block has trailing data")
+        return out
     if codec == "xz":
         import lzma
 
         try:
-            return lzma.decompress(payload)
+            d = lzma.LZMADecompressor()
+            out = d.decompress(payload, cap + 1)
+            if len(out) > cap:
+                raise ValueError("avro: xz block exceeds output bound")
+            if d.eof and d.unused_data:
+                raise ValueError("avro: xz block has trailing data")
+            return out
         except lzma.LZMAError as exc:
             raise ValueError(f"avro: corrupt xz block ({exc})") from exc
     if codec == "zstandard":
         from flexcalc_spark.sources import zstdcodec
 
-        # Same untrusted-bytes ceiling as the jsonl.zst reader: a
-        # no-FCS frame is only format-bounded at ~32768x input.
-        return zstdcodec.decompress(
-            payload, max_output=max(1 << 30, 512 * len(payload)))
+        # a no-FCS frame is only format-bounded at ~32768x input
+        return zstdcodec.decompress(payload, max_output=cap)
     return payload  # codec "null"
 
 

@@ -376,6 +376,14 @@ def _decode_tiff(content: bytes, meta: dict) -> tuple[int, int, str, bytes]:
     offs = tags.get(273)
     if not offs:
         raise ValueError("TIFF missing StripOffsets")
+    if h * w * spp > (1 << 28):
+        # same SAMPLE bound as the tile path / JPEG SOF guard: expected
+        # below is header-derived, so without this a crafted w/h lets
+        # LZW strips materialize multi-GB before the length check
+        raise ValueError(
+            f"TIFF {w}x{h} exceeds the 2^28-sample decode bound "
+            "(corrupt header, or plug a streaming reader in)"
+        )
     cnts = tags.get(279, [h * w * spp * (bps // 8)])
     # strips decompress independently (that's what makes them the
     # parallelism grain in real readers); each strip's inflate is

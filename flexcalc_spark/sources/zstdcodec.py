@@ -856,6 +856,16 @@ def _decode_frame(
     return out, pos
 
 
+def untrusted_max_output(n_in: int) -> int:
+    """The repo's one untrusted-bytes output ceiling: 512x the
+    compressed input (text lands ~3-10x; 512x covers any real corpus
+    ratio) with a 1 GiB floor so tiny-but-dense payloads stay
+    decodable. Shared by every decompressor fed attacker-controllable
+    bytes (jsonl.zst shards, Avro block codecs) so the policy can't
+    silently diverge per call site."""
+    return max(1 << 30, 512 * n_in)
+
+
 def decompress(data: bytes, max_output: int | None = None) -> bytes:
     """Decode a sequence of zstd frames (skippable frames skipped).
 

@@ -812,3 +812,39 @@ def test_corruption_fuzz_raises_only_valueerror():
             except (ValueError, NotImplementedError):
                 pass  # the contract
             # any OTHER exception type propagates and fails the test
+
+
+def test_block_codecs_capped_at_untrusted_output_bound(monkeypatch):
+    """Every Avro block codec shares the one untrusted-bytes output
+    ceiling (zstdcodec.untrusted_max_output): a small compression-bomb
+    block must raise ValueError instead of materializing GBs. The
+    policy is monkeypatched small so the test exercises the wiring
+    without decompressing gigabytes."""
+    import bz2
+    import lzma
+    import zlib
+
+    from flexcalc_spark.sources import zstdcodec
+
+    monkeypatch.setattr(zstdcodec, "untrusted_max_output",
+                        lambda n: 1000)
+    fat = b"\x00" * 50_000
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    cases = [
+        ("deflate", co.compress(fat) + co.flush()),
+        ("bzip2", bz2.compress(fat)),
+        ("xz", lzma.compress(fat)),
+        ("zstandard", zstdcodec.compress(fat)),
+    ]
+    for codec, payload in cases:
+        with pytest.raises(ValueError, match="bound|content size"):
+            av._decompress_block(codec, payload)
+    # under the cap each codec still round-trips
+    thin = b"row-data" * 20
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    assert av._decompress_block("deflate",
+                                co.compress(thin) + co.flush()) == thin
+    assert av._decompress_block("bzip2", bz2.compress(thin)) == thin
+    assert av._decompress_block("xz", lzma.compress(thin)) == thin
+    assert av._decompress_block("zstandard",
+                                zstdcodec.compress(thin)) == thin

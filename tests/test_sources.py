@@ -1596,3 +1596,21 @@ def test_image_audio_decoder_mutation_sweep(tmp_path):
             # any OTHER exception type propagates and fails the test
             checked += 1
     assert checked == len(bases) * 150
+
+
+def test_tiff_huge_strip_dims_raise_valueerror():
+    """The strip path needs the same 2^28-sample bound as the tile
+    path: `expected` is header-derived, so crafted w/h would otherwise
+    let LZW strips materialize multi-GB before the length check."""
+    import struct
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    entries = [(256, 100_000), (257, 100_000), (273, 200)]
+    ifd = struct.pack("<H", len(entries))
+    for tag, val in entries:
+        ifd += struct.pack("<HHII", tag, 4, 1, val)
+    ifd += struct.pack("<I", 0)
+    tif = b"II" + struct.pack("<HI", 42, 8) + ifd + b"\x00" * 64
+    with pytest.raises(ValueError, match="decode bound"):
+        bf._decode_tiff(tif, {})

@@ -876,6 +876,13 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
     import zipfile
     import zlib as _zlib
 
+    from flexcalc_spark.sources.zstdcodec import untrusted_max_output
+
+    # the stdlib readers bound each member's read at its DECLARED size,
+    # so capping the cumulative declared sizes bounds what a zip/tar.gz
+    # bomb can materialize (the repo-wide untrusted-bytes ceiling)
+    cap = untrusted_max_output(len(data))
+    total = 0
     rows: list[tuple[str, str, bytes]] = []
     try:
         if data[:4] == b"PK\x03\x04":
@@ -883,6 +890,12 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
+                    total += info.file_size
+                    if total > cap:
+                        raise ValueError(
+                            f"archive {path!r} members exceed the "
+                            "output bound"
+                        )
                     rows.append((path, info.filename, zf.read(info)))
         else:
             # tarfile sniffs plain/gz/bz2/xz transparently
@@ -890,6 +903,12 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
                 for m in tf.getmembers():
                     if not m.isfile():
                         continue
+                    total += m.size
+                    if total > cap:
+                        raise ValueError(
+                            f"archive {path!r} members exceed the "
+                            "output bound"
+                        )
                     fh = tf.extractfile(m)
                     rows.append((path, m.name, fh.read()))
     except (tarfile.TarError, zipfile.BadZipFile, OSError,

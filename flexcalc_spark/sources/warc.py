@@ -103,20 +103,32 @@ def write_warc(records: list[bytes], compress: bool = True) -> bytes:
 
 
 def _gunzip_members(data: bytes) -> list[bytes]:
-    """Split concatenated gzip members (one WARC record each)."""
+    """Split concatenated gzip members (one WARC record each). The
+    cumulative inflated size is capped by the repo's untrusted-bytes
+    ceiling (zstdcodec.untrusted_max_output) — a crawl archive is
+    attacker-supplied content, and a gzip bomb otherwise materializes
+    ~1000x its input before any record parse runs."""
+    from flexcalc_spark.sources.zstdcodec import untrusted_max_output
+
+    cap = untrusted_max_output(len(data))
     out = []
+    total = 0
     rest = data
     while rest:
         do = zlib.decompressobj(31)
         try:
-            out.append(do.decompress(rest))
+            member = do.decompress(rest, cap - total + 1)
+            if total + len(member) > cap:
+                raise ValueError("warc: gzip members exceed output bound")
             if not do.eof:
                 raise ValueError("warc: truncated gzip member")
-            out[-1] += do.flush()
+            member += do.flush()
         except zlib.error as exc:
             # bit-corrupted member: keep the 'corrupt bytes raise
             # ValueError' contract rather than leaking zlib.error
             raise ValueError(f"warc: corrupt gzip member ({exc})") from None
+        out.append(member)
+        total += len(member)
         rest = do.unused_data
     return out
 

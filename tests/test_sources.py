@@ -1614,3 +1614,36 @@ def test_tiff_huge_strip_dims_raise_valueerror():
     tif = b"II" + struct.pack("<HI", 42, 8) + ifd + b"\x00" * 64
     with pytest.raises(ValueError, match="decode bound"):
         bf._decode_tiff(tif, {})
+
+
+def test_archive_members_capped_at_untrusted_output_bound(monkeypatch):
+    """Zip/tar bombs: cumulative DECLARED member sizes are capped by
+    the shared untrusted-bytes ceiling before each member is read
+    (policy monkeypatched small so no bomb is materialized)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+    from flexcalc_spark.sources import zstdcodec
+
+    monkeypatch.setattr(zstdcodec, "untrusted_max_output",
+                        lambda n: 1000)
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("fat.bin", b"\x00" * 50_000)
+    with pytest.raises(ValueError, match="output bound"):
+        bf._expand_blob("bomb.zip", zbuf.getvalue())
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        info = tarfile.TarInfo("fat.bin")
+        info.size = 50_000
+        tf.addfile(info, io.BytesIO(b"\x00" * 50_000))
+    with pytest.raises(ValueError, match="output bound"):
+        bf._expand_blob("bomb.tar.gz", tbuf.getvalue())
+    # under the cap expansion is unchanged
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("a.txt", b"ok")
+    assert bf._expand_blob("a.zip", zbuf.getvalue()) == [
+        ("a.zip", "a.txt", b"ok")]

@@ -205,3 +205,29 @@ def test_corruption_fuzz_raises_only_valueerror():
         except ValueError:
             pass  # the contract
         # any OTHER exception type propagates and fails the test
+
+
+def test_gzip_members_capped_at_untrusted_output_bound(monkeypatch):
+    """A WARC is attacker-supplied content: the cumulative inflated
+    size of its gzip members is capped by the shared untrusted-bytes
+    ceiling (policy monkeypatched small so the test never materializes
+    the bomb)."""
+    import zlib
+
+    from flexcalc_spark.sources import zstdcodec
+
+    def gz(b):
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    monkeypatch.setattr(zstdcodec, "untrusted_max_output",
+                        lambda n: 1000)
+    bomb = gz(b"\x00" * 50_000)
+    with pytest.raises(ValueError, match="output bound"):
+        wc._gunzip_members(bomb)
+    # the cap is cumulative across members, not per member
+    with pytest.raises(ValueError, match="output bound"):
+        wc._gunzip_members(gz(b"a" * 600) + gz(b"b" * 600))
+    # under the cap, member splitting is unchanged
+    assert wc._gunzip_members(gz(b"x" * 300) + gz(b"y" * 300)) == [
+        b"x" * 300, b"y" * 300]

@@ -800,20 +800,22 @@ def _adapt(w: object, r: object, value, names_w: dict, names_r: dict):
 
 
 def _decompress_block(codec: str, payload: bytes) -> bytes:
-    """One container block's payload -> uncompressed bytes. The stdlib
-    codecs raise their own exception types (zlib.error, OSError from
-    bz2, LZMAError from lzma — LZMAError subclasses OSError's sibling
-    Exception, EOFError covers truncated members); read_container
-    wraps them all as ValueError at the boundary."""
-    from flexcalc_spark.sources.zstdcodec import untrusted_max_output
+    """One container block's payload -> uncompressed bytes, each codec
+    bounded by the shared untrusted-bytes ceiling and run through
+    zstdcodec.bounded_decompress, which also restores the one-shot
+    functions' truncation errors (an incremental decompressor returns
+    a silent partial prefix otherwise). Corrupt-data errors keep their
+    stdlib types (zlib.error, OSError from bz2); read_container wraps
+    them all as ValueError at the boundary."""
+    from flexcalc_spark.sources.zstdcodec import (
+        bounded_decompress,
+        untrusted_max_output,
+    )
 
     cap = untrusted_max_output(len(payload))
     if codec == "deflate":
-        do = zlib.decompressobj(-15)
-        out = do.decompress(payload, cap + 1)
-        if len(out) > cap:
-            raise ValueError("avro: deflate block exceeds output bound")
-        return out + do.flush()
+        return bounded_decompress(
+            zlib.decompressobj(-15), payload, cap, "avro: deflate block")
     if codec == "snappy":
         from flexcalc_spark.sources import snappycodec
 
@@ -827,24 +829,14 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
     if codec == "bzip2":
         import bz2
 
-        d = bz2.BZ2Decompressor()
-        out = d.decompress(payload, cap + 1)
-        if len(out) > cap:
-            raise ValueError("avro: bzip2 block exceeds output bound")
-        if d.eof and d.unused_data:
-            raise ValueError("avro: bzip2 block has trailing data")
-        return out
+        return bounded_decompress(
+            bz2.BZ2Decompressor(), payload, cap, "avro: bzip2 block")
     if codec == "xz":
         import lzma
 
         try:
-            d = lzma.LZMADecompressor()
-            out = d.decompress(payload, cap + 1)
-            if len(out) > cap:
-                raise ValueError("avro: xz block exceeds output bound")
-            if d.eof and d.unused_data:
-                raise ValueError("avro: xz block has trailing data")
-            return out
+            return bounded_decompress(
+                lzma.LZMADecompressor(), payload, cap, "avro: xz block")
         except lzma.LZMAError as exc:
             raise ValueError(f"avro: corrupt xz block ({exc})") from exc
     if codec == "zstandard":

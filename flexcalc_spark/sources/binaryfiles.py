@@ -898,9 +898,19 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
                         )
                     rows.append((path, info.filename, zf.read(info)))
         else:
-            # tarfile sniffs plain/gz/bz2/xz transparently
+            # tarfile sniffs plain/gz/bz2/xz transparently. Iterate
+            # LAZILY (never getmembers(): it walks/decompresses the
+            # whole archive before any bound can fire) and bound the
+            # decompressed HEADER WALK via tf.offset too — a tar.gz of
+            # millions of zero-size members is a bomb whose payload
+            # sizes never trip the member-size cap
             with tarfile.open(fileobj=io.BytesIO(data)) as tf:
-                for m in tf.getmembers():
+                for m in tf:
+                    if tf.offset > cap:
+                        raise ValueError(
+                            f"archive {path!r} walk exceeds the "
+                            "output bound"
+                        )
                     if not m.isfile():
                         continue
                     total += m.size

@@ -866,6 +866,26 @@ def untrusted_max_output(n_in: int) -> int:
     return max(1 << 30, 512 * n_in)
 
 
+def bounded_decompress(d, payload: bytes, cap: int, what: str) -> bytes:
+    """Run an incremental stdlib decompressor (zlib.decompressobj /
+    bz2.BZ2Decompressor / lzma.LZMADecompressor — all share the
+    decompress(data, max_length)/eof/unused_data protocol) to
+    completion under an output cap. Raises ValueError past the cap, on
+    a truncated stream (eof never reached — the one-shot module-level
+    functions raised here too; an incremental decompressor silently
+    returns the partial prefix instead, which is how two truncation
+    guards got dropped when this pattern was hand-copied per codec),
+    and on trailing data after the stream."""
+    out = d.decompress(payload, cap + 1)
+    if len(out) > cap:
+        raise ValueError(f"{what} exceeds output bound")
+    if not d.eof:
+        raise ValueError(f"{what} truncated")
+    if d.unused_data:
+        raise ValueError(f"{what} has trailing data")
+    return out
+
+
 def decompress(data: bytes, max_output: int | None = None) -> bytes:
     """Decode a sequence of zstd frames (skippable frames skipped).
 

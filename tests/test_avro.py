@@ -848,3 +848,25 @@ def test_block_codecs_capped_at_untrusted_output_bound(monkeypatch):
     assert av._decompress_block("xz", lzma.compress(thin)) == thin
     assert av._decompress_block("zstandard",
                                 zstdcodec.compress(thin)) == thin
+
+
+def test_truncated_codec_blocks_raise_valueerror():
+    """Regression pin: switching to the incremental decompressors must
+    not lose the one-shot functions' truncation errors — an incremental
+    decompressor returns a silent partial prefix unless eof is
+    checked (review finding, round 12)."""
+    import bz2
+    import lzma
+    import zlib
+
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    blobs = {
+        "deflate": co.compress(b"payload" * 100) + co.flush(),
+        "bzip2": bz2.compress(b"payload" * 100),
+        "xz": lzma.compress(b"payload" * 100),
+    }
+    for codec, blob in blobs.items():
+        with pytest.raises(ValueError, match="truncated"):
+            av._decompress_block(codec, blob[:-5])
+        # intact blocks still round-trip
+        assert av._decompress_block(codec, blob) == b"payload" * 100

@@ -1647,3 +1647,24 @@ def test_archive_members_capped_at_untrusted_output_bound(monkeypatch):
         zf.writestr("a.txt", b"ok")
     assert bf._expand_blob("a.zip", zbuf.getvalue()) == [
         ("a.zip", "a.txt", b"ok")]
+
+
+def test_tar_header_walk_bounded(monkeypatch):
+    """A tar.gz of many ZERO-size members is a bomb whose payload
+    sizes never trip the member-size cap — the lazy iteration bounds
+    the decompressed header walk itself (review finding, round 12)."""
+    import io
+    import tarfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+    from flexcalc_spark.sources import zstdcodec
+
+    monkeypatch.setattr(zstdcodec, "untrusted_max_output",
+                        lambda n: 1000)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        for i in range(10):                      # walk ~10 KiB > cap
+            info = tarfile.TarInfo(f"empty{i}")
+            tf.addfile(info)
+    with pytest.raises(ValueError, match="walk exceeds"):
+        bf._expand_blob("headers.tar.gz", tbuf.getvalue())

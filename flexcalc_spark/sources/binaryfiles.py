@@ -868,9 +868,10 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
     — the Spark-free core of expand_archives, directly property-tested.
     The except tuple must cover the WHOLE corrupt-input surface, not
     just the nominal archive errors: a truncated .tar.gz raises
-    EOFError from getmembers(), a corrupted zip deflate payload raises
-    zlib.error from zf.read(), an encrypted member RuntimeError — the
-    r10 'KeyError through the ValueError contract' leak class."""
+    EOFError from the lazy member iteration / extractfile reads, a
+    corrupted zip deflate payload raises zlib.error from zf.read(), an
+    encrypted member RuntimeError — the r10 'KeyError through the
+    ValueError contract' leak class."""
     import io
     import tarfile
     import zipfile
@@ -906,7 +907,13 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
             # sizes never trip the member-size cap
             with tarfile.open(fileobj=io.BytesIO(data)) as tf:
                 for m in tf:
-                    if tf.offset > cap:
+                    # bound the member's full extent BEFORE the
+                    # iterator seeks past it: a skipped non-file
+                    # member with a huge declared size would otherwise
+                    # be decompressed-and-discarded in one unchecked
+                    # gulp before the next offset check
+                    if (tf.offset > cap
+                            or m.offset_data + max(m.size, 0) > cap):
                         raise ValueError(
                             f"archive {path!r} walk exceeds the "
                             "output bound"

@@ -1668,3 +1668,28 @@ def test_tar_header_walk_bounded(monkeypatch):
             tf.addfile(info)
     with pytest.raises(ValueError, match="walk exceeds"):
         bf._expand_blob("headers.tar.gz", tbuf.getvalue())
+
+
+def test_tar_skipped_member_extent_bounded(monkeypatch):
+    """A NON-file member (skipped by isfile()) with a huge declared
+    size must trip the walk bound BEFORE the iterator decompresses
+    past its data region in one unchecked gulp."""
+    import io
+    import tarfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+    from flexcalc_spark.sources import zstdcodec
+
+    monkeypatch.setattr(zstdcodec, "untrusted_max_output",
+                        lambda n: 10_000)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        fat = tarfile.TarInfo("weird")
+        fat.type = b"Z"                     # unknown typeflag: not a file
+        fat.size = 50_000                   # extent past the cap
+        tf.addfile(fat, io.BytesIO(b"\x00" * 50_000))
+        ok = tarfile.TarInfo("after.txt")
+        ok.size = 2
+        tf.addfile(ok, io.BytesIO(b"hi"))
+    with pytest.raises(ValueError, match="walk exceeds"):
+        bf._expand_blob("skipgulp.tar.gz", tbuf.getvalue())

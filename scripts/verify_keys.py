@@ -56,6 +56,11 @@ def main() -> int:
     fails = []
     for k in keys:
         sdf = qs[k](spark, sf).toPandas()
+        # drop cached relations between keys: a full-registry sweep at
+        # sf0.1 accumulates enough driver state in one JVM that key
+        # ~205 died broadcasting (r12) — caches are per-key scratch,
+        # never shared across keys, so clearing them is free
+        spark.catalog.clearCache()
         if k not in os_:
             print(f"  {k}: rows-only, {len(sdf)} rows")
             continue

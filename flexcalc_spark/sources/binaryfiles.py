@@ -873,6 +873,7 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
     encrypted member RuntimeError — the r10 'KeyError through the
     ValueError contract' leak class."""
     import io
+    import lzma as _lzma
     import tarfile
     import zipfile
     import zlib as _zlib
@@ -899,21 +900,18 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
                         )
                     rows.append((path, info.filename, zf.read(info)))
         else:
-            # tarfile sniffs plain/gz/bz2/xz transparently. Iterate
-            # LAZILY (never getmembers(): it walks/decompresses the
-            # whole archive before any bound can fire) and bound the
-            # decompressed HEADER WALK via tf.offset too — a tar.gz of
-            # millions of zero-size members is a bomb whose payload
-            # sizes never trip the member-size cap
-            with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            # bound the DECOMPRESSED tar stream itself before tarfile
+            # ever parses it: loop-body checks cannot bound pax/GNU-
+            # longname pseudo-members, whose data is materialized
+            # inside TarFile.next() — even during open() for the first
+            # member (measured round 12). With the stream pre-bounded,
+            # every in-tarfile read is a slice of an already-capped
+            # buffer; a plain tar cannot expand at all (cap >= input).
+            with tarfile.open(
+                fileobj=io.BytesIO(_bounded_tar_stream(data, cap, path))
+            ) as tf:
                 for m in tf:
-                    # bound the member's full extent BEFORE the
-                    # iterator seeks past it: a skipped non-file
-                    # member with a huge declared size would otherwise
-                    # be decompressed-and-discarded in one unchecked
-                    # gulp before the next offset check
-                    if (tf.offset > cap
-                            or m.offset_data + max(m.size, 0) > cap):
+                    if tf.offset > cap:  # defense; pre-bound covers it
                         raise ValueError(
                             f"archive {path!r} walk exceeds the "
                             "output bound"
@@ -929,9 +927,47 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
                     fh = tf.extractfile(m)
                     rows.append((path, m.name, fh.read()))
     except (tarfile.TarError, zipfile.BadZipFile, OSError,
-            EOFError, _zlib.error, RuntimeError) as e:
+            EOFError, _zlib.error, _lzma.LZMAError, RuntimeError) as e:
         raise ValueError(f"archive {path!r} unreadable: {e}") from e
     return rows
+
+
+def _bounded_tar_stream(data: bytes, cap: int, path: str) -> bytes:
+    """Pre-decompress a gz/bz2/xz tar container under the output cap
+    (concatenated streams supported, like the stdlib readers); plain
+    tars pass through untouched. This is what actually bounds a tar
+    bomb: tarfile materializes pax/longname pseudo-member data inside
+    next()/open(), out of reach of any member-loop check."""
+    import bz2
+    import lzma
+    import zlib
+
+    if data[:2] == b"\x1f\x8b":
+        make = lambda: zlib.decompressobj(31)  # noqa: E731
+    elif data[:3] == b"BZh":
+        make = lambda: bz2.BZ2Decompressor()  # noqa: E731
+    elif data[:6] == b"\xfd7zXZ\x00":
+        make = lambda: lzma.LZMADecompressor()  # noqa: E731
+    else:
+        return data
+    out = []
+    total = 0
+    rest = data
+    while rest and rest.strip(b"\x00"):  # xz pads stream tails with NULs
+        d = make()
+        chunk = d.decompress(rest, cap - total + 1)
+        total += len(chunk)
+        if total > cap:
+            raise ValueError(
+                f"archive {path!r} stream exceeds the output bound"
+            )
+        if not d.eof:
+            raise ValueError(
+                f"archive {path!r} compressed stream truncated"
+            )
+        out.append(chunk)
+        rest = d.unused_data
+    return b"".join(out)
 
 
 def decode_files(df: DataFrame, fmt: str, meta: dict) -> DataFrame:

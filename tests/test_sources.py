@@ -998,13 +998,14 @@ def test_expand_archives_corrupt_raises(spark, tmp_path):
 
     with pytest.raises(Exception, match="unreadable"):
         expand_one("bad.tar", b"definitely not a tar archive")
-    # truncated gzip tar -> EOFError inside getmembers
+    # truncated gzip tar -> caught by the bounded pre-decompression
+    # (round 12: the stream is inflated under the cap BEFORE tarfile)
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w:gz") as tf:
         info = tarfile.TarInfo(name="x.bin")
         info.size = 4096
         tf.addfile(info, io.BytesIO(b"a" * 4096))
-    with pytest.raises(Exception, match="unreadable"):
+    with pytest.raises(Exception, match="unreadable|truncated"):
         expand_one("trunc.tgz", buf.getvalue()[: len(buf.getvalue()) // 2])
     # zip with corrupted deflate payload -> zlib.error from zf.read
     buf = io.BytesIO()
@@ -1666,14 +1667,20 @@ def test_tar_header_walk_bounded(monkeypatch):
         for i in range(10):                      # walk ~10 KiB > cap
             info = tarfile.TarInfo(f"empty{i}")
             tf.addfile(info)
-    with pytest.raises(ValueError, match="walk exceeds"):
+    with pytest.raises(ValueError, match="output bound"):
         bf._expand_blob("headers.tar.gz", tbuf.getvalue())
 
 
-def test_tar_skipped_member_extent_bounded(monkeypatch):
-    """A NON-file member (skipped by isfile()) with a huge declared
-    size must trip the walk bound BEFORE the iterator decompresses
-    past its data region in one unchecked gulp."""
+def test_tar_pax_pseudo_member_bounded(monkeypatch):
+    """The REAL tar-bomb gulp site (round-12 review, measured): pax /
+    GNU-longname pseudo-member data is materialized inside
+    TarFile.next() — even during open() for the first member — where
+    no member-loop check can fire. The decompressed stream is now
+    pre-bounded before tarfile parses it, so a 50 KB pax record behind
+    a 10 KB cap raises instead of being read whole. The match is
+    pinned to the PRE-DECOMPRESSION message ('stream exceeds'): the
+    old loop-check code also raised eventually, but only AFTER the
+    gulp and with 'walk exceeds' — so this test fails on it."""
     import io
     import tarfile
 
@@ -1683,13 +1690,33 @@ def test_tar_skipped_member_extent_bounded(monkeypatch):
     monkeypatch.setattr(zstdcodec, "untrusted_max_output",
                         lambda n: 10_000)
     tbuf = io.BytesIO()
-    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
-        fat = tarfile.TarInfo("weird")
-        fat.type = b"Z"                     # unknown typeflag: not a file
-        fat.size = 50_000                   # extent past the cap
-        tf.addfile(fat, io.BytesIO(b"\x00" * 50_000))
+    with tarfile.open(fileobj=tbuf, mode="w:gz",
+                      format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("x" * 50_000)   # forces a ~50 KB pax
+        tf.addfile(info)                        # 'path' record
+    with pytest.raises(ValueError, match="stream exceeds"):
+        bf._expand_blob("paxbomb.tar.gz", tbuf.getvalue())
+
+
+def test_tar_dataless_member_with_bogus_size_still_expands():
+    """Regression pin for the round-12 false-positive: a symlink whose
+    size FIELD is nonzero stores no data (tarfile parses it fine and
+    seeks past nothing), so an extent-style check on declared sizes
+    would wrongly reject the archive. It must expand normally."""
+    import io
+    import tarfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        link = tarfile.TarInfo("link")
+        link.type = tarfile.SYMTYPE
+        link.linkname = "target"
+        link.size = 50_000                      # bogus: no data follows
+        tf.addfile(link)
         ok = tarfile.TarInfo("after.txt")
         ok.size = 2
         tf.addfile(ok, io.BytesIO(b"hi"))
-    with pytest.raises(ValueError, match="walk exceeds"):
-        bf._expand_blob("skipgulp.tar.gz", tbuf.getvalue())
+    rows = bf._expand_blob("links.tar", tbuf.getvalue())
+    assert rows == [("links.tar", "after.txt", b"hi")]

@@ -853,8 +853,11 @@ def expand_archives(df: DataFrame) -> DataFrame:
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 rows = _expand_blob(path, bytes(blob))
-                # yield PER ARCHIVE: peak executor memory is one
-                # archive's expansion, not the whole Arrow batch's
+                # yield PER ARCHIVE: peak executor memory is ~2x one
+                # archive's expansion (the pre-bounded decompressed
+                # tar stream + the member rows), never the whole Arrow
+                # batch's; a cap-enforcing streaming reader is the
+                # named upgrade if that 2x ever matters
                 if rows:
                     yield pd.DataFrame(
                         rows, columns=["archive", "member", "content"]
@@ -868,10 +871,11 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
     — the Spark-free core of expand_archives, directly property-tested.
     The except tuple must cover the WHOLE corrupt-input surface, not
     just the nominal archive errors: a truncated .tar.gz raises
-    EOFError from the lazy member iteration / extractfile reads, a
-    corrupted zip deflate payload raises zlib.error from zf.read(), an
-    encrypted member RuntimeError — the r10 'KeyError through the
-    ValueError contract' leak class."""
+    ValueError from the bounded pre-decompression (before tarfile
+    runs), a corrupted zip deflate payload raises zlib.error from
+    zf.read(), an encrypted member RuntimeError, and tarfile's own
+    parse errors arrive as TarError/EOFError/OSError — the r10
+    'KeyError through the ValueError contract' leak class."""
     import io
     import lzma as _lzma
     import tarfile
@@ -904,11 +908,20 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
             # ever parses it: loop-body checks cannot bound pax/GNU-
             # longname pseudo-members, whose data is materialized
             # inside TarFile.next() — even during open() for the first
-            # member (measured round 12). With the stream pre-bounded,
-            # every in-tarfile read is a slice of an already-capped
-            # buffer; a plain tar cannot expand at all (cap >= input).
+            # member (measured round 12). mode="r:" is load-bearing:
+            # the default "r:*" lets tarfile transparently decompress
+            # formats the pre-bound doesn't sniff (legacy LZMA alone-
+            # format measured 28 KB -> 608 MB under a 10 KB cap), so
+            # tarfile must never decompress anything itself. The
+            # block-0 checksum gate keeps a plain tar whose first
+            # member name starts with a codec magic (e.g. "BZh...")
+            # from being misdetected as compressed. Supported
+            # containers: plain/gz/bz2/xz tar.
+            tar_bytes = data
+            if not _block0_is_tar(data):
+                tar_bytes = _bounded_tar_stream(data, cap, path)
             with tarfile.open(
-                fileobj=io.BytesIO(_bounded_tar_stream(data, cap, path))
+                fileobj=io.BytesIO(tar_bytes), mode="r:"
             ) as tf:
                 for m in tf:
                     if tf.offset > cap:  # defense; pre-bound covers it
@@ -932,15 +945,36 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
     return rows
 
 
+def _block0_is_tar(data: bytes) -> bool:
+    """True when the first 512 bytes validate as a tar header block
+    (unsigned header checksum, the POSIX rule tarfile itself applies):
+    the gate that keeps a PLAIN tar whose first member name begins
+    with a codec magic from being handed to a decompressor."""
+    if len(data) < 512:
+        return False
+    block = data[:512]
+    raw = bytes(block[148:156]).split(b"\0")[0].strip()
+    try:
+        chk = int(raw, 8)
+    except ValueError:
+        return False
+    return chk == sum(block[:148]) + 8 * 32 + sum(block[156:])
+
+
 def _bounded_tar_stream(data: bytes, cap: int, path: str) -> bytes:
     """Pre-decompress a gz/bz2/xz tar container under the output cap
-    (concatenated streams supported, like the stdlib readers); plain
-    tars pass through untouched. This is what actually bounds a tar
-    bomb: tarfile materializes pax/longname pseudo-member data inside
-    next()/open(), out of reach of any member-loop check."""
+    (concatenated streams supported, like the stdlib readers); data
+    with no recognized codec magic passes through untouched (the
+    caller opens it mode="r:", so tarfile either parses it as a plain
+    tar or rejects it — it can never decompress anything itself).
+    This is what actually bounds a tar bomb: tarfile materializes
+    pax/longname pseudo-member data inside next()/open(), out of
+    reach of any member-loop check."""
     import bz2
     import lzma
     import zlib
+
+    from flexcalc_spark.sources.zstdcodec import bounded_decompress
 
     if data[:2] == b"\x1f\x8b":
         make = lambda: zlib.decompressobj(31)  # noqa: E731
@@ -955,16 +989,11 @@ def _bounded_tar_stream(data: bytes, cap: int, path: str) -> bytes:
     rest = data
     while rest and rest.strip(b"\x00"):  # xz pads stream tails with NULs
         d = make()
-        chunk = d.decompress(rest, cap - total + 1)
+        chunk = bounded_decompress(
+            d, rest, cap - total, f"archive {path!r} stream",
+            allow_trailing=True,
+        )
         total += len(chunk)
-        if total > cap:
-            raise ValueError(
-                f"archive {path!r} stream exceeds the output bound"
-            )
-        if not d.eof:
-            raise ValueError(
-                f"archive {path!r} compressed stream truncated"
-            )
         out.append(chunk)
         rest = d.unused_data
     return b"".join(out)

@@ -866,7 +866,9 @@ def untrusted_max_output(n_in: int) -> int:
     return max(1 << 30, 512 * n_in)
 
 
-def bounded_decompress(d, payload: bytes, cap: int, what: str) -> bytes:
+def bounded_decompress(
+    d, payload: bytes, cap: int, what: str, allow_trailing: bool = False
+) -> bytes:
     """Run an incremental stdlib decompressor (zlib.decompressobj /
     bz2.BZ2Decompressor / lzma.LZMADecompressor — all share the
     decompress(data, max_length)/eof/unused_data protocol) to
@@ -875,13 +877,14 @@ def bounded_decompress(d, payload: bytes, cap: int, what: str) -> bytes:
     functions raised here too; an incremental decompressor silently
     returns the partial prefix instead, which is how two truncation
     guards got dropped when this pattern was hand-copied per codec),
-    and on trailing data after the stream."""
+    and on trailing data after the stream unless ``allow_trailing``
+    (callers walking concatenated streams read ``d.unused_data``)."""
     out = d.decompress(payload, cap + 1)
     if len(out) > cap:
         raise ValueError(f"{what} exceeds output bound")
     if not d.eof:
         raise ValueError(f"{what} truncated")
-    if d.unused_data:
+    if not allow_trailing and d.unused_data:
         raise ValueError(f"{what} has trailing data")
     return out
 

@@ -1720,3 +1720,46 @@ def test_tar_dataless_member_with_bogus_size_still_expands():
         tf.addfile(ok, io.BytesIO(b"hi"))
     rows = bf._expand_blob("links.tar", tbuf.getvalue())
     assert rows == [("links.tar", "after.txt", b"hi")]
+
+
+def test_tar_mode_r_colon_blocks_unsniffed_codecs(monkeypatch):
+    """tarfile must never decompress anything itself (mode='r:'): with
+    the default 'r:*' a legacy-LZMA (FORMAT_ALONE) container bypasses
+    the pre-decompression cap entirely — measured 28 KB in, 608 MB
+    materialized under a 10 KB cap inside open() (round-12 pass 6).
+    Such containers are now rejected as unreadable, bounded."""
+    import io
+    import lzma
+    import tarfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+    from flexcalc_spark.sources import zstdcodec
+
+    monkeypatch.setattr(zstdcodec, "untrusted_max_output",
+                        lambda n: 10_000)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        tf.addfile(tarfile.TarInfo("x" * 50_000))  # big pax record
+    alone = lzma.compress(tbuf.getvalue(), format=lzma.FORMAT_ALONE)
+    with pytest.raises(ValueError, match="unreadable"):
+        bf._expand_blob("bomb.tar.lzma", alone)
+
+
+def test_tar_first_member_named_like_codec_magic_expands():
+    """A PLAIN tar whose first member name starts with a codec magic
+    ('BZh...') must not be misdetected as bz2 — the block-0 header
+    checksum gate routes it straight to tarfile (round-12 pass 6
+    false-reject)."""
+    import io
+    import tarfile
+
+    from flexcalc_spark.sources import binaryfiles as bf
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        info = tarfile.TarInfo("BZh_notes.txt")
+        info.size = 5
+        tf.addfile(info, io.BytesIO(b"hello"))
+    rows = bf._expand_blob("plain.tar", tbuf.getvalue())
+    assert rows == [("plain.tar", "BZh_notes.txt", b"hello")]

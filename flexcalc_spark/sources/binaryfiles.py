@@ -891,7 +891,10 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
     total = 0
     rows: list[tuple[str, str, bytes]] = []
     try:
-        if data[:4] == b"PK\x03\x04":
+        # the block-0 gate outranks every magic dispatch: a PLAIN tar
+        # whose first member name begins with a codec or zip magic
+        # must reach tarfile, not a decompressor/ZipFile
+        if data[:4] == b"PK\x03\x04" and not _block0_is_tar(data):
             with zipfile.ZipFile(io.BytesIO(data)) as zf:
                 for info in zf.infolist():
                     if info.is_dir():
@@ -947,9 +950,12 @@ def _expand_blob(path: str, data: bytes) -> list[tuple[str, str, bytes]]:
 
 def _block0_is_tar(data: bytes) -> bool:
     """True when the first 512 bytes validate as a tar header block
-    (unsigned header checksum, the POSIX rule tarfile itself applies):
-    the gate that keeps a PLAIN tar whose first member name begins
-    with a codec magic from being handed to a decompressor."""
+    under the UNSIGNED header-checksum rule (tarfile also accepts the
+    legacy signed variant; a signed-only tar simply fails the gate and
+    still parses via the raw mode="r:" fallback when no codec magic
+    matches): the gate that keeps a PLAIN tar whose first member name
+    begins with a codec or zip magic from being handed to the wrong
+    reader."""
     if len(data) < 512:
         return False
     block = data[:512]

@@ -108,7 +108,10 @@ def _gunzip_members(data: bytes) -> list[bytes]:
     ceiling (zstdcodec.untrusted_max_output) — a crawl archive is
     attacker-supplied content, and a gzip bomb otherwise materializes
     ~1000x its input before any record parse runs."""
-    from flexcalc_spark.sources.zstdcodec import untrusted_max_output
+    from flexcalc_spark.sources.zstdcodec import (
+        bounded_decompress,
+        untrusted_max_output,
+    )
 
     cap = untrusted_max_output(len(data))
     out = []
@@ -117,12 +120,10 @@ def _gunzip_members(data: bytes) -> list[bytes]:
     while rest:
         do = zlib.decompressobj(31)
         try:
-            member = do.decompress(rest, cap - total + 1)
-            if total + len(member) > cap:
-                raise ValueError("warc: gzip members exceed output bound")
-            if not do.eof:
-                raise ValueError("warc: truncated gzip member")
-            member += do.flush()
+            member = bounded_decompress(
+                do, rest, cap - total, "warc: gzip member",
+                allow_trailing=True,
+            )
         except zlib.error as exc:
             # bit-corrupted member: keep the 'corrupt bytes raise
             # ValueError' contract rather than leaking zlib.error

@@ -1,0 +1,112 @@
+"""Compute (and optionally apply) the next GRADE_ORDER rotation.
+
+The driver grades exactly the FIRST 50 keys of queries() order each
+round, so each round fronts the keys with the weakest driver evidence
+(never graded, then stalest tier first, prior relative order preserved
+inside each tier — the policy every round since r10 has applied by
+hand). VERDICT r11/r12 both flagged the hand-applied step as a
+logistics hazard ("rotation written but not applied"); this script
+makes it one command at round start:
+
+    python scripts/rotate_grade_order.py            # dry run: prints plan
+    python scripts/rotate_grade_order.py --apply    # rewrites registry.py
+
+Invariants enforced (and unit-tested in tests/test_sources.py? no —
+tests/test_rotation.py): the rotated list is a permutation of the
+current one; never-graded keys lead; evidence rounds are non-decreasing
+across the rest; relative order within each evidence tier is preserved.
+Validated against history: given CORRECTNESS through r11, the output
+reproduces the hand-built round-12 front exactly.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGISTRY = os.path.join(REPO, "flexcalc_spark", "registry.py")
+WINDOW = 50
+
+
+def read_grade_order(src: str) -> list[str]:
+    for node in ast.walk(ast.parse(src)):
+        target = getattr(node, "target", None) or (
+            node.targets[0] if isinstance(node, ast.Assign) else None
+        )
+        if getattr(target, "id", "") == "GRADE_ORDER":
+            return ast.literal_eval(node.value)
+    raise SystemExit("GRADE_ORDER literal not found in registry.py")
+
+
+def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
+    """Per-key latest driver-graded round (missing key = never graded)."""
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(correctness_dir,
+                                           "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for k in json.load(open(f)):
+            latest[k] = r
+    return latest
+
+
+def rotate(order: list[str], latest: dict[str, int]) -> list[str]:
+    """Stalest-first permutation: never-graded keys (evidence round 0)
+    lead, then ascending evidence rounds; prior relative order is
+    preserved inside each tier (Python's sort is stable)."""
+    return sorted(order, key=lambda k: latest.get(k, 0))
+
+
+def format_literal(keys: list[str]) -> str:
+    lines, cur = [], "    "
+    for k in keys:
+        item = f'"{k}", '
+        if len(cur) + len(item) > 78:
+            lines.append(cur.rstrip())
+            cur = "    "
+        cur += item
+    lines.append(cur.rstrip().rstrip(","))
+    return "GRADE_ORDER: list[str] = [\n" + "\n".join(lines) + "\n]"
+
+
+def main() -> int:
+    apply = "--apply" in sys.argv
+    src = open(REGISTRY).read()
+    order = read_grade_order(src)
+    latest = latest_evidence()
+    new = rotate(order, latest)
+    assert sorted(new) == sorted(order), "rotation must be a permutation"
+
+    tiers: dict[int, int] = {}
+    for k in new:
+        tiers[latest.get(k, 0)] = tiers.get(latest.get(k, 0), 0) + 1
+    print("evidence tiers (round -> keys):",
+          {f"r{r}" if r else "never": n for r, n in sorted(tiers.items())})
+    front = new[:WINDOW]
+    print(f"next graded window ({WINDOW}):")
+    for k in front:
+        r = latest.get(k, 0)
+        print(f"  {k}  [{'never' if r == 0 else f'r{r}'}]")
+    if new == order:
+        print("order already rotated — nothing to do")
+        return 0
+    if not apply:
+        print("dry run (pass --apply to rewrite registry.py)")
+        return 0
+
+    lit_start = src.index("GRADE_ORDER: list[str] = [")
+    lit_end = src.index("]", src.index(f'"{order[-1]}"')) + 1
+    open(REGISTRY, "w").write(
+        src[:lit_start] + format_literal(new) + src[lit_end:]
+    )
+    print(f"rewrote {REGISTRY}; re-run the window pre-time "
+          "(scripts/pretime_window.py) before committing")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,9 +100,27 @@ def main() -> int:
 
     lit_start = src.index("GRADE_ORDER: list[str] = [")
     lit_end = src.index("]", src.index(f'"{order[-1]}"')) + 1
-    open(REGISTRY, "w").write(
-        src[:lit_start] + format_literal(new) + src[lit_end:]
+    # regenerate the descriptive comment block too (the hand-written
+    # "Round-N front" paragraph would silently go stale otherwise):
+    # everything from the first "# Round-" line before the literal is
+    # tool-owned from now on
+    head = src[:lit_start]
+    m = re.search(r"(?m)^# Round-.*\n(?:#.*\n)*$", head)
+    if m:
+        head = head[:m.start()]
+    max_r = max(latest.values(), default=0)
+    tier_note = ", ".join(
+        f"{'never-graded' if r == 0 else f'r{r}'}: {n}"
+        for r, n in sorted(tiers.items())
     )
+    head += (
+        f"# Rotation applied by scripts/rotate_grade_order.py from\n"
+        f"# CORRECTNESS history through r{max_r} — stalest evidence\n"
+        f"# first, prior relative order preserved inside each tier.\n"
+        f"# Tiers at rotation time ({tier_note}).\n"
+        f"# Front of the next graded window: {', '.join(new[:3])}, ...\n"
+    )
+    open(REGISTRY, "w").write(head + format_literal(new) + src[lit_end:])
     print(f"rewrote {REGISTRY}; re-run the window pre-time "
           "(scripts/pretime_window.py) before committing")
     return 0

@@ -48,3 +48,30 @@ def test_literal_roundtrip():
     lit = format_literal(order)
     parsed = ast.literal_eval(lit.split("=", 1)[1])
     assert parsed == order
+
+
+def test_apply_rewrites_registry_and_comment(tmp_path, monkeypatch):
+    """--apply must leave a parseable registry whose GRADE_ORDER is the
+    expected permutation AND regenerate the descriptive comment (the
+    hand-written 'Round-N front' paragraph would otherwise go stale)."""
+    import shutil
+
+    import rotate_grade_order as rgo
+
+    tmp_reg = tmp_path / "registry.py"
+    shutil.copy(rgo.REGISTRY, tmp_reg)
+    order = read_grade_order(open(rgo.REGISTRY).read())
+    # fabricate evidence that moves the current front-2 to the back
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    fake[order[1]] = 99
+    monkeypatch.setattr(rgo, "REGISTRY", str(tmp_reg))
+    monkeypatch.setattr(rgo, "latest_evidence", lambda: fake)
+    monkeypatch.setattr(sys, "argv", ["rotate_grade_order.py", "--apply"])
+    assert rgo.main() == 0
+    new_src = open(tmp_reg).read()
+    new_order = read_grade_order(new_src)      # also proves it parses
+    assert new_order == order[2:] + order[:2]
+    assert "Rotation applied by scripts/rotate_grade_order.py" in new_src
+    assert "Round-12 front" not in new_src      # stale paragraph gone
+    ast.parse(new_src)

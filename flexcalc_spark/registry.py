@@ -123,47 +123,26 @@ def register(
 # round gets every family driver-confirmed across rounds without
 # changing any query; rotation chases STALENESS.
 #
-# Round-12 front (50, per VERDICT r11 item 1 — the written handoff
-# rotation, applied):
-#   1. the TWO round-11 tail keys with zero driver evidence
-#      (q_trajectory_dtw_radius, q_source_jsonl_zst);
-#   2. the ten r6-stale keys (q_win_topk_group, q_win_running,
-#      q_win_ntile, q_sort_multi, q_topk, q_limit_offset, q_set_union,
-#      q_set_intersect, q_set_except, q_distinct);
-#   3. the first 38 of the 44-key r7 block, stalest-first in prior
-#      relative order (ends q_bfs_hops).
-# Overflow: the remaining 6 r7 keys (q_sssp_cost .. q_diff_in_diff),
-# then the r8/r9/r10/r11 evidence tiers in prior relative order
-# (freshest last). New keys added this round append to the TAIL so they
-# never displace the staleness queue (round-10 policy).
+# Rotation applied by scripts/rotate_grade_order.py from
+# CORRECTNESS history through r12 — stalest evidence
+# first, prior relative order preserved inside each tier.
+# Tiers at rotation time (r7: 6, r8: 50, r9: 50, r10: 50, r11: 50, r12: 50).
+# Front of the next graded window: q_sssp_cost, q_cuped, q_srm_check, ...
 GRADE_ORDER: list[str] = [
-    "q_trajectory_dtw_radius", "q_source_jsonl_zst", "q_win_topk_group",
-    "q_win_running", "q_win_ntile", "q_sort_multi", "q_topk",
-    "q_limit_offset", "q_set_union", "q_set_intersect", "q_set_except",
-    "q_distinct", "q_text_stats", "q_mad_outliers_approx",
-    "q_dedup_substring", "q_pii_redact", "q_topic_terms", "q_sql_tpch7",
-    "q_sql_tpch14", "q_sql_tpch19", "q_win_distribution", "q_autocorr",
-    "q_changepoint", "q_benford", "q_degree_dist", "q_kcore",
-    "q_stream_upsert", "q_naive_bayes", "q_seasonal_decompose",
-    "q_label_prop", "q_sql_tpch8", "q_sql_tpch4", "q_stream_join",
-    "q_pca_embed", "q_market_basket", "q_survival", "q_sql_tpch13",
-    "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1", "q_sql_tpch6",
-    "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16",
-    "q_attribution", "q_period_over_period", "q_str_funcs",
-    "q_dedup_containment", "q_bfs_hops", "q_sssp_cost", "q_cuped",
-    "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
-    "q_dedup_embed_lsh_wide", "q_dpp_prune", "q_target_encode",
-    "q_link_predict", "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2",
-    "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20", "q_trajectory_sim",
-    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
-    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
-    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
-    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
-    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
-    "q_kmeans", "q_dedup_exact", "q_dedup_neardup", "q_dedup_ngram",
-    "q_dedup_embed", "q_dedup_clusters", "q_sink_partitioned", "q_sink_csv",
-    "q_join_bucketed", "q_pack_sequences", "q_decontaminate", "q_mix_sample",
+    "q_sssp_cost", "q_cuped", "q_srm_check", "q_rolling_corr", "q_qte",
+    "q_diff_in_diff", "q_dedup_embed_lsh_wide", "q_dpp_prune",
+    "q_target_encode", "q_link_predict", "q_holt_forecast", "q_cohort_ltv",
+    "q_sql_tpch2", "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20",
+    "q_trajectory_sim", "q_str_regexp", "q_str_distance", "q_date_parts",
+    "q_date_arith", "q_math_funcs", "q_array_ops", "q_array_hof",
+    "q_explode", "q_map_json", "q_subquery_scalar", "q_subquery_correlated",
+    "q_subquery_in", "q_udf_scalar", "q_udtf_expand", "q_lang_id",
+    "q_quality_score", "q_token_count", "q_fingerprint", "q_text_chunks",
+    "q_repetition", "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine",
+    "q_centroids", "q_kmeans", "q_dedup_exact", "q_dedup_neardup",
+    "q_dedup_ngram", "q_dedup_embed", "q_dedup_clusters",
+    "q_sink_partitioned", "q_sink_csv", "q_join_bucketed",
+    "q_pack_sequences", "q_decontaminate", "q_mix_sample",
     "q_dedup_incremental", "q_sketch_cms", "q_dedup_containment_shingle",
     "q_snapshot_diff", "q_join_nullsafe", "q_agg_weighted_median",
     "q_sql_tpch22", "q_window_session", "q_ct_centre", "q_ct_histogram",
@@ -204,7 +183,20 @@ GRADE_ORDER: list[str] = [
     "q_scan_count", "q_project_expr", "q_filter_pred", "q_filter_in_like",
     "q_filter_null", "q_case_when", "q_join_broadcast", "q_join_inner",
     "q_join_multiway", "q_join_left", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_cross", "q_win_rank"
+    "q_join_anti", "q_join_cross", "q_win_rank", "q_trajectory_dtw_radius",
+    "q_source_jsonl_zst", "q_win_topk_group", "q_win_running", "q_win_ntile",
+    "q_sort_multi", "q_topk", "q_limit_offset", "q_set_union",
+    "q_set_intersect", "q_set_except", "q_distinct", "q_text_stats",
+    "q_mad_outliers_approx", "q_dedup_substring", "q_pii_redact",
+    "q_topic_terms", "q_sql_tpch7", "q_sql_tpch14", "q_sql_tpch19",
+    "q_win_distribution", "q_autocorr", "q_changepoint", "q_benford",
+    "q_degree_dist", "q_kcore", "q_stream_upsert", "q_naive_bayes",
+    "q_seasonal_decompose", "q_label_prop", "q_sql_tpch8", "q_sql_tpch4",
+    "q_stream_join", "q_pca_embed", "q_market_basket", "q_survival",
+    "q_sql_tpch13", "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1",
+    "q_sql_tpch6", "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12",
+    "q_sql_tpch16", "q_attribution", "q_period_over_period", "q_str_funcs",
+    "q_dedup_containment", "q_bfs_hops"
 ]
 
 

@@ -99,13 +99,18 @@ def main() -> int:
         return 0
 
     lit_start = src.index("GRADE_ORDER: list[str] = [")
-    lit_end = src.index("]", src.index(f'"{order[-1]}"')) + 1
+    # search for the closing bracket only AFTER the literal starts — the
+    # last key's name could legitimately appear quoted earlier in the file
+    lit_end = src.index("]", src.index(f'"{order[-1]}"', lit_start)) + 1
+    assert lit_end > lit_start, "literal end resolved before its start"
     # regenerate the descriptive comment block too (the hand-written
     # "Round-N front" paragraph would silently go stale otherwise):
-    # everything from the first "# Round-" line before the literal is
-    # tool-owned from now on
+    # both the legacy "# Round-" block and this tool's own
+    # "# Rotation applied by" block are tool-owned — strip whichever
+    # immediately precedes the literal so repeated applies don't stack
     head = src[:lit_start]
-    m = re.search(r"(?m)^# Round-.*\n(?:#.*\n)*$", head)
+    m = re.search(r"(?m)^# (?:Round-|Rotation applied).*\n(?:#.*\n)*$",
+                  head)
     if m:
         head = head[:m.start()]
     max_r = max(latest.values(), default=0)

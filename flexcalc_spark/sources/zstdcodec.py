@@ -611,9 +611,19 @@ def _read_seq_table(
 
 def _decode_block(
     block: memoryview, out: bytearray, huf_state: dict, seq_state: dict,
-    rep: list[int],
+    rep: list[int], limit: int,
 ) -> None:
-    """One compressed block (§3.1.1.3) appended onto the frame output."""
+    """One compressed block (§3.1.1.3) appended onto the frame output.
+
+    ``limit`` is the absolute cap on ``len(out)`` (block start +
+    min(Block_Maximum_Size, remaining frame/caller budget)), enforced
+    INSIDE the sequence loop: a crafted block (RLE sequence tables with
+    0-bit updates, ML code 52) regenerates ~131 KiB per sequence x
+    ~65k sequences ~= 8.5 GB from <= 128 KiB of input, so a check that
+    only runs after the block returns is not a bomb bound at all
+    (ADVICE r12: 3 KB input materialized 136 MB before the frame-level
+    check fired). Per-sequence enforcement overshoots by at most one
+    sequence (~1.2 MiB: literals run + one match)."""
     lits, pos = _decode_literals(block, pos=0, huf_state=huf_state)
     if pos >= len(block):
         raise ValueError("zstd: missing sequences section")
@@ -635,6 +645,9 @@ def _decode_block(
         if pos != len(block):
             raise ValueError("zstd: trailing bytes after empty sequences")
         out += lits
+        if len(out) > limit:
+            raise ValueError("zstd: block output exceeds bound "
+                             "mid-decode")
         return
     if pos >= len(block):
         raise ValueError("zstd: missing symbol compression modes")
@@ -727,6 +740,9 @@ def _decode_block(
                 # ops instead of ml Python-level appends
                 seg = bytes(out[start:])
                 out += (seg * (ml // offset + 1))[:ml]
+        if len(out) > limit:
+            raise ValueError("zstd: block output exceeds bound "
+                             "mid-decode")
         if i != n_seq - 1:
             e1 = ll_tab[s_ll]
             e2 = ml_tab[s_ml]
@@ -748,6 +764,8 @@ def _decode_block(
     if bits != 0:
         raise ValueError("zstd: sequence bitstream not fully consumed")
     out += lits[lit_pos:]
+    if len(out) > limit:
+        raise ValueError("zstd: block output exceeds bound mid-decode")
 
 
 def _decode_frame(
@@ -828,8 +846,11 @@ def _decode_frame(
         elif btype == 2:
             if pos + bsize > len(data):
                 raise ValueError("zstd: truncated compressed block")
+            limit = before + block_max
+            if hard_cap is not None and hard_cap < limit:
+                limit = hard_cap
             _decode_block(data[pos:pos + bsize], out, huf_state,
-                          seq_state, rep)
+                          seq_state, rep, limit)
             pos += bsize
         else:
             raise ValueError("zstd: reserved block type")

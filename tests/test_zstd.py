@@ -338,6 +338,45 @@ def test_ncount_writer_rejects_unnormalized_counts():
         zc._fse_write_ncount([3, 2, 1], 5)  # sums to 6, not 32
 
 
+def _bomb_compressed_block(n_seq: int, last: bool) -> bytes:
+    """A format-valid btype=2 block that regenerates ~65.5 KiB PER
+    SEQUENCE from ~2 bytes of input each: empty raw literals, RLE
+    sequence tables (0-bit state updates) with ll=0 / of_code=0
+    (repeat-offset) / ML code 52 (base 65539, 16 extra bits, supplied
+    as zeros in the backward bitstream)."""
+    assert n_seq < 128
+    body = bytearray()
+    body.append(0x00)               # literals: raw, regenerated size 0
+    body.append(n_seq)              # sequences count, 1-byte form
+    body.append(0x54)               # scm: RLE mode for ll / of / ml
+    body += bytes([0, 0, 52])       # RLE symbols: ll=0, of=0, ml=52
+    body += b"\x00" * (2 * n_seq)   # 16 ml extra bits per sequence
+    body.append(0x01)               # backward-bitstream sentinel
+    return ((len(body) << 3) | (2 << 1) | (1 if last else 0)).to_bytes(
+        3, "little") + bytes(body)
+
+
+def test_compressed_block_bomb_capped_mid_decode():
+    """ADVICE r12 (high): the output caps fired only BETWEEN blocks —
+    _decode_block's sequence loop appended matches unbounded, so one
+    <=128 KiB compressed block could regenerate ~8.5 GB before any
+    check (verified PoC: 3 KB in -> 136 MB materialized). The limit
+    must be enforced INSIDE the per-sequence loop: this frame's single
+    compressed block would regenerate ~8.3 MB (127 seqs x 65539 B)
+    against a 128 KiB Block_Maximum_Size, and must raise mid-decode
+    at the offending sequence (the pre-fix code decodes everything and
+    raises the post-hoc 'regenerates past' error instead)."""
+    frame = _frame_header(0, 0xFF, b"")        # no FCS, max window
+    frame += _rle_block(1000, 0x41, last=False)  # history for offsets
+    frame += _bomb_compressed_block(127, last=True)
+    with pytest.raises(ValueError, match="mid-decode"):
+        zc.decompress(bytes(frame))
+    # caller max_output binds tighter than Block_Maximum_Size when
+    # smaller: same bomb, cap of 10 KB -> still the mid-decode error
+    with pytest.raises(ValueError, match="mid-decode"):
+        zc.decompress(bytes(frame), max_output=10_000)
+
+
 def test_no_fcs_frame_bounded_by_caller_max_output():
     """A no-FCS streaming frame is format-legal at ~32768x expansion —
     untrusted-bytes callers pass max_output for a hard mid-decode

@@ -541,12 +541,19 @@ _LB_KIM_SQL = (
         "K=20/100 clustered corpora (the regime the recipe assumes), "
         "99.8% ambient-random — the same bound that prunes NOTHING in "
         "its 1-component |a1-b1| form (round-10 measurement, still "
-        "true). Survivor census of THIS plan on clustered Spark "
-        "fixtures (SCALE.md round-11): ~n^2.02 under fixed K=100 — "
-        "quadratic because the ANSWER set (within-cluster pairs "
-        "~n^2/K) is — and ~n^1.41 falling toward the true-pair floor "
-        "when archetype diversity grows with n (K=n/20); no sound "
-        "filter can emit fewer rows than the answer. "
+        "true). Per-relation census of THIS plan on clustered Spark "
+        "fixtures (SCALE.md round-13, via _radius_pairs, adjudicated "
+        "graded==survivors): RAW bucket-join candidates are a "
+        "constant-fraction quadratic — measured flat 14.7-14.9% of "
+        "all-pairs in every regime, the closed form ~3*tau/range of "
+        "the +-1 probe over ~range/tau buckets (tau is the density "
+        "dial; the bucket stage guarantees recall, never sparsity — "
+        "the LSH-band census lesson class). LB SURVIVORS: ~n^2.02 "
+        "under fixed K=100 — quadratic because the ANSWER set "
+        "(within-cluster pairs ~n^2/K) is — and ~n^1.41 falling "
+        "toward the true-pair floor when archetype diversity grows "
+        "with n (K=n/20); no sound filter can emit fewer rows than "
+        "the answer; survivors are 2-7% of raw. "
         "Emits (pair, lb_grid, dtw_grid) for every LB survivor "
         "— the sound superset of any DTW <= tau' answer for tau' <= "
         "tau, with exact distances attached; all-integer, full hash "
@@ -557,6 +564,29 @@ def q_trajectory_dtw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All user pairs within LB_Kim radius tau = range/20 of each
     other, with exact integer-grid DTW on the survivors — sound
     (recall-1.0) thresholded retrieval via a bucketed equi join."""
+    _raw, pairs = _radius_pairs(spark, sf_dir)
+    return pairs.select(
+        F.col("ua").alias("user_a"),
+        F.col("ub").alias("user_b"),
+        F.expr(_LB_KIM_SQL).cast("bigint").alias("lb_grid"),
+        F.expr(elastic_dp_sql("dtw")).cast("bigint").alias("dtw_grid"),
+    )
+
+
+def _radius_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The radius key's two candidate relations, for the key itself and
+    for the per-relation scale census (SCALE.md round-13; the round-11
+    lesson: census claims must name the exact relation, and an
+    extracted relation must be adjudicated against prior measurements
+    of the same corpus — the probe asserts the survivor count equals
+    the graded key's own output count on every corpus it measures).
+
+    Returns (raw, survivors): ``raw`` = the bucket equi join's output
+    with the ua < ub dedup but BEFORE the LB post-filter (what the
+    shuffle pays for); ``survivors`` = after ``LB_Kim <= tau`` (what
+    the exact DP re-score pays for — the sound answer superset)."""
     seg, _words = _sax_core(spark, sf_dir)
     # cache the small per-user feature table: the scalars aggregate and
     # the probe/index sides would otherwise each recompute the events
@@ -601,16 +631,8 @@ def q_trajectory_dtw_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").alias("mxb"),
         F.col("bkt").alias("jb"),
     )
-    pairs = probe.join(index, "jb").filter(
-        (F.col("ua") < F.col("ub"))
-        & (F.expr(_LB_KIM_SQL) <= F.col("tau"))
-    )
-    return pairs.select(
-        F.col("ua").alias("user_a"),
-        F.col("ub").alias("user_b"),
-        F.expr(_LB_KIM_SQL).cast("bigint").alias("lb_grid"),
-        F.expr(elastic_dp_sql("dtw")).cast("bigint").alias("dtw_grid"),
-    )
+    raw = probe.join(index, "jb").filter(F.col("ua") < F.col("ub"))
+    return raw, raw.filter(F.expr(_LB_KIM_SQL) <= F.col("tau"))
 
 
 def elastic_dp_sql(measure: str, a: str = "ma", b: str = "mb") -> str:

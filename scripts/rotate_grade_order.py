@@ -44,13 +44,25 @@ def read_grade_order(src: str) -> list[str]:
 
 
 def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
-    """Per-key latest driver-graded round (missing key = never graded)."""
+    """Per-key latest driver-graded round (missing key = never graded).
+
+    A key whose LATEST grade is a real failure gets evidence round 0 —
+    the policy is "front never-graded + failed + stalest", and counting
+    a failed grade as fresh evidence would rotate the broken key to the
+    TAIL for ~5 rounds (r13 review finding). `err: "no_oracle"` is the
+    driver's label for declared rows-only keys, not a failure."""
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(correctness_dir,
                                            "CORRECTNESS_r*.json"))):
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for k in json.load(open(f)):
-            latest[k] = r
+        for k, v in json.load(open(f)).items():
+            failed = (
+                v.get("err") not in (None, "no_oracle")
+                or v.get("hash_match") is False
+                or v.get("rows_match") is False
+                or v.get("schema_match") is False
+            )
+            latest[k] = 0 if failed else r
     return latest
 
 
@@ -104,13 +116,21 @@ def main() -> int:
     lit_end = src.index("]", src.index(f'"{order[-1]}"', lit_start)) + 1
     assert lit_end > lit_start, "literal end resolved before its start"
     # regenerate the descriptive comment block too (the hand-written
-    # "Round-N front" paragraph would silently go stale otherwise):
-    # both the legacy "# Round-" block and this tool's own
-    # "# Rotation applied by" block are tool-owned — strip whichever
-    # immediately precedes the literal so repeated applies don't stack
+    # "Round-N front" paragraph would silently go stale otherwise).
+    # Two strip rules, both safe by construction (r13 review: an
+    # unanchored strip could delete real CODE between a doc comment
+    # and the literal):
+    #  - this tool's own signature block ("# Rotation applied by
+    #    scripts/...") is stripped wherever it appears, but only its
+    #    own consecutive comment lines — it cannot be a human comment;
+    #  - the legacy hand-written "# Round-" block is stripped only
+    #    when it IMMEDIATELY precedes the literal (\Z-anchored).
     head = src[:lit_start]
-    m = re.search(r"(?m)^# (?:Round-|Rotation applied).*\n(?:#.*\n)*$",
-                  head)
+    head = re.sub(
+        r"(?m)^# Rotation applied by scripts/rotate_grade_order\.py.*\n"
+        r"(?:#.*\n)*?# Front of the next graded window:.*\n",
+        "", head)
+    m = re.search(r"(?m)^# Round-.*\n(?:#.*\n)*\Z", head)
     if m:
         head = head[:m.start()]
     max_r = max(latest.values(), default=0)
@@ -125,7 +145,15 @@ def main() -> int:
         f"# Tiers at rotation time ({tier_note}).\n"
         f"# Front of the next graded window: {', '.join(new[:3])}, ...\n"
     )
-    open(REGISTRY, "w").write(head + format_literal(new) + src[lit_end:])
+    new_src = head + format_literal(new) + src[lit_end:]
+    # validate the WRITTEN text before touching the registry (r13
+    # review: any splice bug would otherwise corrupt registry.py in
+    # place — the tests exercise pristine copies, not this file state)
+    ast.parse(new_src)
+    if read_grade_order(new_src) != new:
+        raise SystemExit("splice produced a different GRADE_ORDER — "
+                         "registry.py NOT rewritten")
+    open(REGISTRY, "w").write(new_src)
     print(f"rewrote {REGISTRY}; re-run the window pre-time "
           "(scripts/pretime_window.py) before committing")
     return 0

@@ -9,6 +9,8 @@ import ast
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
 
@@ -54,25 +56,38 @@ def test_literal_roundtrip():
     assert parsed == order
 
 
-def test_apply_rewrites_registry_and_comment(tmp_path, monkeypatch):
-    """--apply must leave a parseable registry whose GRADE_ORDER is the
-    expected permutation AND regenerate the descriptive comment (the
-    hand-written 'Round-N front' paragraph would otherwise go stale)."""
+@pytest.fixture
+def apply_env(tmp_path, monkeypatch):
+    """A copy of the real registry in tmp plus a helper running --apply
+    against it with fabricated evidence (shared by every apply test —
+    r13 review: the scaffold had been copy-pasted three times)."""
     import shutil
 
     import rotate_grade_order as rgo
 
     tmp_reg = tmp_path / "registry.py"
     shutil.copy(rgo.REGISTRY, tmp_reg)
-    order = read_grade_order(open(rgo.REGISTRY).read())
+    monkeypatch.setattr(rgo, "REGISTRY", str(tmp_reg))
+    monkeypatch.setattr(sys, "argv", ["rotate_grade_order.py", "--apply"])
+
+    def apply(fake: dict) -> None:
+        monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
+        assert rgo.main() == 0
+
+    return tmp_reg, apply
+
+
+def test_apply_rewrites_registry_and_comment(apply_env):
+    """--apply must leave a parseable registry whose GRADE_ORDER is the
+    expected permutation AND regenerate the descriptive comment (the
+    hand-written 'Round-N front' paragraph would otherwise go stale)."""
+    tmp_reg, apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
     # fabricate evidence that moves the current front-2 to the back
     fake = {k: 1 for k in order}
     fake[order[0]] = 99
     fake[order[1]] = 99
-    monkeypatch.setattr(rgo, "REGISTRY", str(tmp_reg))
-    monkeypatch.setattr(rgo, "latest_evidence", lambda: fake)
-    monkeypatch.setattr(sys, "argv", ["rotate_grade_order.py", "--apply"])
-    assert rgo.main() == 0
+    apply(fake)
     new_src = open(tmp_reg).read()
     new_order = read_grade_order(new_src)      # also proves it parses
     assert new_order == order[2:] + order[:2]
@@ -81,58 +96,103 @@ def test_apply_rewrites_registry_and_comment(tmp_path, monkeypatch):
     ast.parse(new_src)
 
 
-def test_apply_twice_leaves_one_comment_block(tmp_path, monkeypatch):
+def test_apply_twice_leaves_one_comment_block(apply_env):
     """ADVICE r12: the regeneration used to strip only '# Round-' blocks,
     so each --apply appended another 'Rotation applied by' block while
     the previous one went stale in place. Two applies must leave exactly
     one tool-owned block (fails on the pre-fix code: two blocks)."""
-    import shutil
-
-    import rotate_grade_order as rgo
-
-    tmp_reg = tmp_path / "registry.py"
-    shutil.copy(rgo.REGISTRY, tmp_reg)
-    order = read_grade_order(open(rgo.REGISTRY).read())
-    monkeypatch.setattr(rgo, "REGISTRY", str(tmp_reg))
-    monkeypatch.setattr(sys, "argv", ["rotate_grade_order.py", "--apply"])
+    tmp_reg, apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
     fake = {k: 1 for k in order}
     fake[order[0]] = 99
-    monkeypatch.setattr(rgo, "latest_evidence", lambda: fake)
-    assert rgo.main() == 0
-    fake2 = dict(fake)
-    fake2[order[1]] = 98
-    monkeypatch.setattr(rgo, "latest_evidence", lambda: fake2)
-    assert rgo.main() == 0
+    apply(fake)
+    fake[order[1]] = 98
+    apply(fake)
     new_src = open(tmp_reg).read()
     assert new_src.count("Rotation applied by") == 1
     assert read_grade_order(new_src) == order[2:] + [order[1], order[0]]
     ast.parse(new_src)
 
 
-def test_apply_with_last_key_quoted_above_literal(tmp_path, monkeypatch):
+def test_apply_with_last_key_quoted_above_literal(apply_env):
     """ADVICE r12: lit_end used to be computed from the FIRST file-wide
     occurrence of the quoted last key — a quoted mention above the
     GRADE_ORDER literal made the splice land before lit_start and corrupt
     the file (fails on the pre-fix code: garbled duplicate assignment)."""
-    import shutil
-
-    import rotate_grade_order as rgo
-
-    tmp_reg = tmp_path / "registry.py"
-    shutil.copy(rgo.REGISTRY, tmp_reg)
-    order = read_grade_order(open(rgo.REGISTRY).read())
+    tmp_reg, apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
     src = open(tmp_reg).read()
     # plant a quoted mention of the last key ABOVE the literal
     lit_start = src.index("GRADE_ORDER: list[str] = [")
     planted = f'_DOC_NOTE = "{order[-1]}"  # planted mention\n'
     open(tmp_reg, "w").write(src[:lit_start] + planted + src[lit_start:])
-    monkeypatch.setattr(rgo, "REGISTRY", str(tmp_reg))
-    monkeypatch.setattr(sys, "argv", ["rotate_grade_order.py", "--apply"])
     fake = {k: 1 for k in order}
     fake[order[0]] = 99
-    monkeypatch.setattr(rgo, "latest_evidence", lambda: fake)
-    assert rgo.main() == 0
+    apply(fake)
     new_src = open(tmp_reg).read()
     ast.parse(new_src)                          # file must still parse
     assert read_grade_order(new_src) == order[1:] + [order[0]]
     assert new_src.count("GRADE_ORDER: list[str] = [") == 1
+    # the stale tool block is stripped even with code between it and
+    # the literal (signature-matched sub, not adjacency) — exactly one
+    # tool block remains
+    assert new_src.count("Rotation applied by") == 1
+    assert '_DOC_NOTE = "' in new_src          # planted code survives
+
+
+def test_apply_never_deletes_code_above_literal(apply_env):
+    """r13 review: the comment-strip regex used to match the FIRST
+    '# Round-' block anywhere above the literal and truncate everything
+    from it — a doc comment followed by real code would get that CODE
+    silently deleted from registry.py (fails on the pre-fix code: the
+    sentinel assignment vanishes)."""
+    tmp_reg, apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    lit_start = src.index("GRADE_ORDER: list[str] = [")
+    planted = (
+        "# Round-13 working note\n"
+        "# (a human doc comment, NOT the tool block)\n"
+        "\n"
+        "_SENTINEL_CODE = 13\n"
+    )
+    open(tmp_reg, "w").write(src[:lit_start] + planted + src[lit_start:])
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    apply(fake)
+    new_src = open(tmp_reg).read()
+    ast.parse(new_src)
+    assert "_SENTINEL_CODE = 13" in new_src     # code NOT deleted
+    assert "# Round-13 working note" in new_src  # non-adjacent: kept
+    assert read_grade_order(new_src) == order[1:] + [order[0]]
+
+
+def test_failed_latest_grade_fronts_the_key(tmp_path):
+    """r13 review: mere presence in CORRECTNESS_r*.json counted as
+    evidence regardless of pass/fail, so a key FAILING in the latest
+    round rotated to the TAIL (freshest) instead of the front. A real
+    failure must reset the key to evidence round 0; the rows-only
+    'no_oracle' label must NOT (fails on the pre-fix code: q_bad gets
+    round 2)."""
+    import json
+
+    r1 = {"q_ok": {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None},
+          "q_bad": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None}}
+    r2 = {"q_bad": {"rows_match": True, "schema_match": True,
+                    "hash_match": False, "err": None},
+          "q_err": {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "err": "SparkException: boom"},
+          "q_rows_only": {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "err": "no_oracle"}}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(r2))
+    latest = latest_evidence(str(tmp_path))
+    assert latest["q_ok"] == 1
+    assert latest["q_bad"] == 0        # failed latest grade -> front
+    assert latest["q_err"] == 0        # driver error -> front
+    assert latest["q_rows_only"] == 2  # rows-only label is not failure
+    order = ["q_ok", "q_bad", "q_err", "q_rows_only"]
+    assert rotate(order, latest) == ["q_bad", "q_err", "q_ok",
+                                     "q_rows_only"]

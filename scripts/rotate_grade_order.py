@@ -67,9 +67,10 @@ def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
 
 
 def rotate(order: list[str], latest: dict[str, int]) -> list[str]:
-    """Stalest-first permutation: never-graded keys (evidence round 0)
-    lead, then ascending evidence rounds; prior relative order is
-    preserved inside each tier (Python's sort is stable)."""
+    """Stalest-first permutation: evidence-round-0 keys lead (never
+    graded, OR latest grade was a real failure — see latest_evidence),
+    then ascending evidence rounds; prior relative order is preserved
+    inside each tier (Python's sort is stable)."""
     return sorted(order, key=lambda k: latest.get(k, 0))
 
 
@@ -97,12 +98,13 @@ def main() -> int:
     for k in new:
         tiers[latest.get(k, 0)] = tiers.get(latest.get(k, 0), 0) + 1
     print("evidence tiers (round -> keys):",
-          {f"r{r}" if r else "never": n for r, n in sorted(tiers.items())})
+          {f"r{r}" if r else "never/failed": n
+           for r, n in sorted(tiers.items())})
     front = new[:WINDOW]
     print(f"next graded window ({WINDOW}):")
     for k in front:
         r = latest.get(k, 0)
-        print(f"  {k}  [{'never' if r == 0 else f'r{r}'}]")
+        print(f"  {k}  [{'never/failed' if r == 0 else f'r{r}'}]")
     if new == order:
         print("order already rotated — nothing to do")
         return 0
@@ -133,9 +135,17 @@ def main() -> int:
     m = re.search(r"(?m)^# Round-.*\n(?:#.*\n)*\Z", head)
     if m:
         head = head[:m.start()]
+    # the strips run over raw text, so a line-start match INSIDE a
+    # string literal would delete string content while both write
+    # guards below still pass (r13 review) — prove they removed only
+    # comments: comments are invisible to the AST, string content is
+    # not, so the parsed head must be unchanged
+    if ast.dump(ast.parse(head)) != ast.dump(ast.parse(src[:lit_start])):
+        raise SystemExit("comment strip altered code or string content "
+                         "— registry.py NOT rewritten")
     max_r = max(latest.values(), default=0)
     tier_note = ", ".join(
-        f"{'never-graded' if r == 0 else f'r{r}'}: {n}"
+        f"{'never-graded/failed' if r == 0 else f'r{r}'}: {n}"
         for r, n in sorted(tiers.items())
     )
     head += (

@@ -167,6 +167,36 @@ def test_apply_never_deletes_code_above_literal(apply_env):
     assert read_grade_order(new_src) == order[1:] + [order[0]]
 
 
+def test_apply_refuses_strip_inside_string_literal(apply_env, monkeypatch):
+    """r13 review pass 2: the signature strip runs over raw text, so a
+    verbatim copy of the tool block inside a STRING literal above the
+    GRADE_ORDER literal would have its lines deleted while both write
+    guards pass (the file still parses, the order is unchanged). The
+    AST-equality guard must refuse the rewrite (fails on the pre-guard
+    code: the corrupted file is silently written)."""
+    import rotate_grade_order as rgo
+
+    tmp_reg, _apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    lit_start = src.index("GRADE_ORDER: list[str] = [")
+    planted = (
+        '_ROTATION_DOC = """example of the tool-written block:\n'
+        "# Rotation applied by scripts/rotate_grade_order.py from\n"
+        "# CORRECTNESS history through rN.\n"
+        "# Front of the next graded window: q_x, ...\n"
+        '"""\n'
+    )
+    open(tmp_reg, "w").write(src[:lit_start] + planted + src[lit_start:])
+    before = open(tmp_reg).read()
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
+    with pytest.raises(SystemExit, match="altered code or string"):
+        rgo.main()
+    assert open(tmp_reg).read() == before       # registry untouched
+
+
 def test_failed_latest_grade_fronts_the_key(tmp_path):
     """r13 review: mere presence in CORRECTNESS_r*.json counted as
     evidence regardless of pass/fail, so a key FAILING in the latest

@@ -140,7 +140,12 @@ def main() -> int:
     # guards below still pass (r13 review) — prove they removed only
     # comments: comments are invisible to the AST, string content is
     # not, so the parsed head must be unchanged
-    if ast.dump(ast.parse(head)) != ast.dump(ast.parse(src[:lit_start])):
+    try:
+        unchanged = (ast.dump(ast.parse(head))
+                     == ast.dump(ast.parse(src[:lit_start])))
+    except SyntaxError:  # a strip can even delete a string's closing
+        unchanged = False  # delimiter — same refusal, not a traceback
+    if not unchanged:
         raise SystemExit("comment strip altered code or string content "
                          "— registry.py NOT rewritten")
     max_r = max(latest.values(), default=0)

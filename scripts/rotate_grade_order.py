@@ -140,9 +140,15 @@ def main() -> int:
     # guards below still pass (r13 review) — prove they removed only
     # comments: comments are invisible to the AST, string content is
     # not, so the parsed head must be unchanged
+    try:  # the PRISTINE prefix failing to parse is a different defect:
+        base = ast.dump(ast.parse(src[:lit_start]))  # a mis-anchored
+    except SyntaxError:  # lit_start (e.g. inside a docstring), not the
+        raise SystemExit(  # strip — name the real cause (r13 review)
+            "text before the GRADE_ORDER literal does not parse — "
+            "lit_start likely anchored inside a string; registry.py "
+            "NOT rewritten")
     try:
-        unchanged = (ast.dump(ast.parse(head))
-                     == ast.dump(ast.parse(src[:lit_start])))
+        unchanged = ast.dump(ast.parse(head)) == base
     except SyntaxError:  # a strip can even delete a string's closing
         unchanged = False  # delimiter — same refusal, not a traceback
     if not unchanged:

@@ -197,6 +197,34 @@ def test_apply_refuses_strip_inside_string_literal(apply_env, monkeypatch):
     assert open(tmp_reg).read() == before       # registry untouched
 
 
+def test_apply_refuses_when_strip_breaks_string_delimiter(apply_env,
+                                                          monkeypatch):
+    """r13 review pass 4: if the stripped lines CARRY a string's closing
+    triple-quote, ast.parse(head) raises SyntaxError before the
+    AST-equality check — that must surface as the same SystemExit
+    refusal, never a traceback (fails on the pre-fix code: uncaught
+    SyntaxError)."""
+    import rotate_grade_order as rgo
+
+    tmp_reg, _apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    lit_start = src.index("GRADE_ORDER: list[str] = [")
+    planted = (
+        '_ROTATION_DOC2 = """doc whose closing quotes sit on a line\n'
+        "# Rotation applied by scripts/rotate_grade_order.py from\n"
+        '# Front of the next graded window: q_x, ..."""\n'
+    )
+    open(tmp_reg, "w").write(src[:lit_start] + planted + src[lit_start:])
+    before = open(tmp_reg).read()
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
+    with pytest.raises(SystemExit, match="altered code or string"):
+        rgo.main()
+    assert open(tmp_reg).read() == before       # registry untouched
+
+
 def test_failed_latest_grade_fronts_the_key(tmp_path):
     """r13 review: mere presence in CORRECTNESS_r*.json counted as
     evidence regardless of pass/fail, so a key FAILING in the latest

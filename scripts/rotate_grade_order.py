@@ -33,14 +33,35 @@ REGISTRY = os.path.join(REPO, "flexcalc_spark", "registry.py")
 WINDOW = 50
 
 
-def read_grade_order(src: str) -> list[str]:
+def _grade_order_node(src: str) -> ast.stmt:
     for node in ast.walk(ast.parse(src)):
         target = getattr(node, "target", None) or (
             node.targets[0] if isinstance(node, ast.Assign) else None
         )
         if getattr(target, "id", "") == "GRADE_ORDER":
-            return ast.literal_eval(node.value)
+            return node
     raise SystemExit("GRADE_ORDER literal not found in registry.py")
+
+
+def read_grade_order(src: str) -> list[str]:
+    return ast.literal_eval(_grade_order_node(src).value)
+
+
+def literal_span(src: str) -> tuple[int, int]:
+    """Character span of the whole GRADE_ORDER assignment, located via
+    its AST node — never by text search. r13 review (pass 5): the name
+    appearing verbatim in a COMMENT or STRING above the real assignment
+    made `src.index(...)` anchor there, and the splice then silently
+    deleted the code in between with every guard passing; the AST
+    cannot be fooled by comments or strings."""
+    node = _grade_order_node(src)
+    lines = src.splitlines(keepends=True)
+    start = (sum(len(ln) for ln in lines[:node.lineno - 1])
+             + node.col_offset)
+    end = (sum(len(ln) for ln in lines[:node.end_lineno - 1])
+           + node.end_col_offset)
+    assert src[start:start + 11] == "GRADE_ORDER", "span anchor drifted"
+    return start, end
 
 
 def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
@@ -112,11 +133,7 @@ def main() -> int:
         print("dry run (pass --apply to rewrite registry.py)")
         return 0
 
-    lit_start = src.index("GRADE_ORDER: list[str] = [")
-    # search for the closing bracket only AFTER the literal starts — the
-    # last key's name could legitimately appear quoted earlier in the file
-    lit_end = src.index("]", src.index(f'"{order[-1]}"', lit_start)) + 1
-    assert lit_end > lit_start, "literal end resolved before its start"
+    lit_start, lit_end = literal_span(src)
     # regenerate the descriptive comment block too (the hand-written
     # "Round-N front" paragraph would silently go stale otherwise).
     # Two strip rules, both safe by construction (r13 review: an
@@ -140,13 +157,12 @@ def main() -> int:
     # guards below still pass (r13 review) — prove they removed only
     # comments: comments are invisible to the AST, string content is
     # not, so the parsed head must be unchanged
-    try:  # the PRISTINE prefix failing to parse is a different defect:
-        base = ast.dump(ast.parse(src[:lit_start]))  # a mis-anchored
-    except SyntaxError:  # lit_start (e.g. inside a docstring), not the
-        raise SystemExit(  # strip — name the real cause (r13 review)
+    try:  # defensive: with AST anchoring the pristine prefix always
+        base = ast.dump(ast.parse(src[:lit_start]))  # parses today, but
+    except SyntaxError:  # a future anchor bug must name ITSELF, not
+        raise SystemExit(  # get blamed on the strip (r13 review)
             "text before the GRADE_ORDER literal does not parse — "
-            "lit_start likely anchored inside a string; registry.py "
-            "NOT rewritten")
+            "the literal anchor is wrong; registry.py NOT rewritten")
     try:
         unchanged = ast.dump(ast.parse(head)) == base
     except SyntaxError:  # a strip can even delete a string's closing

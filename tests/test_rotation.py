@@ -202,8 +202,9 @@ def test_apply_refuses_when_strip_breaks_string_delimiter(apply_env,
     """r13 review pass 4: if the stripped lines CARRY a string's closing
     triple-quote, ast.parse(head) raises SyntaxError before the
     AST-equality check — that must surface as the same SystemExit
-    refusal, never a traceback (fails on the pre-fix code: uncaught
-    SyntaxError)."""
+    refusal, never a traceback (fails on the code BEFORE the
+    except-SyntaxError guard landed — i.e. on 39951c5, where it
+    escapes as an uncaught SyntaxError; verified there)."""
     import rotate_grade_order as rgo
 
     tmp_reg, _apply = apply_env
@@ -221,6 +222,57 @@ def test_apply_refuses_when_strip_breaks_string_delimiter(apply_env,
     fake[order[0]] = 99
     monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
     with pytest.raises(SystemExit, match="altered code or string"):
+        rgo.main()
+    assert open(tmp_reg).read() == before       # registry untouched
+
+
+def test_apply_ignores_literal_mention_in_comment(apply_env):
+    """r13 review pass 5: text-based anchoring (src.index) resolved
+    lit_start at a COMMENT containing the literal's header verbatim,
+    and the splice then silently deleted the code between that comment
+    and the real literal with every guard passing. AST anchoring
+    (literal_span) cannot be fooled (fails on the pre-fix code: the
+    sentinel assignment vanishes while --apply reports success)."""
+    tmp_reg, apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    lit_start = src.index("GRADE_ORDER: list[str] = [")
+    planted = (
+        "# the list GRADE_ORDER: list[str] = [...] below is "
+        "tool-rotated\n"
+        "_SENTINEL_BETWEEN = 42\n"
+    )
+    open(tmp_reg, "w").write(src[:lit_start] + planted + src[lit_start:])
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    apply(fake)
+    new_src = open(tmp_reg).read()
+    ast.parse(new_src)
+    assert "_SENTINEL_BETWEEN = 42" in new_src  # code NOT deleted
+    assert read_grade_order(new_src) == order[1:] + [order[0]]
+
+
+def test_wrong_anchor_names_itself(apply_env, monkeypatch):
+    """The defensive pre-strip parse guard must blame the ANCHOR, not
+    the comment strip, when the text before the (mis-located) literal
+    span does not parse — simulated via a literal_span that points
+    mid-statement."""
+    import rotate_grade_order as rgo
+
+    tmp_reg, _apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    _real_start, real_end = rgo.literal_span(src)
+    # a span that starts mid-statement: right after a "def " keyword,
+    # so the prefix cannot parse
+    bad_start = src.index("def ") + 4
+    monkeypatch.setattr(rgo, "literal_span",
+                        lambda s: (bad_start, real_end))
+    before = open(tmp_reg).read()
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
+    with pytest.raises(SystemExit, match="anchor is wrong"):
         rgo.main()
     assert open(tmp_reg).read() == before       # registry untouched
 

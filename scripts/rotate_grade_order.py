@@ -34,13 +34,20 @@ WINDOW = 50
 
 
 def _grade_order_node(src: str) -> ast.stmt:
+    hits = []
     for node in ast.walk(ast.parse(src)):
         target = getattr(node, "target", None) or (
             node.targets[0] if isinstance(node, ast.Assign) else None
         )
         if getattr(target, "id", "") == "GRADE_ORDER":
-            return node
-    raise SystemExit("GRADE_ORDER literal not found in registry.py")
+            hits.append(node)
+    if len(hits) > 1:  # runtime last-wins would silently override a
+        raise SystemExit(  # first-node rewrite (r13 review, pass 6)
+            f"{len(hits)} GRADE_ORDER assignments found — refusing to "
+            "pick one; repair registry.py first")
+    if not hits:
+        raise SystemExit("GRADE_ORDER literal not found in registry.py")
+    return hits[0]
 
 
 def read_grade_order(src: str) -> list[str]:
@@ -55,12 +62,17 @@ def literal_span(src: str) -> tuple[int, int]:
     deleted the code in between with every guard passing; the AST
     cannot be fooled by comments or strings."""
     node = _grade_order_node(src)
-    lines = src.splitlines(keepends=True)
-    start = (sum(len(ln) for ln in lines[:node.lineno - 1])
+    # split on "\n" only — the tokenizer's line numbering does, while
+    # str.splitlines would also split on  /\f inside comments or
+    # docstrings and drift the offsets (r13 review, pass 6)
+    lines = src.split("\n")
+    start = (sum(len(ln) + 1 for ln in lines[:node.lineno - 1])
              + node.col_offset)
-    end = (sum(len(ln) for ln in lines[:node.end_lineno - 1])
+    end = (sum(len(ln) + 1 for ln in lines[:node.end_lineno - 1])
            + node.end_col_offset)
-    assert src[start:start + 11] == "GRADE_ORDER", "span anchor drifted"
+    if src[start:start + 11] != "GRADE_ORDER":  # refusal, not assert:
+        raise SystemExit("literal span anchor drifted — registry.py "
+                         "NOT rewritten")  # uniform and -O-proof
     return start, end
 
 

@@ -277,6 +277,29 @@ def test_wrong_anchor_names_itself(apply_env, monkeypatch):
     assert open(tmp_reg).read() == before       # registry untouched
 
 
+def test_duplicate_grade_order_assignment_refused(apply_env,
+                                                  monkeypatch):
+    """r13 review pass 6: with two GRADE_ORDER assignments in the file,
+    rewriting the FIRST leaves the stale second one winning at import
+    time while every guard passes (read_grade_order reads the first) —
+    the tool must refuse outright (fails on the pre-fix code: --apply
+    reports success)."""
+    import rotate_grade_order as rgo
+
+    tmp_reg, _apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    dup = '\nGRADE_ORDER = ["stale_override"]\n'
+    open(tmp_reg, "w").write(src + dup)
+    before = open(tmp_reg).read()
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
+    with pytest.raises(SystemExit, match="2 GRADE_ORDER assignments"):
+        rgo.main()
+    assert open(tmp_reg).read() == before       # registry untouched
+
+
 def test_failed_latest_grade_fronts_the_key(tmp_path):
     """r13 review: mere presence in CORRECTNESS_r*.json counted as
     evidence regardless of pass/fail, so a key FAILING in the latest

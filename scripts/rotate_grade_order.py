@@ -34,15 +34,26 @@ WINDOW = 50
 
 
 def _grade_order_node(src: str) -> ast.stmt:
+    """The single MODULE-LEVEL statement binding GRADE_ORDER. Scans
+    only module body statements (a function-local or comprehension
+    variable of the same name must not trip the refusal) but counts
+    every binding form — chained (A = GRADE_ORDER = ...) and unpacking
+    ((GRADE_ORDER, X) = ...) rebinds would win at import time over a
+    rewritten first literal with every guard passing (r13 review,
+    passes 6-7)."""
     hits = []
-    for node in ast.walk(ast.parse(src)):
-        target = getattr(node, "target", None) or (
-            node.targets[0] if isinstance(node, ast.Assign) else None
-        )
-        if getattr(target, "id", "") == "GRADE_ORDER":
+    for node in ast.parse(src).body:
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, ast.AnnAssign):
+            targets = [node.target]
+        else:
+            continue
+        if any(isinstance(sub, ast.Name) and sub.id == "GRADE_ORDER"
+               for t in targets for sub in ast.walk(t)):
             hits.append(node)
     if len(hits) > 1:  # runtime last-wins would silently override a
-        raise SystemExit(  # first-node rewrite (r13 review, pass 6)
+        raise SystemExit(  # first-node rewrite
             f"{len(hits)} GRADE_ORDER assignments found — refusing to "
             "pick one; repair registry.py first")
     if not hits:
@@ -70,9 +81,12 @@ def literal_span(src: str) -> tuple[int, int]:
              + node.col_offset)
     end = (sum(len(ln) + 1 for ln in lines[:node.end_lineno - 1])
            + node.end_col_offset)
-    if src[start:start + 11] != "GRADE_ORDER":  # refusal, not assert:
+    # validate BOTH span ends (ast col offsets are utf-8 BYTE offsets;
+    # non-ASCII on the literal's lines would drift the char math —
+    # refusal, not assert: uniform and -O-proof)
+    if src[start:start + 11] != "GRADE_ORDER" or src[end - 1] != "]":
         raise SystemExit("literal span anchor drifted — registry.py "
-                         "NOT rewritten")  # uniform and -O-proof
+                         "NOT rewritten")
     return start, end
 
 

@@ -300,6 +300,37 @@ def test_duplicate_grade_order_assignment_refused(apply_env,
     assert open(tmp_reg).read() == before       # registry untouched
 
 
+def test_chained_rebind_refused_local_name_ignored(apply_env,
+                                                   monkeypatch):
+    """r13 review pass 7: a chained module-level rebind (A = GRADE_ORDER
+    = [...]) must trip the duplicate refusal (it wins at import time),
+    while a function-LOCAL variable of the same name must NOT (both
+    fail on the pre-fix code: the chained form applied 'successfully',
+    the local form refused spuriously)."""
+    import rotate_grade_order as rgo
+
+    tmp_reg, apply = apply_env
+    order = read_grade_order(open(tmp_reg).read())
+    src = open(tmp_reg).read()
+    fake = {k: 1 for k in order}
+    fake[order[0]] = 99
+    # (a) harmless local: apply must succeed
+    open(tmp_reg, "w").write(
+        src + '\ndef _helper():\n    GRADE_ORDER = ["local"]\n'
+        "    return GRADE_ORDER\n")
+    apply(fake)
+    assert read_grade_order(open(tmp_reg).read()) == \
+        order[1:] + [order[0]]
+    # (b) chained module-level rebind: must refuse, file untouched
+    open(tmp_reg, "w").write(
+        src + '\n_STALE = GRADE_ORDER = ["stale_override"]\n')
+    before = open(tmp_reg).read()
+    monkeypatch.setattr(rgo, "latest_evidence", lambda: dict(fake))
+    with pytest.raises(SystemExit, match="2 GRADE_ORDER assignments"):
+        rgo.main()
+    assert open(tmp_reg).read() == before
+
+
 def test_failed_latest_grade_fronts_the_key(tmp_path):
     """r13 review: mere presence in CORRECTNESS_r*.json counted as
     evidence regardless of pass/fail, so a key FAILING in the latest

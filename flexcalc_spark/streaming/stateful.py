@@ -12,7 +12,10 @@ Two renderings of the same per-user sessionizer:
   GroupStateTimeout, asserted equivalent in tests/test_streaming.py.
 
 Scale: applyInPandas shuffles once on user_id; state per group in the
-streaming version is two integers (bounded by watermark timeout).
+streaming version is four BIGINTs (n_sessions, last_ts, cur_len,
+longest) with GroupStateTimeout.NoTimeout — state lives for the
+stream's lifetime, one tiny tuple per user; switch to EventTimeTimeout
+if per-user eviction ever matters.
 """
 
 from __future__ import annotations
@@ -38,21 +41,33 @@ SESSIONS_SCHEMA = StructType(
 )
 
 
-def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Gap-based session counting over one user's (sorted) events."""
-    ts = pdf["ts_us"].sort_values().to_numpy()
-    n_sessions = 0
-    cur_len = 0
-    longest = 0
-    prev = None
-    for t in ts:
-        if prev is None or t - prev >= SESSION_GAP_US:
+def _session_fold(ts_values, n_sessions, last_ts, cur_len, longest):
+    """The gap-session decision, shared by the batch kernel and the
+    streaming twin so the two renderings cannot desynchronize (r13
+    review). A new session opens when the gap from the session ANCHOR
+    (the latest timestamp seen so far) reaches SESSION_GAP_US; the
+    anchor only advances — an in-watermark late event (t < last_ts,
+    possible only across micro-batches) joins the current session and
+    never regresses the anchor, mirroring the debounce twin's
+    documented advance-only semantics (pinned by
+    tests/test_streaming.py::
+    test_stateful_sessions_multibatch_anchor_never_regresses)."""
+    for t in ts_values:
+        t = int(t)
+        if last_ts is None or t - last_ts >= SESSION_GAP_US:
             n_sessions += 1
             cur_len = 1
         else:
             cur_len += 1
         longest = max(longest, cur_len)
-        prev = t
+        last_ts = t if last_ts is None else max(last_ts, t)
+    return n_sessions, last_ts, cur_len, longest
+
+
+def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Gap-based session counting over one user's (sorted) events."""
+    ts = pdf["ts_us"].sort_values().to_numpy()
+    n_sessions, _last, _cur, longest = _session_fold(ts, 0, None, 0, 0)
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
@@ -68,7 +83,7 @@ def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         WITH t AS (
             SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         ), g AS (
-            SELECT user_id, ts_us,
+            SELECT user_id, ts_us, event_id,
                    CASE WHEN ts_us - LAG(ts_us) OVER w >= {SESSION_GAP_US} OR
                              LAG(ts_us) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_sess
@@ -76,7 +91,8 @@ def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         ), s AS (
             SELECT user_id, ts_us,
-                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
                         ROWS UNBOUNDED PRECEDING) AS sess_id
             FROM g
         ), per_sess AS (
@@ -115,15 +131,9 @@ def _sessionize_with_state(
     # Arrow batch size arrives as multiple pdfs in shuffle order, and
     # per-chunk sorting would mis-sessionize cross-chunk time inversions.
     all_ts = pd.concat([pdf["ts_us"] for pdf in pdfs]).sort_values().to_numpy()
-    for t in all_ts:
-        t = int(t)
-        if last_ts is None or t - last_ts >= SESSION_GAP_US:
-            n_sessions += 1
-            cur_len = 1
-        else:
-            cur_len += 1
-        longest = max(longest, cur_len)
-        last_ts = t
+    n_sessions, last_ts, cur_len, longest = _session_fold(
+        all_ts, n_sessions, last_ts, cur_len, longest
+    )
     state.update((n_sessions, last_ts, cur_len, longest))
     yield pd.DataFrame(
         {
@@ -134,12 +144,17 @@ def _sessionize_with_state(
     )
 
 
-def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True stateful streaming sessionizer (applyInPandasWithState)."""
-    s = stream_events(spark, sf_dir)
+def stateful_sessions_stateful(
+    s: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Apply the stateful sessionizer to a prepared event stream (needs
+    user_id/ts_us/event_time columns). Factored like
+    debounce_anchor_stateful so tests can drive a multi-micro-batch
+    source and pin the cross-batch advance-only-anchor semantics
+    (_session_fold docstring)."""
     return (
         s.select("user_id", "ts_us", "event_time")
-        .withWatermark("event_time", "1 hour")
+        .withWatermark("event_time", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_with_state,
@@ -151,6 +166,11 @@ def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stateful streaming sessionizer (applyInPandasWithState)."""
+    return stateful_sessions_stateful(stream_events(spark, sf_dir))
+
+
 # --- anchor-based debounce -------------------------------------------
 # q_debounce (timeseries.py) is LAG-based: gap from the previous event,
 # kept or not — one window pass. The anchor-based variant (gap from the
@@ -159,15 +179,6 @@ def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window passes expresses it (and a recursive-CTE unroll is
 # depth = max anchors per group — data-dependent). This is exactly the
 # shape applyInPandas / applyInPandasWithState exist for.
-
-DEBOUNCE_ANCHOR_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("user_id", LongType()),
-        StructField("ts_us", LongType()),
-    ]
-)
-
 
 def _debounce_anchor_mask(pdf: pd.DataFrame):
     """Vectorized anchor fold over a (user, type, ts, event_id)-sorted

@@ -478,6 +478,106 @@ def test_debounce_anchor_multibatch_semantics(spark):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stateful_sessions_multibatch_anchor_never_regresses(spark):
+    """r13 review: a late in-watermark event used to move the stored
+    session anchor BACKWARD (last_ts = t unconditionally), so a
+    subsequent on-time event could open a phantom session no
+    consistent sessionization produces. Pin the fixed semantics
+    (_session_fold: late events join the current session, the anchor
+    only advances) with two interleaved micro-batches against a
+    carried-state reference fold, and prove the multi-batch path was
+    exercised by divergence from the single-pass batch key. (Fails on
+    the pre-fix code: the reference and the stream disagree on
+    n_sessions for users whose batch-2 events contain gaps.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flexcalc_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        stateful_sessions_stateful,
+    )
+    from flexcalc_spark.tables import events_with_time
+
+    ev = (
+        events_with_time(spark, SF_DIR)
+        .select("event_id", "user_id", "ts_us")
+        .toPandas()
+    )
+    src = tempfile.mkdtemp(prefix="sess_multibatch_")
+    try:
+        for i, part in enumerate(
+            (ev[ev.event_id % 2 == 0], ev[ev.event_id % 2 == 1])
+        ):
+            sub = os.path.join(src, f"b{i}")
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(sub)
+            f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+            os.rename(os.path.join(sub, f), os.path.join(src, f"{i}.parquet"))
+            shutil.rmtree(sub)
+            os.utime(os.path.join(src, f"{i}.parquet"), (1000 + i, 1000 + i))
+        raw = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts_us long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        stream_df = stateful_sessions_stateful(
+            raw.withColumn("event_time", F.timestamp_micros(F.col("ts_us"))),
+            watermark="720 hours",
+        )
+        _drain(stream_df, "t_sess_multi", mode="update")
+        got_pdf = spark.table("t_sess_multi").toPandas()
+        # n_sessions and longest are monotone across updates: final
+        # state per user = column-wise max
+        got = {
+            int(uid): (int(g["n_sessions"].max()),
+                       int(g["longest_session_events"].max()))
+            for uid, g in got_pdf.groupby("user_id")
+        }
+
+        # reference: batch-1 rows time-sorted, then batch-2 rows, one
+        # advance-only anchor carried per user (the _session_fold
+        # semantics, reimplemented independently here)
+        want = {}
+        for uid, grp in ev.groupby("user_id"):
+            n_sessions, last, cur_len, longest = 0, None, 0, 0
+            for phase in (0, 1):
+                part = grp[grp.event_id % 2 == phase].sort_values(
+                    ["ts_us", "event_id"]
+                )
+                for t in part["ts_us"]:
+                    t = int(t)
+                    if last is None or t - last >= SESSION_GAP_US:
+                        n_sessions += 1
+                        cur_len = 1
+                    else:
+                        cur_len += 1
+                    longest = max(longest, cur_len)
+                    last = t if last is None else max(last, t)
+            want[int(uid)] = (n_sessions, longest)
+        assert got == want
+
+        # the multi-batch path genuinely diverges from the batch key
+        batch = registry.QUERIES["q_stateful_sessions"](
+            spark, SF_DIR
+        ).toPandas()
+        batch_map = {
+            int(r.user_id): (int(r.n_sessions),
+                             int(r.longest_session_events))
+            for r in batch.itertuples(index=False)
+        }
+        assert got != batch_map, (
+            "fixture no longer exercises the multi-batch divergence"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_stream_attribution_equals_batch(spark):
     """The streaming (click, purchase) lookback pair stream, collapsed
     to per-purchase last-click and a daily census, must equal

@@ -179,7 +179,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     """,
     family="streaming",
-    scale_notes="dropDuplicates keyed on (user, type, day); the streaming twin bounds state with a watermark (state rows expire after the lateness horizon)",
+    scale_notes="dropDuplicates keyed on (user, type, day); the streaming twin uses dropDuplicatesWithinWatermark (25 h delay > the 24 h same-day duplicate spread) — plain dropDuplicates would never evict state because the event-time column is not a dedup key",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated daily-active counts (batch twin of streaming
@@ -296,17 +296,23 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dropDuplicates-with-watermark twin of q_stream_dedup."""
+    """Streaming dedup twin of q_stream_dedup with WATERMARK-BOUNDED
+    state: plain dropDuplicates only evicts state when the event-time
+    column is among the dedup keys (it is not here — day is), so its
+    state grew one row per (user, type, day) forever (r13 review).
+    dropDuplicatesWithinWatermark evicts by the watermark; a 25 h delay
+    strictly covers the <= 24 h spread of same-day duplicates, so the
+    output still equals the batch twin's global per-day dedup."""
     s = stream_events(spark, sf_dir)
     return (
-        s.withWatermark("event_time", "1 hour")
+        s.withWatermark("event_time", "25 hours")
         .select(
             "event_time",
             "user_id",
             "event_type",
             F.expr("ts_us div 86400000000").alias("day"),
         )
-        .dropDuplicates(["user_id", "event_type", "day"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("uniq_cnt"))
     )
@@ -473,9 +479,10 @@ def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vg"),
         F.col("event_time").alias("p_time"),
     )
-    lookback_expr = F.expr(
-        f"INTERVAL {ATTR_LOOKBACK_US // 86_400_000_000} DAYS"
-    )
+    # exact microsecond interval: a DAYS truncation would silently
+    # narrow the ANDed time predicate if the lookback ever becomes
+    # non-day-aligned (r13 review)
+    lookback_expr = F.expr(f"INTERVAL {ATTR_LOOKBACK_US} MICROSECOND")
     j = clicks.withWatermark("c_time", "1 hour").join(
         purchases.withWatermark("p_time", "1 hour"),
         (F.col("c_user") == F.col("p_user"))
@@ -801,17 +808,19 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch aggregate."""
     import os
     import shutil
-    import tempfile
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"flexcalc_spark_stream_upsert_{os.getpid()}_"
-        f"{abs(hash(sf_dir)) % 100000}",
-    )
+    from flexcalc_spark.operators.sinks import _scratch_dir
+
+    # pid-fingerprinted scratch: atexit cleanup + stale-sibling sweep
+    # (the hand-rolled hash(sf_dir) path leaked one dir per process —
+    # str hash is seed-salted, so no later run ever reused it; r13
+    # review, the r8/r10 scratch-litter class)
+    out = _scratch_dir("stream_upsert", sf_dir,
+                       fingerprint=str(os.getpid()))
     # Dynamic partition overwrite only rewrites day partitions present
-    # in the final batch — stale day dirs left by a prior run (same pid,
-    # PYTHONHASHSEED pinned => same path) against an older fixture
-    # generation would survive and union into the graded read-back.
+    # in the final batch — stale day dirs from an aborted SAME-process
+    # run against an older fixture generation would survive and union
+    # into the graded read-back.
     shutil.rmtree(out, ignore_errors=True)
     run_stream_foreachbatch_upsert(spark, sf_dir, out)
     state = spark.read.parquet(out)
@@ -861,22 +870,12 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user pair census (user_id, n_pairs, gap_us_sum)."""
     import os as _os
 
-    name = f"t_q_stream_join_{_os.getpid()}"
-    with _drain_shuffle_partitions(spark):
-        q = (
-            stream_range_join(spark, sf_dir)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(120):
-            q.stop()
-            raise TimeoutError(
-                "stream-stream join did not drain within 120s"
-            )
-    return (
+    name = run_stream_to_memory(
+        stream_range_join(spark, sf_dir),
+        f"t_q_stream_join_{_os.getpid()}",
+        output_mode="append",
+    )
+    census = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
@@ -888,4 +887,14 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             "gap_us_sum",
         )
+    )
+    # materialize the SMALL census and drop the sink view: the memory
+    # sink holds every raw pair row and clearCache() does not free
+    # memory-sink tables, so returning a lazy read would pin the pair
+    # stream in the driver for the session lifetime — the r12
+    # accumulated-session-state OOM class (r13 review)
+    pdf = census.toPandas()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        pdf, schema="user_id bigint, n_pairs bigint, gap_us_sum bigint"
     )

@@ -302,7 +302,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state grew one row per (user, type, day) forever (r13 review).
     dropDuplicatesWithinWatermark evicts by the watermark; a 25 h delay
     strictly covers the <= 24 h spread of same-day duplicates, so the
-    output still equals the batch twin's global per-day dedup."""
+    output equals the batch twin's global per-day dedup for the
+    single-micro-batch replay source here (availableNow over one file,
+    watermark still initial). MULTI-batch scope (the debounce-twin
+    documentation precedent): dropDuplicatesWithinWatermark also drops
+    LATE rows, so a key whose first occurrence arrives > 25 h of
+    event time behind the observed max is dropped where the batch twin
+    would count it — the standard streaming late-data semantics, and
+    the price of bounded state."""
     s = stream_events(spark, sf_dir)
     return (
         s.withWatermark("event_time", "25 hours")
@@ -823,12 +830,20 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the graded read-back.
     shutil.rmtree(out, ignore_errors=True)
     run_stream_foreachbatch_upsert(spark, sf_dir, out)
-    state = spark.read.parquet(out)
-    return state.select(
+    state = spark.read.parquet(out).select(
         F.col("day").cast("bigint").alias("day"),
         "event_type",
         F.col("n").cast("bigint").alias("n"),
         F.col("sg").cast("bigint").alias("sg"),
+    )
+    # materialize the SMALL state (days x event types) before
+    # returning: a lazy read of the scratch dir would race ANOTHER
+    # process's 6 h stale-sibling sweep if the driver re-collects
+    # hours later (r13 review — new exposure from the shared
+    # fingerprinted scratch path; the q_stream_join precedent)
+    pdf = state.toPandas()
+    return spark.createDataFrame(
+        pdf, schema="day bigint, event_type string, n bigint, sg bigint"
     )
 
 

@@ -578,6 +578,82 @@ def test_stateful_sessions_multibatch_anchor_never_regresses(spark):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stream_dedup_state_is_watermark_bounded(spark):
+    """r13 review: plain dropDuplicates never evicts state when the
+    event-time column is not among the dedup keys (day is the key
+    here), so the twin's state grew forever. The plan must carry the
+    WithinWatermark dedup node (fails on the pre-fix code: plain
+    Deduplicate)."""
+    plan = str(
+        sw.stream_dedup(spark, SF_DIR)._jdf.queryExecution().analyzed()
+    )
+    assert "DeduplicateWithinWatermark" in plan
+
+
+def test_stream_join_drops_its_memory_sink(spark):
+    """r13 review: the graded key drained every raw pair row into a
+    memory-sink temp view and returned a LAZY read of it, pinning the
+    pair table in the driver for the session lifetime (clearCache does
+    not free memory sinks — the r12 sweep-OOM class). After the key
+    runs, no t_q_stream_join_* temp view may remain (fails on the
+    pre-fix code: the view exists)."""
+    import os
+
+    df = registry.QUERIES["q_stream_join"](spark, SF_DIR)
+    assert df.count() > 0
+    name = f"t_q_stream_join_{os.getpid()}"
+    assert name not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_stream_upsert_scratch_registered_for_cleanup(spark):
+    """r13 review: the upsert sink used a hand-rolled seed-salted /tmp
+    path no cleanup mechanism knew about — one leaked dir per process.
+    The scratch path must be the sinks._scratch_dir one, registered in
+    its atexit set (fails on the pre-fix code: old-format path, not
+    registered)."""
+    import os
+
+    from flexcalc_spark.operators import sinks
+
+    got = registry.QUERIES["q_stream_upsert"](spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    expect = sinks._scratch_dir(
+        "stream_upsert", SF_DIR, fingerprint=str(os.getpid())
+    )
+    assert expect in sinks._SCRATCH
+    assert os.path.isdir(expect)
+
+
+def test_stream_join_empty_census_roundtrip(spark, tmp_path):
+    """r13 review: the eager toPandas/createDataFrame round-trip in
+    q_stream_join must survive an EMPTY census (the r11 engineered
+    tiny-corpus precedent) — one lone event forms no 5-minute pair."""
+    import pandas as pd_
+
+    one = pd_.DataFrame(
+        {
+            "event_id": [1],
+            "ts": [pd_.Timestamp("2024-01-01 00:00:00")],
+            "user_id": [7],
+            "event_type": ["view"],
+            "value": [1.5],
+            "props": ['{"k": 1}'],
+        }
+    )
+    spark.createDataFrame(one).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "ev")
+    )
+    import os
+    import shutil
+
+    f = [x for x in os.listdir(tmp_path / "ev") if x.endswith(".parquet")][0]
+    os.rename(tmp_path / "ev" / f, tmp_path / "events.parquet")
+    shutil.rmtree(tmp_path / "ev")
+    out = registry.QUERIES["q_stream_join"](spark, str(tmp_path)).toPandas()
+    assert len(out) == 0
+    assert sorted(out.columns) == ["gap_us_sum", "n_pairs", "user_id"]
+
+
 def test_stream_attribution_equals_batch(spark):
     """The streaming (click, purchase) lookback pair stream, collapsed
     to per-purchase last-click and a daily census, must equal

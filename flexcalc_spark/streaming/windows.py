@@ -783,6 +783,20 @@ def run_stream_foreachbatch_upsert(
             )
 
 
+def _materialize_local(df: DataFrame) -> DataFrame:
+    """Collect a SMALL result and rebuild it as a local DataFrame, so
+    graded keys that drain into scratch dirs / memory sinks do not
+    return lazy reads of state another process can sweep or that pins
+    a sink for the session lifetime. collect() Rows keep NULL as None
+    under EVERY config; the earlier toPandas round-trip is
+    config-coupled — with Arrow enabled toPandas renders a NULL bigint
+    as float NaN, which the NON-Arrow createDataFrame path then
+    rejects (PySparkTypeError, reproduced), so the old form was one
+    mixed-conf session away from crashing on the first NULL aggregate
+    (r13 review)."""
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
+
+
 @register(
     "q_stream_upsert",
     oracle="""
@@ -841,10 +855,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process's 6 h stale-sibling sweep if the driver re-collects
     # hours later (r13 review — new exposure from the shared
     # fingerprinted scratch path; the q_stream_join precedent)
-    pdf = state.toPandas()
-    return spark.createDataFrame(
-        pdf, schema="day bigint, event_type string, n bigint, sg bigint"
-    )
+    return _materialize_local(state)
 
 
 @register(
@@ -907,9 +918,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sink holds every raw pair row and clearCache() does not free
     # memory-sink tables, so returning a lazy read would pin the pair
     # stream in the driver for the session lifetime — the r12
-    # accumulated-session-state OOM class (r13 review)
-    pdf = census.toPandas()
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(
-        pdf, schema="user_id bigint, n_pairs bigint, gap_us_sum bigint"
-    )
+    # accumulated-session-state OOM class (r13 review). try/finally:
+    # a failed collect must not leak the sink either
+    try:
+        return _materialize_local(census)
+    finally:
+        spark.catalog.dropTempView(name)

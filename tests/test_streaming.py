@@ -617,10 +617,15 @@ def test_stream_upsert_scratch_registered_for_cleanup(spark):
 
     got = registry.QUERIES["q_stream_upsert"](spark, SF_DIR).toPandas()
     assert len(got) > 0
+    # snapshot BEFORE the test's own helper call: _scratch_dir
+    # registers its result, so asserting against the live set after
+    # calling it would be vacuous (r13 review) — the KEY must have
+    # registered the path
+    registered = set(sinks._SCRATCH)
     expect = sinks._scratch_dir(
         "stream_upsert", SF_DIR, fingerprint=str(os.getpid())
     )
-    assert expect in sinks._SCRATCH
+    assert expect in registered
     assert os.path.isdir(expect)
 
 
@@ -630,19 +635,17 @@ def test_stream_join_empty_census_roundtrip(spark, tmp_path):
     tiny-corpus precedent) — one lone event forms no 5-minute pair."""
     import pandas as pd_
 
-    one = pd_.DataFrame(
-        {
-            "event_id": [1],
-            "ts": [pd_.Timestamp("2024-01-01 00:00:00")],
-            "user_id": [7],
-            "event_type": ["view"],
-            "value": [1.5],
-            "props": ['{"k": 1}'],
-        }
-    )
-    spark.createDataFrame(one).coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "ev")
-    )
+    import datetime
+
+    # one event with a NULL value: empty pair census for the join key,
+    # and an sg = NULL aggregate for the upsert key
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7, "view", None, '{"k": 1}')],
+        schema=(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev"))
     import os
     import shutil
 
@@ -652,6 +655,18 @@ def test_stream_join_empty_census_roundtrip(spark, tmp_path):
     out = registry.QUERIES["q_stream_join"](spark, str(tmp_path)).toPandas()
     assert len(out) == 0
     assert sorted(out.columns) == ["gap_us_sum", "n_pairs", "user_id"]
+    # and the NULL-aggregate round-trip: a lone NULL-value event gives
+    # the upsert state sg = NULL, which the materialize helper must
+    # carry as None. Property pin, not a fails-on-pre-fix regression:
+    # the toPandas form survived HERE (Arrow off -> object-dtype None)
+    # but crashed under mixed Arrow configs (NaN into the non-Arrow
+    # createDataFrame); collect() is config-independent (r13 review)
+    upsert = registry.QUERIES["q_stream_upsert"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(upsert) == 1
+    assert int(upsert["n"].iloc[0]) == 1
+    assert pd_.isna(upsert["sg"].iloc[0])
 
 
 def test_stream_attribution_equals_batch(spark):

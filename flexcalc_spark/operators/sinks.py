@@ -72,6 +72,23 @@ def _scratch_dir(tag: str, sf_dir: str, fingerprint: str = "") -> str:
     return out
 
 
+def _materialize_local(df: DataFrame) -> DataFrame:
+    """Collect a SMALL result and rebuild it as a local DataFrame, so
+    keys that read back from scratch dirs / memory sinks do not return
+    lazy reads of state another process can delete first: the
+    non-fingerprinted sink dirs are SHARED per sf_dir, so one
+    process's atexit rmtree races another's driver collect, and the
+    fingerprinted dirs are exposed to the 6 h stale-sibling sweep
+    (r13 review). collect() Rows keep NULL as None under every Arrow
+    config; a toPandas round-trip is config-coupled (NULL bigint ->
+    float NaN under Arrow, rejected by a non-Arrow createDataFrame).
+    Only for answer-sized results — NEVER for keys whose graded
+    artifact is the read plan itself (q_dpp_prune grades the pruned
+    scan and must stay lazy; its dir is pid-fingerprinted and fresh
+    within any plausible grading window)."""
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
+
+
 @register(
     "q_sink_partitioned",
     oracle="""
@@ -91,9 +108,11 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     d.write.mode("overwrite").partitionBy("lang").parquet(out)
     r = spark.read.parquet(out)
-    return r.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    return _materialize_local(
+        r.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
     )
 
 
@@ -220,9 +239,12 @@ def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(out)
     )
-    return r.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    return _materialize_local(
+        r.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint")
+            .alias("total_text_chars"),
+        )
     )
 
 
@@ -329,9 +351,11 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     d.repartition(4).write.mode("overwrite").parquet(out)
     r = spark.read.parquet(out)
-    return r.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    return _materialize_local(
+        r.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
     )
 
 

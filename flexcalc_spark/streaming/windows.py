@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flexcalc_spark.operators.sinks import _materialize_local
 from flexcalc_spark.registry import register
 from flexcalc_spark.tables import epoch_us_col, events_with_time, table
 
@@ -783,20 +784,6 @@ def run_stream_foreachbatch_upsert(
             )
 
 
-def _materialize_local(df: DataFrame) -> DataFrame:
-    """Collect a SMALL result and rebuild it as a local DataFrame, so
-    graded keys that drain into scratch dirs / memory sinks do not
-    return lazy reads of state another process can sweep or that pins
-    a sink for the session lifetime. collect() Rows keep NULL as None
-    under EVERY config; the earlier toPandas round-trip is
-    config-coupled — with Arrow enabled toPandas renders a NULL bigint
-    as float NaN, which the NON-Arrow createDataFrame path then
-    rejects (PySparkTypeError, reproduced), so the old form was one
-    mixed-conf session away from crashing on the first NULL aggregate
-    (r13 review)."""
-    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
-
-
 @register(
     "q_stream_upsert",
     oracle="""
@@ -896,31 +883,32 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user pair census (user_id, n_pairs, gap_us_sum)."""
     import os as _os
 
-    name = run_stream_to_memory(
-        stream_range_join(spark, sf_dir),
-        f"t_q_stream_join_{_os.getpid()}",
-        output_mode="append",
-    )
-    census = (
-        spark.table(name)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum("gap_us").cast("bigint").alias("gap_us_sum"),
-        )
-        .select(
-            F.col("user_id").cast("bigint").alias("user_id"),
-            "n_pairs",
-            "gap_us_sum",
-        )
-    )
+    name = f"t_q_stream_join_{_os.getpid()}"
     # materialize the SMALL census and drop the sink view: the memory
     # sink holds every raw pair row and clearCache() does not free
     # memory-sink tables, so returning a lazy read would pin the pair
     # stream in the driver for the session lifetime — the r12
-    # accumulated-session-state OOM class (r13 review). try/finally:
-    # a failed collect must not leak the sink either
+    # accumulated-session-state OOM class (r13 review). The try covers
+    # the DRAIN too: a timeout raise after .start() has already
+    # registered a partially-filled sink view, which must not leak
+    # either (dropTempView on a never-registered name is a no-op)
     try:
+        run_stream_to_memory(
+            stream_range_join(spark, sf_dir), name, output_mode="append"
+        )
+        census = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("gap_us").cast("bigint").alias("gap_us_sum"),
+            )
+            .select(
+                F.col("user_id").cast("bigint").alias("user_id"),
+                "n_pairs",
+                "gap_us_sum",
+            )
+        )
         return _materialize_local(census)
     finally:
         spark.catalog.dropTempView(name)

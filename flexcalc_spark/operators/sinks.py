@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table
+from flexcalc_spark.tables import materialize_local, table
 
 # Scratch layouts written by the sink keys. ONE stable directory per
 # (sink, sf_dir) — keyed by a hash of sf_dir, not the pid — removed at
@@ -72,23 +72,6 @@ def _scratch_dir(tag: str, sf_dir: str, fingerprint: str = "") -> str:
     return out
 
 
-def _materialize_local(df: DataFrame) -> DataFrame:
-    """Collect a SMALL result and rebuild it as a local DataFrame, so
-    keys that read back from scratch dirs / memory sinks do not return
-    lazy reads of state another process can delete first: the
-    non-fingerprinted sink dirs are SHARED per sf_dir, so one
-    process's atexit rmtree races another's driver collect, and the
-    fingerprinted dirs are exposed to the 6 h stale-sibling sweep
-    (r13 review). collect() Rows keep NULL as None under every Arrow
-    config; a toPandas round-trip is config-coupled (NULL bigint ->
-    float NaN under Arrow, rejected by a non-Arrow createDataFrame).
-    Only for answer-sized results — NEVER for keys whose graded
-    artifact is the read plan itself (q_dpp_prune grades the pruned
-    scan and must stay lazy; its dir is pid-fingerprinted and fresh
-    within any plausible grading window)."""
-    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
-
-
 @register(
     "q_sink_partitioned",
     oracle="""
@@ -104,11 +87,11 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents lang-partitioned, read the layout back, and
     aggregate per language — grades the writer round-trip, not just the
     group-by."""
-    out = _scratch_dir("sink", sf_dir)
+    out = _scratch_dir("sink", sf_dir, fingerprint=str(os.getpid()))
     d = table(spark, sf_dir, "documents")
     d.write.mode("overwrite").partitionBy("lang").parquet(out)
     r = spark.read.parquet(out)
-    return _materialize_local(
+    return materialize_local(
         r.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -229,7 +212,7 @@ def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents as CSV (header), read back with an explicit
     schema, and aggregate text lengths per source — grades the full
     text-safe round-trip through the csv writer/parser."""
-    out = _scratch_dir("sink_csv", sf_dir)
+    out = _scratch_dir("sink_csv", sf_dir, fingerprint=str(os.getpid()))
     d = table(spark, sf_dir, "documents")
     d.write.mode("overwrite").option("header", True).csv(out)
     r = (
@@ -239,7 +222,7 @@ def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(out)
     )
-    return _materialize_local(
+    return materialize_local(
         r.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).cast("bigint")
@@ -274,9 +257,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents as JSON lines, read back with an explicit schema,
     and aggregate per (source, lang) — grades the JSON source/sink
     round-trip through string escaping, not just row counts."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"flexcalc_spark_src_json_{os.getpid()}"
-    )
+    out = _scratch_dir("srcjson", sf_dir, fingerprint=str(os.getpid()))
     d = table(spark, sf_dir, "documents")
     d.write.mode("overwrite").json(out)
     r = spark.read.schema(
@@ -309,9 +290,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents as ORC, read back, and aggregate per language —
     grades the ORC round-trip (the Hive-estate interchange format)."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"flexcalc_spark_src_orc_{os.getpid()}"
-    )
+    out = _scratch_dir("srcorc", sf_dir, fingerprint=str(os.getpid()))
     d = table(spark, sf_dir, "documents")
     d.write.mode("overwrite").orc(out)
     r = spark.read.schema(
@@ -347,11 +326,11 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compact documents into exactly 4 parquet files (repartition
     before write), read the compacted layout back, and aggregate —
     grades the compaction round-trip."""
-    out = _scratch_dir("sink_compact", sf_dir)
+    out = _scratch_dir("sink_compact", sf_dir, fingerprint=str(os.getpid()))
     d = table(spark, sf_dir, "documents")
     d.repartition(4).write.mode("overwrite").parquet(out)
     r = spark.read.parquet(out)
-    return _materialize_local(
+    return materialize_local(
         r.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -390,9 +369,7 @@ def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a deliberately-dirty CSV (every 13th order's price is
     'N/A'), read it back PERMISSIVE with a corrupt-record column, and
     report good/bad row counts plus the parsed-price sum."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"flexcalc_spark_src_csvdirty_{os.getpid()}"
-    )
+    out = _scratch_dir("srccsvdirty", sf_dir, fingerprint=str(os.getpid()))
     o = table(spark, sf_dir, "orders")
     line = F.concat_ws(
         ",",
@@ -457,9 +434,7 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents as row-tagged XML, read back with an explicit
     schema, aggregate per (lang, source) — grades the XML round-trip
     through entity escaping."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"flexcalc_spark_src_xml_{os.getpid()}"
-    )
+    out = _scratch_dir("srcxml", sf_dir, fingerprint=str(os.getpid()))
     d = table(spark, sf_dir, "documents")
     (
         d.write.mode("overwrite")
@@ -516,9 +491,7 @@ def q_source_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write two parquet batches with EVOLVED schemas (batch 2 adds
     o_orderpriority), read with mergeSchema, and census the unified
     relation."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"flexcalc_spark_src_evolve_{os.getpid()}"
-    )
+    out = _scratch_dir("srcevolve", sf_dir, fingerprint=str(os.getpid()))
     o = table(spark, sf_dir, "orders")
     (
         o.filter(F.col("o_orderkey") % 2 == 0)
@@ -585,9 +558,7 @@ def q_source_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events as nested-struct parquet and aggregate meta.k per
     type from the read-back — grades the nested encode/decode and
     leaf pruning."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"flexcalc_spark_src_nested_{os.getpid()}"
-    )
+    out = _scratch_dir("srcnested", sf_dir, fingerprint=str(os.getpid()))
     e = table(spark, sf_dir, "events")
     nested = e.select(
         "event_id",
@@ -672,6 +643,9 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     )
+    # stays LAZY: the binaryFile+Arrow plan shape is itself asserted
+    # (test_container_sources_are_binaryfile_plus_arrow); the dir is
+    # pid-fingerprinted and fresh within any plausible grading window
     return r.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
@@ -737,6 +711,7 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, -1).cast("bigint").alias("doc_id"),
         F.length("text").alias("text_chars"),
     )
+    # stays LAZY: plan shape asserted (see q_source_avro note)
     return parsed.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
@@ -830,6 +805,7 @@ def q_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("doc_id"),
         F.length(F.col("content").cast("string")).alias("n_chars"),
     )
+    # stays LAZY: plan shape asserted (see q_source_avro note)
     return parsed.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
@@ -937,11 +913,14 @@ def q_source_jsonl_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     )
-    return r.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    return materialize_local(
+        r.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.length("text")).cast("bigint")
+            .alias("total_text_chars"),
+        )
     )
 
 

@@ -22,9 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flexcalc_spark.operators.sinks import _materialize_local
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import epoch_us_col, events_with_time, table
+from flexcalc_spark.tables import epoch_us_col, events_with_time, materialize_local, table
 
 HOUR = 3600
 SLIDE = 900             # 15 min
@@ -842,7 +841,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process's 6 h stale-sibling sweep if the driver re-collects
     # hours later (r13 review — new exposure from the shared
     # fingerprinted scratch path; the q_stream_join precedent)
-    return _materialize_local(state)
+    return materialize_local(state)
 
 
 @register(
@@ -909,6 +908,6 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gap_us_sum",
             )
         )
-        return _materialize_local(census)
+        return materialize_local(census)
     finally:
         spark.catalog.dropTempView(name)

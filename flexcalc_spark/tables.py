@@ -183,3 +183,19 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register temp views for spark.sql-based queries (grouping sets &c)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+def materialize_local(df: DataFrame) -> DataFrame:
+    """Collect a SMALL result and rebuild it as a local DataFrame, so
+    keys that read back from scratch dirs / memory sinks do not return
+    lazy reads of state another process can delete first (shared sink
+    dirs race a concurrent process's cleanup; fingerprinted dirs are
+    exposed to the 6 h stale-sibling sweep — r13 review). collect()
+    Rows keep NULL as None under every Arrow config; a toPandas
+    round-trip is config-coupled (NULL bigint -> float NaN under
+    Arrow, rejected by a non-Arrow createDataFrame). Only for
+    answer-sized results — NEVER for keys whose graded artifact is the
+    read plan itself (q_dpp_prune grades the pruned scan, q_source_json
+    and q_source_orc have plan-asserted ReadSchema pruning: those stay
+    lazy). Lives here, not in operators/, so streaming modules can use
+    it without pulling the whole operators package onto workers."""
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)

@@ -35,11 +35,14 @@ from pyspark.sql import functions as F
 from flexcalc_spark.registry import register
 from flexcalc_spark.tables import materialize_local, table
 
-# Scratch layouts written by the sink keys. ONE stable directory per
-# (sink, sf_dir) — keyed by a hash of sf_dir, not the pid — removed at
-# interpreter exit, so repeated runs (including every plan-shape /
-# determinism test call) reuse or overwrite the same path instead of
-# accumulating flexcalc_spark_*_<pid> litter on disk (ADVICE r8).
+# Scratch layouts written by the sink/source keys. Every call site is
+# now pid-FINGERPRINTED (r13): dirs are per-process, removed by this
+# process's atexit hook, and a 6 h age-floored sweep reaps siblings a
+# SIGKILLed process left behind (ADVICE r8 anti-litter + the r10
+# SIGKILL-leak fix). Because another process's sweep can delete a
+# >6 h-old dir, keys whose result is answer-sized materialize via
+# tables.materialize_local before returning; only keys whose graded
+# artifact is the read PLAN itself stay lazy (see that docstring).
 _SCRATCH: set[str] = set()
 
 
@@ -390,7 +393,7 @@ def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     bad = F.col("_corrupt").isNotNull()
-    return r.agg(
+    return materialize_local(r.agg(
         F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
         F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_bad"),
         F.round(
@@ -405,7 +408,7 @@ def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0,
             4,
         ).alias("sum_price_good"),
-    )
+    ))
 
 
 @register(
@@ -452,10 +455,13 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .load(out)
     )
-    return r.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    return materialize_local(
+        r.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.length("text")).cast("bigint")
+            .alias("total_text_chars"),
+        )
     )
 
 
@@ -509,7 +515,7 @@ def q_source_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(out, "b1"), os.path.join(out, "b2"))
     )
-    return r.agg(
+    return materialize_local(r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(
             F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
@@ -528,7 +534,7 @@ def q_source_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0,
             4,
         ).alias("sum_price"),
-    )
+    ))
 
 
 @register(

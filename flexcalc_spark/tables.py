@@ -194,8 +194,9 @@ def materialize_local(df: DataFrame) -> DataFrame:
     round-trip is config-coupled (NULL bigint -> float NaN under
     Arrow, rejected by a non-Arrow createDataFrame). Only for
     answer-sized results — NEVER for keys whose graded artifact is the
-    read plan itself (q_dpp_prune grades the pruned scan, q_source_json
-    and q_source_orc have plan-asserted ReadSchema pruning: those stay
-    lazy). Lives here, not in operators/, so streaming modules can use
+    read plan itself. The full stay-lazy list (each plan-test-asserted):
+    q_dpp_prune (pruned scan), q_source_json / q_source_orc /
+    q_source_nested (ReadSchema pruning), q_source_avro / q_source_warc
+    / q_source_archive (binaryFile + Arrow decode shape). Lives here, not in operators/, so streaming modules can use
     it without pulling the whole operators package onto workers."""
     return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)

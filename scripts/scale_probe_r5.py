@@ -77,8 +77,13 @@ def main() -> None:
             best = None
             for _ in range(3):
                 spark.catalog.clearCache()
-                df = registry.QUERIES[key](spark, sf)
+                # time END-TO-END (construction + noop save): keys that
+                # run eager work at plan construction — iterative
+                # checkpoint loops (the round-7 lesson) and the r13
+                # materialize_local sink/source keys — would otherwise
+                # report only the final local scan
                 t0 = time.perf_counter()
+                df = registry.QUERIES[key](spark, sf)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best

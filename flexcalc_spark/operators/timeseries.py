@@ -43,12 +43,12 @@ US_PER_MIN = 60_000_000
                    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vg
             FROM events
         ),
-        mi AS (
+        mi AS MATERIALIZED (
             SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(vg) AS BIGINT) AS sg
             FROM base GROUP BY event_type, m
         ),
-        h AS (
+        h AS MATERIALIZED (
             SELECT event_type, m // 60 AS b, CAST(SUM(n) AS BIGINT) AS n,
                    CAST(SUM(sg) AS BIGINT) AS sg
             FROM mi GROUP BY event_type, m // 60
@@ -139,11 +139,11 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_funnel",
     oracle="""
-        WITH v AS (
+        WITH v AS MATERIALIZED (
             SELECT user_id, MIN(epoch_us(ts)) AS t1
             FROM events WHERE event_type = 'view' GROUP BY user_id
         ),
-        c AS (
+        c AS MATERIALIZED (
             SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
             FROM events e JOIN v ON e.user_id = v.user_id
             WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
@@ -304,11 +304,7 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order concurrency by day (30-day order lifetime): +1/-1
     sweepline deltas with a two-phase (block-local + block-offset)
     prefix sum instead of one serializing global window."""
-    from pyspark.sql.window import Window
-
-    from flexcalc_spark.tables import table_parallel
-
-    from flexcalc_spark.tables import epoch_us_of
+    from flexcalc_spark.tables import epoch_us_of, table_parallel
 
     o = table_parallel(spark, sf_dir, "orders")
     # o_orderdate reads as TIMESTAMP_NTZ in the current fixture
@@ -357,7 +353,13 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_rfm",
     oracle="""
-        WITH cust AS (
+        -- boundary = the 0.66 linear-interpolated quantile, computed
+        -- as the EXACT RATIONAL 66/100 over integer order statistics:
+        -- v >= a + (r/100)*(b-a)  <=>  100*v >= 100*a + r*(b-a), all
+        -- BIGINT. quantile_cont's a+frac*(b-a) is FP whose last ulp
+        -- can differ between engines and flip a boundary customer's
+        -- segment (r13 review) — no FP touches the comparison now.
+        WITH cust AS MATERIALIZED (
             SELECT o_custkey,
                    MAX(epoch_us(o_orderdate) // 86400000000) AS lastd,
                    CAST(COUNT(*) AS BIGINT) AS frequency,
@@ -366,20 +368,39 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders GROUP BY o_custkey
         ),
         ref AS (SELECT MAX(lastd) AS refd FROM cust),
-        b AS (
-            SELECT quantile_cont(CAST(frequency AS DOUBLE), 0.66) AS fq,
-                   quantile_cont(CAST(mg AS DOUBLE), 0.66) AS mq
-            FROM cust
+        nn AS (SELECT COUNT(*) AS n FROM cust),
+        fr AS (SELECT frequency AS v,
+                      ROW_NUMBER() OVER (ORDER BY frequency) AS rk
+               FROM cust),
+        mr AS (SELECT mg AS v, ROW_NUMBER() OVER (ORDER BY mg) AS rk
+               FROM cust),
+        fbnd AS (
+            SELECT MAX(CASE WHEN rk = (66*(n-1)) // 100 + 1
+                            THEN v END) AS fa,
+                   MAX(CASE WHEN rk = LEAST((66*(n-1)) // 100 + 2, n)
+                            THEN v END) AS fv2,
+                   CAST((66*(n-1)) % 100 AS BIGINT) AS fr100
+            FROM fr, nn GROUP BY n
+        ),
+        mbnd AS (
+            SELECT MAX(CASE WHEN rk = (66*(n-1)) // 100 + 1
+                            THEN v END) AS ma,
+                   MAX(CASE WHEN rk = LEAST((66*(n-1)) // 100 + 2, n)
+                            THEN v END) AS mv2,
+                   CAST((66*(n-1)) % 100 AS BIGINT) AS mr100
+            FROM mr, nn GROUP BY n
         )
         SELECT o_custkey, CAST(refd - lastd AS BIGINT) AS recency_days,
                frequency,
                ROUND(CAST(mg AS DOUBLE) / 1000000.0, 4) AS monetary,
-               CASE WHEN CAST(frequency AS DOUBLE) >= fq
-                         AND CAST(mg AS DOUBLE) >= mq THEN 'core'
-                    WHEN CAST(frequency AS DOUBLE) >= fq
-                         OR CAST(mg AS DOUBLE) >= mq THEN 'growth'
+               CASE WHEN 100*frequency >= 100*fa + fr100*(fv2 - fa)
+                         AND 100*mg >= 100*ma + mr100*(mv2 - ma)
+                    THEN 'core'
+                    WHEN 100*frequency >= 100*fa + fr100*(fv2 - fa)
+                         OR 100*mg >= 100*ma + mr100*(mv2 - ma)
+                    THEN 'growth'
                     ELSE 'tail' END AS segment
-        FROM cust, ref, b
+        FROM cust, ref, fbnd, mbnd
     """,
     family="analytics",
     scale_notes=(
@@ -438,23 +459,59 @@ def _rfm(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
         .alias("mg"),
     )
     ref = cust.agg(F.max("lastd").alias("refd"))
-    pfn = "approx_percentile" if approx else "percentile"
-    acc = ", 10000" if approx else ""
-    b = cust.agg(
-        F.expr(f"{pfn}(CAST(frequency AS DOUBLE), 0.66{acc})").alias("fq"),
-        F.expr(f"{pfn}(CAST(mg AS DOUBLE), 0.66{acc})").alias("mq"),
-    )
+    if approx:
+        b = cust.agg(
+            F.expr("approx_percentile(CAST(frequency AS DOUBLE),"
+                   " 0.66, 10000)").alias("fq"),
+            F.expr("approx_percentile(CAST(mg AS DOUBLE),"
+                   " 0.66, 10000)").alias("mq"),
+        )
+        fpass = F.expr("CAST(frequency AS DOUBLE)") >= F.col("fq")
+        mpass = F.expr("CAST(mg AS DOUBLE)") >= F.col("mq")
+    else:
+        # exact tier: the 0.66 interpolated quantile as the EXACT
+        # rational 66/100 over integer order statistics — comparison is
+        # 100*v >= 100*a + r*(b-a), all BIGINT, so no FP interpolation
+        # ulp can flip a boundary customer cross-engine (r13 review;
+        # oracle computes the identical integers). The rank window is
+        # single-partition over |customers| — fine for the exact tier,
+        # whose boundary agg was already the documented non-scaling
+        # piece (q_rfm_approx is the 100 TB path).
+        nn = cust.agg(F.count(F.lit(1)).alias("n"))
+
+        def _bounds(col: str, pre: str) -> DataFrame:
+            ranked = (
+                cust.select(F.col(col).alias("v"))
+                .withColumn(
+                    "rk", F.row_number().over(Window.orderBy("v"))
+                )
+                .crossJoin(F.broadcast(nn))
+            )
+            return ranked.agg(
+                F.max(
+                    F.when(
+                        F.expr("rk = (66*(n-1)) div 100 + 1"), F.col("v")
+                    )
+                ).alias(f"{pre}a"),
+                F.max(
+                    F.when(
+                        F.expr("rk = least((66*(n-1)) div 100 + 2, n)"),
+                        F.col("v"),
+                    )
+                ).alias(f"{pre}v2"),
+                F.max(F.expr("(66*(n-1)) % 100")).cast("bigint").alias(
+                    f"{pre}r100"
+                ),
+            )
+
+        b = _bounds("frequency", "f").crossJoin(
+            F.broadcast(_bounds("mg", "m"))
+        )
+        fpass = F.expr("100*frequency >= 100*fa + fr100*(fv2 - fa)")
+        mpass = F.expr("100*mg >= 100*ma + mr100*(mv2 - ma)")
     seg = (
-        F.when(
-            (F.expr("CAST(frequency AS DOUBLE)") >= F.col("fq"))
-            & (F.expr("CAST(mg AS DOUBLE)") >= F.col("mq")),
-            "core",
-        )
-        .when(
-            (F.expr("CAST(frequency AS DOUBLE)") >= F.col("fq"))
-            | (F.expr("CAST(mg AS DOUBLE)") >= F.col("mq")),
-            "growth",
-        )
+        F.when(fpass & mpass, "core")
+        .when(fpass | mpass, "growth")
         .otherwise("tail")
     )
     return (
@@ -514,7 +571,6 @@ def _rfm(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition counts and probabilities per preceding
     type (first-order Markov chain over each user's event sequence)."""
-    from pyspark.sql.window import Window
 
     e = events_with_time(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -871,7 +927,7 @@ _AC_CORR = (
 @register(
     "q_autocorr",
     oracle=f"""
-        WITH daily AS (
+        WITH daily AS MATERIALIZED (
             SELECT epoch_us(ts) // 86400000000 AS d,
                    CAST(SUM(CAST(floor(value + 0.5) AS BIGINT))
                         AS BIGINT) AS x
@@ -996,7 +1052,6 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most likely mean-shift day in the daily event-value series via
     the integer CUSUM statistic: (split_day, score, mean_before_q,
     mean_after_q)."""
-    from pyspark.sql.window import Window
 
     e = events_with_time(spark, sf_dir)
     daily = (
@@ -1052,14 +1107,16 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
                          AND 3 FOLLOWING)
         ),
-        det AS (
+        det AS MATERIALIZED (
             SELECT d, x, trend_q, x * 1000 - trend_q AS det_q,
                    d % 7 AS dow
             FROM tr
         ),
-        -- det_q is signed: Spark div truncates toward zero while
-        -- DuckDB // floors, so the mean rides a positivity offset
-        -- ((a + OFF*n) div n - OFF == floor(a/n) on BOTH engines).
+        -- det_q is signed. MEASURED round 8: Spark div and DuckDB
+        -- integer // BOTH truncate toward zero, so they already agree;
+        -- the positivity offset ((a + OFF*n) div n - OFF) pins the
+        -- mean to FLOOR semantics under EVERY division convention —
+        -- engine-version-proof, not a present-day divergence fix.
         seas AS (
             SELECT dow,
                    CAST((CAST(SUM(det_q) AS BIGINT)
@@ -1091,7 +1148,6 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend (centered 7-day mean), weekly seasonal, and residual for
     the daily event-value series: (day, x, trend_q, seasonal_q,
     resid_q) on the x1000 integer grid."""
-    from pyspark.sql.window import Window
 
     e = events_with_time(spark, sf_dir)
     daily = (
@@ -1111,8 +1167,9 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = tr.selectExpr(
         "d", "x", "trend_q", "x * 1000 - trend_q AS det_q", "d % 7 AS dow"
     )
-    # positivity offset before the integer mean: det_q is signed and
-    # Spark div truncates while DuckDB // floors (oracle comment)
+    # positivity offset before the integer mean: pins floor semantics
+    # for signed det_q under every division convention (both engines
+    # MEASURED truncating today — oracle comment, round-8 note)
     seas = det.groupBy("dow").agg(
         F.expr(
             "CAST((CAST(SUM(det_q) AS BIGINT)"

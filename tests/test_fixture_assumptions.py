@@ -470,3 +470,39 @@ def test_round10_dtw_overflow_headroom(duck2, sf):
         f"{sf}: DTW worst-case {worst} leaves <100x BIGINT headroom — "
         "shrink DTW_INF or rescale the grid before grading"
     )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_round13_moment_and_boundary_headroom(duck2, sf):
+    """r13 review: q_autocorr's squared daily moments (sxx/syy/sxy),
+    q_changepoint's n*C_i / i*S CUSUM products, and q_rfm's exact
+    boundary comparison (100*v vs 100*a + r*(b-a), r <= 99) are BIGINT
+    cross-products with no prior canary. Each must keep >= 100x
+    headroom under 2^63 on the ACTUAL fixture so a value-domain
+    inflation at regen fails loudly here instead of wrapping silently
+    one scale factor up (the round-7 q_win_distribution lesson)."""
+    lim = 2**63 / 100
+
+    xmax, s, n = duck2.execute(
+        f"""SELECT MAX(x), SUM(x), COUNT(*) FROM (
+              SELECT CAST(SUM(CAST(floor(value + 0.5) AS BIGINT))
+                          AS BIGINT) AS x
+              FROM read_parquet('{sf}/events.parquet')
+              GROUP BY epoch_us(ts) // 86400000000)"""
+    ).fetchone()
+    # autocorr: sxx <= n_pairs * xmax^2 with n_pairs < n days
+    assert int(xmax) * int(xmax) * int(n) < lim, (
+        f"{sf}: autocorr squared-moment bound {xmax}^2*{n}"
+    )
+    # changepoint: |n*C_i| and |i*S| are both <= n * S
+    assert int(n) * int(s) < lim, f"{sf}: changepoint n*S at {n}*{s}"
+
+    mg_max = duck2.execute(
+        f"""SELECT MAX(mg) FROM (
+              SELECT SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                              AS BIGINT)) AS mg
+              FROM read_parquet('{sf}/orders.parquet')
+              GROUP BY o_custkey)"""
+    ).fetchone()[0]
+    # rfm boundary: 100*v and r*(b-a) <= 99*mg_max
+    assert 100 * int(mg_max) < lim, f"{sf}: rfm 100*mg at {mg_max}"

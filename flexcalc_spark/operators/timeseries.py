@@ -405,13 +405,16 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="analytics",
     scale_notes=(
         "RFM customer segmentation: one per-customer aggregate pass "
-        "(recency/frequency/grid-monetary), then the 2-value percentile "
-        "boundary row and the 1-value reference day broadcast back onto "
-        "the customer table — segmentation of a billion customers is "
-        "one narrow shuffle on custkey plus two scalar broadcasts, no "
-        "global sort (the ntile formulation would serialize). The "
-        "at-scale boundary source is implemented as q_rfm_approx "
-        "(approx_percentile, same downstream plan)"
+        "(recency/frequency/grid-monetary), then the boundary row and "
+        "the 1-value reference day broadcast back onto the customer "
+        "table. The EXACT tier computes its 0.66 boundary from integer "
+        "order statistics via two unpartitioned rank windows — a "
+        "global single-partition sort of the customer aggregate, the "
+        "documented non-scaling piece of this tier (it buys an "
+        "all-BIGINT comparison no FP interpolation ulp can flip, r13) "
+        "— so segmentation at a billion customers uses q_rfm_approx "
+        "(approx_percentile sketch boundaries, same downstream plan, "
+        "no sort)"
     ),
 )
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,38 +480,35 @@ def _rfm(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
         # single-partition over |customers| — fine for the exact tier,
         # whose boundary agg was already the documented non-scaling
         # piece (q_rfm_approx is the 100 TB path).
+        # one pass over the (cached) customer aggregate: both rank
+        # columns ride the same scan, and cust is consumed by four
+        # subtrees (ref, n, ranks, final select) — cache is safe for
+        # shuffle-derived frames under the r9 AQE-cached-layout conf
+        cust = cust.cache()
         nn = cust.agg(F.count(F.lit(1)).alias("n"))
-
-        def _bounds(col: str, pre: str) -> DataFrame:
-            ranked = (
-                cust.select(F.col(col).alias("v"))
-                .withColumn(
-                    "rk", F.row_number().over(Window.orderBy("v"))
-                )
-                .crossJoin(F.broadcast(nn))
+        ranked = (
+            cust.select("frequency", "mg")
+            .withColumn(
+                "frk", F.row_number().over(Window.orderBy("frequency"))
             )
-            return ranked.agg(
-                F.max(
-                    F.when(
-                        F.expr("rk = (66*(n-1)) div 100 + 1"), F.col("v")
-                    )
-                ).alias(f"{pre}a"),
-                F.max(
-                    F.when(
-                        F.expr("rk = least((66*(n-1)) div 100 + 2, n)"),
-                        F.col("v"),
-                    )
-                ).alias(f"{pre}v2"),
-                F.max(F.expr("(66*(n-1)) % 100")).cast("bigint").alias(
-                    f"{pre}r100"
-                ),
-            )
-
-        b = _bounds("frequency", "f").crossJoin(
-            F.broadcast(_bounds("mg", "m"))
+            .withColumn("mrk", F.row_number().over(Window.orderBy("mg")))
+            .crossJoin(F.broadcast(nn))
         )
-        fpass = F.expr("100*frequency >= 100*fa + fr100*(fv2 - fa)")
-        mpass = F.expr("100*mg >= 100*ma + mr100*(mv2 - ma)")
+        lo = "(66*(n-1)) div 100 + 1"
+        hi = "least((66*(n-1)) div 100 + 2, n)"
+        b = ranked.agg(
+            F.max(F.when(F.expr(f"frk = {lo}"), F.col("frequency")))
+            .alias("fa"),
+            F.max(F.when(F.expr(f"frk = {hi}"), F.col("frequency")))
+            .alias("fv2"),
+            F.max(F.when(F.expr(f"mrk = {lo}"), F.col("mg"))).alias("ma"),
+            F.max(F.when(F.expr(f"mrk = {hi}"), F.col("mg"))).alias("mv2"),
+            F.max(F.expr("(66*(n-1)) % 100")).cast("bigint").alias(
+                "r100"
+            ),
+        )
+        fpass = F.expr("100*frequency >= 100*fa + r100*(fv2 - fa)")
+        mpass = F.expr("100*mg >= 100*ma + r100*(mv2 - ma)")
     seg = (
         F.when(fpass & mpass, "core")
         .when(fpass | mpass, "growth")

@@ -483,19 +483,24 @@ def test_round13_moment_and_boundary_headroom(duck2, sf):
     one scale factor up (the round-7 q_win_distribution lesson)."""
     lim = 2**63 / 100
 
-    xmax, s, n = duck2.execute(
-        f"""SELECT MAX(x), SUM(x), COUNT(*) FROM (
+    # sign-robust magnitudes (r13 review pass 2): a regen introducing
+    # negative values must not slip past a MAX/SUM-based bound
+    xmag, smag, n = duck2.execute(
+        f"""SELECT GREATEST(MAX(x), -MIN(x)), SUM(ABS(x)), COUNT(*)
+            FROM (
               SELECT CAST(SUM(CAST(floor(value + 0.5) AS BIGINT))
                           AS BIGINT) AS x
               FROM read_parquet('{sf}/events.parquet')
               GROUP BY epoch_us(ts) // 86400000000)"""
     ).fetchone()
-    # autocorr: sxx <= n_pairs * xmax^2 with n_pairs < n days
-    assert int(xmax) * int(xmax) * int(n) < lim, (
-        f"{sf}: autocorr squared-moment bound {xmax}^2*{n}"
+    # autocorr: |sxx| <= n_pairs * xmag^2 with n_pairs < n days
+    assert int(xmag) * int(xmag) * int(n) < lim, (
+        f"{sf}: autocorr squared-moment bound {xmag}^2*{n}"
     )
-    # changepoint: |n*C_i| and |i*S| are both <= n * S
-    assert int(n) * int(s) < lim, f"{sf}: changepoint n*S at {n}*{s}"
+    # changepoint: |n*C_i| and |i*S| are both <= n * SUM(|x|)
+    assert int(n) * int(smag) < lim, (
+        f"{sf}: changepoint n*sum|x| at {n}*{smag}"
+    )
 
     mg_max = duck2.execute(
         f"""SELECT MAX(mg) FROM (

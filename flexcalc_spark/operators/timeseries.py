@@ -461,6 +461,11 @@ def _rfm(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
         .cast("bigint")
         .alias("mg"),
     )
+    # cust feeds 3 (approx) / 4 (exact) subtrees — cache the shuffle-
+    # derived aggregate once for BOTH tiers (safe under the r9
+    # AQE-cached-layout conf); hoisted above ref so every consumer
+    # reads the cached object, not a plan-matched twin (r13 review)
+    cust = cust.cache()
     ref = cust.agg(F.max("lastd").alias("refd"))
     if approx:
         b = cust.agg(
@@ -480,11 +485,8 @@ def _rfm(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
         # single-partition over |customers| — fine for the exact tier,
         # whose boundary agg was already the documented non-scaling
         # piece (q_rfm_approx is the 100 TB path).
-        # one pass over the (cached) customer aggregate: both rank
-        # columns ride the same scan, and cust is consumed by four
-        # subtrees (ref, n, ranks, final select) — cache is safe for
-        # shuffle-derived frames under the r9 AQE-cached-layout conf
-        cust = cust.cache()
+        # one pass over the cached customer aggregate: both rank
+        # columns ride the same scan
         nn = cust.agg(F.count(F.lit(1)).alias("n"))
         ranked = (
             cust.select("frequency", "mg")

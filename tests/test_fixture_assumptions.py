@@ -502,12 +502,13 @@ def test_round13_moment_and_boundary_headroom(duck2, sf):
         f"{sf}: changepoint n*sum|x| at {n}*{smag}"
     )
 
-    mg_max = duck2.execute(
-        f"""SELECT MAX(mg) FROM (
+    mg_mag = duck2.execute(
+        f"""SELECT GREATEST(MAX(mg), -MIN(mg)) FROM (
               SELECT SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5)
                               AS BIGINT)) AS mg
               FROM read_parquet('{sf}/orders.parquet')
               GROUP BY o_custkey)"""
     ).fetchone()[0]
-    # rfm boundary: 100*v and r*(b-a) <= 99*mg_max
-    assert 100 * int(mg_max) < lim, f"{sf}: rfm 100*mg at {mg_max}"
+    # rfm boundary: |100*v| and |r*(b-a)| <= 100*|mg| magnitude
+    # (sign-robust like the events bound — nothing pins price >= 0)
+    assert 100 * int(mg_mag) < lim, f"{sf}: rfm 100*|mg| at {mg_mag}"

@@ -31,6 +31,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY = os.path.join(REPO, "flexcalc_spark", "registry.py")
 WINDOW = 50
+CHANGED_MANIFEST = "CHANGED_KEYS.json"
 
 
 def _grade_order_node(src: str) -> ast.stmt:
@@ -97,7 +98,18 @@ def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
     the policy is "front never-graded + failed + stalest", and counting
     a failed grade as fresh evidence would rotate the broken key to the
     TAIL for ~5 rounds (r13 review finding). `err: "no_oracle"` is the
-    driver's label for declared rows-only keys, not a failure."""
+    driver's label for declared rows-only keys, not a failure.
+
+    CHANGE-AWARENESS (VERDICT r13 #2): a key whose plan or oracle was
+    rewritten AFTER its latest driver grade has effectively zero
+    evidence — the grade certified code that no longer exists. The
+    CHANGED_KEYS.json manifest (repo root, maintained via
+    `--mark-changed key...` at edit time) maps key -> round-changed;
+    any key whose latest grade round is OLDER than its changed round
+    is reset to evidence 0. Once the driver re-grades it in a round
+    >= the changed round, the fresh evidence wins again (the driver
+    grades the end-of-round tree, so a same-round grade covers the
+    change)."""
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(correctness_dir,
                                            "CORRECTNESS_r*.json"))):
@@ -110,6 +122,11 @@ def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
                 or v.get("schema_match") is False
             )
             latest[k] = 0 if failed else r
+    manifest = os.path.join(correctness_dir, CHANGED_MANIFEST)
+    if os.path.exists(manifest):
+        for k, changed_round in json.load(open(manifest)).items():
+            if latest.get(k, 0) < int(changed_round):
+                latest[k] = 0
     return latest
 
 
@@ -133,8 +150,44 @@ def format_literal(keys: list[str]) -> str:
     return "GRADE_ORDER: list[str] = [\n" + "\n".join(lines) + "\n]"
 
 
+def mark_changed(keys: list[str], order: list[str],
+                 correctness_dir: str = REPO) -> dict[str, int]:
+    """Record keys whose plan/oracle was rewritten this round in the
+    CHANGED_KEYS.json manifest (VERDICT r13 #2). The changed round is
+    the CURRENT working round = latest CORRECTNESS round + 1 (the
+    driver grades the end-of-round tree, so this round's grade counts
+    as post-change evidence). Unknown keys are a refusal, not a silent
+    no-op — a typo here would silently lose the change marker."""
+    unknown = sorted(set(keys) - set(order))
+    if unknown:
+        raise SystemExit(f"--mark-changed: unknown keys {unknown} — "
+                         "not in GRADE_ORDER; nothing written")
+    rounds = [int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+              for f in glob.glob(os.path.join(correctness_dir,
+                                              "CORRECTNESS_r*.json"))]
+    current_round = max(rounds, default=0) + 1
+    manifest = os.path.join(correctness_dir, CHANGED_MANIFEST)
+    entries: dict[str, int] = {}
+    if os.path.exists(manifest):
+        entries = {k: int(v) for k, v in json.load(open(manifest)).items()}
+    for k in keys:
+        entries[k] = max(entries.get(k, 0), current_round)
+    with open(manifest, "w") as fh:
+        json.dump(dict(sorted(entries.items())), fh, indent=1)
+        fh.write("\n")
+    print(f"marked changed in r{current_round}: {', '.join(keys)}")
+    return entries
+
+
 def main() -> int:
     apply = "--apply" in sys.argv
+    if "--mark-changed" in sys.argv:
+        idx = sys.argv.index("--mark-changed")
+        keys = [a for a in sys.argv[idx + 1:] if not a.startswith("--")]
+        if not keys:
+            raise SystemExit("--mark-changed requires at least one key")
+        src0 = open(REGISTRY).read()
+        mark_changed(keys, read_grade_order(src0))
     src = open(REGISTRY).read()
     order = read_grade_order(src)
     latest = latest_evidence()
@@ -145,13 +198,13 @@ def main() -> int:
     for k in new:
         tiers[latest.get(k, 0)] = tiers.get(latest.get(k, 0), 0) + 1
     print("evidence tiers (round -> keys):",
-          {f"r{r}" if r else "never/failed": n
+          {f"r{r}" if r else "never/failed/changed": n
            for r, n in sorted(tiers.items())})
     front = new[:WINDOW]
     print(f"next graded window ({WINDOW}):")
     for k in front:
         r = latest.get(k, 0)
-        print(f"  {k}  [{'never/failed' if r == 0 else f'r{r}'}]")
+        print(f"  {k}  [{'never/failed/changed' if r == 0 else f'r{r}'}]")
     if new == order:
         print("order already rotated — nothing to do")
         return 0
@@ -198,7 +251,7 @@ def main() -> int:
                          "— registry.py NOT rewritten")
     max_r = max(latest.values(), default=0)
     tier_note = ", ".join(
-        f"{'never-graded/failed' if r == 0 else f'r{r}'}: {n}"
+        f"{'never-graded/failed/changed' if r == 0 else f'r{r}'}: {n}"
         for r, n in sorted(tiers.items())
     )
     head += (

@@ -15,9 +15,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
 
 from rotate_grade_order import (  # noqa: E402
+    CHANGED_MANIFEST,
     REGISTRY,
     format_literal,
     latest_evidence,
+    mark_changed,
     read_grade_order,
     rotate,
 )
@@ -360,3 +362,58 @@ def test_failed_latest_grade_fronts_the_key(tmp_path):
     order = ["q_ok", "q_bad", "q_err", "q_rows_only"]
     assert rotate(order, latest) == ["q_bad", "q_err", "q_ok",
                                      "q_rows_only"]
+
+
+def test_changed_key_fronts_until_regraded(tmp_path):
+    """VERDICT r13 #2: a key whose plan/oracle was rewritten AFTER its
+    latest driver grade has effectively zero evidence — q_rfm was
+    rewritten in r13 with evidence r10 and would have waited ~2 more
+    rounds. A CHANGED_KEYS.json entry key -> round-changed must reset
+    evidence to 0 while the latest grade predates the change, and must
+    STOP mattering once the driver re-grades at >= that round (fails on
+    the pre-fix code: q_changed keeps round 2 and rotates tailward)."""
+    import json
+
+    r2 = {"q_changed": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None},
+          "q_ok": {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None}}
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(r2))
+    (tmp_path / CHANGED_MANIFEST).write_text(
+        json.dumps({"q_changed": 3}))
+    latest = latest_evidence(str(tmp_path))
+    assert latest["q_changed"] == 0   # grade r2 < changed r3 -> front
+    assert latest["q_ok"] == 2
+    assert rotate(["q_ok", "q_changed"], latest) == ["q_changed", "q_ok"]
+    # the driver re-grades it in r3 (end-of-round tree covers the
+    # change): fresh evidence wins, the marker goes inert
+    r3 = {"q_changed": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None}}
+    (tmp_path / "CORRECTNESS_r3.json").write_text(json.dumps(r3))
+    latest = latest_evidence(str(tmp_path))
+    assert latest["q_changed"] == 3
+    assert rotate(["q_ok", "q_changed"], latest) == ["q_ok", "q_changed"]
+
+
+def test_mark_changed_records_current_round_and_refuses_unknown(tmp_path):
+    """--mark-changed stamps keys with the CURRENT working round
+    (latest CORRECTNESS round + 1), keeps the max on re-marking, and
+    refuses unknown keys outright (a typo must not silently lose the
+    change marker)."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r7.json").write_text(json.dumps(
+        {"q_a": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None}}))
+    entries = mark_changed(["q_a"], ["q_a", "q_b"], str(tmp_path))
+    assert entries == {"q_a": 8}
+    on_disk = json.load(open(tmp_path / CHANGED_MANIFEST))
+    assert on_disk == {"q_a": 8}
+    # re-marking never lowers the recorded round
+    (tmp_path / CHANGED_MANIFEST).write_text(json.dumps({"q_a": 9}))
+    entries = mark_changed(["q_a", "q_b"], ["q_a", "q_b"], str(tmp_path))
+    assert entries == {"q_a": 9, "q_b": 8}
+    with pytest.raises(SystemExit, match="unknown keys"):
+        mark_changed(["q_typo"], ["q_a", "q_b"], str(tmp_path))
+    assert json.load(open(tmp_path / CHANGED_MANIFEST)) == \
+        {"q_a": 9, "q_b": 8}                     # refusal wrote nothing

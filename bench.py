@@ -162,8 +162,14 @@ def main() -> None:
                 best = None
                 for _ in range(runs):
                     spark.catalog.clearCache()
-                    df = registry.QUERIES[key](spark, sf_dir)
+                    # construction INSIDE the timer (ADVICE r13 / the
+                    # round-7 end-to-end lesson): iterative keys do all
+                    # their work during plan construction, and the
+                    # materialize-policy keys are fully eager — timing
+                    # only the noop write would report a noop scan of a
+                    # local relation.
                     t0 = time.perf_counter()
+                    df = registry.QUERIES[key](spark, sf_dir)
                     df.write.format("noop").mode("overwrite").save()
                     dt = time.perf_counter() - t0
                     best = dt if best is None or dt < best else best
@@ -196,6 +202,10 @@ def main() -> None:
                     ),
                     "sf": sf,
                     "runs_per_query": runs,
+                    # r14 on: plan construction is inside the timer
+                    # (ADVICE r13) — adds ~10-100 ms/key vs BENCH_r13
+                    # and earlier; compare cross-round accordingly
+                    "timing": "end_to_end_incl_construction",
                     # same-box drift control: fixed synthetic probes —
                     # compare these across BENCH_r{N} files before
                     # reading any query-time trend as a regression

@@ -25,6 +25,7 @@ import atexit
 import glob
 import hashlib
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -37,25 +38,51 @@ from flexcalc_spark.tables import materialize_local, table
 
 # Scratch layouts written by the sink/source keys. Every call site is
 # now pid-FINGERPRINTED (r13): dirs are per-process, removed by this
-# process's atexit hook, and a 6 h age-floored sweep reaps siblings a
+# process's atexit hook, and an owner-liveness sweep reaps siblings a
 # SIGKILLed process left behind (ADVICE r8 anti-litter + the r10
-# SIGKILL-leak fix). Because another process's sweep can delete a
-# >6 h-old dir, keys whose result is answer-sized materialize via
+# SIGKILL-leak fix). Keys whose result is answer-sized materialize via
 # tables.materialize_local before returning; only keys whose graded
 # artifact is the read PLAN itself stay lazy (see that docstring).
 _SCRATCH: set[str] = set()
+
+# Stay-lazy keys re-collected hours later cannot refresh mtime (no
+# Python runs at re-collect — the plan is a JVM binaryFile scan), so an
+# age floor alone races their layouts (ADVICE r13). The dir name now
+# carries the owner pid (`_p<pid>` suffix); the sweep NEVER reaps a dir
+# whose owner is alive, reaps dead-owner dirs after a short floor, and
+# falls back to the old 6 h rule only for legacy unsuffixed names. Pid
+# reuse can only KEEP garbage longer (kill(pid, 0) says alive), never
+# delete a live layout — the safe direction.
+_PID_SUFFIX = re.compile(r"_p(\d+)$")
+
+
+def _owner_alive(path: str) -> bool | None:
+    """Owner pid liveness from the `_p<pid>` name suffix; None when the
+    name carries no pid (legacy layout)."""
+    m = _PID_SUFFIX.search(path)
+    if not m:
+        return None
+    try:
+        os.kill(int(m.group(1)), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True  # exists but not ours — treat as alive (safe)
 
 
 def _scratch_dir(tag: str, sf_dir: str, fingerprint: str = "") -> str:
     h = hashlib.md5(
         (os.path.abspath(sf_dir) + "\0" + fingerprint).encode()
     ).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"flexcalc_spark_{tag}_{h}")
+    suffix = f"_p{os.getpid()}" if fingerprint else ""
+    out = os.path.join(
+        tempfile.gettempdir(), f"flexcalc_spark_{tag}_{h}{suffix}"
+    )
     if fingerprint:
         # fingerprinted (pid-keyed) names are never reused by a later
         # process, so sweep stale siblings a SIGKILLed run left behind —
-        # atexit does not fire on SIGKILL (r10 review finding). The 6 h
-        # age floor keeps any concurrent live run's layout safe.
+        # atexit does not fire on SIGKILL (r10 review finding).
         now = time.time()
         for p in glob.glob(
             os.path.join(tempfile.gettempdir(), f"flexcalc_spark_{tag}_*")
@@ -63,7 +90,13 @@ def _scratch_dir(tag: str, sf_dir: str, fingerprint: str = "") -> str:
             if p == out or p in _SCRATCH:
                 continue
             try:
-                if now - os.path.getmtime(p) > 6 * 3600:
+                alive = _owner_alive(p)
+                age = now - os.path.getmtime(p)
+                if alive is True:
+                    continue  # live owner: never reap, any age
+                if (alive is False and age > 60) or (
+                    alive is None and age > 6 * 3600
+                ):
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass

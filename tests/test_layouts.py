@@ -110,6 +110,47 @@ def test_compacted_sink_writes_exactly_four_files(spark):
     assert len(parts) == 4, parts
 
 
+def test_scratch_sweep_owner_liveness(tmp_path, monkeypatch):
+    """ADVICE r13: stay-lazy source keys re-collected hours later cannot
+    refresh mtime (no Python runs at re-collect), so the age-floored
+    sweep could reap a LIVE process's >6 h-old layout. The sweep now
+    reads the owner pid from the `_p<pid>` name suffix: a live owner's
+    dir survives at ANY age; a dead owner's dir is reaped after 60 s; a
+    legacy unsuffixed dir keeps the 6 h rule (fails on the pre-fix
+    code: the live-owner dir older than 6 h is deleted)."""
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    from flexcalc_spark.operators import sinks
+
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sinks.tempfile, "gettempdir",
+                        lambda: str(tmp_path))
+    old = _time.time() - 7 * 3600          # older than the 6 h floor
+    # live owner (our own pid), >6 h old: must SURVIVE
+    live = tmp_path / f"flexcalc_spark_swtest_aaaa_p{_os.getpid()}"
+    # dead owner: a pid that cannot exist (> pid_max), >60 s old: reaped
+    dead = tmp_path / "flexcalc_spark_swtest_bbbb_p999999999"
+    # legacy name without pid suffix, >6 h old: reaped by the 6 h rule
+    legacy = tmp_path / "flexcalc_spark_swtest_cccc"
+    # legacy name, young: kept
+    young = tmp_path / "flexcalc_spark_swtest_dddd"
+    for d in (live, dead, legacy, young):
+        d.mkdir()
+    for d in (live, dead, legacy):
+        _os.utime(d, (old, old))
+    got = sinks._scratch_dir("swtest", str(tmp_path), fingerprint="x")
+    try:
+        assert live.exists(), "live owner's layout must never be reaped"
+        assert not dead.exists(), "dead owner's layout must be reaped"
+        assert not legacy.exists(), "legacy >6h layout must be reaped"
+        assert young.exists(), "young legacy layout must be kept"
+        assert got.endswith(f"_p{_os.getpid()}")
+    finally:
+        sinks._SCRATCH.discard(got)
+
+
 def test_scoped_shuffle_partitions_restores_on_error(spark):
     """The iterative-loop conf scope must restore the caller's shuffle
     partition count even when the body raises."""

@@ -560,21 +560,47 @@ def q_agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EQUIDEPTH_BUCKETS = 10
 
+# Exact tier decile boundaries as EXACT RATIONALS over integer order
+# statistics (the q_rfm r13 pattern): l_extendedprice has exactly 2
+# decimals, so cents = floor(price*100 + 0.5) is an exact BIGINT; the
+# interpolated boundary at p = i*(n-1)/10 is a + (m/10)*(b - a) with
+# a, b the adjacent order statistics and m = (i*(n-1)) % 10, and the
+# strict compare boundary < v becomes 10*a + m*(b-a) < 10*cents — all
+# BIGINT, so no FP interpolation ulp can flip a bucket edge under
+# fixture regen (the q_histogram_equidepth line of the r13 lesson).
+_EQD_BOUND_EXPRS_SQL = ", ".join(
+    f"MAX(CASE WHEN rn = ({i}*(n-1))//{EQUIDEPTH_BUCKETS} + 1 THEN "
+    f"{EQUIDEPTH_BUCKETS}*c + (({i}*(n-1))%{EQUIDEPTH_BUCKETS})"
+    f"*(COALESCE(cn, c) - c) END)"
+    for i in range(1, EQUIDEPTH_BUCKETS)
+)
+
 
 @register(
     "q_histogram_equidepth",
     oracle=f"""
-        WITH b AS (
-            SELECT quantile_cont(l_extendedprice,
-                       [x / {EQUIDEPTH_BUCKETS}.0
-                        FOR x IN range(1, {EQUIDEPTH_BUCKETS})]) AS qs
-            FROM lineitem
+        WITH c AS MATERIALIZED (
+            SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS c,
+                   l_extendedprice
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM c),
+        r AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                   LEAD(c) OVER (ORDER BY c) AS cn
+            FROM c
+        ),
+        b AS (
+            SELECT [{_EQD_BOUND_EXPRS_SQL}] AS bs
+            FROM r, nn GROUP BY n
         ),
         tagged AS (
-            SELECT CAST(len(list_filter(b.qs, q -> q < l_extendedprice))
+            SELECT CAST(len(list_filter(b.bs,
+                            q -> q < {EQUIDEPTH_BUCKETS} * c.c))
                         AS BIGINT) AS bucket,
                    l_extendedprice
-            FROM lineitem, b
+            FROM c, b
         )
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
                MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
@@ -582,16 +608,18 @@ EQUIDEPTH_BUCKETS = 10
     """,
     family="aggregates",
     scale_notes=(
-        "equi-depth histogram WITHOUT a global sort window: exact "
-        "interpolated decile boundaries come from one percentile "
-        "aggregate (9 doubles), broadcast back, and bucket assignment "
-        "is a scan-side count-of-boundaries-below compare — the plan an "
-        "ntile() formulation would serialize into a single-task global "
-        "sort. The 100 TB boundary source is implemented as "
-        "q_histogram_equidepth_approx (approx_percentile — mergeable "
-        "sketch, same downstream plan). Boundary compares on "
-        "raw doubles are engine-identical (quantile_cont and Spark "
-        "percentile interpolate identically — proven by q_agg_percentile)"
+        "equi-depth histogram WITHOUT a global sort window in the "
+        "shipped path: bucket assignment is a scan-side count-of-"
+        "boundaries-below compare against 9 broadcast boundary values "
+        "— the plan an ntile() formulation would serialize into a "
+        "single-task global sort. The exact tier computes its decile "
+        "boundaries as exact rationals over integer CENT order "
+        "statistics (10*a + m*(b-a), all BIGINT — no FP interpolation "
+        "ulp can flip a bucket edge cross-engine, r13/r14); its rank "
+        "window is a global single-partition sort, the documented "
+        "non-scaling piece of this tier only. The 100 TB boundary "
+        "source is q_histogram_equidepth_approx (approx_percentile — "
+        "mergeable sketch, same downstream plan)"
     ),
 )
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,34 +639,84 @@ def _equidepth(
 ) -> DataFrame:
     """Shared equi-depth plan with a parameterized boundary source.
 
-    approx=False: Spark's exact ``percentile`` — interpolates
-    identically to DuckDB quantile_cont, so it is the oracle twin; its
-    final aggregate buffers every value (single-reduce), which is the
-    documented scale-killer on a billion-row column.
+    approx=False: exact decile boundaries from integer CENT order
+    statistics via one rank window (row_number + lead over a global
+    sort — single-partition, the documented non-scaling piece of the
+    exact tier; r13/r14), emitted as exact-rational BIGINT compare
+    keys 10*a + m*(b-a) so no FP interpolation ulp can flip a bucket
+    edge cross-engine.
     approx=True: ``approx_percentile`` — a mergeable quantile sketch
     with map-side partial aggregation and fixed-size state; the 100 TB
     path. Downstream (broadcast boundaries -> scan-side tag -> group)
-    is byte-identical between the two."""
+    has the same shape in both tiers."""
     from flexcalc_spark.tables import table_parallel
 
     l = table_parallel(spark, sf_dir, "lineitem")
-    pcts = ", ".join(
-        str(i / EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS)
-    )
     if approx:
-        bexpr = (
-            f"approx_percentile(l_extendedprice, array({pcts}),"
-            f" {EQUIDEPTH_ACCURACY})"
+        pcts = ", ".join(
+            str(i / EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS)
+        )
+        b = l.agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, array({pcts}),"
+                f" {EQUIDEPTH_ACCURACY})"
+            ).alias("qs")
+        )
+        tagged = l.crossJoin(F.broadcast(b)).select(
+            F.expr(
+                "CAST(size(filter(qs, q -> q < l_extendedprice))"
+                " AS BIGINT)"
+            ).alias("bucket"),
+            "l_extendedprice",
         )
     else:
-        bexpr = f"percentile(l_extendedprice, array({pcts}))"
-    b = l.agg(F.expr(bexpr).alias("qs"))
-    tagged = l.crossJoin(F.broadcast(b)).select(
-        F.expr(
-            "CAST(size(filter(qs, q -> q < l_extendedprice)) AS BIGINT)"
-        ).alias("bucket"),
-        "l_extendedprice",
-    )
+        nb = EQUIDEPTH_BUCKETS
+        c = l.where(F.col("l_extendedprice").isNotNull()).select(
+            F.expr(
+                "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("c"),
+            "l_extendedprice",
+        )
+        from pyspark.sql.window import Window
+
+        nn = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        w = Window.orderBy("c")
+        ranked = (
+            c.select("c")
+            .select(
+                "c",
+                F.row_number().over(w).alias("rn"),
+                F.lead("c", 1).over(w).alias("cn"),
+            )
+            .crossJoin(F.broadcast(nn))
+        )
+        # one conditional-agg pass extracts all 9 boundary pairs; the
+        # rationals are nondecreasing in i (quantiles are monotone),
+        # so array(b1..b9) is already sorted for the filter below
+        b = ranked.agg(
+            *[
+                F.max(
+                    F.when(
+                        F.expr(f"rn = ({i}*(n-1)) div {nb} + 1"),
+                        F.expr(
+                            f"{nb}*c + (({i}*(n-1)) % {nb})"
+                            f" * (coalesce(cn, c) - c)"
+                        ),
+                    )
+                ).alias(f"b{i}")
+                for i in range(1, nb)
+            ]
+        ).select(
+            F.expr(
+                "array(" + ", ".join(f"b{i}" for i in range(1, nb)) + ")"
+            ).alias("bs")
+        )
+        tagged = c.crossJoin(F.broadcast(b)).select(
+            F.expr(
+                f"CAST(size(filter(bs, q -> q < {nb} * c)) AS BIGINT)"
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
     return tagged.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.min("l_extendedprice").alias("lo"),
@@ -996,35 +1074,72 @@ def allocate_budget(rev: DataFrame, budget: int) -> DataFrame:
 @register(
     "q_mad_outliers",
     oracle="""
-        WITH med AS (
-            SELECT event_type, quantile_cont(value, 0.5) AS med
-            FROM events GROUP BY event_type
+        -- exact tier, all-integer (r14, the q_rfm r13 pattern):
+        -- events.value has exactly 6 decimals, so vi = floor(v*1e6+0.5)
+        -- is an exact BIGINT. The per-type median is the exact rational
+        -- (lo + hi)/2 over order statistics (lo = rank (n-1)//2 + 1,
+        -- hi = rank n//2 + 1), carried DOUBLED as med2 = lo + hi;
+        -- deviations ad2 = |2*vi - med2| stay exact BIGINTs, the MAD
+        -- rides the same construction doubled again (mad4), and the
+        -- flag ad > 3*mad becomes 2*ad2 > 3*mad4 — no FP interpolation
+        -- anywhere near a comparison. Emitted med/mad divide the exact
+        -- integers by the same literal on both engines (bit-identical).
+        WITH e AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vi
+            FROM events WHERE value IS NOT NULL
         ),
-        dev AS (
-            SELECT e.event_type, e.value, med.med,
-                   abs(e.value - med.med) AS ad
-            FROM events e JOIN med USING (event_type)
+        cnt AS (SELECT event_type, COUNT(*) AS n
+                FROM e GROUP BY event_type),
+        r1 AS (
+            SELECT event_type, vi,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY vi) AS rn
+            FROM e
+        ),
+        med AS MATERIALIZED (
+            SELECT r1.event_type,
+                   MAX(CASE WHEN rn = (n-1)//2 + 1 THEN vi END)
+                 + MAX(CASE WHEN rn = n//2 + 1 THEN vi END) AS med2
+            FROM r1 JOIN cnt USING (event_type)
+            GROUP BY r1.event_type
+        ),
+        dev AS MATERIALIZED (
+            SELECT e.event_type, abs(2*e.vi - med.med2) AS ad2, med.med2
+            FROM e JOIN med USING (event_type)
+        ),
+        r2 AS (
+            SELECT event_type, ad2,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ad2) AS rn
+            FROM dev
         ),
         mad AS (
-            SELECT event_type, med,
-                   quantile_cont(ad, 0.5) AS mad
-            FROM dev GROUP BY event_type, med
+            SELECT r2.event_type,
+                   MAX(CASE WHEN rn = (n-1)//2 + 1 THEN ad2 END)
+                 + MAX(CASE WHEN rn = n//2 + 1 THEN ad2 END) AS mad4
+            FROM r2 JOIN cnt USING (event_type)
+            GROUP BY r2.event_type
         )
-        SELECT d.event_type, mad.med, mad.mad,
-               CAST(SUM(CASE WHEN d.ad > 3.0 * mad.mad THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_outliers
+        SELECT d.event_type,
+               CAST(d.med2 AS DOUBLE) / 2000000.0 AS med,
+               CAST(mad.mad4 AS DOUBLE) / 4000000.0 AS mad,
+               CAST(SUM(CASE WHEN 2*d.ad2 > 3*mad.mad4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev d JOIN mad USING (event_type)
-        GROUP BY d.event_type, mad.med, mad.mad
+        GROUP BY d.event_type, d.med2, mad.mad4
     """,
     family="aggregates",
     scale_notes=(
         "median-absolute-deviation outlier gate — the robust sibling "
         "of q_anomaly_zscore (immune to the outliers it hunts, unlike "
-        "mean/std): two percentile aggregates (per-type median, then "
-        "median of absolute deviations) each broadcast back onto the "
-        "scan, flagging is a per-row compare. Exact percentile "
-        "interpolates identically to DuckDB quantile_cont (proven by "
-        "q_agg_percentile) — this tier is the oracle twin; the 100 TB "
+        "mean/std). The exact tier computes both medians as exact "
+        "rationals over integer 1e-6-grid order statistics (values "
+        "have exactly 6 decimals, so the grid is lossless) and flags "
+        "with the all-BIGINT compare 2*ad2 > 3*mad4 — no FP "
+        "interpolation ulp can flip an outlier cross-engine (r13/r14); "
+        "its per-type rank windows sort within type partitions, the "
+        "documented non-scaling piece of this tier only. The 100 TB "
         "boundary source is q_mad_outliers_approx (mergeable "
         "approx_percentile sketch, same downstream plan — the "
         "q_histogram_equidepth/_approx split)"
@@ -1047,44 +1162,110 @@ def _mad_outliers(
 ) -> DataFrame:
     """Shared MAD-outlier plan with a parameterized median source.
 
-    approx=False: Spark's exact ``percentile`` — interpolates
-    identically to DuckDB quantile_cont (the oracle twin), but its
-    final aggregate buffers every value of a group in one reduce
-    buffer — with a handful of event types that is n/|types| doubles
-    per buffer, the documented scale-killer.
+    approx=False: exact per-type medians as exact rationals over
+    integer 1e-6-grid order statistics (per-type rank windows; the
+    values have exactly 6 decimals so the grid is lossless), carried
+    doubled (med2/mad4) so the flag is the all-BIGINT compare
+    2*ad2 > 3*mad4 — no FP interpolation near a comparison (r14, the
+    q_rfm r13 pattern). The rank windows sort within type partitions,
+    the documented non-scaling piece of this tier.
     approx=True: ``approx_percentile`` — mergeable sketch, map-side
-    partials, fixed-size state; the 100 TB path. The downstream plan
-    (broadcast medians -> scan-side |value-med| -> broadcast MADs ->
-    scan-side flag + count) is byte-identical between the tiers."""
+    partials, fixed-size state; the 100 TB path. The downstream shape
+    (broadcast medians -> scan-side deviation -> broadcast MADs ->
+    scan-side flag + count) is the same in both tiers."""
+    e = table(spark, sf_dir, "events")
     if approx:
         med_expr = f"approx_percentile(value, 0.5, {MAD_ACCURACY})"
         mad_expr = f"approx_percentile(ad, 0.5, {MAD_ACCURACY})"
-    else:
-        med_expr = "percentile(value, 0.5)"
-        mad_expr = "percentile(ad, 0.5)"
-    e = table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.expr(med_expr).cast("double").alias("med")
-    )
-    dev = e.join(F.broadcast(med), "event_type").select(
+        med = e.groupBy("event_type").agg(
+            F.expr(med_expr).cast("double").alias("med")
+        )
+        dev = e.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("ad"),
+        )
+        mad = dev.groupBy("event_type", "med").agg(
+            F.expr(mad_expr).cast("double").alias("mad")
+        )
+        return (
+            dev.join(
+                F.broadcast(mad.select("event_type", "mad")), "event_type"
+            )
+            .groupBy("event_type", "med", "mad")
+            .agg(
+                F.sum(
+                    F.when(F.col("ad") > 3.0 * F.col("mad"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_outliers")
+            )
+            .select("event_type", "med", "mad", "n_outliers")
+        )
+    from pyspark.sql.window import Window
+
+    ei = e.where(F.col("value").isNotNull()).select(
         "event_type",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("ad"),
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "vi"
+        ),
     )
-    mad = dev.groupBy("event_type", "med").agg(
-        F.expr(mad_expr).cast("double").alias("mad")
+    cnt = ei.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    lo_rk = "(n-1) div 2 + 1"
+    hi_rk = "n div 2 + 1"
+    r1 = ei.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("vi")
+        ),
+    ).join(F.broadcast(cnt), "event_type")
+    med = r1.groupBy("event_type").agg(
+        (
+            F.max(F.when(F.expr(f"rn = {lo_rk}"), F.col("vi")))
+            + F.max(F.when(F.expr(f"rn = {hi_rk}"), F.col("vi")))
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    dev = ei.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med2",
+        F.abs(2 * F.col("vi") - F.col("med2")).alias("ad2"),
+    )
+    r2 = dev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ad2")
+        ),
+    ).join(F.broadcast(cnt), "event_type")
+    mad = r2.groupBy("event_type").agg(
+        (
+            F.max(F.when(F.expr(f"rn = {lo_rk}"), F.col("ad2")))
+            + F.max(F.when(F.expr(f"rn = {hi_rk}"), F.col("ad2")))
+        )
+        .cast("bigint")
+        .alias("mad4")
     )
     return (
-        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
-        .groupBy("event_type", "med", "mad")
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad4")
         .agg(
             F.sum(
-                F.when(F.col("ad") > 3.0 * F.col("mad"), 1).otherwise(0)
+                F.when(
+                    2 * F.col("ad2") > 3 * F.col("mad4"), 1
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("n_outliers")
         )
-        .select("event_type", "med", "mad", "n_outliers")
+        .select(
+            "event_type",
+            (F.col("med2").cast("double") / 2000000.0).alias("med"),
+            (F.col("mad4").cast("double") / 4000000.0).alias("mad"),
+            "n_outliers",
+        )
     )
 
 

@@ -348,16 +348,15 @@ def test_approx_tiers_have_no_exact_percentile_reduce(spark):
 
 
 def test_exact_percentile_tiers_still_exact(spark):
-    """And the oracle twins keep the exact boundary source. q_rfm's
-    exact tier computes its boundary from integer ORDER STATISTICS
-    (row_number rank windows; r13 — no FP interpolation at all), so it
-    asserts the rank construction instead of a percentile() node."""
-    for key in ["q_histogram_equidepth", "q_mad_outliers"]:
+    """The oracle twins compute their boundaries from integer ORDER
+    STATISTICS (row_number rank windows — no FP interpolation at all):
+    q_rfm since r13, q_histogram_equidepth and q_mad_outliers since
+    r14. Assert the rank construction and the absence of any exact
+    percentile() node."""
+    for key in ["q_histogram_equidepth", "q_mad_outliers", "q_rfm"]:
         plan = plan_text(Q[key](spark, SF_DIR))
-        assert re.search(r"(?<!approx_)percentile\(", plan), key
-    plan = plan_text(Q["q_rfm"](spark, SF_DIR))
-    assert "row_number()" in plan, plan
-    assert not re.search(r"(?<!approx_)percentile\(", plan), plan
+        assert "row_number()" in plan, key
+        assert not re.search(r"(?<!approx_)percentile\(", plan), key
 
 
 # --- round-4/5 analytics + source keys (VERDICT r4 #6) -----------------

@@ -3,6 +3,13 @@
 Usage: cd /tmp && python /root/repo/scripts/verify_keys.py q_ngram_lm ...
 (no args = every oracle-backed key). Mirrors the driver's compare:
 vanilla SparkSession, column sort by name, canonicalized value rows.
+
+Full-registry sweeps run CHUNKED by default (fresh process per ~90
+keys): a 243-key sf0.1 sweep in ONE JVM accumulates enough driver
+session state to die with a broadcast OOM near the tail (key ~205 in
+r12, ~242 in r13 — the key itself is always fine in a fresh session).
+`--chunk-size N` overrides (0 = single process); `--inline` is the
+child marker and forces the in-process path.
 """
 
 from __future__ import annotations
@@ -13,6 +20,28 @@ import math
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+CHUNK_DEFAULT = 90
+
+
+def _run_chunked(keys: list[str], chunk_size: int) -> int:
+    """Spawn a fresh interpreter per chunk (the r12/r13 sweep-OOM
+    mitigation, VERDICT r13 #7). Sequential on purpose — two Spark
+    JVMs on one box would contend and distort any timing read."""
+    import os
+    import subprocess
+
+    rc = 0
+    for i in range(0, len(keys), chunk_size):
+        chunk = keys[i:i + chunk_size]
+        print(f"--- chunk {i // chunk_size + 1}: "
+              f"{len(chunk)} keys ({chunk[0]} .. {chunk[-1]})")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inline", *chunk]
+        )
+        rc = rc or r.returncode
+    print("SWEEP RESULT:", "ALL MATCH" if rc == 0 else "FAILURES above")
+    return rc
 
 
 def canon(v):
@@ -32,6 +61,23 @@ def canon(v):
 
 
 def main() -> int:
+    args = sys.argv[1:]
+    inline = "--inline" in args
+    chunk_size = CHUNK_DEFAULT
+    if "--chunk-size" in args:
+        i = args.index("--chunk-size")
+        chunk_size = int(args[i + 1])
+        del args[i:i + 2]
+    args = [a for a in args if a != "--inline"]
+    if not args and not inline and chunk_size > 0:
+        # full sweep: resolve the key list WITHOUT starting Spark
+        # (importing the entry module only builds the registry), then
+        # fan out to fresh processes
+        import __spark_entry__ as ent_light
+
+        qs, os_ = ent_light.queries(), ent_light.oracle_sql()
+        return _run_chunked([k for k in qs if k in os_], chunk_size)
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -52,7 +98,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     qs, os_ = ent.queries(), ent.oracle_sql()
-    keys = sys.argv[1:] or [k for k in qs if k in os_]
+    keys = args or [k for k in qs if k in os_]
     fails = []
     for k in keys:
         sdf = qs[k](spark, sf).toPandas()

@@ -1089,8 +1089,8 @@ def allocate_budget(rev: DataFrame, budget: int) -> DataFrame:
                    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vi
             FROM events WHERE value IS NOT NULL
         ),
-        cnt AS (SELECT event_type, COUNT(*) AS n
-                FROM e GROUP BY event_type),
+        cnt AS MATERIALIZED (SELECT event_type, COUNT(*) AS n
+                             FROM e GROUP BY event_type),
         r1 AS (
             SELECT event_type, vi,
                    ROW_NUMBER() OVER (PARTITION BY event_type

@@ -66,17 +66,25 @@ def main() -> int:
     chunk_size = CHUNK_DEFAULT
     if "--chunk-size" in args:
         i = args.index("--chunk-size")
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            raise SystemExit(
+                "usage: verify_keys.py [--chunk-size N] [keys...]"
+            )
         chunk_size = int(args[i + 1])
         del args[i:i + 2]
     args = [a for a in args if a != "--inline"]
-    if not args and not inline and chunk_size > 0:
-        # full sweep: resolve the key list WITHOUT starting Spark
-        # (importing the entry module only builds the registry), then
-        # fan out to fresh processes
+    if not inline and chunk_size > 0 and len(args) != 1:
+        # chunk any multi-key (or full) sweep — an explicit long key
+        # list accumulates the same one-JVM driver state as the no-arg
+        # sweep (r12/r13 OOM mode). Resolve the key list WITHOUT
+        # starting Spark (importing the entry module only builds the
+        # registry), then fan out to fresh processes.
         import __spark_entry__ as ent_light
 
         qs, os_ = ent_light.queries(), ent_light.oracle_sql()
-        return _run_chunked([k for k in qs if k in os_], chunk_size)
+        keys = args or [k for k in qs if k in os_]
+        if len(keys) > chunk_size:
+            return _run_chunked(keys, chunk_size)
 
     import duckdb
     from pyspark.sql import SparkSession

@@ -512,3 +512,38 @@ def test_round13_moment_and_boundary_headroom(duck2, sf):
     # rfm boundary: |100*v| and |r*(b-a)| <= 100*|mg| magnitude
     # (sign-robust like the events bound — nothing pins price >= 0)
     assert 100 * int(mg_mag) < lim, f"{sf}: rfm 100*|mg| at {mg_mag}"
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_round14_exact_rational_boundary_headroom(duck2, sf):
+    """r14 review: the equi-depth and MAD exact tiers introduce new
+    BIGINT cross-products — equi-depth's 10*c + m*(b-a) vs 10*cents
+    (c = price cents, m <= 9) with rank math i*(n-1) (i <= 9), and
+    MAD's 2*ad2 vs 3*mad4 where ad2 = |2*vi - med2| <= 4*|vi| and
+    mad4 <= 2*max(ad2) so the largest product is <= 12*|vi| (vi = the
+    1e-6 value grid). Each must keep >= 100x headroom under 2^63 on
+    the ACTUAL fixture so a value-domain inflation at regen fails
+    loudly here instead of wrapping one scale factor up (the round-7
+    rule; sign-robust magnitudes like the r13 canary)."""
+    lim = 2**63 / 100
+
+    c_mag, n = duck2.execute(
+        f"""SELECT GREATEST(MAX(c), -MIN(c)), COUNT(*) FROM (
+              SELECT CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS c
+              FROM read_parquet('{sf}/lineitem.parquet'))"""
+    ).fetchone()
+    # equi-depth: |10*c + m*(b-a)| <= 10*|c| + 9*2*|c| = 28*|c|
+    assert 28 * int(c_mag) < lim, f"{sf}: equidepth 28*|cents| at {c_mag}"
+    # rank arithmetic: i*(n-1) <= 9*(n-1)
+    assert 9 * (int(n) - 1) < lim, f"{sf}: equidepth 9*(n-1) at {n}"
+
+    vi_mag = duck2.execute(
+        f"""SELECT GREATEST(MAX(vi), -MIN(vi)) FROM (
+              SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                         AS vi
+              FROM read_parquet('{sf}/events.parquet')
+              WHERE value IS NOT NULL)"""
+    ).fetchone()[0]
+    # MAD: 3*mad4 <= 3*2*max(ad2) <= 24*|vi| dominates 2*ad2 <= 8*|vi|
+    assert 24 * int(vi_mag) < lim, f"{sf}: MAD 24*|vi| at {vi_mag}"

@@ -66,11 +66,18 @@ def main() -> int:
     chunk_size = CHUNK_DEFAULT
     if "--chunk-size" in args:
         i = args.index("--chunk-size")
-        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
-            raise SystemExit(
-                "usage: verify_keys.py [--chunk-size N] [keys...]"
-            )
-        chunk_size = int(args[i + 1])
+        usage = "usage: verify_keys.py [--chunk-size N] [keys...] (N >= 0)"
+        if i + 1 >= len(args):
+            raise SystemExit(usage)
+        try:
+            chunk_size = int(args[i + 1])
+        except ValueError:
+            raise SystemExit(usage)
+        if chunk_size < 0:
+            # a negative value would silently disable the OOM-
+            # mitigating chunking (r14 review) — only an explicit 0
+            # may do that
+            raise SystemExit(usage)
         del args[i:i + 2]
     args = [a for a in args if a != "--inline"]
     if not inline and chunk_size > 0 and len(args) != 1:

@@ -517,15 +517,19 @@ def test_round13_moment_and_boundary_headroom(duck2, sf):
 @pytest.mark.parametrize("sf", SFS)
 def test_round14_exact_rational_boundary_headroom(duck2, sf):
     """r14 review: the equi-depth and MAD exact tiers introduce new
-    BIGINT cross-products — equi-depth's 10*c + m*(b-a) vs 10*cents
-    (c = price cents, m <= 9) with rank math i*(n-1) (i <= 9), and
-    MAD's 2*ad2 vs 3*mad4 where ad2 = |2*vi - med2| <= 4*|vi| and
-    mad4 <= 2*max(ad2) so the largest product is <= 12*|vi| (vi = the
-    1e-6 value grid). Each must keep >= 100x headroom under 2^63 on
-    the ACTUAL fixture so a value-domain inflation at regen fails
-    loudly here instead of wrapping one scale factor up (the round-7
-    rule; sign-robust magnitudes like the r13 canary)."""
+    BIGINT cross-products — equi-depth's nb*c + m*(b-a) vs nb*cents
+    (c = price cents, m <= nb-1, nb = EQUIDEPTH_BUCKETS) with rank
+    math i*(n-1) (i <= nb-1), and MAD's 2*ad2 vs 3*mad4 where
+    ad2 = |2*vi - med2| <= 4*|vi| and mad4 <= 2*max(ad2) <= 8*|vi| so
+    the largest product is 3*mad4 <= 24*|vi| (vi = the 1e-6 value
+    grid). Each must keep >= 100x headroom under 2^63 on the ACTUAL
+    fixture so a value-domain inflation at regen fails loudly here
+    instead of wrapping one scale factor up (the round-7 rule;
+    sign-robust magnitudes like the r13 canary)."""
+    from flexcalc_spark.operators.aggregates import EQUIDEPTH_BUCKETS
+
     lim = 2**63 / 100
+    nb = EQUIDEPTH_BUCKETS
 
     c_mag, n = duck2.execute(
         f"""SELECT GREATEST(MAX(c), -MIN(c)), COUNT(*) FROM (
@@ -533,10 +537,14 @@ def test_round14_exact_rational_boundary_headroom(duck2, sf):
                           AS BIGINT) AS c
               FROM read_parquet('{sf}/lineitem.parquet'))"""
     ).fetchone()
-    # equi-depth: |10*c + m*(b-a)| <= 10*|c| + 9*2*|c| = 28*|c|
-    assert 28 * int(c_mag) < lim, f"{sf}: equidepth 28*|cents| at {c_mag}"
-    # rank arithmetic: i*(n-1) <= 9*(n-1)
-    assert 9 * (int(n) - 1) < lim, f"{sf}: equidepth 9*(n-1) at {n}"
+    # equi-depth: |nb*c + m*(b-a)| <= nb*|c| + (nb-1)*2*|c| = (3nb-2)*|c|
+    assert (3 * nb - 2) * int(c_mag) < lim, (
+        f"{sf}: equidepth {3 * nb - 2}*|cents| at {c_mag}"
+    )
+    # rank arithmetic: i*(n-1) <= (nb-1)*(n-1)
+    assert (nb - 1) * (int(n) - 1) < lim, (
+        f"{sf}: equidepth {nb - 1}*(n-1) at {n}"
+    )
 
     vi_mag = duck2.execute(
         f"""SELECT GREATEST(MAX(vi), -MIN(vi)) FROM (

@@ -110,6 +110,18 @@ def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
     >= the changed round, the fresh evidence wins again (the driver
     grades the end-of-round tree, so a same-round grade covers the
     change)."""
+    latest = _raw_latest(correctness_dir)
+    manifest = os.path.join(correctness_dir, CHANGED_MANIFEST)
+    if os.path.exists(manifest):
+        for k, changed_round in json.load(open(manifest)).items():
+            if latest.get(k, 0) < int(changed_round):
+                latest[k] = 0
+    return latest
+
+
+def _raw_latest(correctness_dir: str = REPO) -> dict[str, int]:
+    """latest_evidence WITHOUT the changed-keys reset (used by the
+    manifest pruning, which must see the raw grade rounds)."""
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(correctness_dir,
                                            "CORRECTNESS_r*.json"))):
@@ -122,12 +134,27 @@ def latest_evidence(correctness_dir: str = REPO) -> dict[str, int]:
                 or v.get("schema_match") is False
             )
             latest[k] = 0 if failed else r
-    manifest = os.path.join(correctness_dir, CHANGED_MANIFEST)
-    if os.path.exists(manifest):
-        for k, changed_round in json.load(open(manifest)).items():
-            if latest.get(k, 0) < int(changed_round):
-                latest[k] = 0
     return latest
+
+
+def prune_inert_changed(correctness_dir: str = REPO) -> list[str]:
+    """Drop manifest entries whose key has been re-graded at or after
+    its changed round (the marker is inert from then on — the driver
+    grades the end-of-round tree). Keeps the manifest from accreting
+    forever; called from --apply."""
+    manifest = os.path.join(correctness_dir, CHANGED_MANIFEST)
+    if not os.path.exists(manifest):
+        return []
+    entries = {k: int(v) for k, v in json.load(open(manifest)).items()}
+    raw = _raw_latest(correctness_dir)
+    keep = {k: r for k, r in entries.items() if raw.get(k, 0) < r}
+    pruned = sorted(set(entries) - set(keep))
+    if pruned:
+        with open(manifest, "w") as fh:
+            json.dump(dict(sorted(keep.items())), fh, indent=1)
+            fh.write("\n")
+        print(f"pruned inert changed-key markers: {', '.join(pruned)}")
+    return pruned
 
 
 def rotate(order: list[str], latest: dict[str, int]) -> list[str]:
@@ -188,6 +215,8 @@ def main() -> int:
             raise SystemExit("--mark-changed requires at least one key")
         src0 = open(REGISTRY).read()
         mark_changed(keys, read_grade_order(src0))
+    if apply:
+        prune_inert_changed()
     src = open(REGISTRY).read()
     order = read_grade_order(src)
     latest = latest_evidence()

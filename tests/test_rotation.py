@@ -417,3 +417,28 @@ def test_mark_changed_records_current_round_and_refuses_unknown(tmp_path):
         mark_changed(["q_typo"], ["q_a", "q_b"], str(tmp_path))
     assert json.load(open(tmp_path / CHANGED_MANIFEST)) == \
         {"q_a": 9, "q_b": 8}                     # refusal wrote nothing
+
+
+def test_prune_inert_changed_markers(tmp_path):
+    """--apply prunes manifest entries whose key was re-graded at or
+    after its changed round (inert markers — the driver grades the
+    end-of-round tree) and keeps the still-active ones."""
+    import json
+
+    from rotate_grade_order import prune_inert_changed
+
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps(
+        {"q_regraded": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None},
+         "q_stale": {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None}}))
+    (tmp_path / CHANGED_MANIFEST).write_text(json.dumps(
+        {"q_regraded": 9,    # graded r9 >= changed r9 -> inert
+         "q_stale": 10,      # graded r9 < changed r10 -> active
+         "q_never": 10}))    # never graded -> active
+    pruned = prune_inert_changed(str(tmp_path))
+    assert pruned == ["q_regraded"]
+    assert json.load(open(tmp_path / CHANGED_MANIFEST)) == \
+        {"q_never": 10, "q_stale": 10}
+    # idempotent: nothing left to prune
+    assert prune_inert_changed(str(tmp_path)) == []

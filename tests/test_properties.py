@@ -662,3 +662,141 @@ def test_tar_member_roundtrip_property(members):
     got = {member: content for _a, member, content in rows}
     assert got == members
     assert all(a == "a.tar" for a, _m, _c in rows)
+
+
+def _micro_table(spark, tmp_path, name, rows, schema):
+    """Write a one-file parquet table usable as tmp_path sf_dir (the
+    test_streaming micro-corpus pattern)."""
+    import os
+    import shutil
+
+    d = tmp_path / ("_" + name)
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+    os.rename(d / f, tmp_path / f"{name}.parquet")
+    shutil.rmtree(d)
+
+
+def test_mad_exact_rational_parity_edges(spark, tmp_path):
+    """r14: the exact-rational MAD rank math, pinned on a hand-computed
+    micro corpus covering both group parities and the n=1 edge. For
+    [1,2,10] (odd) med=2, mad=1, one outlier (|10-2|=8 > 3); for
+    [1,2,3,7] (even) med=2.5 via (lo+hi)/2, mad=1, one outlier; a
+    singleton group yields mad=0 and zero outliers (2*0 > 3*0 false).
+    Also cross-checks the DuckDB oracle on the same micro table."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = []
+    eid = 0
+    for t, vals in [("odd", [1.0, 2.0, 10.0]),
+                    ("even", [1.0, 2.0, 3.0, 7.0]),
+                    ("single", [5.5])]:
+        for v in vals:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1), 1, t, v, "{}"))
+    _micro_table(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.event_type: (r.med, r.mad, r.n_outliers)
+        for r in registry.QUERIES["q_mad_outliers"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expect = {"odd": (2.0, 1.0, 1), "even": (2.5, 1.0, 1),
+              "single": (5.5, 0.0, 0)}
+    assert got == expect, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet')"
+    )
+    orc = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            registry.ORACLES["q_mad_outliers"]
+        ).fetchall()
+    }
+    assert orc == expect, orc
+
+
+def test_equidepth_exact_rational_parity_edges(spark, tmp_path):
+    """r14: the exact-rational decile boundary math, pinned by hand.
+    n=11 puts every decile on an exact rank (m=0, boundary = the
+    (i+1)-th order statistic; strict compare leaves values 1-2 in
+    bucket 0, then one per bucket); n=3 exercises the interpolated
+    m != 0 path (boundaries 1.2/1.4/.../3.6 -> buckets 0, 4, 9).
+    Cross-checked against the DuckDB oracle on the same micro table."""
+    import duckdb
+
+    def lineitem_rows(prices):
+        return [
+            (i + 1, 1, 1, 1, 1.0, p, 0.0, 0.0, "N", "O",
+             __import__("datetime").datetime(2024, 1, 1))
+            for i, p in enumerate(prices)
+        ]
+
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    )
+
+    # case 1: n=11, all m=0
+    _micro_table(spark, tmp_path, "lineitem",
+                 lineitem_rows([float(i) for i in range(1, 12)]), schema)
+    got = {
+        r.bucket: (r.cnt, r.lo, r.hi)
+        for r in registry.QUERIES["q_histogram_equidepth"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expect = {0: (2, 1.0, 2.0)}
+    expect.update({b: (1, float(b + 2), float(b + 2)) for b in range(1, 10)})
+    assert got == expect, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    orc = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            registry.ORACLES["q_histogram_equidepth"]
+        ).fetchall()
+    }
+    assert orc == expect, orc
+
+    # case 2: n=3 -> interpolated boundaries (cents 100/200/400:
+    # bound10 = 1200,1400,1600,1800,2000,2400,2800,3200,3600)
+    import os
+
+    os.remove(tmp_path / "lineitem.parquet")
+    _micro_table(spark, tmp_path, "lineitem",
+                 lineitem_rows([1.0, 2.0, 4.0]), schema)
+    got = {
+        r.bucket: r.cnt
+        for r in registry.QUERIES["q_histogram_equidepth"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: 1, 4: 1, 9: 1}, got
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    orc2 = {
+        r[0]: r[1]
+        for r in con2.execute(
+            registry.ORACLES["q_histogram_equidepth"]
+        ).fetchall()
+    }
+    assert orc2 == {0: 1, 4: 1, 9: 1}, orc2

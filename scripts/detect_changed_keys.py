@@ -11,17 +11,21 @@ Keys that differ are the candidates for `rotate_grade_order.py
 --mark-changed` (VERDICT r13 #2: a key whose plan or oracle changed
 after its latest driver grade has effectively zero evidence).
 
-`--mark` marks the changed keys whose latest evidence predates the
-current round directly (calls mark_changed), then prints the rotation
-dry run reminder.
+`--mark` marks every detected key via mark_changed (stamped with the
+current working round), then prints the rotation reminder. The base
+rev MUST be the immediately-preceding round's end-of-round snapshot:
+with that base, any detected change happened THIS round, so marking
+at the current round is exact. An OLDER base over-marks — it flags
+keys changed AND validly re-graded in between, fronting them
+needlessly.
 
 Limitations (stated, not silent): cross-MODULE helpers (e.g. a shared
 function in tables.py) are not traced — a change there should be
 marked by hand for the keys it feeds; decorator-level constants
 defined at module scope (grids, literal banks) are traced only if
-referenced via a function call chain. When in doubt, mark by hand —
-an extra marker costs one re-grade; a missed one costs a round of
-false evidence (the r13 q_rfm case).
+referenced via a function chain. When in doubt, mark by hand — an
+extra marker costs one re-grade; a missed one costs a round of false
+evidence (the r13 q_rfm case).
 """
 
 from __future__ import annotations
@@ -36,26 +40,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _module_fdefs(tree: ast.Module) -> dict[str, ast.FunctionDef]:
+    """MODULE-LEVEL functions only (tree.body, not ast.walk): a nested
+    def sharing a top-level helper's name must not shadow it — nested
+    defs are already covered by their enclosing function's span (r14
+    review; binaryfiles.py alone has 4 nested 'mapper' defs)."""
+    return {
+        n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
+    }
+
+
 def _functions_of(src: str) -> dict[str, str]:
-    """name -> decorated source span for every function in a module."""
+    """name -> decorated source span per module-level function."""
     out: dict[str, str] = {}
     lines = src.split("\n")
-    for node in ast.walk(ast.parse(src)):
-        if isinstance(node, ast.FunctionDef):
-            start = min(
-                [node.lineno] + [d.lineno for d in node.decorator_list]
-            )
-            out[node.name] = "\n".join(lines[start - 1:node.end_lineno])
+    for node in _module_fdefs(ast.parse(src)).values():
+        start = min(
+            [node.lineno] + [d.lineno for d in node.decorator_list]
+        )
+        out[node.name] = "\n".join(lines[start - 1:node.end_lineno])
     return out
 
 
-def _reachable(src: str, root: str) -> set[str]:
-    """root plus every same-module function transitively called."""
-    tree = ast.parse(src)
-    fdefs = {
-        n.name: n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
-    }
-
+def _reachable(
+    fdefs: dict[str, ast.FunctionDef], root: str
+) -> set[str]:
+    """root plus every same-module module-level function transitively
+    REFERENCED from it. Collects every ast.Name matching a module
+    function — not just call-position names — because Arrow kernels
+    are passed BY REFERENCE (applyInPandas(_sessionize_pdf, ...),
+    mapInPandas(fn, ...)) and a call-only walk misses them entirely
+    (r14 review: _reachable('q_stateful_sessions') came back as just
+    the root while all its logic lives in the referenced kernel)."""
     seen: set[str] = set()
 
     def walk(name: str) -> None:
@@ -63,14 +79,11 @@ def _reachable(src: str, root: str) -> set[str]:
             return
         seen.add(name)
         for node in ast.walk(fdefs[name]):
-            if isinstance(node, ast.Call):
-                cn = None
-                if isinstance(node.func, ast.Name):
-                    cn = node.func.id
-                elif isinstance(node.func, ast.Attribute):
-                    cn = node.func.attr
-                if cn:
-                    walk(cn)
+            if isinstance(node, ast.Name) and node.id in fdefs:
+                walk(node.id)
+            elif (isinstance(node, ast.Attribute)
+                  and node.attr in fdefs):
+                walk(node.attr)
 
     walk(root)
     return seen
@@ -112,10 +125,11 @@ def detect(base_rev: str) -> list[tuple[str, int, str]]:
         old_src = _git_show(base_rev, rel)
         new_fns = _functions_of(new_src)
         old_fns = _functions_of(old_src) if old_src is not None else {}
+        fdefs = _module_fdefs(ast.parse(new_src))  # parse ONCE per file
         for k, root in keys:
             hits = sorted(
                 n
-                for n in _reachable(new_src, root)
+                for n in _reachable(fdefs, root)
                 if old_fns.get(n) != new_fns.get(n)
             )
             if old_src is None or hits:

@@ -800,3 +800,134 @@ def test_equidepth_exact_rational_parity_edges(spark, tmp_path):
         ).fetchall()
     }
     assert orc2 == {0: 1, 4: 1, 9: 1}, orc2
+
+
+@given(
+    cents=st.lists(st.integers(100, 20000), min_size=1, max_size=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_equidepth_oracle_matches_fraction_reference(cents):
+    """The r14 exact-rational decile formula, validated against an
+    exact fractions.Fraction quantile reference on random 2-decimal
+    price multisets (n = 1..40, every parity and m value): for each
+    value, the bucket must equal the count of linear-interpolation
+    decile boundaries strictly below it, computed WITHOUT any FP."""
+    import duckdb
+    from fractions import Fraction
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("raw_cents", pd.DataFrame({"c": cents}))
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT c / 100.0 AS l_extendedprice"
+        " FROM raw_cents"
+    )
+    got = {
+        int(r[0]): int(r[1])
+        for r in con.execute(
+            registry.ORACLES["q_histogram_equidepth"]
+        ).fetchall()
+    }
+    s = sorted(cents)
+    n = len(s)
+    bounds = []
+    for i in range(1, 10):
+        p = Fraction(i * (n - 1), 10)
+        k = p.numerator // p.denominator
+        frac = p - k
+        b = Fraction(s[k]) + frac * (s[min(k + 1, n - 1)] - s[k])
+        bounds.append(b)
+    expect: dict[int, int] = {}
+    for c in cents:
+        bkt = sum(1 for b in bounds if b < c)
+        expect[bkt] = expect.get(bkt, 0) + 1
+    assert got == expect, (got, expect, s)
+
+
+@given(
+    vals=st.lists(
+        st.integers(-(10**7), 10**7), min_size=1, max_size=30
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_mad_oracle_matches_fraction_reference(vals):
+    """The r14 doubled-median MAD formula vs an exact Fraction
+    reference on random 6-decimal value multisets (negative values
+    included — nothing pins events.value >= 0): med, mad, and the
+    3*MAD census must all agree exactly."""
+    import duckdb
+    from fractions import Fraction
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("raw_vals", pd.DataFrame({"v": vals}))
+    con.execute(
+        "CREATE VIEW events AS SELECT 't' AS event_type,"
+        " v / 1000000.0 AS value FROM raw_vals"
+    )
+    row = con.execute(registry.ORACLES["q_mad_outliers"]).fetchall()
+    assert len(row) == 1
+    _t, med, mad, n_out = row[0]
+
+    def fmedian(xs):
+        s = sorted(xs)
+        n = len(s)
+        return Fraction(s[(n - 1) // 2] + s[n // 2], 2)
+
+    fm = fmedian(vals)
+    ads = [abs(Fraction(v) - fm) for v in vals]
+    fmad = fmedian(ads)          # Fraction median of Fractions works:
+    # ads are k/2-grid rationals; (a+b)/2 stays exact
+    expect_out = sum(1 for a in ads if a > 3 * fmad)
+    assert int(n_out) == expect_out, (n_out, expect_out, vals)
+    assert med == float(fm / 10**6)
+    assert mad == float(fmad / 10**6)
+
+
+def test_rfm_exact_rational_boundary_micro(spark, tmp_path):
+    """r14: hand-computed pin for q_rfm's 0.66 exact-rational boundary
+    (the r13 rewrite had only fixture-level oracle equality). Four
+    customers with frequencies 1..4 and monetary 10..40: n=4 puts the
+    boundary at rank k=1, m=98 — threshold 100*v >= 100*a + 98*(b-a)
+    with a=rank2, b=rank3, i.e. frequency >= 2.98 and monetary >=
+    29.8 — so customers 3 and 4 are core, 1 and 2 tail. Cross-checked
+    against the DuckDB oracle on the same micro table."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = []
+    okey = 0
+    d = dt.datetime(2024, 1, 1)
+    for cust, (freq, total) in enumerate(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], start=1
+    ):
+        per = total / freq
+        for _ in range(freq):
+            okey += 1
+            rows.append((okey, cust, "O", per, d, "1-URGENT"))
+    _micro_table(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    expect = {1: (0, 1, 10.0, "tail"), 2: (0, 2, 20.0, "tail"),
+              3: (0, 3, 30.0, "core"), 4: (0, 4, 40.0, "core")}
+    got = {
+        r.o_custkey: (r.recency_days, r.frequency, r.monetary, r.segment)
+        for r in registry.QUERIES["q_rfm"](spark, str(tmp_path)).collect()
+    }
+    assert got == expect, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/orders.parquet')"
+    )
+    orc = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(registry.ORACLES["q_rfm"]).fetchall()
+    }
+    assert orc == expect, orc

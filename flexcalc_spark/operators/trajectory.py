@@ -24,9 +24,13 @@ every dedup key in this engine:
 
 Determinism: segment assignment is pure integer math (i * 8 div n);
 segment means come from BIGINT grid sums; quartile boundaries are
-percentile-interpolated doubles that match DuckDB quantile_cont
-bit-for-bit (the q_agg_percentile precedent); symbol compares and
-Hamming are integers.
+DISCRETE (lower/type-1) order statistics — rank-SELECTED mean values,
+no interpolation arithmetic at all, so both engines extract the
+identical double by construction (r14: the previous interpolated
+percentile rested on both engines sharing the a + frac*(b-a) formula,
+the one residual cross-engine assumption of the exact-rational sweep,
+since means are heterogeneous-denominator rationals with no common
+BIGINT grid); symbol compares and Hamming are integers.
 
 Scale: every stage is user-bounded after the one event scan (the PAA
 collapse). Candidate volume is |users| x shared-gram collisions — the
@@ -90,10 +94,36 @@ def _sax_core(spark: SparkSession, sf_dir: str):
         "s",
         (F.col("sg").cast("double") / 1_000_000.0 / F.col("c")).alias("m"),
     )
-    bounds = means.agg(
-        F.expr("percentile(m, 0.25)").alias("b1"),
-        F.expr("percentile(m, 0.50)").alias("b2"),
-        F.expr("percentile(m, 0.75)").alias("b3"),
+    # Alphabet boundaries as DISCRETE order statistics (lower/type-1
+    # quartiles: the mean at rank (k*(n-1)) div 4 + 1), r14: the old
+    # interpolated percentile() emitted a + frac*(b-a) doubles whose
+    # cross-engine bit-identity rested on both engines sharing the
+    # interpolation formula — the one hazard the exact-rational sweep
+    # could not cover with integers, because means are heterogeneous-
+    # denominator rationals (sg / (c * 1e6)) with no common BIGINT
+    # grid. Rank-SELECTED values involve no arithmetic at all: both
+    # engines order the identically-computed doubles and extract the
+    # same element, so symbol compares are deterministic by
+    # construction. The rank window runs over the users x 8 table
+    # (user-bounded, never event-bounded — same domain the percentile
+    # buffer covered); swap to approx_percentile at 100 TB as before.
+    from pyspark.sql.window import Window as _W
+
+    nn = means.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rankedm = (
+        means.select("m")
+        .withColumn("rn", F.row_number().over(_W.orderBy("m")))
+        .crossJoin(F.broadcast(nn))
+    )
+    bounds = rankedm.agg(
+        *[
+            F.max(
+                F.when(
+                    F.expr(f"rn = ({k}*(n-1)) div 4 + 1"), F.col("m")
+                )
+            ).alias(f"b{k}")
+            for k in (1, 2, 3)
+        ]
     )
     sym = means.crossJoin(F.broadcast(bounds)).select(
         "user_id",
@@ -173,16 +203,23 @@ def _sax_gram_candidates(words: DataFrame) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS c
             FROM ordered GROUP BY user_id, (i * {SEGMENTS}) // n
         ),
-        means AS (
+        means AS MATERIALIZED (
             SELECT user_id, s,
                    CAST(sg AS DOUBLE) / 1000000.0 / c AS m
             FROM seg
         ),
+        -- discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
+        -- values, no interpolation arithmetic — deterministic across
+        -- engines by construction (see _sax_core)
+        nn AS (SELECT COUNT(*) AS n FROM means),
+        rankedm AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+        ),
         bounds AS (
-            SELECT quantile_cont(m, 0.25) AS b1,
-                   quantile_cont(m, 0.50) AS b2,
-                   quantile_cont(m, 0.75) AS b3
-            FROM means
+            SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
+                   MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
+                   MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
+            FROM rankedm, nn GROUP BY n
         ),
         sym AS (
             SELECT user_id, s,
@@ -239,7 +276,11 @@ def _sax_gram_candidates(words: DataFrame) -> DataFrame:
         "— with exact symbol-Hamming verify on candidates only. "
         "Elastic DTW/Fréchet are sequential DPs that don't decompose; "
         "SAX is the distributed-literature answer and everything here "
-        "after the scan is |users|-bounded. Boundaries swap to "
+        "after the scan is |users|-bounded. Alphabet boundaries are "
+        "discrete order statistics (rank-selected means, zero "
+        "interpolation arithmetic — cross-engine-deterministic by "
+        "construction, r14); the rank window covers the same users x 8 "
+        "domain the old percentile buffer did, and swaps to "
         "approx_percentile at 100 TB (users x 8 rows may still be "
         "large), same plan"
     ),
@@ -285,16 +326,23 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS c
             FROM ordered GROUP BY user_id, (i * {SEGMENTS}) // n
         ),
-        means AS (
+        means AS MATERIALIZED (
             SELECT user_id, s,
                    CAST(sg AS DOUBLE) / 1000000.0 / c AS m
             FROM seg
         ),
+        -- discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
+        -- values, no interpolation arithmetic — deterministic across
+        -- engines by construction (see _sax_core)
+        nn AS (SELECT COUNT(*) AS n FROM means),
+        rankedm AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+        ),
         bounds AS (
-            SELECT quantile_cont(m, 0.25) AS b1,
-                   quantile_cont(m, 0.50) AS b2,
-                   quantile_cont(m, 0.75) AS b3
-            FROM means
+            SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
+                   MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
+                   MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
+            FROM rankedm, nn GROUP BY n
         ),
         sym AS (
             SELECT user_id, s,

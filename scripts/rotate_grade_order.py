@@ -223,21 +223,37 @@ def main() -> int:
     new = rotate(order, latest)
     assert sorted(new) == sorted(order), "rotation must be a permutation"
 
+    # SIGPIPE hardening (r14, found live): the 50-line window print
+    # used to run BEFORE the rewrite, so `--apply | head` died of
+    # BrokenPipeError mid-print with the manifest written and the
+    # registry NOT rewritten (the fixed-point test catches the state,
+    # but the tool reported nothing). Print only the summary line
+    # before acting; the window listing moves after the rewrite.
     tiers: dict[int, int] = {}
     for k in new:
         tiers[latest.get(k, 0)] = tiers.get(latest.get(k, 0), 0) + 1
     print("evidence tiers (round -> keys):",
           {f"r{r}" if r else "never/failed/changed": n
            for r, n in sorted(tiers.items())})
-    front = new[:WINDOW]
-    print(f"next graded window ({WINDOW}):")
-    for k in front:
-        r = latest.get(k, 0)
-        print(f"  {k}  [{'never/failed/changed' if r == 0 else f'r{r}'}]")
+
+    def print_window() -> None:
+        try:
+            print(f"next graded window ({WINDOW}):")
+            for k in new[:WINDOW]:
+                r = latest.get(k, 0)
+                print(
+                    f"  {k}  "
+                    f"[{'never/failed/changed' if r == 0 else f'r{r}'}]"
+                )
+        except BrokenPipeError:
+            pass  # a closed pipe must never look like a tool failure
+
     if new == order:
+        print_window()
         print("order already rotated — nothing to do")
         return 0
     if not apply:
+        print_window()
         print("dry run (pass --apply to rewrite registry.py)")
         return 0
 
@@ -299,6 +315,7 @@ def main() -> int:
         raise SystemExit("splice produced a different GRADE_ORDER — "
                          "registry.py NOT rewritten")
     open(REGISTRY, "w").write(new_src)
+    print_window()
     print(f"rewrote {REGISTRY}; re-run the window pre-time "
           "(scripts/pretime_window.py) before committing")
     return 0

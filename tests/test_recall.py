@@ -221,11 +221,18 @@ def test_trajectory_banding_recall_floor(spark):
                        CAST(SUM(vg) AS BIGINT) AS sg,
                        CAST(COUNT(*) AS BIGINT) AS c
                 FROM ordered GROUP BY user_id, (i * 8) // n),
-        means AS (SELECT user_id, s,
+        means AS MATERIALIZED (SELECT user_id, s,
                          CAST(sg AS DOUBLE) / 1000000.0 / c AS m FROM seg),
-        bounds AS (SELECT quantile_cont(m, 0.25) AS b1,
-                          quantile_cont(m, 0.50) AS b2,
-                          quantile_cont(m, 0.75) AS b3 FROM means),
+        nn AS (SELECT COUNT(*) AS n FROM means),
+        rankedm AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn
+                    FROM means),
+        bounds AS (SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m
+                              END) AS b1,
+                          MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m
+                              END) AS b2,
+                          MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m
+                              END) AS b3
+                   FROM rankedm, nn GROUP BY n),
         sym AS (SELECT user_id, s,
                        CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2
                                  WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT) AS y

@@ -109,11 +109,21 @@ def _sax_core(spark: SparkSession, sf_dir: str):
     # buffer covered); swap to approx_percentile at 100 TB as before.
     from pyspark.sql.window import Window as _W
 
-    nn = means.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    rankedm = (
-        means.select("m")
-        .withColumn("rn", F.row_number().over(_W.orderBy("m")))
-        .crossJoin(F.broadcast(nn))
+    # one single-partition window pass yields (rn, n) together (r14
+    # review: the separate count aggregate added a BroadcastNestedLoop
+    # attach and a third means consumer for nothing). NULL means are
+    # excluded from the RANKING explicitly — Spark orders NULLS FIRST,
+    # DuckDB NULLS LAST, so an unfiltered row_number would shift every
+    # boundary rank differently per engine the day a regen makes
+    # value nullable (they still symbolize: NULL > b is NULL -> ELSE 0
+    # identically on both engines).
+    wall = _W.partitionBy().rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    rankedm = means.where(F.col("m").isNotNull()).select(
+        "m",
+        F.row_number().over(_W.orderBy("m")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
     )
     bounds = rankedm.agg(
         *[
@@ -210,16 +220,18 @@ def _sax_gram_candidates(words: DataFrame) -> DataFrame:
         ),
         -- discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
         -- values, no interpolation arithmetic — deterministic across
-        -- engines by construction (see _sax_core)
-        nn AS (SELECT COUNT(*) AS n FROM means),
+        -- engines by construction (see _sax_core); NULL means are
+        -- excluded from the ranking (engines order NULLs oppositely)
         rankedm AS (
-            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM means WHERE m IS NOT NULL
         ),
         bounds AS (
             SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
                    MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
                    MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
-            FROM rankedm, nn GROUP BY n
+            FROM rankedm
         ),
         sym AS (
             SELECT user_id, s,
@@ -333,16 +345,18 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         -- discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
         -- values, no interpolation arithmetic — deterministic across
-        -- engines by construction (see _sax_core)
-        nn AS (SELECT COUNT(*) AS n FROM means),
+        -- engines by construction (see _sax_core); NULL means are
+        -- excluded from the ranking (engines order NULLs oppositely)
         rankedm AS (
-            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM means WHERE m IS NOT NULL
         ),
         bounds AS (
             SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
                    MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
                    MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
-            FROM rankedm, nn GROUP BY n
+            FROM rankedm
         ),
         sym AS (
             SELECT user_id, s,

@@ -223,40 +223,40 @@ def main() -> int:
     new = rotate(order, latest)
     assert sorted(new) == sorted(order), "rotation must be a permutation"
 
-    # SIGPIPE hardening (r14, found live): the 50-line window print
-    # used to run BEFORE the rewrite, so `--apply | head` died of
-    # BrokenPipeError mid-print with the manifest written and the
-    # registry NOT rewritten (the fixed-point test catches the state,
-    # but the tool reported nothing). Print only the summary line
-    # before acting; the window listing moves after the rewrite.
+    # SIGPIPE hardening (r14, found live twice): `--apply | head` used
+    # to die of BrokenPipeError during printing with the manifest
+    # written and the registry NOT rewritten — and the first fix still
+    # had unguarded prints around the guarded block. The structural
+    # rule now: ALL state mutation happens before ANY printing (a
+    # closed pipe can no longer cause partial state), and __main__
+    # converts BrokenPipeError into a clean exit 0 (the work, if any,
+    # is already durable by then).
     tiers: dict[int, int] = {}
     for k in new:
         tiers[latest.get(k, 0)] = tiers.get(latest.get(k, 0), 0) + 1
+
+    if apply and new != order:
+        _rewrite_registry(src, new, latest, tiers)
+
     print("evidence tiers (round -> keys):",
           {f"r{r}" if r else "never/failed/changed": n
            for r, n in sorted(tiers.items())})
-
-    def print_window() -> None:
-        try:
-            print(f"next graded window ({WINDOW}):")
-            for k in new[:WINDOW]:
-                r = latest.get(k, 0)
-                print(
-                    f"  {k}  "
-                    f"[{'never/failed/changed' if r == 0 else f'r{r}'}]"
-                )
-        except BrokenPipeError:
-            pass  # a closed pipe must never look like a tool failure
-
+    print(f"next graded window ({WINDOW}):")
+    for k in new[:WINDOW]:
+        r = latest.get(k, 0)
+        print(f"  {k}  [{'never/failed/changed' if r == 0 else f'r{r}'}]")
     if new == order:
-        print_window()
         print("order already rotated — nothing to do")
-        return 0
-    if not apply:
-        print_window()
+    elif not apply:
         print("dry run (pass --apply to rewrite registry.py)")
-        return 0
+    else:
+        print(f"rewrote {REGISTRY}; re-run the window pre-time "
+              "(scripts/pretime_window.py) before committing")
+    return 0
 
+
+def _rewrite_registry(src: str, new: list[str], latest: dict[str, int],
+                      tiers: dict[int, int]) -> None:
     lit_start, lit_end = literal_span(src)
     # regenerate the descriptive comment block too (the hand-written
     # "Round-N front" paragraph would silently go stale otherwise).
@@ -315,11 +315,17 @@ def main() -> int:
         raise SystemExit("splice produced a different GRADE_ORDER — "
                          "registry.py NOT rewritten")
     open(REGISTRY, "w").write(new_src)
-    print_window()
-    print(f"rewrote {REGISTRY}; re-run the window pre-time "
-          "(scripts/pretime_window.py) before committing")
-    return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        _code = main()
+    except BrokenPipeError:
+        # any state mutation already happened before the first print;
+        # a consumer closing the pipe early is not a failure. Point
+        # stdout at devnull so the interpreter-exit flush cannot
+        # re-raise (exit 120).
+        _devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(_devnull, sys.stdout.fileno())
+        _code = 0
+    raise SystemExit(_code)

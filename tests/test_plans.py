@@ -353,7 +353,8 @@ def test_exact_percentile_tiers_still_exact(spark):
     q_rfm since r13, q_histogram_equidepth and q_mad_outliers since
     r14. Assert the rank construction and the absence of any exact
     percentile() node."""
-    for key in ["q_histogram_equidepth", "q_mad_outliers", "q_rfm"]:
+    for key in ["q_histogram_equidepth", "q_mad_outliers", "q_rfm",
+                "q_trajectory_sim", "q_trajectory_dtw"]:
         plan = plan_text(Q[key](spark, SF_DIR))
         assert "row_number()" in plan, key
         assert not re.search(r"(?<!approx_)percentile\(", plan), key

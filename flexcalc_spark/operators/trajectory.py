@@ -59,6 +59,27 @@ MAX_HAMMING = 2
 # (tests/test_fixture_assumptions.py asserts the headroom).
 DTW_INF = 4_000_000_000_000_000
 
+# Shared DuckDB text of the SAX alphabet-boundary CTEs (consumed by
+# BOTH trajectory oracles and the recall test's brute-force word
+# construction — one definition so a boundary change cannot silently
+# diverge an oracle from the plan it grades, the round-11 extraction
+# lesson). Discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
+# values, no interpolation arithmetic — deterministic across engines
+# by construction (see _sax_core); NULL means are excluded from the
+# ranking (engines order NULLs oppositely).
+SAX_BOUNDS_CTES_SQL = """
+        rankedm AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM means WHERE m IS NOT NULL
+        ),
+        bounds AS (
+            SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
+                   MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
+                   MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
+            FROM rankedm
+        )"""
+
 
 def _sax_core(spark: SparkSession, sf_dir: str):
     """Shared SAX pipeline: events -> (seg, words).
@@ -218,21 +239,7 @@ def _sax_gram_candidates(words: DataFrame) -> DataFrame:
                    CAST(sg AS DOUBLE) / 1000000.0 / c AS m
             FROM seg
         ),
-        -- discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
-        -- values, no interpolation arithmetic — deterministic across
-        -- engines by construction (see _sax_core); NULL means are
-        -- excluded from the ranking (engines order NULLs oppositely)
-        rankedm AS (
-            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
-                   COUNT(*) OVER () AS n
-            FROM means WHERE m IS NOT NULL
-        ),
-        bounds AS (
-            SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
-                   MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
-                   MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
-            FROM rankedm
-        ),
+        {SAX_BOUNDS_CTES_SQL},
         sym AS (
             SELECT user_id, s,
                    CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2
@@ -343,21 +350,7 @@ def q_trajectory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sg AS DOUBLE) / 1000000.0 / c AS m
             FROM seg
         ),
-        -- discrete (lower/type-1) quartiles, r14: rank-SELECTED mean
-        -- values, no interpolation arithmetic — deterministic across
-        -- engines by construction (see _sax_core); NULL means are
-        -- excluded from the ranking (engines order NULLs oppositely)
-        rankedm AS (
-            SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
-                   COUNT(*) OVER () AS n
-            FROM means WHERE m IS NOT NULL
-        ),
-        bounds AS (
-            SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m END) AS b1,
-                   MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m END) AS b2,
-                   MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m END) AS b3
-            FROM rankedm
-        ),
+        {SAX_BOUNDS_CTES_SQL},
         sym AS (
             SELECT user_id, s,
                    CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2

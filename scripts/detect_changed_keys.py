@@ -162,6 +162,7 @@ def main() -> int:
         import flexcalc_spark.registry as reg
 
         mark_changed(stale, list(reg.QUERIES), REPO)
+        print(f"marked changed: {', '.join(stale)}")
         print("now run: python scripts/rotate_grade_order.py --apply")
     else:
         print(

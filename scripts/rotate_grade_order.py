@@ -153,7 +153,7 @@ def prune_inert_changed(correctness_dir: str = REPO) -> list[str]:
         with open(manifest, "w") as fh:
             json.dump(dict(sorted(keep.items())), fh, indent=1)
             fh.write("\n")
-        print(f"pruned inert changed-key markers: {', '.join(pruned)}")
+    # no printing here — see mark_changed
     return pruned
 
 
@@ -202,12 +202,15 @@ def mark_changed(keys: list[str], order: list[str],
     with open(manifest, "w") as fh:
         json.dump(dict(sorted(entries.items())), fh, indent=1)
         fh.write("\n")
-    print(f"marked changed in r{current_round}: {', '.join(keys)}")
+    # no printing here: callers report AFTER all mutation is done (the
+    # r14 SIGPIPE rule — a print between two writes turns a closed
+    # pipe into silent partial state)
     return entries
 
 
 def main() -> int:
     apply = "--apply" in sys.argv
+    notes: list[str] = []
     if "--mark-changed" in sys.argv:
         idx = sys.argv.index("--mark-changed")
         keys = [a for a in sys.argv[idx + 1:] if not a.startswith("--")]
@@ -215,8 +218,13 @@ def main() -> int:
             raise SystemExit("--mark-changed requires at least one key")
         src0 = open(REGISTRY).read()
         mark_changed(keys, read_grade_order(src0))
+        notes.append(f"marked changed: {', '.join(keys)}")
     if apply:
-        prune_inert_changed()
+        pruned = prune_inert_changed()
+        if pruned:
+            notes.append(
+                f"pruned inert changed-key markers: {', '.join(pruned)}"
+            )
     src = open(REGISTRY).read()
     order = read_grade_order(src)
     latest = latest_evidence()
@@ -238,6 +246,8 @@ def main() -> int:
     if apply and new != order:
         _rewrite_registry(src, new, latest, tiers)
 
+    for note in notes:
+        print(note)
     print("evidence tiers (round -> keys):",
           {f"r{r}" if r else "never/failed/changed": n
            for r, n in sorted(tiers.items())})

@@ -348,11 +348,12 @@ def test_approx_tiers_have_no_exact_percentile_reduce(spark):
 
 
 def test_exact_percentile_tiers_still_exact(spark):
-    """The oracle twins compute their boundaries from integer ORDER
-    STATISTICS (row_number rank windows — no FP interpolation at all):
-    q_rfm since r13, q_histogram_equidepth and q_mad_outliers since
-    r14. Assert the rank construction and the absence of any exact
-    percentile() node."""
+    """The oracle twins compute their boundaries from rank-window
+    ORDER STATISTICS (no FP interpolation at all): q_rfm since r13;
+    q_histogram_equidepth and q_mad_outliers (integer exact-rational)
+    and the trajectory keys (discrete rank-SELECTED SAX quartiles)
+    since r14. Assert the rank construction and the absence of any
+    exact percentile() node."""
     for key in ["q_histogram_equidepth", "q_mad_outliers", "q_rfm",
                 "q_trajectory_sim", "q_trajectory_dtw"]:
         plan = plan_text(Q[key](spark, SF_DIR))

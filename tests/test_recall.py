@@ -206,9 +206,11 @@ def test_trajectory_banding_recall_floor(spark):
         f"CREATE VIEW events AS SELECT * FROM"
         f" read_parquet('{SF_DIR}/events.parquet')"
     )
+    from flexcalc_spark.operators.trajectory import SAX_BOUNDS_CTES_SQL
+
     words = dict(
         con.execute(
-            """
+            f"""
         WITH ordered AS (
             SELECT user_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id
@@ -223,16 +225,7 @@ def test_trajectory_banding_recall_floor(spark):
                 FROM ordered GROUP BY user_id, (i * 8) // n),
         means AS MATERIALIZED (SELECT user_id, s,
                          CAST(sg AS DOUBLE) / 1000000.0 / c AS m FROM seg),
-        rankedm AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
-                           COUNT(*) OVER () AS n
-                    FROM means WHERE m IS NOT NULL),
-        bounds AS (SELECT MAX(CASE WHEN rn = (1*(n-1))//4 + 1 THEN m
-                              END) AS b1,
-                          MAX(CASE WHEN rn = (2*(n-1))//4 + 1 THEN m
-                              END) AS b2,
-                          MAX(CASE WHEN rn = (3*(n-1))//4 + 1 THEN m
-                              END) AS b3
-                   FROM rankedm),
+        {SAX_BOUNDS_CTES_SQL},
         sym AS (SELECT user_id, s,
                        CAST(CASE WHEN m > b3 THEN 3 WHEN m > b2 THEN 2
                                  WHEN m > b1 THEN 1 ELSE 0 END AS BIGINT) AS y

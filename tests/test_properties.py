@@ -931,3 +931,31 @@ def test_rfm_exact_rational_boundary_micro(spark, tmp_path):
         for r in con.execute(registry.ORACLES["q_rfm"]).fetchall()
     }
     assert orc == expect, orc
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+)
+@settings(max_examples=40, deadline=None)
+def test_sax_discrete_bounds_match_sorted_index_reference(vals):
+    """r14: the shared SAX boundary CTEs select DISCRETE lower
+    (type-1) quartiles — the value at sorted index (k*(n-1))//4 —
+    with no interpolation arithmetic. Validated against plain Python
+    list indexing over random multisets (duplicates, negatives, and
+    the n=1 edge included); ties are value-identical so row_number
+    tie order cannot matter."""
+    import duckdb
+    import pandas as pd
+
+    from flexcalc_spark.operators.trajectory import SAX_BOUNDS_CTES_SQL
+
+    con = duckdb.connect()
+    con.register("raw_means", pd.DataFrame({"m": [float(v) for v in vals]}))
+    row = con.execute(
+        f"WITH means AS (SELECT m FROM raw_means),\n{SAX_BOUNDS_CTES_SQL}"
+        "\nSELECT b1, b2, b3 FROM bounds"
+    ).fetchall()[0]
+    s = sorted(vals)
+    n = len(s)
+    expect = tuple(float(s[(k * (n - 1)) // 4]) for k in (1, 2, 3))
+    assert row == expect, (row, expect, s)

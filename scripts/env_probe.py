@@ -1,0 +1,125 @@
+"""Driver-environment independence probe (r14).
+
+The driver runs queries with its OWN vanilla SparkSession whose config
+the repo does not control. This probe certifies that every registered
+key's canonicalized output is byte-identical across the four config
+axes a reasonable driver could differ on:
+
+    shuffle  spark.sql.shuffle.partitions     2 vs 37
+    arrow    spark.sql.execution.arrow.pyspark.enabled  true vs false
+    tz       spark.sql.session.timeZone       UTC vs America/New_York
+    ansi     spark.sql.ansi.enabled           true vs false
+
+Round-14 baseline: ALL 256 keys identical on ALL four axes at sf0.01
+(zero diffs, zero errors). Re-run after every fixture regen — the
+certification is a property of code x data.
+
+Usage (from /tmp, the vanilla-session discipline):
+    python /root/repo/scripts/env_probe.py shuffle [start [end]]
+    python /root/repo/scripts/env_probe.py all 0 64   # every axis, slice
+
+Each axis spawns two fresh in-process sessions (stop + rebuild), so
+probe ranges in slices if driver-state accumulation (the r12 sweep-OOM
+mode) ever shows up here too.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+AXES: dict[str, tuple[str, str, str]] = {
+    "shuffle": ("spark.sql.shuffle.partitions", "2", "37"),
+    "arrow": ("spark.sql.execution.arrow.pyspark.enabled",
+              "true", "false"),
+    "tz": ("spark.sql.session.timeZone", "UTC", "America/New_York"),
+    "ansi": ("spark.sql.ansi.enabled", "true", "false"),
+}
+SF = "/root/testdata/sf0.01"
+
+
+def canon(v):
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if v is None:
+        return "N"
+    if isinstance(v, float):
+        return "N" if math.isnan(v) else repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def run(conf_key: str, conf_val: str, keys: list[str]) -> dict:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config(conf_key, conf_val)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    out: dict = {}
+    for k in keys:
+        try:
+            pdf = qs[k](spark, SF).toPandas()
+            cols = sorted(pdf.columns)
+            out[k] = sorted(
+                tuple(canon(v) for v in r)
+                for r in pdf[cols].itertuples(index=False, name=None)
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            out[k] = f"ERROR: {type(e).__name__}: {e}"
+        spark.catalog.clearCache()
+    spark.stop()
+    return out
+
+
+def probe(axis: str, start: int, end: int) -> int:
+    import flexcalc_spark.registry as reg
+
+    reg.load_all()
+    keys = list(reg.QUERIES)[start:end]
+    conf_key, v1, v2 = AXES[axis]
+    a = run(conf_key, v1, keys)
+    b = run(conf_key, v2, keys)
+    diff = [k for k in keys if a[k] != b[k]]
+    errs = sorted(
+        k
+        for k in keys
+        for side in (a, b)
+        if isinstance(side[k], str) and side[k].startswith("ERROR")
+    )
+    print(f"[{axis}] keys {start + 1}-{start + len(keys)}: "
+          f"errors={errs or 'none'}")
+    print(f"[{axis}] config-dependent: "
+          f"{diff if diff else 'NONE — all identical'}")
+    return 1 if (diff or errs) else 0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if not args or args[0] not in (*AXES, "all"):
+        raise SystemExit(
+            f"usage: env_probe.py {{{'|'.join(AXES)}|all}} [start [end]]"
+        )
+    start = int(args[1]) if len(args) > 1 else 0
+    end = int(args[2]) if len(args) > 2 else 10 ** 9
+    axes = list(AXES) if args[0] == "all" else [args[0]]
+    rc = 0
+    for axis in axes:
+        rc |= probe(axis, start, end)
+    print("PROBE RESULT:", "CLEAN" if rc == 0 else "DIFFS/ERRORS above")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -5,14 +5,19 @@ the repo does not control. This probe certifies that every registered
 key's canonicalized output is byte-identical across the four config
 axes a reasonable driver could differ on:
 
-    shuffle  spark.sql.shuffle.partitions     2 vs 37
-    arrow    spark.sql.execution.arrow.pyspark.enabled  true vs false
-    tz       spark.sql.session.timeZone       UTC vs America/New_York
-    ansi     spark.sql.ansi.enabled           true vs false
+    shuffle    spark.sql.shuffle.partitions     2 vs 37
+    arrow      spark.sql.execution.arrow.pyspark.enabled  true vs false
+    tz         spark.sql.session.timeZone       UTC vs America/New_York
+    ansi       spark.sql.ansi.enabled           true vs false
+    scansplit  spark.sql.files.maxPartitionBytes  128 MiB vs 1 MiB
+    arrowbatch spark.sql.execution.arrow.maxRecordsPerBatch  10000 vs 123
+    aqe        spark.sql.adaptive.enabled       true vs false
 
-Round-14 baseline: ALL 256 keys identical on ALL four axes at sf0.01
-(zero diffs, zero errors). Re-run after every fixture regen — the
-certification is a property of code x data.
+Round-14 baseline: ALL 256 keys identical on ALL certified axes at
+sf0.01 (zero diffs, zero errors) — shuffle/arrow/tz/ansi/scansplit
+certified in the main session; arrowbatch and aqe added after. Re-run
+after every fixture regen — the certification is a property of
+code x data.
 
 Usage (from /tmp, the vanilla-session discipline):
     python /root/repo/scripts/env_probe.py shuffle [start [end]]
@@ -37,6 +42,20 @@ AXES: dict[str, tuple[str, str, str]] = {
               "true", "false"),
     "tz": ("spark.sql.session.timeZone", "UTC", "America/New_York"),
     "ansi": ("spark.sql.ansi.enabled", "true", "false"),
+    # scan-split size flips map-side row order inside partitions — the
+    # FP-sum-reorder axis; identical outputs certify the integer-grid
+    # sum discipline against it
+    "scansplit": ("spark.sql.files.maxPartitionBytes",
+                  "134217728", "1048576"),
+    # Arrow batch size shifts every mapInPandas/pandas-UDF chunk
+    # boundary — the r9 "degrade per row, never per batch" class and
+    # the secondary-sort carry logic are what this attacks (grouped
+    # applyInPandas is unaffected: groups never split)
+    "arrowbatch": ("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   "10000", "123"),
+    # AQE off = no runtime coalesce/skew re-plan; identical outputs
+    # certify no key leans on adaptive partition layouts
+    "aqe": ("spark.sql.adaptive.enabled", "true", "false"),
 }
 SF = "/root/testdata/sf0.01"
 

@@ -13,9 +13,8 @@ axes a reasonable driver could differ on:
     arrowbatch spark.sql.execution.arrow.maxRecordsPerBatch  10000 vs 123
     aqe        spark.sql.adaptive.enabled       true vs false
 
-Round-14 baseline: ALL 256 keys identical on ALL certified axes at
-sf0.01 (zero diffs, zero errors) — shuffle/arrow/tz/ansi/scansplit
-certified in the main session; arrowbatch and aqe added after. Re-run
+Round-14 baseline: ALL 256 keys identical on ALL seven axes at sf0.01
+(zero diffs, zero errors; five fresh-process slices per axis). Re-run
 after every fixture regen — the certification is a property of
 code x data.
 

@@ -22,7 +22,9 @@ query. It owns two cross-cutting concerns:
 
 from __future__ import annotations
 
+import os
 import warnings
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +41,42 @@ TABLES = [
 # events.ts integer epoch derivations, shared by every event-time query.
 NS_PER_US = 1_000
 NS_PER_SEC = 1_000_000_000
+
+# Per-session scan memo: spark.read.parquet costs ~95-135 ms per call
+# (py4j + DataSource resolution + file listing + footer schema read,
+# measured sf0.1 r14) and multi-table keys pay it per table per
+# construction. DataFrames are immutable, so the resolved scan can be
+# handed out again as long as (a) the session is the same live object
+# (a stopped session's plans must never leak into its successor —
+# WeakKeyDictionary keyed BY the session object guarantees a miss and
+# lets dead sessions' entries collect) and (b) the files underneath
+# have not changed (the signature below; tests rewrite tmp fixture
+# dirs in place). Self-joins of a memoized scan are safe: Catalyst's
+# relation deduplication assigns the right side fresh attribute ids,
+# and ambiguous object-column conditions fail loudly under the default
+# failAmbiguousSelfJoin — the full verify sweep covers every key.
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_SCAN_MEMO_MAX = 512  # tmp-dir tests could otherwise grow it unbounded
+
+
+def _path_sig(path: str):
+    """Staleness token for a parquet file or directory: (name, mtime_ns,
+    size) of every direct entry. ~36 µs on the fixture dirs — three
+    orders of magnitude below the read it saves. None = not statable;
+    caller skips the memo and lets Spark raise its own error."""
+    try:
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                return tuple(sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                ))
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,7 +131,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = _path_sig(path)
+    if sig is None:
+        return spark.read.parquet(path)
+    memo = _SCAN_MEMO.setdefault(spark, {})
+    key = (path, sig)
+    df = memo.get(key)
+    if df is None:
+        if len(memo) >= _SCAN_MEMO_MAX:
+            memo.clear()
+        df = spark.read.parquet(path)
+        memo[key] = df
+    return df
 
 
 def epoch_us_col(df: DataFrame) -> "F.Column":

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import warnings
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,34 +46,57 @@ NS_PER_SEC = 1_000_000_000
 # measured sf0.1 r14) and multi-table keys pay it per table per
 # construction. DataFrames are immutable, so the resolved scan can be
 # handed out again as long as (a) the session is the same live object
-# (a stopped session's plans must never leak into its successor —
-# WeakKeyDictionary keyed BY the session object guarantees a miss and
-# lets dead sessions' entries collect) and (b) the files underneath
-# have not changed (the signature below; tests rewrite tmp fixture
-# dirs in place). Self-joins of a memoized scan are safe: Catalyst's
-# relation deduplication assigns the right side fresh attribute ids,
-# and ambiguous object-column conditions fail loudly under the default
-# failAmbiguousSelfJoin — the full verify sweep covers every key.
-_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# (a stopped session's plans must never leak into its successor) and
+# (b) the files underneath have not changed (the signature below;
+# tests rewrite tmp fixture dirs in place). The memo dict lives as an
+# ATTRIBUTE on the session object, not in a module-level registry: a
+# WeakKeyDictionary would never evict, because its values (DataFrames)
+# hold a strong reference to their session — the classic weak-dict
+# value-pins-key cycle, verified live in the r14 review — whereas a
+# session-attribute dict is a pure cycle the collector frees with the
+# session once the caller drops it. Self-joins of a memoized scan are
+# safe: Catalyst's relation deduplication assigns the right side fresh
+# attribute ids, and ambiguous object-column conditions fail loudly
+# under the default failAmbiguousSelfJoin — the full verify sweep
+# covers every key.
+_SCAN_MEMO_ATTR = "_flexcalc_scan_memo"
 _SCAN_MEMO_MAX = 512  # tmp-dir tests could otherwise grow it unbounded
 
 
+def _session_live(spark: SparkSession) -> bool:
+    """False once the underlying SparkContext is stopped (stop() nulls
+    _jsc). A stopped session's plans are useless to everyone — never
+    memoize on one, and never serve from one."""
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
 def _path_sig(path: str):
-    """Staleness token for a parquet file or directory: (name, mtime_ns,
-    size) of every direct entry. ~36 µs on the fixture dirs — three
-    orders of magnitude below the read it saves. None = not statable;
-    caller skips the memo and lets Spark raise its own error."""
+    """Staleness token for a parquet file or directory tree: (relpath,
+    mtime_ns, size, inode) of every file, RECURSIVELY — partitioned
+    layouts (day=.../part-*.parquet) change only a nested file when
+    rewritten in place, so a direct-children-only listing would serve a
+    stale snapshot. The inode catches same-size rewrites that preserve
+    mtime (os.replace of a pre-written file, cp -p). ~36 µs on the
+    flat fixture dirs — three orders of magnitude below the read it
+    saves. None = not statable; caller skips the memo and lets Spark
+    raise its own error."""
     try:
         if os.path.isdir(path):
-            with os.scandir(path) as it:
-                return tuple(sorted(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in it
-                ))
+            sig = []
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                for fname in files:
+                    st = os.stat(os.path.join(root, fname))
+                    sig.append((
+                        os.path.join(rel, fname),
+                        st.st_mtime_ns, st.st_size, st.st_ino,
+                    ))
+            return tuple(sorted(sig))
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        return (st.st_mtime_ns, st.st_size, st.st_ino)
     except OSError:
         return None
 
@@ -133,9 +155,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     path = f"{sf_dir}/{name}.parquet"
     sig = _path_sig(path)
-    if sig is None:
+    if sig is None or not _session_live(spark):
         return spark.read.parquet(path)
-    memo = _SCAN_MEMO.setdefault(spark, {})
+    memo = getattr(spark, _SCAN_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _SCAN_MEMO_ATTR, memo)
     key = (path, sig)
     df = memo.get(key)
     if df is None:

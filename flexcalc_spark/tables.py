@@ -83,13 +83,31 @@ def _path_sig(path: str):
     flat fixture dirs — three orders of magnitude below the read it
     saves. None = not statable; caller skips the memo and lets Spark
     raise its own error."""
+    def _raise(err: OSError) -> None:
+        # os.walk swallows listing errors by default — an unlistable
+        # subdir would otherwise yield a PARTIAL signature that gets
+        # memoized and never changes (r14 second review pass). Raising
+        # restores the None contract below.
+        raise err
+
     try:
+        if os.path.islink(path):
+            return None  # symlinked fixtures: never memoize
         if os.path.isdir(path):
             sig = []
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path, onerror=_raise):
+                for d in dirs:
+                    if os.path.islink(os.path.join(root, d)):
+                        # walk does not descend into symlinked dirs, so
+                        # rewrites behind one would be invisible to the
+                        # signature — skip the memo for such layouts
+                        return None
                 rel = os.path.relpath(root, path)
                 for fname in files:
-                    st = os.stat(os.path.join(root, fname))
+                    full = os.path.join(root, fname)
+                    if os.path.islink(full):
+                        return None  # target can change without a stat delta here
+                    st = os.stat(full)
                     sig.append((
                         os.path.join(rel, fname),
                         st.st_mtime_ns, st.st_size, st.st_ino,

@@ -55,6 +55,14 @@ AXES: dict[str, tuple[str, str, str]] = {
     # AQE off = no runtime coalesce/skew re-plan; identical outputs
     # certify no key leans on adaptive partition layouts
     "aqe": ("spark.sql.adaptive.enabled", "true", "false"),
+    # interpreted expression eval instead of generated Java — same
+    # trees, but a distinct evaluation engine; certifies no key leans
+    # on a codegen-only quirk (slower arm: expect a longer run)
+    "codegen": ("spark.sql.codegen.wholeStage", "true", "false"),
+    # row-at-a-time parquet decode instead of the vectorized reader —
+    # a second, independent decode path for every input byte
+    "vecread": ("spark.sql.parquet.enableVectorizedReader",
+                "true", "false"),
 }
 SF = "/root/testdata/sf0.01"
 

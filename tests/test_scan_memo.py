@@ -1,7 +1,11 @@
 """The tables.table() scan memo (r14 continuation session).
 
-Each test here fails on a specific weakening of the memo (the r13
-"a regression test must fail on the code it guards against" rule):
+Guard tests follow the r13 "a regression test must fail on the code
+it guards against" rule — VERIFIED by running this file against the
+first-cut memo (commit e9dc53f): inode miss, nested in-place,
+liveness probe, and the module-registry guard all FAIL there; the
+hit/rewrite/missing-path tests pin behavior both versions share (they
+pass on both and guard against a removal, not the r14 fixes):
 
 - hit/identity      -> fails if the memo is removed
 - rewrite miss      -> fails if the signature drops mtime/size
@@ -14,6 +18,10 @@ Each test here fails on a specific weakening of the memo (the r13
 - liveness probe    -> fails if pyspark renames the private attrs
                        _session_live leans on (the memo would silently
                        disable and the construction win evaporate)
+- module registry   -> fails if ANY module-level Mapping (dict OR
+                       WeakKeyDictionary) holds DataFrames again
+- symlink / onerror -> signature must be None (skip memo), never a
+                       blind or partial tuple
 """
 
 from __future__ import annotations
@@ -109,12 +117,62 @@ def test_session_liveness_probe_sees_the_live_session(spark):
 def test_memo_lives_on_the_session_object_not_in_the_module(spark):
     # The module must hold no global strong reference to plans: the
     # only store is the per-session attribute (a pure cycle the GC can
-    # reclaim with the session). Guards against reintroducing a
-    # module-level registry whose values pin dead sessions' JVM state.
+    # reclaim with the session). Guards against reintroducing ANY
+    # module-level registry whose values pin dead sessions' JVM state
+    # — including the original WeakKeyDictionary layout (a Mapping but
+    # NOT a dict, and holding DataFrames one level down; the first
+    # version of this test checked isinstance(dict) on _SCAN_MEMO*
+    # names only and could not see the exact pattern it guarded
+    # against — r14 second review pass).
+    from collections.abc import Mapping
+
+    from pyspark.sql import DataFrame
+
     tables.table(spark, "/root/testdata/sf0.001", "nation")
     assert isinstance(getattr(spark, tables._SCAN_MEMO_ATTR), dict)
-    assert not any(
-        isinstance(getattr(tables, n), dict) and getattr(tables, n)
-        for n in dir(tables)
-        if n.startswith("_SCAN_MEMO") and n != "_SCAN_MEMO_ATTR"
-    )
+
+    offenders = []
+    for name, val in vars(tables).items():
+        if not isinstance(val, Mapping) or not len(val):
+            continue
+        flat = []
+        for v in val.values():
+            flat.extend(v.values() if isinstance(v, Mapping) else [v])
+        if any(isinstance(v, DataFrame) for v in flat):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_symlinked_subdir_disables_the_memo(spark, tmp_path):
+    # os.walk never descends into symlinked dirs, so no signature can
+    # see rewrites behind one — such layouts must skip the memo
+    # entirely (fresh read every call) rather than serve stale plans.
+    sf = str(tmp_path)
+    real = os.path.join(sf, "real_day")
+    os.makedirs(real)
+    _write(os.path.join(real, "part-0.parquet"), [1, 2])
+    top = os.path.join(sf, "events.parquet")
+    os.makedirs(top)
+    os.symlink(real, os.path.join(top, "day=1"))
+    assert tables._path_sig(top) is None
+    first = tables.table(spark, sf, "events")
+    second = tables.table(spark, sf, "events")
+    assert first is not second  # memo skipped, never stale
+
+
+def test_unlistable_subdir_yields_none_not_partial(tmp_path, monkeypatch):
+    # os.walk swallows listing errors by default; a partial signature
+    # would be memoized and NEVER change. The onerror hook must route
+    # such errors into the None (= skip memo) contract.
+    layout = os.path.join(str(tmp_path), "events.parquet", "day=1")
+    os.makedirs(layout)
+    _write(os.path.join(layout, "part-0.parquet"), [1])
+    real_scandir = os.scandir
+
+    def deny_nested(p="."):
+        if os.fspath(p).endswith("day=1"):
+            raise OSError(13, "Permission denied", os.fspath(p))
+        return real_scandir(p)
+
+    monkeypatch.setattr(tables.os, "scandir", deny_nested)
+    assert tables._path_sig(os.path.join(str(tmp_path), "events.parquet")) is None

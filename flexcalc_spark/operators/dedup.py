@@ -226,7 +226,18 @@ def _prefix_filter_pairs(
         .repartition(items.sparkSession.sparkContext.defaultParallelism)
         .cache()
     )
-    cand = _prefix_candidates_from_ranked(ranked, num, den, pair_pred)
+    # Re-score parallelism (r14 optimization): the exact-intersect stage
+    # runs in the candidate distinct's OUTPUT partitions — 8 under the
+    # bench conf, and ~3 under a vanilla 200-partition session after AQE
+    # coalesces the narrow pair stream to its BYTE target — while the
+    # per-pair array_intersect work is compute-bound, not byte-bound.
+    # One cheap narrow exchange of (id_a, id_b) pairs buys full-core
+    # parallelism for the intersect stage in ANY session (measured on
+    # q_dedup_containment at sf0.1: re-score tail 34.4 s -> ~9 s).
+    # Core-count-adaptive, never a tuned constant (guide §2.5).
+    cand = _prefix_candidates_from_ranked(ranked, num, den, pair_pred).repartition(
+        items.sparkSession.sparkContext.defaultParallelism
+    )
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
     isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
@@ -1259,7 +1270,12 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
-    cand = _containment_candidates(ranked, num, den)
+    # re-score parallelism: same narrow repartition as _prefix_filter_pairs
+    # (the candidate distinct's byte-sized output layout starves the
+    # compute-bound intersect stage — measured 34.4 s -> ~9 s at sf0.1)
+    cand = _containment_candidates(ranked, num, den).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
     isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
@@ -1609,8 +1625,13 @@ def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-score on candidates only — the scale recipe as one plan."""
     d = table_parallel(spark, sf_dir, "documents")
     # stage 1: word-shingle candidate pairs at the low candidate tau
-    # (_twostage_candidate_pairs — shared with the Zipf census probe)
-    cand = _twostage_candidate_pairs(d)
+    # (_twostage_candidate_pairs — shared with the Zipf census probe).
+    # Repartition the narrow pair stream to core count before the
+    # stage-2 attach joins (the re-score-parallelism rule in
+    # _prefix_filter_pairs; stage 1's own tail is fixed there too).
+    cand = _twostage_candidate_pairs(d).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # stage 2: exact char-gram containment on candidate ids only.
     # Hashed gram arrays (the _ranked_token_arrays trade: long
     # intersects ~5x faster than string intersects, 64-bit collisions

@@ -474,7 +474,19 @@ def q_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shuffle-derived cache layout is AQE-sized via the global
     # canChangeCachedPlanOutputPartitioning conf (tables.py, round 9).
     seg = seg.cache()
-    cand = _sax_gram_candidates(words).select("ua", "ub")
+    # Repartition the narrow candidate pair stream to core count before
+    # the series attach: the nested-HOF DP stage otherwise runs in the
+    # candidate distinct's byte-sized output layout (8 tasks under the
+    # bench conf; AQE coalesces a vanilla session's layout to ~1-3
+    # partitions for this KB-scale stream) while the per-pair DP is
+    # compute-bound. Measured at sf0.1: DP tail 14.1 s -> 3.1 s
+    # (82k pairs, 32 cores). Core-count-adaptive (guide §2.5); values
+    # are exact integers, partition-independent.
+    cand = (
+        _sax_gram_candidates(words)
+        .select("ua", "ub")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     series = _paa_series(seg)
     sa = series.select(
         F.col("user_id").alias("ua"), F.col("m").alias("ma")

@@ -451,11 +451,28 @@ def test_ngram_lm_model_joins_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_data_profile_is_single_scan(spark):
-    """All 24 profile cells compute over ONE scan of lineitem — a
-    per-column rescan loop would be 6 scans of a 100 TB table."""
+def test_data_profile_two_scans_sort_free(spark):
+    """The profile is TWO column-pruned scans, never a per-column rescan
+    loop (6 scans) — and, the r14 point, the multi-count-distinct
+    Expand pass must hash-aggregate: min(string) buffers are immutable
+    and used to demote the whole 7x-expanded pass to Sort+SortAggregate
+    (measured 10.9 s -> 2.1 s at sf0.1 after splitting the two string
+    min/max cells into their own sort-free global aggregate). At 100 TB
+    a second scan of 2 pruned columns is noise; a Sort of 7n expanded
+    rows is not."""
     plan = plan_text(Q["q_data_profile"](spark, SF_DIR))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan
+    # the heavy pass: Expand feeds HashAggregate, and no Sort anywhere
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+    # the string-only scan is pruned to exactly the two string columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(
+        set(s.split(",")[i].split(":")[0] for i in range(len(s.split(","))))
+        == {"l_returnflag", "l_linestatus"}
+        for s in schemas
+    ), schemas
 
 
 def test_data_audit_no_cartesian(spark):

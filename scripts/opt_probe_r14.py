@@ -65,11 +65,17 @@ def plan_stats(txt: str) -> dict:
 
 
 def main() -> int:
-    start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    end = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
+    named: list[str] | None = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--keys":
+        named = sys.argv[2].split(",")
+        start, end = 0, 0
+        args = sys.argv[3:]
+    else:
+        start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+        end = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
+        args = sys.argv[3:]
     runs = 1
     out_path = None
-    args = sys.argv[3:]
     i = 0
     while i < len(args):
         if args[i] == "--runs":
@@ -85,7 +91,7 @@ def main() -> int:
     from flexcalc_spark.session import get_session
 
     registry.load_all()
-    keys = list(registry.QUERIES)[start:end]
+    keys = named if named is not None else list(registry.QUERIES)[start:end]
 
     spark = get_session(app="opt-probe-r14", shuffle_partitions=int(
         os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))

@@ -458,6 +458,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(F.col("m") >= 2)
         .select("id_a", "id_b")
+        # Re-score parallelism (r14, guide §2.5): the exact-Jaccard
+        # stage otherwise runs in the multiplicity groupBy's OUTPUT
+        # layout (8 tasks under the bench conf; ~byte-coalesced under
+        # AQE) while array_intersect over ~350-long arrays is
+        # compute-bound — one narrow (id_a, id_b) exchange buys
+        # full-core parallelism in any session (the
+        # _prefix_filter_pairs precedent, same measured shape).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # Exact verify on HASHED token sets (long arrays intersect ~5x faster
     # than string arrays; 64-bit hashes are collision-free here, so the
@@ -1005,6 +1013,12 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # Re-score parallelism (r14, guide §2.5): the exact-cosine fold
+        # (64-double zip_with/aggregate per pair, interpreted) is
+        # compute-bound but ran in the distinct's byte-sized output
+        # layout — repartition the narrow id-pair stream to core count
+        # before the vector re-attach (the _prefix_filter_pairs rule).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ea = corpus.select(
         F.col("vec_id").alias("id_a"),
@@ -1147,6 +1161,11 @@ def q_dedup_embed_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_p", "id_i").alias("id_b"),
         )
         .distinct()
+        # NOT repartitioned before re-score (unlike q_dedup_embed_lsh):
+        # the Hamming-1 multi-probe candidate set is small enough that
+        # the extra exchange measured 1.15x SLOWER in the r14
+        # interleaved A/B — the unstarve rule applies to pair streams
+        # that are large AND compute-bound, not to answer-sized ones.
     )
     ea = corpus.select(
         F.col("vec_id").alias("id_a"),

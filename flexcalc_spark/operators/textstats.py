@@ -444,18 +444,34 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    # r14 optimization (guide §2.3/§2.4): everything derives from ONE
+    # tokenize pass. dl (doc length) = SUM(tf) over the doc's tokens as
+    # an unordered window on the already-doc_id-clustered score path
+    # (no dl scan, no tf x dl shuffle join); N/avgdl fold out of the
+    # per-doc dl relation instead of a third documents scan. Exact
+    # equivalences: split() never returns an empty array, so every doc
+    # has >= 1 token row and COUNT(docs via tf) == COUNT(docs); the
+    # per-doc BIGINT dl sums equal size(toks); avgdl stays the same
+    # single BIGINT-cast-DOUBLE division. Depends on documents.text
+    # being non-null (true at every fixture sf; canary-pinned in
+    # tests/test_fixture_assumptions.py — a NULL-text doc would be
+    # absent from tf but counted by the oracle's nn).
+    # cache the narrow (doc_id, token, tf) relation: THREE consumers
+    # (dfr, nn, the scored path) would otherwise each re-run the
+    # explode+aggregate subtree — no ReusedExchange fires across the
+    # differing downstream shapes (CLAUDE.md multi-consumer rule; the
+    # r9 engine conf lets AQE size the cached layout).
+    tf = tf.cache()
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    nn = d.agg(
+    per_doc = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    nn = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.size(toks).cast("bigint")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    wdl = Window.partitionBy("doc_id")
     w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), "token")
     return (
-        tf.join(dl, "doc_id")
+        tf.withColumn("dl", F.sum("tf").over(wdl))
         .join(F.broadcast(dfr), "token")
         .crossJoin(F.broadcast(nn))
         .select(

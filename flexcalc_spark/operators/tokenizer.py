@@ -54,6 +54,42 @@ from flexcalc_spark.tables import table
 N_MERGES = 8
 
 
+def train_bpe_merges(
+    vocab: list[tuple[int, str]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over a (freq, repr) word-frequency
+    table on the driver; returns the [(patt, repl), ...] rewrite list.
+
+    Exact mirror of the relational per-round fold (and of the oracle's
+    CTE chain): symbols = split(trim(repr), two spaces); adjacent-pair
+    counts are freq-weighted BIGINTs; the winner is max by (count DESC,
+    pair ASC) — Python's tuple compare on (-c, pair) reproduces the SQL
+    ORDER BY total order exactly because counts are exact ints and pair
+    strings compare bytewise in both engines (ASCII-safe: symbols come
+    from the corpus plus '</w>'). The boundary-safe rewrite
+    ' a  b ' -> ' ab ' is leftmost-non-overlapping in str.replace and
+    SQL replace alike. strip(' ')/two-space split deliberately match
+    SQL trim/split semantics (space only, never general whitespace —
+    corpus symbols may contain e.g. tabs)."""
+    table_ = [(int(f), r) for f, r in vocab]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[str, int] = {}
+        for freq, repr_ in table_:
+            syms = repr_.strip(" ").split("  ")
+            for i in range(len(syms) - 1):
+                pair = syms[i] + " " + syms[i + 1]
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        p = min(counts, key=lambda k: (-counts[k], k))
+        patt = " " + p.replace(" ", "  ") + " "
+        repl = " " + p.replace(" ", "") + " "
+        merges.append((patt, repl))
+        table_ = [(f, r.replace(patt, repl)) for f, r in table_]
+    return merges
+
+
 def _bpe_sql(docs: str) -> str:
     """The full train+apply text in DuckDB dialect (the oracle twin).
 
@@ -179,7 +215,22 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = table(spark, sf_dir, "documents")
-    vocab = (
+    # r14 optimization (guide §1.2, §5): training runs on the
+    # word-FREQUENCY table, which is |vocab|-sized (dozens here, ~100k
+    # real-world — the q_kmeans codebook scale class), so the 8 merge
+    # rounds move from 8 distributed explode+groupBy+limit(1) jobs
+    # (each a full scheduling round trip for a ~31-row input) to ONE
+    # collect of (word, freq, repr) followed by exact integer pair
+    # counting on the driver. The fold is the identical algorithm:
+    # adjacent-pair counts weighted by freq, winner = max by
+    # (count DESC, pair ASC), boundary-safe double-space rewrite —
+    # str.replace and SQL replace both scan leftmost-non-overlapping,
+    # and Python tuple compare reproduces the (c DESC, pair) total
+    # order on exact ints/strings. The fold is pinned against a
+    # mechanism-distinct symbol-LIST BPE reference (no string packing,
+    # no str.replace) in tests/test_tokenizer.py, on engineered
+    # corpora AND the live fixture vocabulary.
+    vocab_rows = (
         d.select(
             F.explode(F.split(F.lower("text"), " ")).alias("word")
         )
@@ -194,42 +245,11 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|| '  </w> '"
             ).alias("repr"),
         )
-        # core-count layout before cache (q_market_basket lesson: a
-        # cached 200-partition shuffle output defeats AQE coalescing
-        # and every BPE round pays the task overhead)
-        .repartition(spark.sparkContext.defaultParallelism, "word")
-        .cache()
+        .collect()
     )
-    pair_list = (
-        "transform(sequence(1, size(syms) - 1), "
-        "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    merges = train_bpe_merges(
+        [(r["freq"], r["repr"]) for r in vocab_rows], N_MERGES
     )
-    merges: list[tuple[str, str]] = []
-    cur = vocab
-    for _ in range(N_MERGES):
-        top = (
-            cur.select(
-                F.explode(
-                    F.expr(
-                        pair_list.replace("syms", "split(trim(repr), '  ')")
-                    )
-                ).alias("pair"),
-                "freq",
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("pair"))
-            .limit(1)
-            .collect()[0]
-        )
-        p = top.pair
-        # boundary-safe rewrite: ' a  b ' -> ' ab ' (module docstring)
-        patt = " " + p.replace(" ", "  ") + " "
-        repl = " " + p.replace(" ", "") + " "
-        merges.append((patt, repl))
-        cur = cur.withColumn(
-            "repr", F.expr(f"replace(repr, '{patt}', '{repl}')")
-        )
     doc_repr = (
         "' ' || array_join(transform(split(lower(text), ' '), "
         "w -> trim(regexp_replace(w, '(.)', '$1  ')) || '  </w>'), '  ') "

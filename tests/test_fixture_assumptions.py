@@ -555,3 +555,19 @@ def test_round14_exact_rational_boundary_headroom(duck2, sf):
     ).fetchone()[0]
     # MAD: 3*mad4 <= 3*2*max(ad2) <= 24*|vi| dominates 2*ad2 <= 8*|vi|
     assert 24 * int(vi_mag) < lim, f"{sf}: MAD 24*|vi| at {vi_mag}"
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_documents_text_never_null(duck2, sf):
+    """r14: q_bm25 derives its document count and per-doc length from
+    the token-frequency relation (one tokenize pass) instead of a
+    second documents scan. The equivalence needs every document to
+    contribute >= 1 token row, i.e. text IS NOT NULL (split('') still
+    yields one empty-string token row, so empty text is safe — NULL
+    text is the only shape that would drop a doc from tf while the
+    oracle's COUNT(*) still saw it)."""
+    n = duck2.execute(
+        f"""SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet')
+            WHERE text IS NULL"""
+    ).fetchone()[0]
+    assert n == 0, f"{n} NULL-text docs — q_bm25's single-scan N is unsafe"

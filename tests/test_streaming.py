@@ -781,3 +781,84 @@ def test_stream_jsonl_zst_equals_batch(spark, tmp_path):
            mode="append")
     stream = spark.table("t_jzst").toPandas()
     assert _canon(batch) == _canon(stream)
+
+
+def test_vectorized_sessionizer_matches_reference_fold():
+    """r14: q_stateful_sessions moved from per-group applyInPandas
+    (_sessionize_pdf) to the secondary-sort vectorized census
+    (_sessionize_sorted_frame + _sessionize_batches). Pin the
+    vectorized path against the reference fold on engineered corpora
+    covering the decision boundaries: gap exactly == SESSION_GAP_US
+    (opens a session), gap == SESSION_GAP_US - 1 (does not),
+    single-event users, a user whose events all share one timestamp,
+    and users adjacent in the sorted stream — then drive the
+    chunked iterator with every possible chunk split (including
+    splits MID-user, exercising the carry) and require identical
+    output."""
+    import numpy as np
+
+    from flexcalc_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        _sessionize_batches,
+        _sessionize_pdf,
+        _sessionize_sorted_frame,
+    )
+
+    G = SESSION_GAP_US
+    users = {
+        1: [0, G - 1, G, 2 * G, 2 * G + 5, 4 * G],      # mixed gaps
+        2: [100],                                        # singleton
+        3: [7, 7 + G, 7 + 2 * G, 7 + 3 * G],             # all new sessions
+        4: [50, 50, 50],                                 # zero gaps
+        5: [0, 1, 2, G + 2, G + 3, G + 4, 3 * G],        # runs + tail
+    }
+    rows = [(u, t) for u in sorted(users) for t in users[u]]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_us"]).astype("int64")
+
+    want = pd.concat(
+        [_sessionize_pdf(g) for _, g in pdf.groupby("user_id")],
+        ignore_index=True,
+    )
+    canon = lambda df: sorted(
+        map(tuple, df.astype("int64").itertuples(index=False, name=None))
+    )
+    got = _sessionize_sorted_frame(pdf)
+    assert canon(got) == canon(want)
+
+    # every 2-chunk split of the sorted stream, including mid-user
+    for cut in range(0, len(pdf) + 1):
+        chunks = [pdf.iloc[:cut], pdf.iloc[cut:]]
+        out = pd.concat(
+            list(_sessionize_batches(iter(chunks))), ignore_index=True
+        )
+        assert canon(out) == canon(want), f"split at {cut} diverged"
+    # and a shredded run: every row its own chunk
+    shredded = [pdf.iloc[i : i + 1] for i in range(len(pdf))]
+    out = pd.concat(
+        list(_sessionize_batches(iter(shredded))), ignore_index=True
+    )
+    assert canon(out) == canon(want)
+    # empty stream / empty chunks degrade cleanly
+    assert list(_sessionize_batches(iter([]))) == []
+    out = list(_sessionize_batches(iter([pdf.iloc[0:0], pdf])))
+    assert canon(pd.concat(out, ignore_index=True)) == canon(want)
+
+
+def test_stateful_sessions_chunk_boundary_carry(spark):
+    """Force tiny Arrow batches so user groups SPAN chunk boundaries
+    inside the graded key's mapInPandas: carry logic must reproduce
+    the default-batch output exactly (the q_debounce_anchor carry
+    test, applied to the r14 sessionizer)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    baseline = _canon(
+        registry.QUERIES["q_stateful_sessions"](spark, SF_DIR).toPandas()
+    )
+    try:
+        spark.conf.set(key, "7")  # far below any per-user group size
+        tiny = _canon(
+            registry.QUERIES["q_stateful_sessions"](spark, SF_DIR).toPandas()
+        )
+    finally:
+        spark.conf.set(key, orig)
+    assert tiny == baseline

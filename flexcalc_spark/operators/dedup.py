@@ -739,7 +739,13 @@ def connected_components(
             sym.filter(F.col("v") > F.col("u"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
+            # no distinct here (r14): each round's OUTPUT is produced
+            # by small_star, which ends with its own distinct — the
+            # intermediate multiset is bounded by |E| rows (m is
+            # unique per u, so the join cannot duplicate), small_star's
+            # MIN aggregate is duplicate-invariant, and the round
+            # signature reads the small_star output only. Dropping the
+            # shuffle cuts a round from 4 exchanges to 3.
         )
 
     def small_star(df: DataFrame) -> DataFrame:

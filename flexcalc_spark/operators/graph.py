@@ -358,6 +358,12 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flexcalc_spark.tables import scoped_shuffle_partitions
 
     with scoped_shuffle_partitions(spark):
+        # r14 audit: a pre-loop repartition(src) was tried and measured
+        # NEUTRAL with an identical per-round plan shape (2 exchanges,
+        # 2 BHJ either way) — the survivor joins are already AQE
+        # broadcasts and the degree groupBy exchanges only the
+        # map-side-reduced |nodes| aggregate, never the edge list, so
+        # there is no per-round edge reshuffle to remove. Left alone.
         e = _edges(spark, sf_dir).localCheckpoint()
         for _ in range(KCORE_ROUNDS):
             nodes = (
@@ -531,9 +537,12 @@ def _bfs_oracle() -> str:
         "broadcast into the edge join while small — at 100 TB the "
         "frontier saturates toward |V| within a few hops on real "
         "graphs, at which point the join flips to the src-partitioned "
-        "shuffle layout the edge cache already holds. Visited-set "
-        "lineage grows one union per level: localCheckpoint per round "
-        "truncates it (the q_kcore rule). Distances are exact integers"
+        "shuffle layout the edge cache already holds. The visited set "
+        "is a lazy union of the per-level checkpointed frontiers (r14): "
+        "each member is already a materialized RDD scan, so lineage is "
+        "one cheap scan per level — no k^rounds nesting, and no "
+        "re-materialization of the ever-growing set each round. "
+        "Distances are exact integers"
     ),
 )
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,7 +582,14 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("node", F.lit(i).alias("dist"))
                 .localCheckpoint()
             )
-            visited = visited.unionAll(nxt).localCheckpoint()
+            # visited stays a LAZY union of the checkpointed levels
+            # (r14): every member is already a materialized RDD scan,
+            # so its two consumers per round (anti join + next union)
+            # re-read cheap scans — no k^rounds lineage, and the old
+            # per-round visited.localCheckpoint() re-materialized the
+            # whole ever-growing visited set each level (O(V) x hops
+            # extra writes) for nothing.
+            visited = visited.unionAll(nxt)
             frontier = nxt
     return visited.select(
         F.col("node").cast("bigint").alias("node"),

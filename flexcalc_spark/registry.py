@@ -126,7 +126,7 @@ def register(
 # Rotation applied by scripts/rotate_grade_order.py from
 # CORRECTNESS history through r13 — stalest evidence
 # first, prior relative order preserved inside each tier.
-# Tiers at rotation time (never-graded/failed/changed: 49, r8: 4, r9: 46, r10: 34, r11: 39, r12: 41, r13: 43).
+# Tiers at rotation time (never-graded/failed/changed: 50, r8: 4, r9: 46, r10: 34, r11: 39, r12: 40, r13: 43).
 # Front of the next graded window: q_stream_dedup, q_stateful_sessions, q_funnel, ...
 GRADE_ORDER: list[str] = [
     "q_stream_dedup", "q_stateful_sessions", "q_funnel", "q_rfm",
@@ -144,24 +144,25 @@ GRADE_ORDER: list[str] = [
     "q_incr_mv", "q_dedup_containment_2stage", "q_dedup_containment",
     "q_dedup_neardup", "q_dedup_ngram", "q_dedup_clusters",
     "q_dedup_minhash", "q_bm25", "q_dedup_embed_lsh", "q_bpe_tokenize",
-    "q_join_bucketed", "q_pack_sequences", "q_mix_sample", "q_sketch_cms",
-    "q_snapshot_diff", "q_join_nullsafe", "q_agg_weighted_median",
-    "q_sql_tpch22", "q_window_session", "q_ct_centre", "q_ct_histogram",
-    "q_ct_bbox", "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
-    "q_multimodal_features", "q_multimodal_resize", "q_sample_split",
-    "q_sample_stratified", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-    "q_stream_late", "q_gapfill", "q_udaf_grouped", "q_vector_quantize",
-    "q_agg_regression", "q_window_tumbling", "q_window_sliding",
-    "q_sessionize", "q_stream_enrich", "q_win_lag_lead", "q_win_moving",
-    "q_win_range_time", "q_win_firstlast", "q_join_range", "q_join_asof",
-    "q_join_salted", "q_agg_distinct", "q_agg_approx",
-    "q_agg_approx_percentile", "q_pivot", "q_unpivot", "q_histogram",
-    "q_agg_collect", "q_agg_minmax_by", "q_agg_global", "q_agg_groupby",
-    "q_agg_stats", "q_agg_percentile", "q_agg_weighted_centroid", "q_rollup",
-    "q_cube", "q_grouping_sets", "q_scan_project", "q_sketch_hll",
-    "q_sliding_distinct", "q_quality_entropy", "q_anomaly_zscore",
-    "q_retention", "q_session_stats", "q_cooccur", "q_agg_skew_distinct",
-    "q_join_bloom", "q_grouped_sample", "q_embed_project", "q_cdc_upsert",
+    "q_bfs_hops", "q_join_bucketed", "q_pack_sequences", "q_mix_sample",
+    "q_sketch_cms", "q_snapshot_diff", "q_join_nullsafe",
+    "q_agg_weighted_median", "q_sql_tpch22", "q_window_session",
+    "q_ct_centre", "q_ct_histogram", "q_ct_bbox", "q_ct_threshold",
+    "q_ct_moments", "q_ct_preprocess", "q_multimodal_features",
+    "q_multimodal_resize", "q_sample_split", "q_sample_stratified",
+    "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf", "q_stream_late",
+    "q_gapfill", "q_udaf_grouped", "q_vector_quantize", "q_agg_regression",
+    "q_window_tumbling", "q_window_sliding", "q_sessionize",
+    "q_stream_enrich", "q_win_lag_lead", "q_win_moving", "q_win_range_time",
+    "q_win_firstlast", "q_join_range", "q_join_asof", "q_join_salted",
+    "q_agg_distinct", "q_agg_approx", "q_agg_approx_percentile", "q_pivot",
+    "q_unpivot", "q_histogram", "q_agg_collect", "q_agg_minmax_by",
+    "q_agg_global", "q_agg_groupby", "q_agg_stats", "q_agg_percentile",
+    "q_agg_weighted_centroid", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_scan_project", "q_sketch_hll", "q_sliding_distinct",
+    "q_quality_entropy", "q_anomaly_zscore", "q_retention",
+    "q_session_stats", "q_cooccur", "q_agg_skew_distinct", "q_join_bloom",
+    "q_grouped_sample", "q_embed_project", "q_cdc_upsert",
     "q_table_checksum", "q_sql_tpch3", "q_ngram_lm", "q_data_audit",
     "q_zorder_layout", "q_inverted_index", "q_sql_tpch10", "q_session_paths",
     "q_skyline", "q_corr_matrix", "q_global_rank", "q_multimodal_frames",
@@ -186,18 +187,18 @@ GRADE_ORDER: list[str] = [
     "q_pca_embed", "q_market_basket", "q_survival", "q_sql_tpch13",
     "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1", "q_sql_tpch6",
     "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16",
-    "q_attribution", "q_period_over_period", "q_str_funcs", "q_bfs_hops",
-    "q_sssp_cost", "q_cuped", "q_srm_check", "q_rolling_corr", "q_qte",
-    "q_diff_in_diff", "q_dedup_embed_lsh_wide", "q_target_encode",
-    "q_link_predict", "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2",
-    "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20", "q_str_regexp",
-    "q_str_distance", "q_date_parts", "q_date_arith", "q_math_funcs",
-    "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
-    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
-    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
-    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
-    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
-    "q_kmeans", "q_dedup_exact", "q_dedup_embed"
+    "q_attribution", "q_period_over_period", "q_str_funcs", "q_sssp_cost",
+    "q_cuped", "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
+    "q_dedup_embed_lsh_wide", "q_target_encode", "q_link_predict",
+    "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2", "q_sql_tpch15",
+    "q_sql_tpch17", "q_sql_tpch20", "q_str_regexp", "q_str_distance",
+    "q_date_parts", "q_date_arith", "q_math_funcs", "q_array_ops",
+    "q_array_hof", "q_explode", "q_map_json", "q_subquery_scalar",
+    "q_subquery_correlated", "q_subquery_in", "q_udf_scalar",
+    "q_udtf_expand", "q_lang_id", "q_quality_score", "q_token_count",
+    "q_fingerprint", "q_text_chunks", "q_repetition", "q_vocab",
+    "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids", "q_kmeans",
+    "q_dedup_exact", "q_dedup_embed"
 ]
 
 

@@ -234,9 +234,14 @@ def _prefix_filter_pairs(
     # One cheap narrow exchange of (id_a, id_b) pairs buys full-core
     # parallelism for the intersect stage in ANY session (measured on
     # q_dedup_containment at sf0.1: re-score tail 34.4 s -> ~9 s).
-    # Core-count-adaptive, never a tuned constant (guide §2.5).
+    # Core-count-adaptive, never a tuned constant (guide §2.5). HASH
+    # by the pair key, not round-robin: RoundRobinPartitioning first
+    # locally sorts its whole input (sortBeforeRepartition, on by
+    # default so retries re-deal identically — guide §2.5) while hash
+    # partitioning is natively retry-deterministic and skips that sort;
+    # distinct (id_a, id_b) pairs hash-spread uniformly by construction.
     cand = _prefix_candidates_from_ranked(ranked, num, den, pair_pred).repartition(
-        items.sparkSession.sparkContext.defaultParallelism
+        items.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
@@ -464,8 +469,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # AQE) while array_intersect over ~350-long arrays is
         # compute-bound — one narrow (id_a, id_b) exchange buys
         # full-core parallelism in any session (the
-        # _prefix_filter_pairs precedent, same measured shape).
-        .repartition(spark.sparkContext.defaultParallelism)
+        # _prefix_filter_pairs precedent, same measured shape; hash by
+        # the pair key, not round-robin — skips sortBeforeRepartition).
+        .repartition(spark.sparkContext.defaultParallelism, "id_a", "id_b")
     )
     # Exact verify on HASHED token sets (long arrays intersect ~5x faster
     # than string arrays; 64-bit hashes are collision-free here, so the
@@ -1023,8 +1029,9 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (64-double zip_with/aggregate per pair, interpreted) is
         # compute-bound but ran in the distinct's byte-sized output
         # layout — repartition the narrow id-pair stream to core count
-        # before the vector re-attach (the _prefix_filter_pairs rule).
-        .repartition(spark.sparkContext.defaultParallelism)
+        # before the vector re-attach (the _prefix_filter_pairs rule;
+        # hash by the pair key — skips sortBeforeRepartition).
+        .repartition(spark.sparkContext.defaultParallelism, "id_a", "id_b")
     )
     ea = corpus.select(
         F.col("vec_id").alias("id_a"),
@@ -1299,7 +1306,7 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
     # (the candidate distinct's byte-sized output layout starves the
     # compute-bound intersect stage — measured 34.4 s -> ~9 s at sf0.1)
     cand = _containment_candidates(ranked, num, den).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
@@ -1655,7 +1662,7 @@ def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage-2 attach joins (the re-score-parallelism rule in
     # _prefix_filter_pairs; stage 1's own tail is fixed there too).
     cand = _twostage_candidate_pairs(d).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     # stage 2: exact char-gram containment on candidate ids only.
     # Hashed gram arrays (the _ranked_token_arrays trade: long

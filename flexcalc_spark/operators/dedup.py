@@ -1658,12 +1658,16 @@ def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents")
     # stage 1: word-shingle candidate pairs at the low candidate tau
     # (_twostage_candidate_pairs — shared with the Zipf census probe).
-    # Repartition the narrow pair stream to core count before the
-    # stage-2 attach joins (the re-score-parallelism rule in
-    # _prefix_filter_pairs; stage 1's own tail is fixed there too).
-    cand = _twostage_candidate_pairs(d).repartition(
-        spark.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    # NO outer repartition before the stage-2 attach joins: stage 1's
+    # own unstarve exchange inside _containment_pairs already leaves
+    # the survivor pair stream hashpartitioned by (id_a, id_b) at core
+    # count, and the BHJ attaches + tau filter preserve that layout
+    # through to here. MEASURED (r14): with an outer repartition on the
+    # same keys Catalyst plans the IDENTICAL physical tree (it elides
+    # the redundant exchange — plan files byte-equal modulo ids), so
+    # dropping it is source clarity, not a physical change; stage 2
+    # runs full-core either way.
+    cand = _twostage_candidate_pairs(d)
     # stage 2: exact char-gram containment on candidate ids only.
     # Hashed gram arrays (the _ranked_token_arrays trade: long
     # intersects ~5x faster than string intersects, 64-bit collisions

@@ -110,26 +110,57 @@ def _prefix_candidates(items: DataFrame, num: int, den: int) -> DataFrame:
     return _prefix_candidates_from_ranked(ranked, num, den)
 
 
-def _ranked_token_arrays(items: DataFrame) -> DataFrame:
+SIG_WORDS = 16                    # 64-bit words per doc gram bitmap
+SIG_BITS = SIG_WORDS * 64         # 1024-bit signature
+
+
+def _ranked_token_arrays(items: DataFrame, with_sig: bool = False) -> DataFrame:
     """(doc_id, grp, hitems: array<long>): each doc's tokens hashed and
     sorted rarest-first by (document frequency, hash) — the shared input
     of prefix extraction AND the exact hashed re-score (hashed long
     intersects are ~5x faster than string intersects and produce the
     same jaccard — 64-bit collisions are absent at corpus scale; same
-    trade q_dedup_minhash's verifier makes)."""
+    trade q_dedup_minhash's verifier makes).
+
+    ``with_sig`` adds a ``sig`` column: a SIG_BITS-bit bitmap of the
+    doc's hashed items (bit index = pmod(hash, SIG_BITS)), OR-folded as
+    SIG_WORDS bit_or aggregate columns inside the SAME groupBy — no
+    extra shuffle. The high-tau containment re-score uses it as a
+    provably recall-safe pre-filter (r15, guide §2.3: decide with small
+    rows — 128-byte bitmaps — before attaching the ~2.8 KB gram
+    arrays)."""
     tok = items.select(
         "doc_id", "grp", F.explode("items").alias("tk")
     ).select("doc_id", "grp", F.xxhash64("tk").alias("it"))
     dfreq = tok.groupBy("it").agg(F.count(F.lit(1)).alias("dfreq"))
+    aggs = [F.array_sort(F.collect_list(F.struct("dfreq", "it"))).alias("ps")]
+    if with_sig:
+        # bit position = pmod(it, SIG_BITS); word = div 64, bit = mod 64
+        # (64 | SIG_BITS, so pmod(it, 64) IS the in-word bit). All
+        # codegen scalar ops riding the existing ObjectHashAggregate.
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(it, 64) AS INT))")
+        word = F.expr(f"CAST(pmod(it, {SIG_BITS}) div 64 AS INT)")
+        for k in range(SIG_WORDS):
+            aggs.append(
+                F.bit_or(
+                    F.when(word == k, bit).otherwise(F.lit(0).cast("bigint"))
+                ).alias(f"_sg{k}")
+            )
+    out_cols = [
+        F.col("doc_id"), F.col("grp"),
+        F.expr("transform(ps, p -> p.it)").alias("hitems"),
+    ]
+    if with_sig:
+        out_cols.append(
+            F.array(*[F.col(f"_sg{k}") for k in range(SIG_WORDS)]).alias("sig")
+        )
     # rarest-first order = ascending (dfreq, hash); vocabulary is tiny
     # relative to the corpus -> broadcast the frequency dictionary
     return (
         tok.join(F.broadcast(dfreq), "it")
         .groupBy("doc_id", "grp")
-        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "it"))).alias("ps"))
-        .select(
-            "doc_id", "grp", F.expr("transform(ps, p -> p.it)").alias("hitems")
-        )
+        .agg(*aggs)
+        .select(*out_cols)
     )
 
 
@@ -1294,11 +1325,17 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
     # and the gram HOF otherwise re-evaluates per consumer (the
     # _prefix_filter_pairs rule; scan-derived, so caching as-is is fine)
     items = items.cache()
+    # Bitmap pre-filter (r15, guide §2.3/§4.2): only at HIGH tau — the
+    # bound below is popcount(sig_a & ~sig_b) <= sz_a - ceil(tau*sz_a),
+    # and at tau 0.2 that slack (~0.8*sz_a) exceeds any real popcount,
+    # so the filter would prune nothing and the sig would be pure cost
+    # (the 2stage candidate tau stays on the unfiltered path).
+    use_sig = 2 * num >= den
     # repartition to core count BEFORE caching: the groupBy-derived table
     # would otherwise pin the vanilla session's 200-partition layout into
     # the InMemoryRelation for all three consumers (CLAUDE.md cache rule)
     ranked = (
-        _ranked_token_arrays(items)
+        _ranked_token_arrays(items, with_sig=use_sig)
         .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
@@ -1308,6 +1345,41 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
     cand = _containment_candidates(ranked, num, den).repartition(
         spark.sparkContext.defaultParallelism, "id_a", "id_b"
     )
+    if use_sig:
+        # RECALL-SAFE bitmap pre-filter over the candidate pair stream.
+        # Proof: every hashed item of A∩B is an item of B, so its bit is
+        # set in sig_b; a bit set in (sig_a & ~sig_b) can therefore only
+        # come from items of A\B, and distinct bits <= distinct items:
+        #   popcount(sig_a & ~sig_b) <= |A\B| = sz_a - isz.
+        # A qualifying pair has isz >= t_a = ceil(num*sz_a/den), hence
+        # popcount <= sz_a - t_a — keeping exactly those pairs loses NO
+        # qualifying pair at any bitmap width; false positives just pay
+        # the exact intersect below, so output is identical. Cost per
+        # pair: 16 AND-NOT+bit_count codegen terms on 128-byte sigs vs
+        # array_intersect's per-pair hash set over ~350-element ~2.8 KB
+        # arrays (r14 VERDICT item 1; measured at sf0.1 in
+        # OPTIMIZATION_r15.md). Unrolled generated text, ONE F.expr —
+        # the r7 build-banks-as-SQL-text lesson; 16 flat O(1) terms, not
+        # the 64x64 nested-fold bank that lost in r14.
+        excess = " + ".join(
+            f"bit_count(element_at(sig_a, {k + 1}) & ~element_at(sig_b, {k + 1}))"
+            for k in range(SIG_WORDS)
+        )
+        slack = f"sz_a - (({num} * sz_a + {den - 1}) div {den})"
+        pa = ranked.select(
+            F.col("doc_id").alias("id_a"),
+            F.size("hitems").alias("sz_a"),
+            F.col("sig").alias("sig_a"),
+        )
+        pb = ranked.select(
+            F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+        )
+        cand = (
+            cand.join(pa, "id_a")
+            .join(pb, "id_b")
+            .filter(F.expr(f"({excess}) <= {slack}"))
+            .select("id_a", "id_b")
+        )
     ta = ranked.select(F.col("doc_id").alias("id_a"), F.col("hitems").alias("items_a"))
     tb = ranked.select(F.col("doc_id").alias("id_b"), F.col("hitems").alias("items_b"))
     isz = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))

@@ -467,11 +467,21 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cnt").desc(), F.col("lab")
                 )
             )
+            # NO per-round localCheckpoint (r15, guide §5 — the q_bfs
+            # lazy-union precedent): labels is consumed exactly ONCE per
+            # round (next round's join), so lineage stays LINEAR — 4
+            # joins deep at LP_ROUNDS=4, no k^rounds nesting — and the
+            # whole propagation runs as one lazy job instead of paying
+            # 4 eager checkpoint writes + driver round trips. Edges and
+            # the seed labels stay checkpointed (edges is consumed every
+            # round). A lineage valve (checkpoint every ~10 rounds)
+            # would be needed only if LP_ROUNDS grew past the plan-size
+            # comfort zone. Measured r15: 6.98 -> 5.83 s MIN (0.84x),
+            # 3-round interleaved worktree A/B at sf0.1.
             labels = (
                 cnt.withColumn("rk", rk)
                 .filter(F.col("rk") == 1)
                 .selectExpr("src AS node", "lab")
-                .localCheckpoint()
             )
     return labels.groupBy("lab").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
@@ -567,10 +577,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = frontier
         for i in range(1, BFS_MAX_HOPS + 1):
-            # checkpoint nxt BEFORE the union: visited's checkpoint
-            # materializes the expansion eagerly, and an uncheckpointed
-            # frontier would re-run the whole level pipeline when round
-            # i+1 broadcasts it (measured 2x loop work before the fix)
+            # checkpoint nxt: it is consumed TWICE (broadcast frontier
+            # for round i+1's edge join + the lazy visited union, which
+            # re-reads every level's member per subsequent round) — an
+            # uncheckpointed frontier would re-run the whole level
+            # pipeline per consumer (measured 2x loop work pre-fix)
             nxt = (
                 edges.join(
                     F.broadcast(frontier.select(F.col("node").alias("src"))),

@@ -481,11 +481,16 @@ def q_trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions for this KB-scale stream) while the per-pair DP is
     # compute-bound. Measured at sf0.1: DP tail 14.1 s -> 3.1 s
     # (82k pairs, 32 cores). Core-count-adaptive (guide §2.5); values
-    # are exact integers, partition-independent.
+    # are exact integers, partition-independent. HASH by the pair key,
+    # not round-robin (r15, ADVICE r14): RoundRobinPartitioning locally
+    # sorts its entire input first (sortBeforeRepartition) while hash
+    # partitioning skips that sort and is natively retry-deterministic
+    # — the same fix the dedup pair streams got in r14 (cacf3f9);
+    # distinct (ua, ub) pairs hash-spread uniformly by construction.
     cand = (
         _sax_gram_candidates(words)
         .select("ua", "ub")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "ua", "ub")
     )
     series = _paa_series(seg)
     sa = series.select(

@@ -124,27 +124,13 @@ def register(
 # changing any query; rotation chases STALENESS.
 #
 # Rotation applied by scripts/rotate_grade_order.py from
-# CORRECTNESS history through r13 — stalest evidence
+# CORRECTNESS history through r14 — stalest evidence
 # first, prior relative order preserved inside each tier.
-# Tiers at rotation time (never-graded/failed/changed: 50, r8: 4, r9: 46, r10: 34, r11: 39, r12: 40, r13: 43).
-# Front of the next graded window: q_stream_dedup, q_stateful_sessions, q_funnel, ...
+# Tiers at rotation time (never-graded/failed/changed: 4, r8: 4, r9: 46, r10: 34, r11: 39, r12: 39, r13: 43, r14: 47).
+# Front of the next graded window: q_trajectory_dtw, q_dedup_containment_shingle, q_dedup_containment, ...
 GRADE_ORDER: list[str] = [
-    "q_stream_dedup", "q_stateful_sessions", "q_funnel", "q_rfm",
-    "q_transitions", "q_time_rollup", "q_concurrency", "q_source_json",
-    "q_source_orc", "q_sink_compacted", "q_rfm_approx", "q_source_avro",
-    "q_source_warc", "q_source_archive", "q_source_csv_dirty",
-    "q_source_xml", "q_source_evolving", "q_source_nested",
-    "q_trajectory_dtw_radius", "q_source_jsonl_zst", "q_autocorr",
-    "q_changepoint", "q_stream_upsert", "q_seasonal_decompose",
-    "q_stream_join", "q_histogram_equidepth", "q_mad_outliers",
-    "q_histogram_equidepth_approx", "q_mad_outliers_approx", "q_dpp_prune",
-    "q_sink_partitioned", "q_sink_csv", "q_trajectory_dtw",
-    "q_trajectory_sim", "q_decontaminate", "q_dedup_incremental",
-    "q_dedup_containment_shingle", "q_split_dedup_safe", "q_data_profile",
-    "q_incr_mv", "q_dedup_containment_2stage", "q_dedup_containment",
-    "q_dedup_neardup", "q_dedup_ngram", "q_dedup_clusters",
-    "q_dedup_minhash", "q_bm25", "q_dedup_embed_lsh", "q_bpe_tokenize",
-    "q_bfs_hops", "q_join_bucketed", "q_pack_sequences", "q_mix_sample",
+    "q_trajectory_dtw", "q_dedup_containment_shingle", "q_dedup_containment",
+    "q_label_prop", "q_join_bucketed", "q_pack_sequences", "q_mix_sample",
     "q_sketch_cms", "q_snapshot_diff", "q_join_nullsafe",
     "q_agg_weighted_median", "q_sql_tpch22", "q_window_session",
     "q_ct_centre", "q_ct_histogram", "q_ct_bbox", "q_ct_threshold",
@@ -183,12 +169,12 @@ GRADE_ORDER: list[str] = [
     "q_distinct", "q_text_stats", "q_dedup_substring", "q_pii_redact",
     "q_topic_terms", "q_sql_tpch7", "q_sql_tpch14", "q_sql_tpch19",
     "q_win_distribution", "q_benford", "q_degree_dist", "q_kcore",
-    "q_naive_bayes", "q_label_prop", "q_sql_tpch8", "q_sql_tpch4",
-    "q_pca_embed", "q_market_basket", "q_survival", "q_sql_tpch13",
-    "q_sql_tpch21", "q_debounce_anchor", "q_sql_tpch1", "q_sql_tpch6",
-    "q_sql_tpch9", "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16",
-    "q_attribution", "q_period_over_period", "q_str_funcs", "q_sssp_cost",
-    "q_cuped", "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
+    "q_naive_bayes", "q_sql_tpch8", "q_sql_tpch4", "q_pca_embed",
+    "q_market_basket", "q_survival", "q_sql_tpch13", "q_sql_tpch21",
+    "q_debounce_anchor", "q_sql_tpch1", "q_sql_tpch6", "q_sql_tpch9",
+    "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16", "q_attribution",
+    "q_period_over_period", "q_str_funcs", "q_sssp_cost", "q_cuped",
+    "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
     "q_dedup_embed_lsh_wide", "q_target_encode", "q_link_predict",
     "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2", "q_sql_tpch15",
     "q_sql_tpch17", "q_sql_tpch20", "q_str_regexp", "q_str_distance",
@@ -198,7 +184,21 @@ GRADE_ORDER: list[str] = [
     "q_udtf_expand", "q_lang_id", "q_quality_score", "q_token_count",
     "q_fingerprint", "q_text_chunks", "q_repetition", "q_vocab",
     "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids", "q_kmeans",
-    "q_dedup_exact", "q_dedup_embed"
+    "q_dedup_exact", "q_dedup_embed", "q_stream_dedup",
+    "q_stateful_sessions", "q_funnel", "q_rfm", "q_transitions",
+    "q_time_rollup", "q_concurrency", "q_source_json", "q_source_orc",
+    "q_sink_compacted", "q_rfm_approx", "q_source_avro", "q_source_warc",
+    "q_source_archive", "q_source_csv_dirty", "q_source_xml",
+    "q_source_evolving", "q_source_nested", "q_trajectory_dtw_radius",
+    "q_source_jsonl_zst", "q_autocorr", "q_changepoint", "q_stream_upsert",
+    "q_seasonal_decompose", "q_stream_join", "q_histogram_equidepth",
+    "q_mad_outliers", "q_histogram_equidepth_approx",
+    "q_mad_outliers_approx", "q_dpp_prune", "q_sink_partitioned",
+    "q_sink_csv", "q_trajectory_sim", "q_decontaminate",
+    "q_dedup_incremental", "q_split_dedup_safe", "q_data_profile",
+    "q_incr_mv", "q_dedup_containment_2stage", "q_dedup_neardup",
+    "q_dedup_ngram", "q_dedup_clusters", "q_dedup_minhash", "q_bm25",
+    "q_dedup_embed_lsh", "q_bpe_tokenize", "q_bfs_hops"
 ]
 
 

@@ -557,7 +557,7 @@ def test_round14_exact_rational_boundary_headroom(duck2, sf):
     assert 24 * int(vi_mag) < lim, f"{sf}: MAD 24*|vi| at {vi_mag}"
 
 
-@pytest.mark.parametrize("sf", SFS)
+@pytest.mark.parametrize("sf", SFS + ["/root/testdata/sf0.1"])
 def test_documents_text_never_null(duck2, sf):
     """r14: q_bm25 derives its document count and per-doc length from
     the token-frequency relation (one tokenize pass) instead of a

@@ -142,6 +142,71 @@ def test_prefix_filter_candidates_are_complete(spark, n_docs, vocab, num_den, se
     assert not missing, f"prefix filter missed qualifying pairs: {missing}"
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_docs=st.integers(6, 14),
+    vocab=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_containment_sig_prefilter_output_complete(spark, n_docs, vocab, seed):
+    """The r15 bitmap pre-filter inside _containment_pairs must not
+    change the output set: on arbitrary random token-set docs the full
+    pipeline (prefix candidates -> sig pre-filter -> exact intersect)
+    must equal the brute-force directed-containment set. Also pins the
+    sig construction itself: the SQL bit_or bitmap must equal a Python
+    OR-fold of pmod(hash, SIG_BITS) bits over the doc's own hitems."""
+    from flexcalc_spark.operators.dedup import (
+        CONTAIN_DEN, CONTAIN_NUM, SIG_BITS,
+        _containment_pairs, _ranked_token_arrays,
+    )
+
+    rng = np.random.RandomState(seed)
+    docs = []
+    for i in range(n_docs):
+        size = rng.randint(1, vocab + 1)
+        toks = sorted(rng.choice(vocab, size=size, replace=False))
+        docs.append((i, "all", [f"t{t}" for t in toks]))
+    # a contained twin (subset) and an exact twin so qualifying pairs exist
+    base = docs[0][2]
+    docs.append((n_docs, "all", list(base)))
+    docs.append((n_docs + 1, "all", list(base[: max(1, len(base) * 4 // 5)])))
+
+    items = spark.createDataFrame(
+        docs, "doc_id long, grp string, items array<string>"
+    )
+
+    # sig construction pin (mechanism-distinct: fold the hitems column
+    # itself in Python and compare word-for-word)
+    ranked = _ranked_token_arrays(items, with_sig=True).collect()
+    for r in ranked:
+        want_sig = [0] * (SIG_BITS // 64)
+        for h in r.hitems:
+            j = h % SIG_BITS            # python % == pmod for positive mod
+            want_sig[j // 64] |= 1 << (j % 64)
+        got_sig = [w & 0xFFFFFFFFFFFFFFFF for w in r.sig]
+        assert got_sig == want_sig, f"doc {r.doc_id} sig mismatch"
+
+    want = set()
+    for i in range(len(docs)):
+        for j in range(len(docs)):
+            if i == j:
+                continue
+            a, b = set(docs[i][2]), set(docs[j][2])
+            if len(a & b) * CONTAIN_DEN >= CONTAIN_NUM * len(a):
+                want.add(
+                    (docs[i][0], docs[j][0], len(a & b) * 1_000_000 // len(a))
+                )
+    got = {
+        (r.id_a, r.id_b, r.cont_ppm)
+        for r in _containment_pairs(items, CONTAIN_NUM, CONTAIN_DEN).collect()
+    }
+    assert got == want, f"got-want={got - want} want-got={want - got}"
+
+
 def test_bloom_prefilter_is_superset_with_bounded_fp(spark):
     """q_join_bloom's prefilter must pass EVERY true match (no false
     negatives, the bloom guarantee) and keep false positives bounded —

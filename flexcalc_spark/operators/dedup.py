@@ -1666,16 +1666,64 @@ def _twostage_items(d: DataFrame) -> DataFrame:
     )
 
 
+def _twostage_pair_counts(items: DataFrame) -> DataFrame:
+    """(id_a, id_b, isz): EXACT directed shingle-overlap counts for
+    every doc pair sharing >= 1 item — the inverted-index COUNT form
+    (explode hashed items, equi self-join, COUNT(*) per pair; the
+    oracle-side shape of the dedup family, r7). Factored out so the
+    Zipf census probe counts the graded plan's own raw relation
+    (r13 extraction rule)."""
+    ex = items.select(
+        "doc_id", F.explode("items").alias("tk")
+    ).select("doc_id", F.xxhash64("tk").alias("it"))
+    return (
+        ex.select(F.col("doc_id").alias("id_a"), "it")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "it"), "it")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+
+
 def _twostage_candidate_pairs(d: DataFrame) -> DataFrame:
-    """Stage 1 of q_dedup_containment_2stage, verbatim: word-2-gram
-    shingle candidate pairs at the low candidate tau through the shared
-    _containment_pairs machinery (prefix-probe join + exact word-level
-    re-score at tau 0.2). Factored out so the Zipf census probe
-    (scripts/scale_probe_zipf.py mode `twostage`) measures the GRADED
-    plan's candidate stage, not a reconstruction of it."""
-    return _containment_pairs(
-        _twostage_items(d), TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN
-    ).select("id_a", "id_b")
+    """Stage 1 of q_dedup_containment_2stage: word-2-gram shingle
+    candidate pairs at the low candidate tau (0.2), via the exact
+    inverted-index COUNT form (r15 rewrite, guide §2.3 "aggregate
+    before you shuffle").
+
+    WHY the count form here and the prefix+intersect form elsewhere:
+    the prefix probe is sz - ceil(tau*sz) + 1 items — at tau 0.8 that
+    is ~20% of each doc (thin probe, so the r14 full-count attempt
+    cost 1.54 BILLION char-gram instances and lost), but at tau 0.2
+    it is ~80% (fat probe), so probing ALL items costs only ~25% more
+    join instances (73M at sf0.1) while COUNT(*) per pair replaces the
+    ENTIRE re-score: no ranked arrays, no 17.9M-pair distinct, no
+    array attach, no 17.9M array_intersects. Survivors are provably
+    identical: COUNT(*) over the hashed-item equi join IS
+    |A∩B| at the hash level (items are array_distinct'd), the same
+    quantity size(array_intersect(hitems_a, hitems_b)) computed — and
+    the measured survivor count at sf0.1 is byte-equal (273,882 both
+    forms; stage-1 wall 13.1 -> 5.4 s). Pinned against brute force in
+    tests/test_recall.py::test_twostage_stage1_count_form_equivalence.
+
+    The survivor stream is hash-repartitioned to core count for stage
+    2's compute-bound char-gram attach (the r14 unstarve rule: the
+    groupBy leaves ~274k pairs in AQE-byte-coalesced partitions)."""
+    spark = d.sparkSession
+    items = _twostage_items(d).cache()
+    szs = items.select(F.col("doc_id").alias("id_a"), F.size("items").alias("sz_a"))
+    return (
+        _twostage_pair_counts(items)
+        .join(F.broadcast(szs), "id_a")
+        .filter(
+            F.col("isz") * TWOSTAGE_CAND_DEN
+            >= TWOSTAGE_CAND_NUM * F.col("sz_a")
+        )
+        .select("id_a", "id_b")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+    )
 
 
 @register(
@@ -1729,16 +1777,10 @@ def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-score on candidates only — the scale recipe as one plan."""
     d = table_parallel(spark, sf_dir, "documents")
     # stage 1: word-shingle candidate pairs at the low candidate tau
-    # (_twostage_candidate_pairs — shared with the Zipf census probe).
-    # NO outer repartition before the stage-2 attach joins: stage 1's
-    # own unstarve exchange inside _containment_pairs already leaves
-    # the survivor pair stream hashpartitioned by (id_a, id_b) at core
-    # count, and the BHJ attaches + tau filter preserve that layout
-    # through to here. MEASURED (r14): with an outer repartition on the
-    # same keys Catalyst plans the IDENTICAL physical tree (it elides
-    # the redundant exchange — plan files byte-equal modulo ids), so
-    # dropping it is source clarity, not a physical change; stage 2
-    # runs full-core either way.
+    # (_twostage_candidate_pairs — shared with the Zipf census probe;
+    # r15: the exact inverted-index COUNT form, see its docstring).
+    # It already hash-repartitions the survivor stream to core count,
+    # so stage 2's compute-bound char-gram attach runs full-core.
     cand = _twostage_candidate_pairs(d)
     # stage 2: exact char-gram containment on candidate ids only.
     # Hashed gram arrays (the _ranked_token_arrays trade: long

@@ -1,4 +1,4 @@
-"""Round-14 optimization probe: time EVERY registered key end-to-end at
+"""Round-15 optimization probe: time EVERY registered key end-to-end at
 sf0.1 (construction + noop sink, best-of-N) and capture its formatted
 plan + plan-shape stats (Exchange count, join strategies, Python-eval
 nodes, PushedFilters) — guide §1 "measure first" applied to the whole

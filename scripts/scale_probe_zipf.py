@@ -257,30 +257,24 @@ def twostage_census(spark: SparkSession, sf_dir: str) -> dict:
     reconstruction) plus the full two-stage plan end-to-end (final
     pair count and wall time including the char-gram re-score)."""
     from flexcalc_spark.operators.dedup import (
-        TWOSTAGE_CAND_DEN,
-        TWOSTAGE_CAND_NUM,
-        _containment_candidates,
-        _ranked_token_arrays,
         _twostage_candidate_pairs,
         _twostage_items,
+        _twostage_pair_counts,
         q_dedup_containment_2stage,
     )
     from flexcalc_spark.tables import table_parallel
 
     d = table_parallel(spark, sf_dir, "documents")
-    # raw prefix-probe x full-index join census (the plan's expensive
-    # intermediate, counted from the graded machinery's own join)
-    ranked = (
-        _ranked_token_arrays(_twostage_items(d).cache())
-        .repartition(spark.sparkContext.defaultParallelism)
-        .cache()
-    )
+    # raw pair-count relation census (r15: the graded plan's stage 1 is
+    # the exact inverted-index COUNT form — the raw relation is every
+    # doc pair sharing >= 1 shingle, counted from the plan's own helper
+    # per the r13 extraction rule; it is a SUPERSET of the old
+    # prefix-probe raw relation, same fixed-V ~n^2 / Heaps ~n classes)
+    items = _twostage_items(d).cache()
     t0 = time.perf_counter()
-    n_raw = _containment_candidates(
-        ranked, TWOSTAGE_CAND_NUM, TWOSTAGE_CAND_DEN
-    ).count()
+    n_raw = _twostage_pair_counts(items).count()
     raw_s = time.perf_counter() - t0
-    ranked.unpersist()
+    items.unpersist()
     # stage-2 input census: candidates surviving the exact word-level
     # re-score at tau 0.2 (what the char-gram stage actually touches)
     t0 = time.perf_counter()

@@ -1009,15 +1009,20 @@ def test_dedup_containment_shingle_prefix_equi_join(spark):
 
 
 def test_dedup_containment_2stage_prefix_equi_join(spark):
-    """The two-stage composition must keep the plan discipline of both
-    parents end-to-end: shingle-prefix equi-join candidates, positional
-    prune, and a hash-join char-gram re-score — no cartesian/nested-loop
-    stage anywhere."""
+    """The two-stage composition must keep its plan discipline end to
+    end: stage 1 is the exact inverted-index COUNT form (r15 — equi
+    self-join on the hashed shingle, COUNT(*) per pair aggregate,
+    NO array attach), stage 2 a hash-join char-gram re-score — no
+    cartesian/nested-loop stage anywhere."""
     plan = plan_text(Q["q_dedup_containment_2stage"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
-    assert re.search(r"least\(", plan), plan
+    # stage 1: pair-count aggregate grouped on the id pair (formatted
+    # plans put grouping keys on their own "Keys [2]: [...]" line)
+    assert re.search(r"Keys \[2\]: \[id_a#\d+L?, id_b#\d+L?\]", plan), plan
+    # stage 2: exact char-gram intersect still present
+    assert "array_intersect" in plan, plan
 
 
 def test_experiment_moment_keys_single_scan(spark):

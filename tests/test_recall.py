@@ -548,3 +548,39 @@ def test_containment_2stage_single_word_docs(spark, tmp_path):
     # the purely sub-word pair (1, 4) is char-true but word-invisible —
     # the documented structural miss of the word-unit candidate stage
     assert (1, 4) in true_pairs and (1, 4) not in got
+
+
+def test_twostage_stage1_count_form_equivalence(spark):
+    """The r15 count-form stage 1 (_twostage_candidate_pairs via the
+    inverted-index COUNT) must emit exactly the brute-force word-level
+    containment survivor set at the candidate tau — same semantics the
+    old prefix+array_intersect formulation computed. Run through the
+    REAL pipeline over a fixture slice (doc_id < 120 at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from flexcalc_spark.operators.dedup import (
+        TWOSTAGE_CAND_DEN, TWOSTAGE_CAND_NUM, _twostage_candidate_pairs,
+    )
+    from flexcalc_spark.tables import table
+
+    d = table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 120)
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    def items(t):
+        ws = t.split(" ")
+        if len(ws) >= 2:
+            return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        return set(ws)           # the single-word fallback of _twostage_items
+
+    sets = {k: items(t) for k, t in texts.items()}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b
+        and len(sets[a] & sets[b]) * TWOSTAGE_CAND_DEN
+        >= TWOSTAGE_CAND_NUM * len(sets[a])
+    }
+    got = {(r.id_a, r.id_b) for r in _twostage_candidate_pairs(d).collect()}
+    assert want, "slice produced no qualifying pairs — widen the slice"
+    assert got == want, f"got-want={got - want} want-got={want - got}"

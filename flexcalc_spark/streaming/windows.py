@@ -325,14 +325,40 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_shuffle_partitions(spark: SparkSession):
-    """Scope spark.sql.shuffle.partitions to the core count for a
-    stream drain (streaming state partitions freeze from this conf at
-    the first micro-batch; these drains use fresh checkpoints, so
-    re-scoping per run is safe). Shared impl: tables.py."""
+def _drain_shuffle_partitions(spark: SparkSession, sf_dir: str | None = None):
+    """Scope spark.sql.shuffle.partitions for a stream drain (streaming
+    state partitions freeze from this conf at the first micro-batch;
+    these drains use fresh checkpoints, so re-scoping per run is safe).
+
+    With ``sf_dir`` the count is SCALE-ADAPTIVE (r15, guide §2.2 — size
+    partitions by data, never a constant): a stream-stream join builds
+    4 state-store instances per partition and commits each per batch,
+    so at small inputs the per-partition store open/commit overhead
+    dominates the per-row puts — measured at sf0.1 (interleaved
+    single-run sweep, q_stream_join): 32 parts 15.5-16.2 s, 16 parts
+    11.3, 8 parts 8.8, 4 parts 8.7-9.5, 2 parts 10.0-10.3. Partitions
+    = clamp(input_bytes / 512 KiB, 1, defaultParallelism), i.e. grows
+    linearly with input until the core count caps it — at production
+    scale the cap binds and behavior is unchanged (state sizing there
+    is GB-per-partition, a cluster conf; see OPTIMIZATION_r15.md).
+    Env override: SPARK_GRAFT_STREAM_SHUFFLE. Without ``sf_dir`` the
+    old core-count behavior is kept (test drains)."""
+    import os
+
     from flexcalc_spark.tables import scoped_shuffle_partitions
 
-    return scoped_shuffle_partitions(spark)
+    n = None
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        n = int(env)
+    elif sf_dir is not None:
+        try:
+            nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+            cores = spark.sparkContext.defaultParallelism
+            n = max(1, min(cores, -(-nbytes // (512 * 1024))))
+        except OSError:
+            n = None    # directory-style layout etc.: core-count fallback
+    return scoped_shuffle_partitions(spark, n)
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
@@ -778,7 +804,7 @@ def run_stream_foreachbatch_upsert(
             .parquet(out_dir)
         )
 
-    with _drain_shuffle_partitions(spark):
+    with _drain_shuffle_partitions(spark, sf_dir):
         q = (
             agg.writeStream.foreachBatch(upsert)
             .outputMode("complete")
@@ -914,7 +940,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
-    with _drain_shuffle_partitions(spark):
+    with _drain_shuffle_partitions(spark, sf_dir):
         q = (
             stream_range_join(spark, sf_dir)
             .writeStream.foreachBatch(_census_batch)

@@ -215,14 +215,16 @@ def epoch_us_of(df: DataFrame, col: str) -> "F.Column":
     return F.expr(f"unix_micros({col})")
 
 
-def scoped_shuffle_partitions(spark: SparkSession):
-    """Context manager: scope spark.sql.shuffle.partitions to the core
-    count for an eager iterative section (localCheckpoint loops,
-    availableNow stream drains). Checkpoints and state stores
-    materialize the CURRENT shuffle layout verbatim — under a vanilla
-    session's 200 partitions every loop round pays hundreds of
-    near-empty tasks (measured: q_label_prop 2.3s -> 1.3s, q_kcore
-    3.7s -> 2.7s, stream-stream drain 23s -> 3s). Restores the
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None = None):
+    """Context manager: scope spark.sql.shuffle.partitions to ``n``
+    (default: the core count) for an eager iterative section
+    (localCheckpoint loops, availableNow stream drains). Checkpoints
+    and state stores materialize the CURRENT shuffle layout verbatim —
+    under a vanilla session's 200 partitions every loop round pays
+    hundreds of near-empty tasks (measured: q_label_prop 2.3s -> 1.3s,
+    q_kcore 3.7s -> 2.7s, stream-stream drain 23s -> 3s; r15 sizes
+    stream drains by input bytes via ``n`` — see
+    streaming/windows._drain_shuffle_partitions). Restores the
     caller's conf even on failure; batch plans built AFTER restore are
     unaffected (AQE coalesces their fresh shuffles)."""
     from contextlib import contextmanager
@@ -232,7 +234,7 @@ def scoped_shuffle_partitions(spark: SparkSession):
         orig = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
+            str(n if n else spark.sparkContext.defaultParallelism),
         )
         try:
             yield

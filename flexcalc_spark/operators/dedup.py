@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table, table_parallel
+from flexcalc_spark.tables import session_plan_memo, table, table_parallel
 
 JACCARD_TAU = 0.95
 JACCARD_NUM, JACCARD_DEN = 19, 20      # == JACCARD_TAU as an exact ratio
@@ -1037,16 +1037,29 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value is bit-identical — same expression text over the same
     # doubles — so the floor-quantized cos (and the oracle hash) cannot
     # move.
-    corpus = (
-        _planted_corpus(spark, sf_dir)
-        .withColumn("nrm", F.sqrt(_dot_spark("embedding", "embedding")))
-        .cache()
-    )  # 3 consumers: bucket build + both re-score sides (HOF arrays
-    # re-evaluate per consumer subtree otherwise — CLAUDE.md caching rule)
-    buckets = corpus.select(
-        "vec_id",
-        F.posexplode(F.array(*_embed_band_keys())).alias("band", "band_key"),
+    # Construction memo (r15, VERDICT item 7): analyzing the 64-fold x
+    # 64-literal band bank costs ~0.5-0.7 s of Catalyst work per call —
+    # session_plan_memo returns the already-analyzed LAZY frames on
+    # repeat calls (plan-only; execution still computes fresh per run).
+    # cache() is re-applied per call: clearCache() between bench runs
+    # unpersists, and persist on an already-cached frame is a no-op.
+    def _build():
+        c = _planted_corpus(spark, sf_dir).withColumn(
+            "nrm", F.sqrt(_dot_spark("embedding", "embedding"))
+        )
+        b = c.select(
+            "vec_id",
+            F.posexplode(F.array(*_embed_band_keys())).alias(
+                "band", "band_key"
+            ),
+        )
+        return c, b
+
+    corpus, buckets = session_plan_memo(
+        spark, f"{sf_dir}/embeddings.parquet", "embed_lsh_8x8", _build
     )
+    corpus = corpus.cache()  # 3 consumers: bucket build + both re-score
+    # sides (HOF arrays re-evaluate per consumer subtree otherwise)
     cand = (
         buckets.select(F.col("vec_id").alias("id_a"), "band", "band_key")
         .join(
@@ -1164,11 +1177,31 @@ def q_dedup_embed_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= 0.9) via sparse 4x16
     sign-LSH with Hamming-1 multi-probe + exact JVM re-score; same
     planted corpus and output as q_dedup_embed_lsh."""
-    corpus = (
-        _planted_corpus(spark, sf_dir)
-        .withColumn("nrm", F.sqrt(_dot_spark("embedding", "embedding")))
-        .cache()
-    )  # consumers: signature build + both re-score sides
+    # Construction memo (r15, VERDICT item 7): the profiled per-call
+    # construction cost was 0.03 s expression PARSE (the r7 generated-
+    # text fix already handled that) + ~0.66 s Catalyst ANALYSIS of the
+    # 4x16x64-literal sign-fold trees + ~0.27 s corpus plan build —
+    # session_plan_memo returns the analyzed LAZY frames on repeat
+    # calls in the same session. Plan-only: the localCheckpoint below
+    # runs per call, so every bench/oracle run still executes the fold
+    # bank fresh from parquet. cache() re-applied per call (no-op when
+    # already cached; re-registers after clearCache).
+    def _build():
+        c = _planted_corpus(spark, sf_dir).withColumn(
+            "nrm", F.sqrt(_dot_spark("embedding", "embedding"))
+        )
+        s = c.select(
+            "vec_id",
+            F.posexplode(F.array(*_embed_band_keys_wide())).alias(
+                "band", "bkey"
+            ),
+        )
+        return c, s
+
+    corpus, sig_plan = session_plan_memo(
+        spark, f"{sf_dir}/embeddings.parquet", "embed_lsh_wide", _build
+    )
+    corpus = corpus.cache()  # consumers: signature build + both re-score sides
     # narrow (id, band, key); consumed by probe AND index. NOT cache():
     # localCheckpoint truncates the 4 wide band-key expressions (16
     # nested sign folds x 64 literal doubles each) out of every
@@ -1178,12 +1211,7 @@ def q_dedup_embed_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dominant cost is the one-time codegen/interpretation of the
     # 64-fold bank itself (the round-7 '7 s compiling codegen' class),
     # which any first execution pays. Values identical; n x 4 rows.
-    sig = corpus.select(
-        "vec_id",
-        F.posexplode(F.array(*_embed_band_keys_wide())).alias(
-            "band", "bkey"
-        ),
-    ).localCheckpoint()
+    sig = sig_plan.localCheckpoint()
     ball = F.array(
         F.col("bkey"),
         *[

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flexcalc_spark.registry import register
-from flexcalc_spark.tables import table, table_parallel
+from flexcalc_spark.tables import session_plan_memo, table, table_parallel
 
 K_NEIGHBORS = 5
 N_PROBES = 10           # probe set = vec_id < 10
@@ -118,7 +118,6 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dedup._embed_band_keys build-time lesson); each bit's fold
     text matches _dot verbatim, so the sign bits are bit-identical to
     the Column-built form."""
-    e = table_parallel(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
 
     def bit(plane: list) -> str:
@@ -131,17 +130,26 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (s, x) -> s + x) > 0 THEN 1 ELSE 0 END)"
         )
 
-    bits_per_band = LSH_PLANES // LSH_BANDS
-    band_keys = []
-    for bnd in range(LSH_BANDS):
-        txt = "0"
-        for i in range(bits_per_band):
-            txt = f"({txt} * 2 + {bit(planes[bnd * bits_per_band + i])})"
-        band_keys.append(F.expr(txt))
-    return e.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+    # Construction memo (r15): analyzing the 16-fold x 64-literal band
+    # bank per call is pure Catalyst overhead — memoize the analyzed
+    # lazy frame per session (plan-only; see tables.session_plan_memo).
+    def _build():
+        e = table_parallel(spark, sf_dir, "embeddings")
+        bits_per_band = LSH_PLANES // LSH_BANDS
+        band_keys = []
+        for bnd in range(LSH_BANDS):
+            txt = "0"
+            for i in range(bits_per_band):
+                txt = f"({txt} * 2 + {bit(planes[bnd * bits_per_band + i])})"
+            band_keys.append(F.expr(txt))
+        return e.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+        )
+
+    return session_plan_memo(
+        spark, f"{sf_dir}/embeddings.parquet", "knn_lsh_buckets", _build
     )
 
 

@@ -176,3 +176,63 @@ def test_unlistable_subdir_yields_none_not_partial(tmp_path, monkeypatch):
 
     monkeypatch.setattr(tables.os, "scandir", deny_nested)
     assert tables._path_sig(os.path.join(str(tmp_path), "events.parquet")) is None
+
+
+# --- session_plan_memo (r15: LSH band-bank construction memo) ---------
+
+
+def test_plan_memo_returns_same_object_for_unchanged_dep(spark, tmp_path):
+    sf = str(tmp_path)
+    dep = os.path.join(sf, "embeddings.parquet")
+    _write(dep, [1, 2, 3])
+    calls = []
+
+    def build():
+        calls.append(1)
+        return tables.table(spark, sf, "embeddings").selectExpr("v * 2 AS w")
+
+    a = tables.session_plan_memo(spark, dep, "t", build)
+    b = tables.session_plan_memo(spark, dep, "t", build)
+    assert a is b and len(calls) == 1
+    # plan-only: every execution computes fresh from the file
+    assert sorted(r.w for r in b.collect()) == [2, 4, 6]
+
+
+def test_plan_memo_dep_rewrite_is_a_miss(spark, tmp_path):
+    sf = str(tmp_path)
+    dep = os.path.join(sf, "embeddings.parquet")
+    _write(dep, [1, 2, 3])
+    build_n = []
+
+    def build():
+        build_n.append(1)
+        return tables.table(spark, sf, "embeddings").selectExpr("v AS w")
+
+    first = tables.session_plan_memo(spark, dep, "t2", build)
+    _write(dep, [7, 8, 9, 10])
+    second = tables.session_plan_memo(spark, dep, "t2", build)
+    assert second is not first and len(build_n) == 2
+    assert sorted(r.w for r in second.collect()) == [7, 8, 9, 10]
+
+
+def test_plan_memo_missing_dep_falls_back_to_builder(spark, tmp_path):
+    # unstatable dep path => no memoization, builder result served as-is
+    dep = os.path.join(str(tmp_path), "nope.parquet")
+    a = tables.session_plan_memo(spark, dep, "t3", lambda: "fresh-a")
+    b = tables.session_plan_memo(spark, dep, "t3", lambda: "fresh-b")
+    assert (a, b) == ("fresh-a", "fresh-b")
+
+
+def test_plan_memo_lives_on_session_not_module(spark):
+    # same registry rule as the scan memo: no module-level Mapping may
+    # hold DataFrames (the r14 WeakKeyDictionary leak class)
+    assert isinstance(
+        getattr(spark, tables._PLAN_MEMO_ATTR, {}), dict
+    )
+    import collections.abc as abc
+
+    for name, val in vars(tables).items():
+        if name.startswith("__"):
+            continue
+        if isinstance(val, abc.Mapping) and val:
+            raise AssertionError(f"module-level mapping holds state: {name}")

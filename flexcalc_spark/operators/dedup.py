@@ -801,6 +801,13 @@ def connected_components(
 
     try:
         sig = signature(e)
+        # NEGATIVE RESULT (r15): sizing the loop's shuffle partitions
+        # from sig[0] (edge count / 64k, the stream-drain pattern)
+        # measured FLAT at sf0.1 over 5 interleaved A/B rounds
+        # (clusters MIN 6.51 vs 6.64, split 5.65 vs 5.49) — the star
+        # loop is bound by its ~2 driver jobs per round (checkpoint +
+        # signature collect), not by the 32-vs-1 near-empty task
+        # count. Reverted; do not re-derive.
         rounds = 0
         for _ in range(max_iters):
             e2 = small_star(large_star(e)).localCheckpoint()

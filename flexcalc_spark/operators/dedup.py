@@ -1803,7 +1803,18 @@ def _twostage_candidate_pairs(d: DataFrame) -> DataFrame:
         "the worse char-gram census (flat ~15% of all-pairs, round 8) "
         "never materializes. At 100 TB the candidate tau is the "
         "measured recall-margin vs candidate-density dial; the "
-        "re-score stays exact either way"
+        "re-score stays exact either way. r15: stage 1 runs as the "
+        "exact inverted-index COUNT form (survivors provably and "
+        "measurably identical to the prefix+intersect form; 2x at the "
+        "graded scale because the fixture's bounded vocabulary makes "
+        "the tau-0.2 prefix NON-selective — 72% of pairs share a "
+        "prefix shingle). The form choice is REGIME-DEPENDENT and "
+        "pure cost, never correctness: on Zipf/Heaps corpora the "
+        "prefix form's raw relation is 40-70x sparser (SCALE.md "
+        "round-15 table, both forms measured) and remains the 100 TB "
+        "recipe there via the unchanged _containment_pairs machinery; "
+        "measure Heaps beta + prefix selectivity before choosing "
+        "(the r12 dial, extended)"
     ),
 )
 def q_dedup_containment_2stage(spark: SparkSession, sf_dir: str) -> DataFrame:

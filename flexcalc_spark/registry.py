@@ -126,18 +126,20 @@ def register(
 # Rotation applied by scripts/rotate_grade_order.py from
 # CORRECTNESS history through r14 — stalest evidence
 # first, prior relative order preserved inside each tier.
-# Tiers at rotation time (never-graded/failed/changed: 7, r8: 4, r9: 46, r10: 34, r11: 39, r12: 39, r13: 43, r14: 44).
+# Tiers at rotation time (never-graded/failed/changed: 15, r8: 4, r9: 45, r10: 34, r11: 39, r12: 39, r13: 42, r14: 38).
 # Front of the next graded window: q_trajectory_dtw, q_dedup_containment_shingle, q_dedup_containment, ...
 GRADE_ORDER: list[str] = [
     "q_trajectory_dtw", "q_dedup_containment_shingle", "q_dedup_containment",
     "q_label_prop", "q_dedup_containment_2stage", "q_stream_upsert",
-    "q_stream_join", "q_join_bucketed", "q_pack_sequences", "q_mix_sample",
-    "q_sketch_cms", "q_snapshot_diff", "q_join_nullsafe",
-    "q_agg_weighted_median", "q_sql_tpch22", "q_window_session",
-    "q_ct_centre", "q_ct_histogram", "q_ct_bbox", "q_ct_threshold",
-    "q_ct_moments", "q_ct_preprocess", "q_multimodal_features",
-    "q_multimodal_resize", "q_sample_split", "q_sample_stratified",
-    "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf", "q_stream_late",
+    "q_stream_join", "q_knn_lsh", "q_dedup_embed_lsh_wide",
+    "q_split_dedup_safe", "q_dedup_neardup", "q_dedup_ngram",
+    "q_dedup_clusters", "q_dedup_embed_lsh", "q_bfs_hops", "q_join_bucketed",
+    "q_pack_sequences", "q_mix_sample", "q_sketch_cms", "q_snapshot_diff",
+    "q_join_nullsafe", "q_agg_weighted_median", "q_sql_tpch22",
+    "q_window_session", "q_ct_centre", "q_ct_histogram", "q_ct_bbox",
+    "q_ct_threshold", "q_ct_moments", "q_ct_preprocess",
+    "q_multimodal_features", "q_multimodal_resize", "q_sample_split",
+    "q_sample_stratified", "q_dedup_simhash", "q_knn_ivf", "q_stream_late",
     "q_gapfill", "q_udaf_grouped", "q_vector_quantize", "q_agg_regression",
     "q_window_tumbling", "q_window_sliding", "q_sessionize",
     "q_stream_enrich", "q_win_lag_lead", "q_win_moving", "q_win_range_time",
@@ -176,16 +178,15 @@ GRADE_ORDER: list[str] = [
     "q_sql_tpch11", "q_sql_tpch12", "q_sql_tpch16", "q_attribution",
     "q_period_over_period", "q_str_funcs", "q_sssp_cost", "q_cuped",
     "q_srm_check", "q_rolling_corr", "q_qte", "q_diff_in_diff",
-    "q_dedup_embed_lsh_wide", "q_target_encode", "q_link_predict",
-    "q_holt_forecast", "q_cohort_ltv", "q_sql_tpch2", "q_sql_tpch15",
-    "q_sql_tpch17", "q_sql_tpch20", "q_str_regexp", "q_str_distance",
-    "q_date_parts", "q_date_arith", "q_math_funcs", "q_array_ops",
-    "q_array_hof", "q_explode", "q_map_json", "q_subquery_scalar",
-    "q_subquery_correlated", "q_subquery_in", "q_udf_scalar",
-    "q_udtf_expand", "q_lang_id", "q_quality_score", "q_token_count",
-    "q_fingerprint", "q_text_chunks", "q_repetition", "q_vocab",
-    "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids", "q_kmeans",
-    "q_dedup_exact", "q_dedup_embed", "q_stream_dedup",
+    "q_target_encode", "q_link_predict", "q_holt_forecast", "q_cohort_ltv",
+    "q_sql_tpch2", "q_sql_tpch15", "q_sql_tpch17", "q_sql_tpch20",
+    "q_str_regexp", "q_str_distance", "q_date_parts", "q_date_arith",
+    "q_math_funcs", "q_array_ops", "q_array_hof", "q_explode", "q_map_json",
+    "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in",
+    "q_udf_scalar", "q_udtf_expand", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint", "q_text_chunks", "q_repetition",
+    "q_vocab", "q_corpus_filter", "q_tfidf", "q_knn_cosine", "q_centroids",
+    "q_kmeans", "q_dedup_exact", "q_dedup_embed", "q_stream_dedup",
     "q_stateful_sessions", "q_funnel", "q_rfm", "q_transitions",
     "q_time_rollup", "q_concurrency", "q_source_json", "q_source_orc",
     "q_sink_compacted", "q_rfm_approx", "q_source_avro", "q_source_warc",
@@ -195,10 +196,8 @@ GRADE_ORDER: list[str] = [
     "q_seasonal_decompose", "q_histogram_equidepth", "q_mad_outliers",
     "q_histogram_equidepth_approx", "q_mad_outliers_approx", "q_dpp_prune",
     "q_sink_partitioned", "q_sink_csv", "q_trajectory_sim",
-    "q_decontaminate", "q_dedup_incremental", "q_split_dedup_safe",
-    "q_data_profile", "q_incr_mv", "q_dedup_neardup", "q_dedup_ngram",
-    "q_dedup_clusters", "q_dedup_minhash", "q_bm25", "q_dedup_embed_lsh",
-    "q_bpe_tokenize", "q_bfs_hops"
+    "q_decontaminate", "q_dedup_incremental", "q_data_profile", "q_incr_mv",
+    "q_dedup_minhash", "q_bm25", "q_bpe_tokenize"
 ]
 
 

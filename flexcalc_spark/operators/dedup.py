@@ -1362,9 +1362,12 @@ def _containment_pairs(items: DataFrame, num: int, den: int) -> DataFrame:
     items = items.cache()
     # Bitmap pre-filter (r15, guide §2.3/§4.2): only at HIGH tau — the
     # bound below is popcount(sig_a & ~sig_b) <= sz_a - ceil(tau*sz_a),
-    # and at tau 0.2 that slack (~0.8*sz_a) exceeds any real popcount,
-    # so the filter would prune nothing and the sig would be pure cost
-    # (the 2stage candidate tau stays on the unfiltered path).
+    # and at low tau the slack exceeds any real popcount, so the filter
+    # would prune nothing and the sig would be pure cost. Both current
+    # callers (containment 4/5, shingle 4/5) take the use_sig branch;
+    # the low-tau branch is kept for the regime-dependent form choice
+    # the 2stage scale_notes document (its stage 1 now runs the count
+    # form and bypasses this function entirely).
     use_sig = 2 * num >= den
     # repartition to core count BEFORE caching: the groupBy-derived table
     # would otherwise pin the vanilla session's 200-partition layout into

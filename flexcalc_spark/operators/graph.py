@@ -433,9 +433,13 @@ def _label_prop_oracle() -> str:
         "is one edges x labels equi join, a per-(node, label) count, "
         "and a WindowGroupLimit argmax — the narrow (node, label) "
         "table is the only thing that reshuffles per round, edges "
-        "partition by dst once. Spark runs the loop over "
-        "localCheckpointed label tables (the k-core lineage lesson); "
-        "the oracle unrolls identical rounds as MATERIALIZED CTEs. "
+        "partition by dst once (checkpointed; consumed every round). "
+        "r15: the label loop is LAZY — labels is consumed exactly once "
+        "per round, so lineage is linear (no k^rounds nesting) and the "
+        "whole propagation runs as one job instead of per-round "
+        "checkpoint writes (measured 0.84x); a checkpoint valve would "
+        "return only if rounds grew past the plan-size comfort zone. "
+        "The oracle unrolls identical rounds as MATERIALIZED CTEs. "
         "Community-size census output — the corpus-clustering signal "
         "used for domain balance in training mixes"
     ),

@@ -350,14 +350,25 @@ def _drain_shuffle_partitions(spark: SparkSession, sf_dir: str | None = None):
     n = None
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
     if env:
-        n = int(env)
+        n = max(1, int(env))
     elif sf_dir is not None:
+        # getsize on a DIRECTORY returns the inode size (~4096) without
+        # raising, so a partitioned directory layout must be summed
+        # explicitly — never sized from the dir entry (r15 review).
         try:
-            nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+            path = os.path.join(sf_dir, "events.parquet")
+            if os.path.isdir(path):
+                nbytes = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _dirs, files in os.walk(path)
+                    for f in files
+                )
+            else:
+                nbytes = os.path.getsize(path)
             cores = spark.sparkContext.defaultParallelism
             n = max(1, min(cores, -(-nbytes // (512 * 1024))))
         except OSError:
-            n = None    # directory-style layout etc.: core-count fallback
+            n = None    # unstatable layout: core-count fallback
     return scoped_shuffle_partitions(spark, n)
 
 

@@ -267,7 +267,9 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int | None = None):
         orig = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(n if n else spark.sparkContext.defaultParallelism),
+            # explicit None check: n=0 must not silently mean "default"
+            # (callers validate n >= 1; r15 review)
+            str(n if n is not None else spark.sparkContext.defaultParallelism),
         )
         try:
             yield

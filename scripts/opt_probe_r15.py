@@ -111,7 +111,8 @@ def main() -> int:
                     df.write.format("noop").mode("overwrite").save()
                 except Exception as e:  # noqa: BLE001 — probe must survive
                     err = f"{type(e).__name__}: {e}"[:300]
-                    break
+                    best = None   # an erroring key must not also rank by
+                    break         # a timing from an earlier run (r15 review)
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
             if err is None:

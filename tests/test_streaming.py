@@ -862,3 +862,49 @@ def test_stateful_sessions_chunk_boundary_carry(spark):
     finally:
         spark.conf.set(key, orig)
     assert tiny == baseline
+
+
+def test_drain_partitions_size_by_input_bytes(spark, tmp_path):
+    """r15: the graded stream drains scope their state partition count
+    from the events input size — clamp(bytes/512KiB, 1, cores). Pins
+    (a) the flat-file path, (b) the DIRECTORY layout (os.path.getsize
+    on a dir returns the inode size ~4096 WITHOUT raising, so the
+    pre-fix code silently sized any partitioned layout to 1 — this
+    test fails there), and (c) the missing-file core-count fallback."""
+    import os
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def scoped_value(sf_dir):
+        with sw._drain_shuffle_partitions(spark, sf_dir):
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # (a) flat file: 3 MiB -> ceil(3 MiB / 512 KiB) = 6 (cores permitting)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "events.parquet").write_bytes(b"\0" * (3 * 1024 * 1024))
+    assert scoped_value(str(flat)) == min(cores, 6)
+
+    # (b) directory layout: two nested 1 MiB part files -> ceil(2M/512K)=4,
+    # NOT ceil(4096/512K)=1 from the directory inode
+    nested = tmp_path / "nested"
+    (nested / "events.parquet" / "day=1").mkdir(parents=True)
+    (nested / "events.parquet" / "day=1" / "part-0.parquet").write_bytes(
+        b"\0" * (1024 * 1024)
+    )
+    (nested / "events.parquet" / "day=1" / "part-1.parquet").write_bytes(
+        b"\0" * (1024 * 1024)
+    )
+    assert scoped_value(str(nested)) == min(cores, 4)
+
+    # (c) missing input: core-count fallback
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert scoped_value(str(empty)) == cores
+
+    # env override wins and is clamped to >= 1
+    os.environ["SPARK_GRAFT_STREAM_SHUFFLE"] = "0"
+    try:
+        assert scoped_value(str(flat)) == 1
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_SHUFFLE"]

@@ -434,11 +434,12 @@ def _label_prop_oracle() -> str:
         "and a WindowGroupLimit argmax — the narrow (node, label) "
         "table is the only thing that reshuffles per round, edges "
         "partition by dst once (checkpointed; consumed every round). "
-        "r15: the label loop is LAZY — labels is consumed exactly once "
-        "per round, so lineage is linear (no k^rounds nesting) and the "
-        "whole propagation runs as one job instead of per-round "
-        "checkpoint writes (measured 0.84x); a checkpoint valve would "
-        "return only if rounds grew past the plan-size comfort zone. "
+        "Labels checkpoint per round EXCEPT the last (its checkpoint "
+        "was a pure extra materialization — the closing groupBy is its "
+        "only consumer). A fully lazy loop measured 0.84x fresh but "
+        "stacks one broadcast build per round in a single plan and "
+        "OOMed a loaded vanilla 1g session at sf0.1 (r15) — the "
+        "checkpointed form is the shared-session-robust choice. "
         "The oracle unrolls identical rounds as MATERIALIZED CTEs. "
         "Community-size census output — the corpus-clustering signal "
         "used for domain balance in training mixes"
@@ -458,7 +459,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = edges.select("src").distinct().selectExpr(
             "src AS node", "src AS lab"
         ).localCheckpoint()
-        for _ in range(LP_ROUNDS):
+        for rnd in range(LP_ROUNDS):
             cnt = (
                 edges.join(
                     labels.withColumnRenamed("node", "dst"), "dst"
@@ -471,22 +472,26 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cnt").desc(), F.col("lab")
                 )
             )
-            # NO per-round localCheckpoint (r15, guide §5 — the q_bfs
-            # lazy-union precedent): labels is consumed exactly ONCE per
-            # round (next round's join), so lineage stays LINEAR — 4
-            # joins deep at LP_ROUNDS=4, no k^rounds nesting — and the
-            # whole propagation runs as one lazy job instead of paying
-            # 4 eager checkpoint writes + driver round trips. Edges and
-            # the seed labels stay checkpointed (edges is consumed every
-            # round). A lineage valve (checkpoint every ~10 rounds)
-            # would be needed only if LP_ROUNDS grew past the plan-size
-            # comfort zone. Measured r15: 6.98 -> 5.83 s MIN (0.84x),
-            # 3-round interleaved worktree A/B at sf0.1.
             labels = (
                 cnt.withColumn("rk", rk)
                 .filter(F.col("rk") == 1)
                 .selectExpr("src AS node", "lab")
             )
+            # Checkpoint per round EXCEPT the last (r15): the final
+            # round's labels are consumed exactly once (the closing
+            # groupBy), so its checkpoint was a pure extra
+            # materialization + eager job. A FULLY lazy loop measured
+            # 0.84x in fresh sessions BUT stacks one broadcast build
+            # per round in a single plan and hit a driver broadcast OOM
+            # at sf0.1 in a vanilla 1g session already holding other
+            # keys' blocks (the r12 accumulated-state mode at key 4
+            # instead of ~205); a 2-round valve still OOMed there.
+            # This form is timing-NEUTRAL vs per-round checkpoints (A/B
+            # MINs 6.43 vs 6.56 s) — the 0.84x is deliberately left on
+            # the table for shared-session robustness. Fresh-session
+            # outputs identical in all forms (oracle MATCH both SFs).
+            if rnd != LP_ROUNDS - 1:
+                labels = labels.localCheckpoint()
     return labels.groupBy("lab").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).select(F.col("lab").cast("bigint").alias("label"), "n_nodes")

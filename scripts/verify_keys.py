@@ -115,6 +115,8 @@ def main() -> int:
     qs, os_ = ent.queries(), ent.oracle_sql()
     keys = args or [k for k in qs if k in os_]
     fails = []
+    import gc
+
     for k in keys:
         sdf = qs[k](spark, sf).toPandas()
         # drop cached relations between keys: a full-registry sweep at
@@ -122,6 +124,16 @@ def main() -> int:
         # ~205 died broadcasting (r12) — caches are per-key scratch,
         # never shared across keys, so clearing them is free
         spark.catalog.clearCache()
+        # ...and release the keys' localCheckpoint RDD blocks too (r15):
+        # clearCache only covers CACHED relations; checkpoint blocks
+        # stay pinned until the Python DataFrame refs are collected and
+        # the JVM ContextCleaner runs. With the r15 rotation fronting
+        # the 4 heaviest keys together, a vanilla 1g-driver session hit
+        # the r12 broadcast-OOM mode at key 4 (not ~205) at sf0.1 —
+        # a gc.collect() between keys drops the py4j handles so the
+        # cleaner can reclaim the blocks before the next key builds
+        # its broadcasts.
+        gc.collect()
         if k not in os_:
             print(f"  {k}: rows-only, {len(sdf)} rows")
             continue
